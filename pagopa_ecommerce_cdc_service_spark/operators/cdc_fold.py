@@ -1,0 +1,206 @@
+"""Batch CDC fold: event log → transactions view.
+
+Re-expresses the reference's per-event upsert pipeline
+(/root/reference/src/main/kotlin/it/pagopa/ecommerce/cdc/services/TransactionViewUpsertService.kt:60-250
+and datacapture/EcommerceTransactionsLogEventsStream.kt:79-135) as one
+deterministic, order-insensitive fold per ``transactionId``.
+
+Semantics (derived in SURVEY.md §2.3-2.4; the reference's three-attempt
+update/upsert dance collapses into pure expressions because a shuffle by key
+serializes each key's events and removes the write-write race):
+
+* Events are processed in **arrival order** ``seq`` (the change-stream
+  delivery order). ``lastProcessedEventAt`` after a prefix of events equals
+  the prefix's running max event-time, so an event *applies* its guarded
+  update iff its event-time is **strictly greater** than the prefix max of
+  all earlier valid events (strict ``<`` guard,
+  TransactionViewUpsertService.kt:144).
+* Final value of each view field = value of the **last-arriving effective
+  write** of that field, where unguarded writes (reference ``dataUpdate``)
+  are always effective and guarded writes only when the event applied.
+* ``status`` = status of the last-arriving *applied* status-bearing event;
+  ``lastProcessedEventAt`` = max event-time over applied events.
+
+Scale design: ONE shuffle (hash by ``transactionId``). The id-dedup window
+partitions by (transactionId, id) and the guard window by transactionId —
+both are satisfied by the same hash partitioning on transactionId, and the
+final groupBy reuses it too, so Catalyst plans a single Exchange. Per-field
+folds are ``max(struct(seq, value))`` aggregates: partial-aggregable,
+whole-stage-codegen'd, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..config import CdcConfig, DEFAULT_CONFIG
+from ..event_mapping import (
+    EVENT_SPECS,
+    KNOWN_EVENT_CODES,
+    WRITTEN_VIEW_FIELDS,
+    WriteMode,
+    writers_of,
+)
+from ..schemas import TRANSACTION_VIEW_CLASS
+
+_TS = "_ts_millis"
+_APPLIED = "_applied"
+
+
+def parse_creation_date_millis(creation_date: Column) -> Column:
+    """ISO-8601 zoned string → epoch millis.
+
+    Mirrors ``ZonedDateTime.parse(...).toInstant().toEpochMilli()``
+    (TransactionViewUpsertService.kt:144). Handles up to 9 fractional digits
+    by trimming to micros (Spark timestamp precision) before parsing.
+    """
+    # normalize: 9-digit (nano) fractions → 6-digit (micro); Z offset kept
+    trimmed = F.regexp_replace(
+        creation_date, r"(\.\d{6})\d+(?=[+-Z])", r"$1"
+    )
+    return F.unix_millis(F.to_timestamp(trimmed))
+
+
+def prepare_events(
+    df: DataFrame,
+    config: CdcConfig = DEFAULT_CONFIG,
+    ts_millis: Column | None = None,
+) -> DataFrame:
+    """Filter/validate the raw envelope stream and attach ``_ts_millis``.
+
+    Mirrors the reference's intake chain:
+    - operationType server-side match (EcommerceTransactionsLogEventsStream.kt:79-85)
+    - ttl-marked migration artifacts skipped (:111-120)
+    - unknown eventCode rejected (CdcEventTypeException,
+      TransactionViewUpsertService.kt:292-298)
+    """
+    if ts_millis is None:
+        ts_millis = parse_creation_date_millis(F.col("creationDate"))
+    out = df
+    if "operationType" in df.columns:
+        out = out.filter(F.col("operationType").isin(*config.operation_types))
+    if "ttl" in df.columns:
+        out = out.filter(F.col("ttl").isNull())
+    out = out.filter(F.col("eventCode").isin(*KNOWN_EVENT_CODES))
+    return out.withColumn(_TS, ts_millis).filter(F.col(_TS).isNotNull())
+
+
+def _status_op() -> Column:
+    """Chained CASE building the guarded status write-op struct."""
+    op = None
+    for code, spec in EVENT_SPECS.items():
+        if spec.status_col is None:
+            continue
+        value = spec.status_col()
+        cond = (F.col("eventCode") == code) & F.col(_APPLIED) & value.isNotNull()
+        branch = F.struct(F.col("seq").alias("_s"), value.alias("v"))
+        op = F.when(cond, branch) if op is None else op.when(cond, branch)
+    assert op is not None
+    return op
+
+
+def _field_op(view_field: str) -> Column:
+    """Chained CASE building the write-op struct for one view field."""
+    op = None
+    for code, w in writers_of(view_field):
+        cond = F.col("eventCode") == code
+        if w.cond_col is not None:
+            cond = cond & w.cond_col()
+        if w.guarded:
+            cond = cond & F.col(_APPLIED)
+        value = w.value_col()
+        if w.mode is WriteMode.SET_IF_NONNULL:
+            cond = cond & value.isNotNull()
+        branch = F.struct(F.col("seq").alias("_s"), value.alias("v"))
+        op = F.when(cond, branch) if op is None else op.when(cond, branch)
+    assert op is not None, f"no writers for {view_field}"
+    return op
+
+
+def fold_transactions_view(
+    prepared: DataFrame,
+    key: str = "transactionId",
+    seq: str = "seq",
+) -> DataFrame:
+    """Fold a prepared event log into the transactions view (batch mode).
+
+    ``prepared`` must be the output of :func:`prepare_events` (or carry a
+    ``_ts_millis`` column) and a monotone arrival-order ``seq`` column.
+    """
+    df = prepared
+    if seq != "seq":
+        df = df.withColumn("seq", F.col(seq))
+
+    # ONE explicit shuffle by the fold key. hash(transactionId) satisfies the
+    # clustered-distribution requirements of the (key, id) dedup window, the
+    # key-only guard window AND the final groupBy, so Catalyst plans no
+    # further Exchange (left to EnsureRequirements it would shuffle twice:
+    # once on (key, id), once on key).
+    df = df.repartition(key)
+
+    # exclusive-lock dedup by event id (CdcLockService.kt:40-50): first
+    # delivery wins.
+    w_dedup = Window.partitionBy(key, "id").orderBy("seq")
+    df = (
+        df.withColumn("_rn_id", F.row_number().over(w_dedup))
+        .filter(F.col("_rn_id") == 1)
+        .drop("_rn_id")
+    )
+
+    # guard: applies iff strictly newer than every earlier valid event
+    w_prefix = (
+        Window.partitionBy(key)
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_max = F.max(F.col(_TS)).over(w_prefix)
+    df = df.withColumn(
+        _APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max)
+    )
+
+    aggs: list[Column] = []
+    aggs.append(F.max(_status_op())["v"].alias("status"))
+    aggs.append(
+        F.max(F.when(F.col(_APPLIED), F.col(_TS))).alias("lastProcessedEventAt")
+    )
+    for f_name in WRITTEN_VIEW_FIELDS:
+        aggs.append(F.max(_field_op(f_name))["v"].alias(f_name))
+
+    view = df.groupBy(F.col(key).alias("transactionId")).agg(*aggs)
+
+    # upsert sets _class = Transaction::class.java.canonicalName on insert
+    # (TransactionViewUpsertService.kt:71-75)
+    view = view.withColumn("_class", F.lit(TRANSACTION_VIEW_CLASS))
+
+    ordered = [
+        "transactionId",
+        "email",
+        "paymentNotices",
+        "clientId",
+        "creationDate",
+        "userId",
+        "status",
+        "lastProcessedEventAt",
+        "paymentGateway",
+        "paymentTypeCode",
+        "pspId",
+        "feeTotal",
+        "authorizationRequestId",
+        "authorizationCode",
+        "rrn",
+        "gatewayAuthorizationStatus",
+        "endToEndId",
+        "authorizationErrorCode",
+        "sendPaymentResultOutcome",
+        "closureErrorData",
+        "_class",
+    ]
+    return view.select(*ordered)
+
+
+def transactions_view_from_log(
+    raw: DataFrame, config: CdcConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """End-to-end batch replay: raw envelope log → transactions view."""
+    return fold_transactions_view(prepare_events(raw, config))

@@ -1,0 +1,293 @@
+"""Batch CDC fold vs the pure-Python reference replay oracle.
+
+Covers the semantic matrix of the reference's
+TransactionViewUpsertServiceTest.kt (2,863 LoC of per-event-type ×
+{view absent / older / newer} cases) via differential testing plus
+hand-written scenario goldens (FIXTURES.md §4 axes).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pagopa_ecommerce_cdc_service_spark.operators import transactions_view_from_log
+from pagopa_ecommerce_cdc_service_spark.schemas import (
+    EVENT_ENVELOPE_TYPE,
+    TRANSACTION_VIEW_CLASS,
+)
+from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+
+from reference_replay import replay_reference
+
+VIEW_FIELDS = [
+    "transactionId", "email", "paymentNotices", "clientId", "creationDate",
+    "userId", "status", "lastProcessedEventAt", "paymentGateway",
+    "paymentTypeCode", "pspId", "feeTotal", "authorizationRequestId",
+    "authorizationCode", "rrn", "gatewayAuthorizationStatus", "endToEndId",
+    "authorizationErrorCode", "sendPaymentResultOutcome", "closureErrorData",
+    "_class",
+]
+
+
+def events_to_df(spark, events):
+    return spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+
+
+def spark_views(spark, events):
+    df = events_to_df(spark, events)
+    rows = transactions_view_from_log(df).collect()
+    return {r["transactionId"]: r.asDict(recursive=True) for r in rows}
+
+
+def normalize(view: dict) -> dict:
+    out = {}
+    for f in VIEW_FIELDS:
+        v = view.get(f)
+        if f == "paymentNotices" and v is not None:
+            v = [dict(n) for n in v]
+        if f == "closureErrorData" and v is not None:
+            v = dict(v)
+        out[f] = v
+    return out
+
+
+def assert_views_equal(spark_result: dict, oracle_result: dict):
+    assert set(spark_result) == set(oracle_result), (
+        f"key sets differ: only-spark={set(spark_result) - set(oracle_result)} "
+        f"only-oracle={set(oracle_result) - set(spark_result)}"
+    )
+    for k in sorted(oracle_result):
+        s, o = normalize(spark_result[k]), normalize(oracle_result[k])
+        assert s == o, f"view mismatch for {k}:\n  spark : {s}\n  oracle: {o}"
+
+
+@pytest.mark.parametrize("seed", [42, 7, 1234])
+def test_fold_matches_replay(spark, seed):
+    events = generate_event_log(seed=seed, n_transactions=60)
+    assert_views_equal(spark_views(spark, events), replay_reference(events))
+
+
+def test_fold_matches_replay_adversarial(spark):
+    # high rates of every skip/dup/tie axis at once
+    events = generate_event_log(
+        seed=99, n_transactions=40, p_duplicate=0.3, p_equal_ts=0.4,
+        p_ttl=0.15, p_bad_optype=0.15, p_unknown_code=0.15,
+    )
+    assert_views_equal(spark_views(spark, events), replay_reference(events))
+
+
+def test_status_order_invariance(spark):
+    """Status + lastProcessedEventAt are arrival-order invariant when event
+    times are distinct AND the newest event bears a status (the reference's
+    core invariant, TransactionViewUpsertService.kt:83-103). When the newest
+    event is timestamp-only (a *_RETRIED event), the reference itself is
+    order-sensitive: processed first, it blocks every older status event —
+    so those keys are excluded (same caveat noted in the reference at
+    updateRefundRetriedData, "Maybe it could be skipped")."""
+    from pagopa_ecommerce_cdc_service_spark.event_mapping import EVENT_SPECS
+
+    base = generate_event_log(
+        seed=5, n_transactions=30, shuffle=False,
+        p_duplicate=0, p_equal_ts=0, p_ttl=0, p_bad_optype=0, p_unknown_code=0,
+    )
+    import random
+
+    from reference_replay import parse_millis
+
+    shuffled = [dict(e) for e in base]
+    random.Random(17).shuffle(shuffled)
+    for i, e in enumerate(shuffled):
+        e["seq"] = i
+
+    # keys whose max-ts valid event bears a status
+    newest: dict[str, dict] = {}
+    for e in base:
+        if e["eventCode"] not in EVENT_SPECS:
+            continue
+        k = e["transactionId"]
+        if k not in newest or parse_millis(e["creationDate"]) > parse_millis(newest[k]["creationDate"]):
+            newest[k] = e
+    invariant_keys = {
+        k for k, e in newest.items() if EVENT_SPECS[e["eventCode"]].status_py is not None
+    }
+
+    v1 = spark_views(spark, base)
+    v2 = spark_views(spark, shuffled)
+    assert set(v1) == set(v2)
+    assert invariant_keys  # the test must actually exercise something
+    for k in v1:
+        assert v1[k]["lastProcessedEventAt"] == v2[k]["lastProcessedEventAt"], k
+        if k in invariant_keys:
+            assert v1[k]["status"] == v2[k]["status"], k
+
+
+# ---------------------------------------------------------------------------
+# Hand-written scenario goldens
+# ---------------------------------------------------------------------------
+
+def _ev(seq, tx, code, iso, data=None, *, id=None, ttl=None, op="insert"):
+    return {
+        "id": id or f"e{seq}",
+        "transactionId": tx,
+        "eventCode": code,
+        "creationDate": iso,
+        "seq": seq,
+        "ttl": ttl,
+        "operationType": op,
+        "data": data,
+    }
+
+
+T0 = "2025-06-01T10:00:00.000000Z"
+T1 = "2025-06-01T10:00:01.000000Z"
+T2 = "2025-06-01T10:00:02.000000Z"
+T3 = "2025-06-01T10:00:03.000000Z"
+
+
+def test_happy_path_in_order(spark):
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T0,
+            {"email": "a@b.c", "clientId": "IO",
+             "paymentNotices": [{"paymentToken": "tk", "rptId": "r", "description": "d", "amount": 100}],
+             "userId": "u1"}),
+        _ev(1, "t", "TRANSACTION_AUTHORIZATION_REQUESTED_EVENT", T1,
+            {"paymentGateway": "NPG", "paymentTypeCode": "CP", "pspId": "p1",
+             "fee": 150, "authorizationRequestId": "ar1"}),
+        _ev(2, "t", "TRANSACTION_AUTHORIZATION_COMPLETED_EVENT", T2,
+            {"authorizationCode": "ac", "rrn": "rr",
+             "gatewayAuthData": {"kind": "NPG", "operationResult": "EXECUTED",
+                                  "outcome": None, "paymentEndToEndId": "e2e", "errorCode": None}}),
+        _ev(3, "t", "TRANSACTION_CLOSED_EVENT", T3,
+            {"wasCanceledByUser": False, "responseOutcome": "OK"}),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "CLOSED"
+    assert v["email"] == "a@b.c"
+    assert v["feeTotal"] == 150
+    assert v["authorizationCode"] == "ac"
+    assert v["gatewayAuthorizationStatus"] == "EXECUTED"
+    assert v["endToEndId"] == "e2e"
+    assert v["authorizationErrorCode"] is None  # explicitly unset (null errorCode)
+    assert v["sendPaymentResultOutcome"] == "NOT_RECEIVED"
+    assert v["creationDate"] == T0
+    assert v["userId"] == "u1"
+    assert v["_class"] == TRANSACTION_VIEW_CLASS
+    assert v["lastProcessedEventAt"] == replay_reference(events)["t"]["lastProcessedEventAt"]
+
+
+def test_out_of_order_status_guarded_data_merged(spark):
+    # AUTH_REQUESTED (older ts) arrives after AUTH_COMPLETED (newer ts):
+    # status must remain AUTHORIZATION_COMPLETED, enrichment still lands
+    # (reference test :609-690)
+    events = [
+        _ev(0, "t", "TRANSACTION_AUTHORIZATION_COMPLETED_EVENT", T2,
+            {"authorizationCode": "ac", "rrn": None,
+             "gatewayAuthData": {"kind": "REDIRECT", "operationResult": None,
+                                  "outcome": "OK", "paymentEndToEndId": None, "errorCode": "E01"}}),
+        _ev(1, "t", "TRANSACTION_AUTHORIZATION_REQUESTED_EVENT", T1,
+            {"paymentGateway": "REDIRECT", "paymentTypeCode": "PPAL", "pspId": "p2",
+             "fee": 99, "authorizationRequestId": "ar9"}),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "AUTHORIZATION_COMPLETED"
+    assert v["pspId"] == "p2"           # unguarded enrich landed
+    assert v["feeTotal"] == 99
+    assert v["gatewayAuthorizationStatus"] == "OK"   # REDIRECT branch
+    assert v["endToEndId"] is None      # REDIRECT never writes endToEndId
+    assert v["authorizationErrorCode"] == "E01"
+    assert v["rrn"] is None             # explicit unset
+
+
+def test_equal_timestamp_first_processed_wins(spark):
+    # strict `<` guard: second event with identical creationDate does not
+    # overwrite status (FIXTURES.md §4.4)
+    events = [
+        _ev(0, "t", "TRANSACTION_REFUND_REQUESTED_EVENT", T1),
+        _ev(1, "t", "TRANSACTION_REFUNDED_EVENT", T1),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "REFUND_REQUESTED"
+
+
+def test_duplicate_event_id_dropped(spark):
+    events = [
+        _ev(0, "t", "TRANSACTION_USER_CANCELED_EVENT", T1, id="same"),
+        _ev(1, "t", "TRANSACTION_USER_CANCELED_EVENT", T1, id="same"),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "CANCELLATION_REQUESTED"
+    assert_views_equal(spark_views(spark, events), replay_reference(events))
+
+
+def test_skips_ttl_bad_optype_unknown_code(spark):
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T0,
+            {"email": "x@y.z", "clientId": "IO", "paymentNotices": [], "userId": None}),
+        _ev(1, "t", "TRANSACTION_REFUNDED_EVENT", T3, ttl=120),          # ttl → skip
+        _ev(2, "t", "TRANSACTION_REFUND_ERROR_EVENT", T3, op="delete"),  # optype → skip
+        _ev(3, "t", "BOGUS_EVENT", T3),                                  # unknown → skip
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "ACTIVATED"
+    assert v["userId"] is None
+    # skipped events must not advance the guard timestamp
+    assert v["lastProcessedEventAt"] == replay_reference(events)["t"]["lastProcessedEventAt"]
+
+
+def test_unset_resurrection_blocked(spark):
+    # later-arriving AUTH_COMPLETED with null code must CLEAR the field even
+    # though its event-time is older (unguarded set-or-unset, FIXTURES §4.7)
+    events = [
+        _ev(0, "t", "TRANSACTION_AUTHORIZATION_COMPLETED_EVENT", T2,
+            {"authorizationCode": "KEEP?", "rrn": "r1",
+             "gatewayAuthData": {"kind": "NPG", "operationResult": "EXECUTED",
+                                  "outcome": None, "paymentEndToEndId": None, "errorCode": None}}),
+        _ev(1, "t", "TRANSACTION_AUTHORIZATION_COMPLETED_EVENT", T1,
+            {"authorizationCode": None, "rrn": None,
+             "gatewayAuthData": {"kind": "NPG", "operationResult": "DECLINED",
+                                  "outcome": None, "paymentEndToEndId": None, "errorCode": "E99"}}),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "AUTHORIZATION_COMPLETED"
+    assert v["authorizationCode"] is None   # cleared by last-arriving write
+    assert v["rrn"] is None
+    assert v["gatewayAuthorizationStatus"] == "DECLINED"  # unguarded, last arrival
+    assert v["authorizationErrorCode"] == "E99"
+
+
+def test_closed_blocked_still_unsets_closure_error(spark):
+    # CLOSURE_ERROR applies (newer); CLOSED arrives later with OLDER ts:
+    # its status is blocked but the dataUpdate unset of closureErrorData is
+    # unconditional (updateClosedData dataUpdate, :486)
+    ced = {"httpErrorCode": "500", "errorDescription": "boom", "errorType": "KO_RESPONSE_RECEIVED"}
+    events = [
+        _ev(0, "t", "TRANSACTION_CLOSURE_ERROR_EVENT", T2, {"closureErrorData": ced}),
+        _ev(1, "t", "TRANSACTION_CLOSED_EVENT", T1,
+            {"wasCanceledByUser": False, "responseOutcome": "OK"}),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "CLOSURE_ERROR"          # guard blocked CLOSED
+    assert v["closureErrorData"] is None            # unguarded unset still landed
+    assert v["sendPaymentResultOutcome"] == "NOT_RECEIVED"  # from applied CLOSURE_ERROR
+
+
+def test_timestamp_only_event_advances_guard(spark):
+    # REFUND_RETRIED carries no status but its timestamp still blocks older
+    # status events (reference comment :643-645)
+    events = [
+        _ev(0, "t", "TRANSACTION_REFUND_REQUESTED_EVENT", T0),
+        _ev(1, "t", "TRANSACTION_REFUND_RETRIED_EVENT", T3),
+        _ev(2, "t", "TRANSACTION_REFUND_ERROR_EVENT", T1),  # older than T3 → blocked
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "REFUND_REQUESTED"
+    assert v["lastProcessedEventAt"] == replay_reference(events)["t"]["lastProcessedEventAt"]
+
+
+def test_view_absent_non_activated_first(spark):
+    # non-ACTIVATED event arrives first: upsert creates the view (FIXTURES §4.3)
+    events = [_ev(0, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T1)]
+    v = spark_views(spark, events)["t"]
+    assert v["status"] == "CLOSURE_REQUESTED"
+    assert v["email"] is None
+    assert v["_class"] == TRANSACTION_VIEW_CLASS
