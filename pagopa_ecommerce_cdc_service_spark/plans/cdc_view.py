@@ -1,0 +1,278 @@
+"""Flagship query: the CDC transactions view, driver-oracle checkable.
+
+Synthesizes a deterministic envelope event-log from the generic ``events``
+table (arrival order = event_id, fold key = user/slot pair, payload fields
+derived arithmetically), folds it with the real
+:mod:`operators.cdc_fold` operator, and projects a flat view. The DuckDB
+oracle implements the exact same guard/merge semantics in pure SQL
+(prefix-running-max window + last-arriving-effective-write via
+``max(struct_pack(seq, value))``), so the driver's hash compare certifies
+the fold end-to-end.
+
+The synthetic log exercises: out-of-order event times within a transaction
+(event times interleave across the 3 slots of a user), ttl skips, non-insert
+operationType skips, unknown event codes, null/unset payload fields, and the
+polymorphic NPG/REDIRECT/UNKNOWN gateway dispatch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cdc_fold import fold_transactions_view, prepare_events
+from ..schemas import TRANSACTION_VIEW_CLASS
+from .helpers import read
+
+# index 0..18 = the 19 known codes (event_mapping order is semantic, this
+# order only drives the synthetic assignment); 19..20 = unknown codes that
+# must be rejected.
+CODES = [
+    "TRANSACTION_ACTIVATED_EVENT",
+    "TRANSACTION_AUTHORIZATION_REQUESTED_EVENT",
+    "TRANSACTION_AUTHORIZATION_COMPLETED_EVENT",
+    "TRANSACTION_USER_RECEIPT_REQUESTED_EVENT",
+    "TRANSACTION_CLOSED_EVENT",
+    "TRANSACTION_CLOSURE_SYNTHETIC_EVENT",
+    "TRANSACTION_CLOSURE_ERROR_EVENT",
+    "TRANSACTION_CLOSURE_RETRIED_EVENT",
+    "TRANSACTION_EXPIRED_EVENT",
+    "TRANSACTION_REFUND_REQUESTED_EVENT",
+    "TRANSACTION_USER_CANCELED_EVENT",
+    "TRANSACTION_CLOSURE_REQUESTED_EVENT",
+    "TRANSACTION_REFUND_ERROR_EVENT",
+    "TRANSACTION_USER_RECEIPT_ADDED_EVENT",
+    "TRANSACTION_ADD_USER_RECEIPT_ERROR_EVENT",
+    "TRANSACTION_CLOSURE_FAILED_EVENT",
+    "TRANSACTION_REFUNDED_EVENT",
+    "TRANSACTION_REFUND_RETRIED_EVENT",
+    "TRANSACTION_ADD_USER_RECEIPT_RETRY_EVENT",
+    "UNKNOWN_EVENT_A",
+    "UNKNOWN_EVENT_B",
+]
+
+_STATUSES = ["ACTIVATED", "CANCELLATION_REQUESTED", "AUTHORIZATION_COMPLETED", "CLOSED"]
+_CLIENTS = ["CHECKOUT", "IO", "CHECKOUT_CART"]
+_KINDS = ["NPG", "REDIRECT", "UNKNOWN"]
+
+
+def synthesize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    eid = F.col("event_id")
+
+    def pick(lst, mod_col):
+        return F.element_at(F.array(*[F.lit(x) for x in lst]), (mod_col + 1).cast("int"))
+
+    gateway_auth = F.struct(
+        pick(_KINDS, eid % 3).alias("kind"),
+        F.when(eid % 2 == 0, F.lit("EXECUTED")).otherwise(F.lit("DECLINED")).alias("operationResult"),
+        F.when(eid % 2 == 0, F.lit("OK")).otherwise(F.lit("KO")).alias("outcome"),
+        F.when(eid % 4 == 0, F.lit(None)).otherwise(F.concat(F.lit("e2e-"), eid)).alias("paymentEndToEndId"),
+        F.when(eid % 2 == 0, F.lit(None)).otherwise(F.concat(F.lit("E"), F.lpad((eid % 100).cast("string"), 3, "0"))).alias("errorCode"),
+    )
+    closure_err = F.when(
+        eid % 3 != 0,
+        F.struct(
+            F.concat(F.lit("5"), (eid % 2).cast("string"), F.lit("0")).alias("httpErrorCode"),
+            F.lit("closure failed").alias("errorDescription"),
+            F.when(eid % 2 == 0, F.lit("KO_RESPONSE_RECEIVED")).otherwise(F.lit("COMMUNICATION_ERROR")).alias("errorType"),
+        ),
+    )
+
+    data = F.struct(
+        F.concat(F.lit("u"), F.col("user_id"), F.lit("@example.it")).alias("email"),
+        F.lit(None).cast("array<struct<paymentToken:string,rptId:string,description:string,amount:bigint>>").alias("paymentNotices"),
+        pick(_CLIENTS, eid % 3).alias("clientId"),
+        F.when(eid % 4 == 0, F.lit(None)).otherwise(F.concat(F.lit("uid-"), F.col("user_id"))).alias("userId"),
+        F.when(eid % 2 == 0, F.lit("NPG")).otherwise(F.lit("REDIRECT")).alias("paymentGateway"),
+        pick(["CP", "PPAL", "BPAY"], eid % 3).alias("paymentTypeCode"),
+        F.concat(F.lit("psp-"), (eid % 10).cast("string")).alias("pspId"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("fee"),
+        F.concat(F.lit("ar-"), eid).alias("authorizationRequestId"),
+        F.when(eid % 5 == 0, F.lit(None)).otherwise(F.concat(F.lit("ac-"), eid)).alias("authorizationCode"),
+        F.when(eid % 6 == 0, F.lit(None)).otherwise(F.concat(F.lit("rrn-"), eid)).alias("rrn"),
+        gateway_auth.alias("gatewayAuthData"),
+        F.when(eid % 2 == 0, F.lit("OK")).otherwise(F.lit("KO")).alias("responseOutcome"),
+        pick(_STATUSES, eid % 4).alias("statusBeforeExpiration"),
+        (eid % 7 == 0).alias("wasCanceledByUser"),
+        closure_err.alias("closureErrorData"),
+    )
+
+    return ev.select(
+        F.concat(F.lit("ev-"), eid).alias("id"),
+        F.concat(F.col("user_id").cast("string"), F.lit("-"), (eid % 3).cast("string")).alias("transactionId"),
+        pick(CODES, eid % 21).alias("eventCode"),
+        F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z")).alias("creationDate"),
+        eid.alias("seq"),
+        F.when(eid % 41 == 0, F.lit(1).cast("long")).alias("ttl"),
+        F.when(eid % 23 == 0, F.lit("delete")).otherwise(F.lit("insert")).alias("operationType"),
+        data.alias("data"),
+    )
+
+
+def cdc_transactions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthesize_envelope(spark, sf_dir)
+    view = fold_transactions_view(prepare_events(env))
+    return view.select(
+        "transactionId",
+        "email",
+        "clientId",
+        "creationDate",
+        "userId",
+        "status",
+        "lastProcessedEventAt",
+        "paymentGateway",
+        "paymentTypeCode",
+        "pspId",
+        "feeTotal",
+        "authorizationRequestId",
+        "authorizationCode",
+        "rrn",
+        "gatewayAuthorizationStatus",
+        "endToEndId",
+        "authorizationErrorCode",
+        "sendPaymentResultOutcome",
+        F.col("closureErrorData.httpErrorCode").alias("closureHttpErrorCode"),
+        "_class",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle: identical envelope synthesis + fold semantics in pure SQL.
+# ---------------------------------------------------------------------------
+
+_CODE_CASE = "CASE event_id % 21 " + " ".join(
+    f"WHEN {i} THEN '{c}'" for i, c in enumerate(CODES)
+) + " END"
+
+_KNOWN_LIST = ", ".join(f"'{c}'" for c in CODES[:19])
+
+# per-field fold: value of the last-arriving effective write
+def _fold(cond: str, value: str, alias: str) -> str:
+    return (
+        f"(max(CASE WHEN {cond} THEN struct_pack(s := seq, v := {value}) END)).v AS {alias}"
+    )
+
+
+_ACT = "code = 'TRANSACTION_ACTIVATED_EVENT'"
+_AUTHREQ = "code = 'TRANSACTION_AUTHORIZATION_REQUESTED_EVENT'"
+_AUTHCMP = "code = 'TRANSACTION_AUTHORIZATION_COMPLETED_EVENT'"
+
+ORACLE_SQL = f"""
+WITH env AS (
+  SELECT
+    event_id AS seq,
+    CAST(user_id AS VARCHAR) || '-' || CAST(event_id % 3 AS VARCHAR) AS tx,
+    epoch_ms(ts) AS ts_ms,
+    strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS creation_iso,
+    {_CODE_CASE} AS code,
+    CASE WHEN event_id % 41 = 0 THEN 1 END AS ttl,
+    CASE WHEN event_id % 23 = 0 THEN 'delete' ELSE 'insert' END AS op,
+    'u' || CAST(user_id AS VARCHAR) || '@example.it' AS email,
+    CASE event_id % 3 WHEN 0 THEN 'CHECKOUT' WHEN 1 THEN 'IO' ELSE 'CHECKOUT_CART' END AS clientId,
+    CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'uid-' || CAST(user_id AS VARCHAR) END AS userId,
+    CASE WHEN event_id % 2 = 0 THEN 'NPG' ELSE 'REDIRECT' END AS paymentGateway,
+    CASE event_id % 3 WHEN 0 THEN 'CP' WHEN 1 THEN 'PPAL' ELSE 'BPAY' END AS paymentTypeCode,
+    'psp-' || CAST(event_id % 10 AS VARCHAR) AS pspId,
+    CAST(round(value * 100, 0) AS BIGINT) AS fee,
+    'ar-' || CAST(event_id AS VARCHAR) AS authorizationRequestId,
+    CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'ac-' || CAST(event_id AS VARCHAR) END AS authorizationCode,
+    CASE WHEN event_id % 6 = 0 THEN NULL ELSE 'rrn-' || CAST(event_id AS VARCHAR) END AS rrn,
+    CASE event_id % 3 WHEN 0 THEN 'NPG' WHEN 1 THEN 'REDIRECT' ELSE 'UNKNOWN' END AS ga_kind,
+    CASE WHEN event_id % 2 = 0 THEN 'EXECUTED' ELSE 'DECLINED' END AS ga_opresult,
+    CASE WHEN event_id % 2 = 0 THEN 'OK' ELSE 'KO' END AS ga_outcome,
+    CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'e2e-' || CAST(event_id AS VARCHAR) END AS ga_e2e,
+    CASE WHEN event_id % 2 = 0 THEN NULL ELSE 'E' || lpad(CAST(event_id % 100 AS VARCHAR), 3, '0') END AS ga_errcode,
+    CASE WHEN event_id % 2 = 0 THEN 'OK' ELSE 'KO' END AS responseOutcome,
+    CASE event_id % 4 WHEN 0 THEN 'ACTIVATED' WHEN 1 THEN 'CANCELLATION_REQUESTED'
+                      WHEN 2 THEN 'AUTHORIZATION_COMPLETED' ELSE 'CLOSED' END AS statusBeforeExpiration,
+    (event_id % 7 = 0) AS wasCanceledByUser,
+    CASE WHEN event_id % 3 <> 0 THEN '5' || CAST(event_id % 2 AS VARCHAR) || '0' END AS closure_http,
+    (event_id % 3 <> 0) AS closure_present
+  FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) events
+),
+valid AS (
+  SELECT * FROM env
+  WHERE op = 'insert' AND ttl IS NULL AND code IN ({_KNOWN_LIST})
+),
+guarded AS (
+  SELECT *,
+    max(ts_ms) OVER (PARTITION BY tx ORDER BY seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prefix_max
+  FROM valid
+),
+applied_events AS (
+  SELECT *,
+    (prefix_max IS NULL OR ts_ms > prefix_max) AS applied,
+    CASE code
+      WHEN 'TRANSACTION_ACTIVATED_EVENT' THEN 'ACTIVATED'
+      WHEN 'TRANSACTION_AUTHORIZATION_REQUESTED_EVENT' THEN 'AUTHORIZATION_REQUESTED'
+      WHEN 'TRANSACTION_AUTHORIZATION_COMPLETED_EVENT' THEN 'AUTHORIZATION_COMPLETED'
+      WHEN 'TRANSACTION_USER_RECEIPT_REQUESTED_EVENT' THEN 'NOTIFICATION_REQUESTED'
+      WHEN 'TRANSACTION_CLOSED_EVENT' THEN
+        CASE WHEN wasCanceledByUser THEN 'CANCELED'
+             WHEN responseOutcome = 'OK' THEN 'CLOSED'
+             WHEN responseOutcome = 'KO' THEN 'UNAUTHORIZED' END
+      WHEN 'TRANSACTION_CLOSURE_SYNTHETIC_EVENT' THEN 'CLOSED'
+      WHEN 'TRANSACTION_CLOSURE_ERROR_EVENT' THEN 'CLOSURE_ERROR'
+      WHEN 'TRANSACTION_EXPIRED_EVENT' THEN
+        CASE statusBeforeExpiration
+          WHEN 'ACTIVATED' THEN 'EXPIRED_NOT_AUTHORIZED'
+          WHEN 'CANCELLATION_REQUESTED' THEN 'CANCELLATION_EXPIRED'
+          ELSE 'EXPIRED' END
+      WHEN 'TRANSACTION_REFUND_REQUESTED_EVENT' THEN 'REFUND_REQUESTED'
+      WHEN 'TRANSACTION_USER_CANCELED_EVENT' THEN 'CANCELLATION_REQUESTED'
+      WHEN 'TRANSACTION_CLOSURE_REQUESTED_EVENT' THEN 'CLOSURE_REQUESTED'
+      WHEN 'TRANSACTION_REFUND_ERROR_EVENT' THEN 'REFUND_ERROR'
+      WHEN 'TRANSACTION_USER_RECEIPT_ADDED_EVENT' THEN
+        CASE responseOutcome WHEN 'OK' THEN 'NOTIFIED_OK' WHEN 'KO' THEN 'NOTIFIED_KO' END
+      WHEN 'TRANSACTION_ADD_USER_RECEIPT_ERROR_EVENT' THEN 'NOTIFICATION_ERROR'
+      WHEN 'TRANSACTION_CLOSURE_FAILED_EVENT' THEN 'UNAUTHORIZED'
+      WHEN 'TRANSACTION_REFUNDED_EVENT' THEN 'REFUNDED'
+    END AS status_val
+  FROM guarded
+)
+SELECT
+  tx AS transactionId,
+  {_fold(_ACT, "email", "email")},
+  {_fold(_ACT, "clientId", "clientId")},
+  {_fold(_ACT, "creation_iso", "creationDate")},
+  {_fold(_ACT + " AND userId IS NOT NULL", "userId", "userId")},
+  (max(CASE WHEN applied AND status_val IS NOT NULL
+            THEN struct_pack(s := seq, v := status_val) END)).v AS status,
+  max(CASE WHEN applied THEN ts_ms END) AS lastProcessedEventAt,
+  {_fold(_AUTHREQ, "paymentGateway", "paymentGateway")},
+  {_fold(_AUTHREQ, "paymentTypeCode", "paymentTypeCode")},
+  {_fold(_AUTHREQ, "pspId", "pspId")},
+  {_fold(_AUTHREQ, "fee", "feeTotal")},
+  {_fold(_AUTHREQ, "authorizationRequestId", "authorizationRequestId")},
+  {_fold(_AUTHCMP, "authorizationCode", "authorizationCode")},
+  {_fold(_AUTHCMP, "rrn", "rrn")},
+  {_fold(_AUTHCMP + " AND ga_kind IN ('NPG','REDIRECT')",
+         "CASE ga_kind WHEN 'NPG' THEN ga_opresult ELSE ga_outcome END",
+         "gatewayAuthorizationStatus")},
+  {_fold(_AUTHCMP + " AND ga_kind = 'NPG' AND ga_e2e IS NOT NULL", "ga_e2e", "endToEndId")},
+  {_fold(_AUTHCMP + " AND ga_kind IN ('NPG','REDIRECT')", "ga_errcode", "authorizationErrorCode")},
+  (max(CASE
+     WHEN code = 'TRANSACTION_USER_RECEIPT_REQUESTED_EVENT'
+       THEN struct_pack(s := seq, v := responseOutcome)
+     WHEN code IN ('TRANSACTION_CLOSED_EVENT','TRANSACTION_CLOSURE_SYNTHETIC_EVENT',
+                   'TRANSACTION_CLOSURE_ERROR_EVENT','TRANSACTION_CLOSURE_RETRIED_EVENT')
+          AND applied
+       THEN struct_pack(s := seq, v := 'NOT_RECEIVED')
+   END)).v AS sendPaymentResultOutcome,
+  (max(CASE
+     WHEN code IN ('TRANSACTION_CLOSED_EVENT','TRANSACTION_CLOSURE_SYNTHETIC_EVENT')
+       THEN struct_pack(s := seq, v := CAST(NULL AS VARCHAR))
+     WHEN code = 'TRANSACTION_CLOSURE_ERROR_EVENT' AND applied
+       THEN struct_pack(s := seq, v := closure_http)
+     WHEN code = 'TRANSACTION_CLOSURE_RETRIED_EVENT' AND applied AND closure_present
+       THEN struct_pack(s := seq, v := closure_http)
+   END)).v AS closureHttpErrorCode,
+  '{TRANSACTION_VIEW_CLASS}' AS _class
+FROM applied_events
+GROUP BY tx
+"""
+
+QUERIES = {"cdc_transactions_view": cdc_transactions_view}
+ORACLES = {"cdc_transactions_view": ORACLE_SQL}

@@ -1,0 +1,384 @@
+"""Event-stream operator suite over the generic ``events`` table.
+
+These generalize the reference's stream-shaped semantics (keyed last-event
+state, time ordering, sessionization) into reusable batch operators with
+DuckDB oracles. The streaming twins live in ``streaming/``.
+
+Scale notes: every window partitions by ``user_id`` (the natural key); the
+tumbling/daily rollups are plain hash aggregations. All arithmetic on the
+``value`` column is decimal-exact (helpers.py discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .helpers import dec, money_sum, read
+
+QUERIES = {}
+ORACLES = {}
+
+# DuckDB reads events.ts at nanosecond precision; Spark (and the driver's
+# hash compare) work at micros. Every oracle goes through this shadowing
+# inline view so both engines see identical micro-floored timestamps.
+EV = (
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, "
+    "value, props FROM events) events"
+)
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# last event per user — the keyed "current state" view (M1 analog)
+# ---------------------------------------------------------------------------
+@query(
+    "w_last_event_per_user",
+    f"""
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_event_type, value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM {EV}
+    ) t WHERE rn = 1
+    """,
+)
+def w_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sessionization: 30-minute-gap sessions (lag + cumulative island id)
+# ---------------------------------------------------------------------------
+_SESSION_SQL_CORE = f"""
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM {EV}
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query(
+    "w_session_stats",
+    f"""
+    SELECT user_id,
+           COUNT(DISTINCT session_id) AS n_sessions,
+           COUNT(*) AS n_events,
+           MAX(session_len) AS max_session_events
+    FROM (
+      SELECT user_id, session_id,
+             COUNT(*) OVER (PARTITION BY user_id, session_id) AS session_len
+      FROM (
+        SELECT user_id, event_id,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ({_SESSION_SQL_CORE})
+      )
+    )
+    GROUP BY user_id
+    """,
+)
+def w_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    with_sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess_len = F.count("*").over(Window.partitionBy("user_id", "session_id"))
+    return (
+        with_sess.withColumn("session_len", sess_len)
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+            F.max("session_len").alias("max_session_events"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# session windows (Spark-native session_window vs SQL gap-islands)
+# ---------------------------------------------------------------------------
+@query(
+    "w_session_windows",
+    f"""
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EV}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def w_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark's native session_window: batch groupBy over a dynamic-gap window;
+    # in streaming the same expression runs incrementally with state.
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# tumbling hourly rollup
+# ---------------------------------------------------------------------------
+@query(
+    "w_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(dec("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding windows (1h window, 15min slide) via Spark window() vs SQL expansion
+# ---------------------------------------------------------------------------
+@query(
+    "w_sliding_hourly",
+    # each event belongs to 4 overlapping [start, start+1h) windows whose
+    # starts sit on the 15-min grid: floor15(ts) - g*15min, g = 0..3
+    f"""
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+             + ((CAST(floor(epoch(ts)) AS BIGINT) // 900) * 900) * INTERVAL 1 SECOND
+             - (s.g * INTERVAL 15 MINUTE) AS win_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}, (SELECT UNNEST(range(4)) AS g) s
+    GROUP BY 1
+    """,
+)
+def w_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark-native sliding window: each event lands in 4 overlapping windows.
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# running total per user (cumulative decimal-exact sum)
+# ---------------------------------------------------------------------------
+@query(
+    "w_running_total",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(12,2)))
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
+    FROM {EV}
+    """,
+)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-k per group (rank within event_type by value)
+# ---------------------------------------------------------------------------
+@query(
+    "w_topk_per_type",
+    f"""
+    SELECT event_type, event_id, user_id, value, rk FROM (
+      SELECT event_type, event_id, user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rk
+      FROM {EV}
+    ) t WHERE rk <= 5
+    """,
+)
+def w_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", "user_id", "value", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-user consecutive delta (lag)
+# ---------------------------------------------------------------------------
+@query(
+    "w_lag_delta",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(CAST(value AS DECIMAL(12,2))
+                - LAG(CAST(value AS DECIMAL(12,2)))
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS DOUBLE) AS delta
+    FROM {EV}
+    """,
+)
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (dec("value") - F.lag(dec("value")).over(w)).cast("double").alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot: per-user event-type counts (fixed column set)
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "w_pivot_event_counts",
+    f"""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM {EV} GROUP BY user_id
+    """,
+)
+def w_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily activity rollup
+# ---------------------------------------------------------------------------
+@query(
+    "w_daily_activity",
+    f"""
+    SELECT date_trunc('day', ts) AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS active_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}
+    GROUP BY date_trunc('day', ts)
+    """,
+)
+def w_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("active_users"),
+        money_sum(dec("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# semi-structured extraction from the JSON props column
+# ---------------------------------------------------------------------------
+@query(
+    "w_json_props_hist",
+    f"""
+    SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           COUNT(*) AS n
+    FROM {EV}
+    GROUP BY 1
+    """,
+)
+def w_json_props_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("int").alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"))
+    )

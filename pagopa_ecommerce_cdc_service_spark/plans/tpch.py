@@ -1,0 +1,541 @@
+"""Relational query suite over the TPC-H-ish testdata (TESTDATA.md).
+
+The reference has no relational layer (SURVEY.md §2.4: no joins/aggregations
+exist in it); this suite is the generalized-engine surface required by
+BASELINE.json's north star, exercised against the DuckDB oracle.
+
+Scale notes (100 TB design):
+- region/nation/supplier/part are dimension tables → every join against them
+  is broadcast (Catalyst picks it under the threshold; explicit
+  F.broadcast() documents intent and survives stat misestimates).
+- fact-fact joins (orders⋈lineitem) shuffle on the join key; AQE handles
+  skew/coalescing.
+- aggregates are partial-aggregable expressions (map-side combine), never
+  Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .helpers import (
+    SQL_CHARGE,
+    SQL_DISC_PRICE,
+    avg_double,
+    charge,
+    dec,
+    disc_price,
+    money_sum,
+    read,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# q1: pricing summary report (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE)                        AS sum_disc_price,
+           CAST(SUM({SQL_CHARGE}) AS DOUBLE)                            AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            money_sum(dec("l_quantity"), "sum_qty"),
+            money_sum(dec("l_extendedprice"), "sum_base_price"),
+            money_sum(disc_price(), "sum_disc_price"),
+            money_sum(charge(), "sum_charge"),
+            (F.sum(dec("l_quantity")).cast("double") / F.count("*")).alias("avg_qty"),
+            (F.sum(dec("l_extendedprice")).cast("double") / F.count("*")).alias("avg_price"),
+            (F.sum(dec("l_discount", 3, 2)).cast("double") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q3: shipping priority (join customer ⋈ orders ⋈ lineitem, top 10)
+# ---------------------------------------------------------------------------
+@query(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '2024-06-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cutoff = F.lit("2024-06-15 00:00:00").cast("timestamp")
+    cust = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        # customer side is small after the segment filter → broadcast
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(money_sum(disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4: order priority checking (EXISTS semi-join)
+# ---------------------------------------------------------------------------
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2024-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2024-08-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("2024-04-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2024-08-01 00:00:00").cast("timestamp"))
+    )
+    li = read(spark, sf_dir, "lineitem")
+    joined = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# q5: local supplier volume (6-way join through region)
+# ---------------------------------------------------------------------------
+@query(
+    "q5_local_supplier_volume",
+    f"""
+    SELECT n_name, CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem")
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation")
+    region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(disc_price(), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q6: forecast revenue change (pure scan + filter + agg; pushdown showcase)
+# ---------------------------------------------------------------------------
+@query(
+    "q6_revenue_change",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2025-01-01 00:00:00'
+      AND l_discount BETWEEN 0.04 AND 0.06
+      AND l_quantity < 24
+    """,
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(money_sum(dec("l_extendedprice") * dec("l_discount", 3, 2), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7: volume between two supplier/customer nations
+# ---------------------------------------------------------------------------
+@query(
+    "q7_nation_volume",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INTEGER) AS l_year,
+             {SQL_DISC_PRICE} AS volume
+      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+                    JOIN orders   ON o_orderkey = l_orderkey
+                    JOIN customer ON c_custkey = o_custkey
+                    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+                    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
+         OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    orders = read(spark, sf_dir, "orders")
+    cust = read(spark, sf_dir, "customer")
+    supp = read(spark, sf_dir, "supplier")
+    n1 = read(spark, sf_dir, "nation").alias("n1")
+    n2 = read(spark, sf_dir, "nation").alias("n2")
+    df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
+        .filter(
+            ((F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY"))
+            | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+        )
+        .select(
+            F.col("n1.n_name").alias("supp_nation"),
+            F.col("n2.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("int").alias("l_year"),
+            disc_price().alias("volume"),
+        )
+    )
+    return df.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        money_sum(F.col("volume"), "revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10: returned-item reporting (top 20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+@query(
+    "q10_returned_items",
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+                  JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = read(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(money_sum(disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13: customer order-count distribution (left outer join + double group)
+# ---------------------------------------------------------------------------
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) c_orders
+    GROUP BY c_count
+    """,
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q14: promo revenue share (conditional aggregation ratio)
+# ---------------------------------------------------------------------------
+@query(
+    "q14_promo_share",
+    f"""
+    SELECT CAST(100.0 AS DOUBLE)
+           * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {SQL_DISC_PRICE}
+                           ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+           / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2024-04-01 00:00:00'
+    """,
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2024-04-01 00:00:00").cast("timestamp"))
+    )
+    part = read(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(F.col("p_type").like("PROMO%"), disc_price()).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return joined.agg(
+        (
+            F.lit(100.0).cast("double")
+            * F.sum(promo).cast("double")
+            / F.sum(disc_price()).cast("double")
+        ).alias("promo_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18: large-volume customers (group-having + re-join)
+# ---------------------------------------------------------------------------
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer JOIN orders   ON c_custkey = o_custkey
+                  JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(150 AS DECIMAL(12,2))
+    )
+    GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit(150).cast("decimal(12,2)"))
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
+                li.l_orderkey == F.col("big_orderkey"), "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(money_sum(dec("l_quantity"), "total_qty"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19: disjunctive predicate revenue (part ⋈ lineitem, OR-of-ANDs)
+# ---------------------------------------------------------------------------
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+    """,
+)
+def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    part = read(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), part.p_partkey == li.l_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 5))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 15))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 25))
+    )
+    return j.filter(cond).agg(money_sum(disc_price(), "revenue"))
+
+
+# ---------------------------------------------------------------------------
+# q22-ish: idle high-balance customers (scalar subquery + anti-join)
+# ---------------------------------------------------------------------------
+@query(
+    "q22_idle_customers",
+    """
+    SELECT cntrycode, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM (
+      SELECT CAST(c_nationkey % 10 AS INTEGER) AS cntrycode, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (
+              SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+              FROM customer WHERE c_acctbal > 0.0)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ) custsale
+    GROUP BY cntrycode
+    """,
+)
+def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read(spark, sf_dir, "customer")
+    orders = read(spark, sf_dir, "orders")
+    avg_bal_row = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a"))
+        .collect()[0]["a"]
+    )
+    return (
+        cust.filter(F.col("c_acctbal") > F.lit(avg_bal_row))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"), "c_acctbal")
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            money_sum(dec("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# rollup: revenue by region/nation with subtotals (grouping sets)
+# ---------------------------------------------------------------------------
+@query(
+    "q_rollup_revenue",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(n_name, 'ALL') AS nation_name,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation")
+    region = read(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(money_sum(disc_price(), "revenue"), F.count("*").alias("n_lineitems"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_lineitems",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# supplier revenue ranking per year (fact-dim join + window over agg)
+# ---------------------------------------------------------------------------
+@query(
+    "q_top_suppliers_yearly",
+    f"""
+    SELECT o_year, s_name, revenue, rk FROM (
+      SELECT o_year, s_name, revenue,
+             RANK() OVER (PARTITION BY o_year ORDER BY revenue DESC, s_name) AS rk
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, s_name,
+               CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY CAST(year(o_orderdate) AS INTEGER), s_name
+      ) t
+    ) ranked
+    WHERE rk <= 3
+    """,
+)
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read(spark, sf_dir, "lineitem")
+    orders = read(spark, sf_dir, "orders")
+    supp = read(spark, sf_dir, "supplier")
+    per = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"), "s_name")
+        .agg(money_sum(disc_price(), "revenue"))
+    )
+    w = Window.partitionBy("o_year").orderBy(F.desc("revenue"), F.asc("s_name"))
+    return (
+        per.withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_year", "s_name", "revenue", "rk")
+    )
