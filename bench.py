@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line with per-query seconds.
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collection overhead). The flagship CDC fold and a spread of
+join/window/aggregation shapes are always included.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+HEADLINE = [
+    "cdc_transactions_view",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q18_large_orders",
+    "w_last_event_per_user",
+    "w_session_windows",
+    "w_tumbling_hourly",
+    "w_running_total",
+    "w_topk_per_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pagopa_ecommerce_cdc_service_spark.session import build_session
+
+    import __spark_entry__ as entry_mod
+
+    spark = build_session(
+        app_name="cdc-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+    )
+    queries = entry_mod.queries()
+
+    # JVM/codegen warm-up on a tiny query so the first timed query isn't
+    # paying session bring-up costs.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in queries:
+            continue
+        df = queries[name](spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
