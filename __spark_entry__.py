@@ -20,13 +20,25 @@ if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
 
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # the host session may not be ours: make sure Python workers can
+        # import the package (Pandas-UDF / stateful paths)
+        from pagopa_ecommerce_cdc_service_spark.session import ship_package
+
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def _suite():
     from pagopa_ecommerce_cdc_service_spark.plans import cdc_view, events_queries, tpch
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
     for mod in (tpch, events_queries, cdc_view):
-        queries.update(mod.QUERIES)
+        queries.update({k: _wrap(v) for k, v in mod.QUERIES.items()})
         oracles.update(mod.ORACLES)
     return queries, oracles
 

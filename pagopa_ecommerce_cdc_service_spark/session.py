@@ -13,12 +13,32 @@ logical plans behave on a 1000-executor cluster reading 100 TB:
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Distribute this library to Python workers via ``addPyFile``.
+
+    Pandas-UDF / stateful-fold closures reference package modules; executors
+    (and local-mode worker processes launched from an arbitrary cwd) must be
+    able to import them. On a real cluster this is exactly how the engine
+    ships itself alongside the job.
+    """
+    pkg_dir = Path(__file__).resolve().parent
+    zip_path = Path(tempfile.gettempdir()) / f"pagopa_ecommerce_cdc_service_spark-{os.getpid()}.zip"
+    if not zip_path.exists():
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for py in sorted(pkg_dir.rglob("*.py")):
+                zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    spark.sparkContext.addPyFile(str(zip_path))
 
 
 def build_session(
@@ -52,4 +72,6 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ship_package(spark)
+    return spark

@@ -1,0 +1,99 @@
+"""Structured Streaming pipeline: event-log stream → maintained view table.
+
+Spark translation of the reference's stream lifecycle
+(EcommerceTransactionsLogEventsStream.kt:44-177):
+
+- S1 change-stream source  → ``readStream`` (file source here; Kafka at prod
+  scale — swap ``format``/options, the rest is unchanged)
+- S2-S4 resume/checkpoint  → ``checkpointLocation`` (offsets + state commits)
+- F1-F3 intake filters     → the same :func:`prepare_events` expressions
+- ST3 per-event lock/dedup → per-key seen-set in the state fold
+- ST2/ST4 retries          → micro-batch replay from checkpoint +
+  ``spark.task.maxFailures``
+- S5 upsert sink           → ``foreachBatch`` keyed merge (Delta/Iceberg
+  MERGE INTO in production; local parquet swap here)
+- ST7 liveness             → :class:`listeners.LivenessListener`
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..config import CdcConfig, DEFAULT_CONFIG
+from ..operators.cdc_fold import prepare_events
+from ..schemas import EVENT_ENVELOPE_TYPE
+from .state_fold import incremental_view
+
+
+def read_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    reader = spark.readStream.format(fmt).schema(EVENT_ENVELOPE_TYPE)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def stream_transactions_view(
+    raw_stream: DataFrame, config: CdcConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """Raw envelope stream → per-batch view-update stream (update mode)."""
+    return incremental_view(prepare_events(raw_stream, config))
+
+
+def parquet_upsert_sink(view_dir: str):
+    """foreachBatch merge: upsert batch view-updates into a keyed parquet
+    table by key anti-join + union + atomic directory swap.
+
+    Local stand-in for ``MERGE INTO`` on a Delta/Iceberg table (jars not in
+    this image); at cluster scale the swap becomes a transactional MERGE and
+    the anti-join prunes to changed partitions.
+    """
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        updates = batch_df.cache()
+        try:
+            if os.path.exists(view_dir):
+                old = spark.read.parquet(view_dir)
+                merged = old.join(
+                    updates.select("transactionId"), "transactionId", "left_anti"
+                ).unionByName(updates)
+            else:
+                merged = updates
+            tmp = f"{view_dir}.tmp-{uuid.uuid4().hex[:8]}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(view_dir):
+                shutil.rmtree(view_dir)
+            os.rename(tmp, view_dir)
+        finally:
+            updates.unpersist()
+
+    return merge
+
+
+def start_view_maintenance(
+    spark: SparkSession,
+    source_dir: str,
+    view_dir: str,
+    checkpoint_dir: str,
+    config: CdcConfig = DEFAULT_CONFIG,
+    fmt: str = "json",
+    max_files_per_trigger: int | None = None,
+):
+    """Wire source → fold → sink and start the query (ST1)."""
+    raw = read_event_stream(spark, source_dir, fmt, max_files_per_trigger)
+    updates = stream_transactions_view(raw, config)
+    return (
+        updates.writeStream.outputMode("update")
+        .foreachBatch(parquet_upsert_sink(view_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

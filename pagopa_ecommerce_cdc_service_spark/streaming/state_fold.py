@@ -1,0 +1,97 @@
+"""Incremental keyed CDC fold for Structured Streaming.
+
+``applyInPandasWithState`` twin of the batch fold: per ``transactionId``,
+state holds the current view document plus the set of processed event ids
+(the reference's Redis exclusive lock, CdcLockService.kt:40-50, becomes a
+per-key seen-set — partition ownership already serializes each key).
+
+State is deliberately unbounded, matching the reference's Mongo view
+(SURVEY.md ST5: no watermark eviction — the view must reflect arbitrarily
+late enrichment). At 100 TB scale the state store is RocksDB
+(``spark.sql.streaming.stateStore.providerClass``) and state size is
+O(#live transactions), not O(#events): the seen-set is capped per key.
+
+Events inside a micro-batch are applied in arrival (``seq``) order, so a
+batch replay of the same log through :func:`operators.cdc_fold` yields a
+byte-identical view (differential-tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from ..operators.python_fold import apply_event, new_view, view_as_row
+from ..schemas import TRANSACTIONS_VIEW_TYPE
+
+# cap mirroring the reference's lock TTL intent (10 min of events,
+# helm/values-prod.yaml:130): a key's seen-set keeps the most recent ids only.
+MAX_SEEN_IDS_PER_KEY = 4096
+
+
+def _clean(v: Any) -> Any:
+    """Arrow/pandas → plain-Python (NaN → None, numpy scalars → native)."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, dict):
+        return {k: _clean(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_clean(x) for x in v]
+    if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        try:
+            return v.item()
+        except (ValueError, AttributeError):
+            return v
+    return v
+
+
+def fold_state_func(
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state,  # pyspark.sql.streaming.state.GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        packed = json.loads(state.get[0])
+        view, seen = packed["view"], set(packed["seen"])
+    else:
+        view, seen = new_view(key[0]), set()
+
+    events: list[dict[str, Any]] = []
+    for pdf in pdf_iter:
+        events.extend(pdf.to_dict("records"))
+    events.sort(key=lambda e: e["seq"])
+
+    for raw in events:
+        e = {k: _clean(v) for k, v in raw.items()}
+        eid = e.get("id")
+        if eid in seen:
+            continue  # duplicate delivery (lock semantics)
+        seen.add(eid)
+        apply_event(view, e, ts_millis=e.get("_ts_millis"))
+
+    seen_list = sorted(seen)[-MAX_SEEN_IDS_PER_KEY:]
+    state.update((json.dumps({"view": view, "seen": seen_list}),))
+    yield pd.DataFrame([view_as_row(view)])
+
+
+def incremental_view(prepared_stream, spark=None):
+    """prepared (filtered, _ts_millis-attached) streaming DF → view updates.
+
+    Emits, per micro-batch, one updated view row per touched transaction.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    state_schema = StructType([StructField("packed", StringType())])
+    return prepared_stream.groupBy("transactionId").applyInPandasWithState(
+        fold_state_func,
+        outputStructType=TRANSACTIONS_VIEW_TYPE,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

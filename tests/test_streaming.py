@@ -1,0 +1,102 @@
+"""Differential test: streaming incremental fold == batch fold == oracle.
+
+The same event log is replayed three ways — batch DataFrame fold, Structured
+Streaming stateful fold (4 micro-batches via maxFilesPerTrigger=1), and the
+pure-Python reference replay — and all three views must match exactly
+(SURVEY.md §5b).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pagopa_ecommerce_cdc_service_spark.operators import transactions_view_from_log
+from pagopa_ecommerce_cdc_service_spark.schemas import EVENT_ENVELOPE_TYPE
+from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import start_view_maintenance
+
+from reference_replay import replay_reference
+from test_cdc_fold import assert_views_equal, normalize
+
+
+def _write_chunks(events, log_dir, n_chunks=4):
+    os.makedirs(log_dir, exist_ok=True)
+    chunk = (len(events) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        part = events[i * chunk : (i + 1) * chunk]
+        path = os.path.join(log_dir, f"chunk-{i:03d}.json")
+        with open(path, "w") as f:
+            for e in part:
+                f.write(json.dumps(e) + "\n")
+        # file source picks up files in mtime order → force arrival order
+        mtime = time.time() - (n_chunks - i) * 10
+        os.utime(path, (mtime, mtime))
+
+
+@pytest.mark.parametrize("seed", [11, 42])
+def test_streaming_matches_batch_and_oracle(spark, tmp_path, seed):
+    events = generate_event_log(seed=seed, n_transactions=40, p_duplicate=0.1)
+    log_dir = str(tmp_path / "log")
+    view_dir = str(tmp_path / "view")
+    ckpt_dir = str(tmp_path / "ckpt")
+    _write_chunks(events, log_dir, n_chunks=4)
+
+    q = start_view_maintenance(
+        spark, log_dir, view_dir, ckpt_dir, max_files_per_trigger=1
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream_rows = spark.read.parquet(view_dir).collect()
+    stream_views = {r["transactionId"]: r.asDict(recursive=True) for r in stream_rows}
+
+    batch_df = spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    batch_rows = transactions_view_from_log(batch_df).collect()
+    batch_views = {r["transactionId"]: r.asDict(recursive=True) for r in batch_rows}
+
+    oracle_views = replay_reference(events)
+
+    assert_views_equal(stream_views, oracle_views)
+    assert_views_equal(batch_views, oracle_views)
+    assert {k: normalize(v) for k, v in stream_views.items()} == {
+        k: normalize(v) for k, v in batch_views.items()
+    }
+
+
+def test_streaming_resume_from_checkpoint(spark, tmp_path):
+    """Kill the query mid-log, restart with the same checkpoint: the final
+    view must be identical (S2-S4 resume semantics, exactly-once effect)."""
+    events = generate_event_log(seed=77, n_transactions=25)
+    log_dir = str(tmp_path / "log")
+    view_dir = str(tmp_path / "view")
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    half = len(events) // 2
+    _write_chunks(events[:half], log_dir, n_chunks=2)
+    q = start_view_maintenance(spark, log_dir, view_dir, ckpt_dir, max_files_per_trigger=1)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # late files arrive while the query is down
+    chunk_path = os.path.join(log_dir, "late-chunk.json")
+    with open(chunk_path, "w") as f:
+        for e in events[half:]:
+            f.write(json.dumps(e) + "\n")
+
+    q2 = start_view_maintenance(spark, log_dir, view_dir, ckpt_dir, max_files_per_trigger=1)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    stream_rows = spark.read.parquet(view_dir).collect()
+    stream_views = {r["transactionId"]: r.asDict(recursive=True) for r in stream_rows}
+    assert_views_equal(stream_views, replay_reference(events))
