@@ -33,11 +33,25 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 
 def _suite():
-    from pagopa_ecommerce_cdc_service_spark.plans import cdc_view, events_queries, tpch
+    from pagopa_ecommerce_cdc_service_spark.plans import (
+        cdc_view,
+        events_queries,
+        multimodal_queries,
+        text_queries,
+        tpch,
+        vector_queries,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (tpch, events_queries, cdc_view):
+    for mod in (
+        tpch,
+        events_queries,
+        cdc_view,
+        text_queries,
+        vector_queries,
+        multimodal_queries,
+    ):
         queries.update({k: _wrap(v) for k, v in mod.QUERIES.items()})
         oracles.update(mod.ORACLES)
     return queries, oracles

@@ -1,0 +1,101 @@
+"""Vector-similarity operators over ``array<float>`` embedding columns.
+
+Determinism strategy: embeddings are quantized to integer milli-units
+(``round(x*1000)`` as int64) so every dot product / norm² is an exact,
+order-independent integer; doubles only appear in the final
+``dot / (‖a‖·‖b‖)`` step, which is identical IEEE arithmetic in Spark,
+DuckDB and NumPy. That makes brute-force cosine oracle-checkable bit-for-bit.
+
+Scale notes (100 TB): brute-force top-k is the correctness baseline (one
+broadcast of the query vector, no shuffle until the final top-k); the LSH
+path (random ±1 hyperplanes → bucket equality) prunes candidates before the
+exact re-rank, trading recall for a ~2^planes fan-in reduction. All
+expressions are JVM-side array ops — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+QUANT = 1000
+
+
+def quantize(col: Column) -> Column:
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * QUANT, 0).cast("long")
+    )
+
+
+def quantize_sql(expr: str) -> str:
+    return (
+        f"list_transform({expr}, x -> CAST(round(CAST(x AS DOUBLE) * {QUANT}, 0) AS BIGINT))"
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> ({a})[i] * ({b})[i])) AS BIGINT)"
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine over quantized vectors; exact integer dots, double only at the end."""
+    return dot(a, b).cast("double") / (
+        F.sqrt(dot(a, a).cast("double")) * F.sqrt(dot(b, b).cast("double"))
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return (
+        f"CAST({dot_sql(a, b)} AS DOUBLE) / "
+        f"(sqrt(CAST({dot_sql(a, a)} AS DOUBLE)) * sqrt(CAST({dot_sql(b, b)} AS DOUBLE)))"
+    )
+
+
+# --- random-hyperplane LSH -------------------------------------------------
+# deterministic ±1 planes derived from MD5 (same constants in Spark and SQL)
+
+N_PLANES = 16
+DIMS = 64
+
+HYPERPLANES: list[list[int]] = [
+    [
+        (int(hashlib.md5(f"plane-{j}-{i}".encode()).hexdigest()[:15], 16) % 2) * 2 - 1
+        for i in range(DIMS)
+    ]
+    for j in range(N_PLANES)
+]
+
+
+def lsh_bucket(qvec: Column) -> Column:
+    """16-bit bucket id: bit j = sign of <plane_j, v>."""
+    out = F.lit(0).cast("long")
+    for j, plane in enumerate(HYPERPLANES):
+        plane_col = F.array(*[F.lit(s) for s in plane])
+        bit = F.when(dot(plane_col, qvec) > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = out + bit
+    return out
+
+
+def lsh_bucket_sql(qvec_expr: str) -> str:
+    parts = []
+    for j, plane in enumerate(HYPERPLANES):
+        lit = "[" + ", ".join(str(s) for s in plane) + "]"
+        parts.append(
+            f"CASE WHEN {dot_sql(lit, qvec_expr)} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
+        )
+    return "(" + " + ".join(parts) + ")"

@@ -1,0 +1,163 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot paths are JVM-side Catalyst expressions over arrays (no Python UDFs):
+shingling via ``transform``/``sequence``, hashing via the portable
+``md5_long`` (functions/hashing.py), folds via ``array_min``/``aggregate``.
+Every operator has a DuckDB-SQL twin built from the same constants so the
+driver oracle can certify it.
+
+Scale notes (100 TB): everything here is embarrassingly parallel per
+document — no shuffle at all until a downstream groupBy/join; shingle
+arrays stay inside the row (no explode) so there is no row-count blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE31,
+    MINHASH_PERMS,
+    md5_long,
+    md5_long_sql,
+)
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+TOKENS_SQL = "string_split_regex(trim({c}), '\\s+')"
+
+
+def char_shingles(col: Column, n: int = 5) -> Column:
+    """All character n-grams; whole text when shorter than n."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(col) - (n - 1)),
+        lambda i: col.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(col) >= n, grams).otherwise(F.array(col))
+
+
+def char_shingles_sql(c: str, n: int = 5) -> str:
+    return (
+        f"CASE WHEN len({c}) >= {n} "
+        f"THEN list_transform(generate_series(1, len({c}) - {n - 1}), i -> substr({c}, i, {n})) "
+        f"ELSE [{c}] END"
+    )
+
+
+def shingle_hashes31(col: Column, n: int = 5) -> Column:
+    """Distinct char-n-gram hashes in the Mersenne-31 domain (minhash base)."""
+    return F.array_distinct(
+        F.transform(char_shingles(col, n), lambda s: md5_long(s) % MERSENNE31)
+    )
+
+
+def shingle_hashes31_sql(c: str, n: int = 5) -> str:
+    return (
+        f"list_distinct(list_transform({char_shingles_sql(c, n)}, "
+        f"s -> {md5_long_sql('s')} % {MERSENNE31}))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash signatures
+# ---------------------------------------------------------------------------
+
+def minhash_signature(hashes31: Column, k: int = 16) -> Column:
+    """k-wide minhash signature as array<long> from the base-hash array."""
+
+    def perm(i: int):
+        a, b = MINHASH_PERMS[i]
+        # single-param lambda: PySpark treats a second param as the array index
+        return lambda x: (x * a + b) % MERSENNE31
+
+    return F.array(*[F.array_min(F.transform(hashes31, perm(i))) for i in range(k)])
+
+
+def minhash_signature_sql(hashes_expr: str, k: int = 16) -> str:
+    parts = [
+        f"list_min(list_transform({hashes_expr}, "
+        f"x -> (x * {MINHASH_PERMS[i][0]} + {MINHASH_PERMS[i][1]}) % {MERSENNE31}))"
+        for i in range(k)
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+def band_key(sig: Column, band: int, r: int) -> Column:
+    """Hash of one signature band (rows band*r .. band*r+r-1)."""
+    return md5_long(F.concat_ws(",", *[sig[band * r + j].cast("string") for j in range(r)]))
+
+
+def band_key_sql(sig_expr: str, band: int, r: int) -> str:
+    cols = ", ".join(f"CAST(({sig_expr})[{band * r + j + 1}] AS VARCHAR)" for j in range(r))
+    return md5_long_sql(f"concat_ws(',', {cols})")
+
+
+# ---------------------------------------------------------------------------
+# simhash (60-bit, token-frequency weighted)
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60
+
+
+def simhash(col: Column) -> Column:
+    """60-bit simhash: per bit, sum of ±1 over token hashes, sign → bit."""
+    th = F.transform(tokens(col), lambda t: md5_long(t))
+
+    def vote(i: int):
+        # exactly-two-param merge lambda (see minhash_signature note)
+        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
+
+    bit_cols = []
+    for i in range(SIMHASH_BITS):
+        votes = F.aggregate(th, F.lit(0).cast("long"), vote(i))
+        bit_cols.append(F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
+    out = bit_cols[0]
+    for b in bit_cols[1:]:
+        out = out + b
+    return out
+
+
+def simhash_sql(c: str) -> str:
+    th = f"list_transform({TOKENS_SQL.format(c=c)}, t -> {md5_long_sql('t')})"
+    parts = []
+    for i in range(SIMHASH_BITS):
+        votes = f"list_sum(list_transform(_th, h -> ((h >> {i}) & 1) * 2 - 1))"
+        parts.append(f"CASE WHEN {votes} > 0 THEN CAST({2**i} AS BIGINT) ELSE 0 END")
+    total = " + ".join(parts)
+    return f"(SELECT {total} FROM (SELECT {th} AS _th) _sh)"
+
+
+def hamming60(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# quality / language heuristics (integer counts → double ratios)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "不"],
+}
+
+
+def stopword_pattern(lang: str) -> str:
+    return r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+
+
+def stopword_count(col: Column, lang: str) -> Column:
+    return F.regexp_count(F.lower(col), F.lit(stopword_pattern(lang)))
+
+
+def stopword_count_sql(c: str, lang: str) -> str:
+    return f"len(regexp_extract_all(lower({c}), '{stopword_pattern(lang)}'))"

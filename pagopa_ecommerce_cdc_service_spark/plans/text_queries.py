@@ -1,0 +1,384 @@
+"""Dedup + text-analysis query suite over ``documents`` (oracle-checked).
+
+The LLM-training-pipeline operator surface: exact dedup, sampled exact
+near-dup audit, MinHash+LSH near-dup at scale, SimHash banding, token/
+quality/language/fingerprint analytics. Scale design per operator:
+
+- exact dedup: one hash-groupBy, no joins;
+- sampled audit: brute-force pairs on a deterministic 10% doc sample —
+  bounded O((N/10)²) for density estimation, never the scale path;
+- MinHash LSH: banded signature join (r=8, b=2 ⇒ collision ≈ j⁸) so the
+  candidate set tracks true near-dup density instead of vocab overlap —
+  the all-pairs shingle join would be 769M pairs at sf0.1;
+- SimHash: 15-bit band equality prunes candidates to ~hamming-close pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..operators.text import (
+    SIMHASH_BITS,
+    STOPWORDS,
+    TOKENS_SQL,
+    band_key,
+    band_key_sql,
+    char_shingles,
+    char_shingles_sql,
+    hamming60,
+    minhash_signature,
+    minhash_signature_sql,
+    shingle_hashes31,
+    shingle_hashes31_sql,
+    simhash,
+    simhash_sql,
+    stopword_count,
+    stopword_count_sql,
+    tokens,
+)
+from .helpers import read
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: content-hash groups, keeper = min doc_id
+# ---------------------------------------------------------------------------
+@query(
+    "t_exact_dedup",
+    """
+    SELECT md5(text) AS content_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS keeper_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    return d.groupBy(F.md5("text").alias("content_hash")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# token statistics
+# ---------------------------------------------------------------------------
+@query(
+    "t_token_stats",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct_tokens,
+           CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) AS avg_token_len
+    FROM (SELECT doc_id, {TOKENS_SQL.format(c="text")} AS toks FROM documents)
+    """,
+)
+def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        (
+            F.aggregate("toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
+            / F.size("toks")
+        ).alias("avg_token_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic: stopword votes per language, argmax
+# ---------------------------------------------------------------------------
+_LANGS = sorted(STOPWORDS)
+
+
+@query(
+    "t_lang_id",
+    f"""
+    SELECT doc_id, labeled_lang,
+           {", ".join(f"score_{lg}" for lg in _LANGS)},
+           CASE {" ".join(
+               f"WHEN score_{lg} = greatest({', '.join('score_' + x for x in _LANGS)}) THEN '{lg}'"
+               for lg in _LANGS)}
+           END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang AS labeled_lang,
+             {", ".join(f"{stopword_count_sql('text', lg)} AS score_{lg}" for lg in _LANGS)}
+      FROM documents
+    )
+    """,
+)
+def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        "text",
+        *[stopword_count(F.col("text"), lg).alias(f"score_{lg}") for lg in _LANGS],
+    )
+    pairs = F.array(
+        *[
+            F.struct(F.col(f"score_{lg}").alias("s"), F.lit(lg).alias("l"))
+            for lg in _LANGS
+        ]
+    )
+    # argmax with deterministic tie-break: max score, then lexicographically
+    # SMALLEST language ⇒ compare (s, reversed(l)) via struct max on (s, neg)
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).alias("s"), F.lit("~").alias("l")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["l"] < acc["l"])), x
+        ).otherwise(acc),
+    )
+    return scored.withColumn("predicted_lang", best["l"]).drop("text")
+
+
+# ---------------------------------------------------------------------------
+# quality scoring: integer counts → deterministic double ratios
+# ---------------------------------------------------------------------------
+@query(
+    "t_quality_score",
+    f"""
+    SELECT doc_id,
+           len(text) AS n_chars_actual,
+           CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE) / len(text) AS punct_ratio,
+           CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / len(text) AS digit_ratio,
+           CAST(len(list_distinct({TOKENS_SQL.format(c="text")})) AS DOUBLE)
+             / len({TOKENS_SQL.format(c="text")}) AS lexical_diversity,
+           CAST({stopword_count_sql('text', 'en')} AS DOUBLE)
+             / len({TOKENS_SQL.format(c="text")}) AS stopword_ratio
+    FROM documents
+    """,
+)
+def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    n = F.length("text")
+    return d.select(
+        "doc_id",
+        n.alias("n_chars_actual"),
+        (F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double") / n).alias("punct_ratio"),
+        (F.regexp_count("text", F.lit(r"[0-9]")).cast("double") / n).alias("digit_ratio"),
+        (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("lexical_diversity"),
+        (stopword_count(F.col("text"), "en").cast("double") / F.size("toks")).alias("stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint: shingle-hash extremes (winnowing-lite)
+# ---------------------------------------------------------------------------
+@query(
+    "t_fingerprint",
+    f"""
+    SELECT doc_id,
+           len(sh) AS n_distinct_shingles,
+           list_min(sh) AS fp_min,
+           list_max(sh) AS fp_max,
+           CAST(list_sum(sh) % 2147483647 AS BIGINT) AS fp_modsum
+    FROM (SELECT doc_id, {shingle_hashes31_sql("text")} AS sh FROM documents)
+    """,
+)
+def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents").withColumn("sh", shingle_hashes31(F.col("text")))
+    return d.select(
+        "doc_id",
+        F.size("sh").alias("n_distinct_shingles"),
+        F.array_min("sh").alias("fp_min"),
+        F.array_max("sh").alias("fp_max"),
+        (
+            F.aggregate("sh", F.lit(0).cast("long"), lambda a, x: a + x) % F.lit(2147483647)
+        ).cast("long").alias("fp_modsum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampled exact near-dup audit (10% sample, brute-force Jaccard)
+# ---------------------------------------------------------------------------
+_SAMPLE = "doc_id % 10 = 0"
+_J_THRESH = 0.5
+
+
+@query(
+    "t_near_dup_sample_pairs",
+    f"""
+    WITH s AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh
+      FROM documents WHERE {_SAMPLE}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {_J_THRESH}
+    """,
+)
+def t_near_dup_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        read(spark, sf_dir, "documents")
+        .filter(F.expr(_SAMPLE))
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+    )
+    a = d.alias("a")
+    b = d.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    jac = inter.cast("double") / (F.size("a.sh") + F.size("b.sh") - inter)
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _J_THRESH)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the scale path)
+# ---------------------------------------------------------------------------
+_K, _R, _B = 16, 8, 2
+_LSH_THRESH = 0.9
+
+
+@query(
+    "t_minhash_lsh_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {minhash_signature_sql("sh", _K)} AS sig FROM docs
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_idx, {band_key_sql('sig', b, _R)} AS bkey FROM sigs"
+        for b in range(_B)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+    FROM cand c JOIN docs x ON c.doc_a = x.doc_id
+                JOIN docs y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {_LSH_THRESH}
+    """,
+)
+def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        read(spark, sf_dir, "documents")
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+    )
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
+    bands = None
+    for bidx in range(_B):
+        part = sigs.select(
+            "doc_id",
+            F.lit(bidx).alias("band_idx"),
+            band_key(F.col("sig"), bidx, _R).alias("bkey"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = docs.alias("x")
+    y = docs.alias("y")
+    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
+    jac = inter.cast("double") / (F.size("x.sh") + F.size("y.sh") - inter)
+    return (
+        cand.join(x, cand.doc_a == F.col("x.doc_id"))
+        .join(y, cand.doc_b == F.col("y.doc_id"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= _LSH_THRESH)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding (near-dup by hamming distance)
+# ---------------------------------------------------------------------------
+_HAM_MAX = 6
+_CHUNK_BITS = 15
+_N_CHUNKS = SIMHASH_BITS // _CHUNK_BITS  # 4
+
+
+@query(
+    "t_simhash_pairs",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {simhash_sql("text")} AS h FROM documents
+    ),
+    chunks AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, h, {c} AS chunk_idx, (h >> {c * _CHUNK_BITS}) & {(1 << _CHUNK_BITS) - 1} AS ckey FROM sh"
+        for c in range(_N_CHUNKS)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.h, b.h)) AS hamming
+    FROM chunks a JOIN chunks b
+      ON a.chunk_idx = b.chunk_idx AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= {_HAM_MAX}
+    """,
+)
+def t_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read(spark, sf_dir, "documents").select("doc_id", simhash(F.col("text")).alias("h"))
+    chunks = None
+    mask = (1 << _CHUNK_BITS) - 1
+    for c in range(_N_CHUNKS):
+        part = d.select(
+            "doc_id",
+            "h",
+            F.lit(c).alias("chunk_idx"),
+            F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask)).alias("ckey"),
+        )
+        chunks = part if chunks is None else chunks.unionByName(part)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming60(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= _HAM_MAX)
+        .distinct()
+    )

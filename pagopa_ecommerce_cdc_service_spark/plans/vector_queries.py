@@ -1,0 +1,190 @@
+"""Similarity-search query suite over ``embeddings`` (oracle-checked).
+
+- brute-force cosine top-k (baseline; broadcast query vector, no shuffle)
+- LSH-bucketed ANN (scale path: bucket-equality prune → exact re-rank)
+- per-label centroid stats (integer-exact elementwise aggregation)
+- sampled kNN join (top-3 neighbors for a 2% query sample via rank window)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    cosine,
+    cosine_sql,
+    lsh_bucket,
+    lsh_bucket_sql,
+    quantize,
+    quantize_sql,
+)
+from .helpers import read
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_QV = quantize_sql("embedding")
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k against a fixed query vector (vec_id = 0)
+# ---------------------------------------------------------------------------
+@query(
+    "e_cosine_topk",
+    f"""
+    WITH q AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, e.label, {cosine_sql(quantize_sql("e.embedding"), "q.qv")} AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_sim
+    FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+)
+def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings").withColumn("qvec", quantize(F.col("embedding")))
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: LSH bucket prune → exact cosine re-rank (top 5 in query's bucket)
+# ---------------------------------------------------------------------------
+@query(
+    "e_ann_lsh_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QV} AS qvec FROM embeddings),
+    b AS (SELECT vec_id, label, qvec, {lsh_bucket_sql("qvec")} AS bucket FROM e),
+    q AS (SELECT qvec AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+    SELECT b.vec_id, b.label, b.bucket,
+           {cosine_sql("b.qvec", "q.qv")} AS cos_sim
+    FROM b, q
+    WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+    ORDER BY cos_sim DESC, b.vec_id LIMIT 5
+    """,
+)
+def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    with_bucket = emb.withColumn("bucket", lsh_bucket(F.col("qvec")))
+    q = with_bucket.filter(F.col("vec_id") == 0).select(
+        F.col("qvec").alias("qv"), F.col("bucket").alias("qbucket")
+    )
+    return (
+        with_bucket.crossJoin(F.broadcast(q))
+        .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != 0))
+        .select(
+            "vec_id", "label", "bucket",
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid statistics (elementwise integer sums, exact)
+# ---------------------------------------------------------------------------
+@query(
+    "e_label_centroids",
+    f"""
+    WITH expl AS (
+      SELECT label, i.pos, ({_QV})[i.pos + 1] AS v
+      FROM embeddings,
+           (SELECT UNNEST(generate_series(0, 63)) AS pos) i
+    ),
+    dims AS (
+      SELECT label, pos, CAST(SUM(v) AS BIGINT) AS dim_sum
+      FROM expl GROUP BY label, pos
+    ),
+    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT d.label, c.n_vectors,
+           CAST(SUM(d.dim_sum * d.dim_sum) AS BIGINT) AS norm_sq_sum,
+           sqrt(CAST(SUM(d.dim_sum * d.dim_sum) AS DOUBLE)) / c.n_vectors AS centroid_norm
+    FROM dims d JOIN cnt c ON d.label = c.label
+    GROUP BY d.label, c.n_vectors
+    """,
+)
+def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings").select(
+        "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    dims = (
+        emb.select("label", F.posexplode("qvec").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").cast("long").alias("dim_sum"))
+    )
+    cnt = emb.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return (
+        dims.join(F.broadcast(cnt), "label")
+        .groupBy("label", "n_vectors")
+        .agg(F.sum(F.col("dim_sum") * F.col("dim_sum")).cast("long").alias("norm_sq_sum"))
+        .select(
+            "label",
+            "n_vectors",
+            "norm_sq_sum",
+            (F.sqrt(F.col("norm_sq_sum").cast("double")) / F.col("n_vectors")).alias(
+                "centroid_norm"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sampled kNN join: top-3 neighbors for every 50th vector
+# ---------------------------------------------------------------------------
+@query(
+    "e_knn_sample",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QV} AS qvec FROM embeddings),
+    qs AS (SELECT vec_id AS qid, qvec AS qv FROM e WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT qs.qid, e.vec_id, e.label,
+             {cosine_sql("e.qvec", "qs.qv")} AS cos_sim
+      FROM e, qs WHERE e.vec_id <> qs.qid
+    )
+    SELECT qid, vec_id, label, cos_sim, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                   ORDER BY cos_sim DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def e_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("qvec").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "label", cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id", "label", "cos_sim", "rk")
+    )
