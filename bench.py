@@ -32,6 +32,10 @@ HEADLINE = [
     "w_tumbling_hourly",
     "w_running_total",
     "w_topk_per_type",
+    "t_minhash_lsh_pairs",
+    "t_simhash_pairs",
+    "e_cosine_topk",
+    "e_knn_sample",
 ]
 
 
