@@ -106,22 +106,33 @@ def band_key_sql(sig_expr: str, band: int, r: int) -> str:
 SIMHASH_BITS = 60
 
 
-def simhash(col: Column) -> Column:
-    """60-bit simhash: per bit, sum of ±1 over token hashes, sign → bit."""
-    th = F.transform(tokens(col), lambda t: md5_long(t))
+def simhash_docs(df, id_col: str = "doc_id", text_col: str = "text"):
+    """60-bit simhash per document: per bit, sum of ±1 over token hashes.
 
-    def vote(i: int):
-        # exactly-two-param merge lambda (see minhash_signature note)
-        return lambda acc, h: acc + (F.shiftright(h, i).bitwiseAND(F.lit(1)) * 2 - 1)
-
-    bit_cols = []
+    Single-pass, whole-stage-codegen formulation: explode tokens, hash each
+    token ONCE, then 60 map-side-combined SUM aggregations (one per bit) in
+    one shuffle keyed by document. The earlier per-row higher-order-function
+    formulation evaluated 60 interpreted ``aggregate`` lambdas per document,
+    each re-tokenizing and re-hashing the text — ~60× the MD5 work, all
+    outside codegen. At 100 TB the explode adds rows but partial aggregation
+    collapses them back to one row per (partition, doc) before the shuffle.
+    """
+    th = df.select(id_col, F.explode(tokens(F.col(text_col))).alias("_t")).select(
+        id_col, md5_long(F.col("_t")).alias("_h")
+    )
+    votes = th.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright("_h", i).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"_v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    out = None
     for i in range(SIMHASH_BITS):
-        votes = F.aggregate(th, F.lit(0).cast("long"), vote(i))
-        bit_cols.append(F.when(votes > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long")))
-    out = bit_cols[0]
-    for b in bit_cols[1:]:
-        out = out + b
-    return out
+        b = F.when(F.col(f"_v{i}") > 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        out = b if out is None else out + b
+    return votes.select(id_col, out.alias("h"))
 
 
 def simhash_sql(c: str) -> str:

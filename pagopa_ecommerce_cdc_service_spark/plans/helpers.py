@@ -50,6 +50,21 @@ def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, spark: SparkSession, min_parts: int | None = None) -> DataFrame:
+    """Fan a narrow scan out across all cores before CPU-heavy per-row work.
+
+    Small testdata tables arrive as a single parquet file → one input split →
+    one core doing all the hashing/shingling. A round-robin repartition of the
+    raw rows (cheap: the text itself is small) unlocks the full machine. At
+    production scale the scan is already split, so this is a no-op — guarded
+    by an actual partition count check, not an unconditional shuffle.
+    """
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def dec(col: Column | str, p: int = 12, s: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({p},{s})")

@@ -32,13 +32,13 @@ from ..operators.text import (
     minhash_signature_sql,
     shingle_hashes31,
     shingle_hashes31_sql,
-    simhash,
+    simhash_docs,
     simhash_sql,
     stopword_count,
     stopword_count_sql,
     tokens,
 )
-from .helpers import read
+from .helpers import read, spread
 
 QUERIES = {}
 ORACLES = {}
@@ -91,7 +91,7 @@ def t_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    d = spread(read(spark, sf_dir, "documents"), spark).withColumn("toks", tokens(F.col("text")))
     return d.select(
         "doc_id",
         F.size("toks").alias("n_tokens"),
@@ -126,7 +126,7 @@ _LANGS = sorted(STOPWORDS)
     """,
 )
 def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read(spark, sf_dir, "documents")
+    d = spread(read(spark, sf_dir, "documents"), spark)
     scored = d.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
@@ -169,7 +169,7 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    d = spread(read(spark, sf_dir, "documents"), spark).withColumn("toks", tokens(F.col("text")))
     n = F.length("text")
     return d.select(
         "doc_id",
@@ -196,7 +196,7 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read(spark, sf_dir, "documents").withColumn("sh", shingle_hashes31(F.col("text")))
+    d = spread(read(spark, sf_dir, "documents"), spark).withColumn("sh", shingle_hashes31(F.col("text")))
     return d.select(
         "doc_id",
         F.size("sh").alias("n_distinct_shingles"),
@@ -232,7 +232,7 @@ _J_THRESH = 0.5
 )
 def t_near_dup_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
-        read(spark, sf_dir, "documents")
+        spread(read(spark, sf_dir, "documents"), spark)
         .filter(F.expr(_SAMPLE))
         .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
     )
@@ -289,19 +289,24 @@ _LSH_THRESH = 0.9
     """,
 )
 def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        read(spark, sf_dir, "documents")
-        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+    # One linear pass computes shingles → signature → band keys (each
+    # expensive expression lives in its own projection so CollapseProject
+    # cannot duplicate it); bands come from ONE posexplode instead of a
+    # b-way union (a union re-scans and re-hashes every branch). Shingle
+    # sets ride along through the band join so verification needs no extra
+    # join back to the corpus; the self-join's two sides are identical
+    # subtrees, so the band-key exchange is computed once and reused.
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", shingle_hashes31(F.col("text")).alias("sh")
     )
     sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
-    bands = None
-    for bidx in range(_B):
-        part = sigs.select(
-            "doc_id",
-            F.lit(bidx).alias("band_idx"),
-            band_key(F.col("sig"), bidx, _R).alias("bkey"),
-        )
-        bands = part if bands is None else bands.unionByName(part)
+    bands = sigs.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), bi, _R) for bi in range(_B)])
+        ).alias("band_idx", "bkey"),
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -311,17 +316,21 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.bkey") == F.col("b.bkey"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        # a pair colliding in multiple bands must count once: dedup on the
+        # pair key, keeping one copy of each shingle set
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
     )
-    x = docs.alias("x")
-    y = docs.alias("y")
-    inter = F.size(F.array_intersect(F.col("x.sh"), F.col("y.sh")))
-    jac = inter.cast("double") / (F.size("x.sh") + F.size("y.sh") - inter)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        cand.join(x, cand.doc_a == F.col("x.doc_id"))
-        .join(y, cand.doc_b == F.col("y.doc_id"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _LSH_THRESH)
     )
 
@@ -354,17 +363,21 @@ _N_CHUNKS = SIMHASH_BITS // _CHUNK_BITS  # 4
     """,
 )
 def t_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read(spark, sf_dir, "documents").select("doc_id", simhash(F.col("text")).alias("h"))
-    chunks = None
+    # simhash_docs hashes each token exactly once (explode + codegen'd
+    # 60-way SUM, one shuffle); chunk rows come from ONE posexplode rather
+    # than a 4-way union that would recompute the hash per branch.
+    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
     mask = (1 << _CHUNK_BITS) - 1
-    for c in range(_N_CHUNKS):
-        part = d.select(
-            "doc_id",
-            "h",
-            F.lit(c).alias("chunk_idx"),
-            F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask)).alias("ckey"),
-        )
-        chunks = part if chunks is None else chunks.unionByName(part)
+    chunks = d.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
+                for c in range(_N_CHUNKS)
+            ])
+        ).alias("chunk_idx", "ckey"),
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (

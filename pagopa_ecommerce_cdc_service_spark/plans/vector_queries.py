@@ -19,7 +19,7 @@ from ..operators.similarity import (
     quantize,
     quantize_sql,
 )
-from .helpers import read
+from .helpers import read, spread
 
 QUERIES = {}
 ORACLES = {}
@@ -55,7 +55,7 @@ _QV = quantize_sql("embedding")
     """,
 )
 def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read(spark, sf_dir, "embeddings").withColumn("qvec", quantize(F.col("embedding")))
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).withColumn("qvec", quantize(F.col("embedding")))
     q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
     return (
         emb.filter(F.col("vec_id") != 0)
@@ -83,7 +83,7 @@ def e_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read(spark, sf_dir, "embeddings").select(
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
     )
     with_bucket = emb.withColumn("bucket", lsh_bucket(F.col("qvec")))
@@ -126,7 +126,7 @@ def e_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read(spark, sf_dir, "embeddings").select(
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
         "label", quantize(F.col("embedding")).alias("qvec")
     )
     dims = (
@@ -171,7 +171,7 @@ def e_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def e_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = read(spark, sf_dir, "embeddings").select(
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
     )
     qs = emb.filter(F.col("vec_id") % 50 == 0).select(
