@@ -60,14 +60,14 @@ def query(name: str, oracle: str | None = None):
            CAST(SUM(CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '2024-11-01 00:00:00'
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
     GROUP BY l_returnflag, l_linestatus
     """,
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem")
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-11-01 00:00:00").cast("timestamp"))
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             money_sum(dec("l_quantity"), "sum_qty"),
@@ -94,15 +94,15 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM customer JOIN orders ON c_custkey = o_custkey
                   JOIN lineitem ON l_orderkey = o_orderkey
     WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
-      AND l_shipdate  > TIMESTAMP '2024-06-15 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-06-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-06-15 00:00:00'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
     ORDER BY revenue DESC, l_orderkey
     LIMIT 10
     """,
 )
 def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cutoff = F.lit("2024-06-15 00:00:00").cast("timestamp")
+    cutoff = F.lit("1996-06-15 00:00:00").cast("timestamp")
     cust = read(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = read(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
@@ -126,8 +126,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '2024-04-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '2024-08-01 00:00:00'
+    WHERE o_orderdate >= TIMESTAMP '1996-04-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-08-01 00:00:00'
       AND EXISTS (SELECT 1 FROM lineitem
                   WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
     GROUP BY o_orderpriority
@@ -135,8 +135,8 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = read(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("2024-04-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("2024-08-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-08-01 00:00:00").cast("timestamp"))
     )
     li = read(spark, sf_dir, "lineitem")
     joined = orders.join(
@@ -193,8 +193,8 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                    * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE) AS revenue
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '2024-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '2025-01-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
       AND l_discount BETWEEN 0.04 AND 0.06
       AND l_quantity < 24
     """,
@@ -203,8 +203,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("2024-01-01 00:00:00").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("2025-01-01 00:00:00").cast("timestamp"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
             & (F.col("l_discount") >= 0.04)
             & (F.col("l_discount") <= 0.06)
             & (F.col("l_quantity") < 24)
@@ -338,14 +338,14 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
            / CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS promo_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '2024-03-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '2024-04-01 00:00:00'
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
     """,
 )
 def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= F.lit("2024-03-01 00:00:00").cast("timestamp"))
-        & (F.col("l_shipdate") < F.lit("2024-04-01 00:00:00").cast("timestamp"))
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
     )
     part = read(spark, sf_dir, "part")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -539,3 +539,444 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("o_year", "s_name", "revenue", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# q2-ish: min-cost supplier per part in a region (correlated MIN subquery).
+# No partsupp table in the testdata: lineitem stands in as the part-supplier
+# relation, supply cost := MIN(l_extendedprice) ever charged for the pair.
+# ---------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eu AS (
+      SELECT partkey, suppkey, supplycost, s_acctbal, s_name, n_name
+      FROM ps JOIN supplier ON s_suppkey = suppkey
+              JOIN nation   ON s_nationkey = n_nationkey
+              JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+           CAST(supplycost AS DOUBLE) AS supplycost
+    FROM eu JOIN part ON p_partkey = partkey
+    WHERE p_size = 25 AND p_type = 'SMALL'
+      AND supplycost = (SELECT MIN(e2.supplycost) FROM eu e2
+                        WHERE e2.partkey = p_partkey)
+    """,
+)
+def q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = read(spark, sf_dir, "lineitem")
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation")
+    region = read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    part = read(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 25) & (F.col("p_type") == "SMALL")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(dec("l_extendedprice")).alias("supplycost"))
+    eu = (
+        ps.join(F.broadcast(supp), ps.suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("partkey", "supplycost", "s_acctbal", "s_name", "n_name")
+    )
+    # correlated MIN → per-part window min over the region-filtered set
+    w = Window.partitionBy("partkey")
+    return (
+        eu.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("partkey") == part.p_partkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            F.col("supplycost").cast("double").alias("supplycost"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q8: national market share inside a region (8-table join, ratio of
+# conditional aggregates per year)
+# ---------------------------------------------------------------------------
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_7' THEN volume
+                         ELSE CAST(0 AS DECIMAL(17,4)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {SQL_DISC_PRICE} AS volume,
+             n2.n_name AS nation
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                    JOIN region ON n1.n_regionkey = r_regionkey
+                    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                            AND TIMESTAMP '1996-12-31 00:00:00'
+    ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    part = read(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supp = read(spark, sf_dir, "supplier")
+    orders = read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").between(
+            F.lit("1995-01-01 00:00:00").cast("timestamp"),
+            F.lit("1996-12-31 00:00:00").cast("timestamp"),
+        )
+    )
+    cust = read(spark, sf_dir, "customer")
+    n1 = read(spark, sf_dir, "nation").alias("n1")
+    n2 = read(spark, sf_dir, "nation").alias("n2")
+    region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.when(F.col("n2.n_name") == "NATION_7", disc_price()).otherwise(
+        F.lit(0).cast("decimal(17,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
+        .join(F.broadcast(n2), supp.s_nationkey == F.col("n2.n_nationkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (F.sum(vol).cast("double") / F.sum(disc_price()).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9-ish: product-type profit by nation and year (no partsupp → profit is
+# the discounted price; the join/aggregate shape is what matters)
+# ---------------------------------------------------------------------------
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             {SQL_DISC_PRICE} AS amount
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+                    JOIN supplier ON s_suppkey = l_suppkey
+                    JOIN orders ON o_orderkey = l_orderkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    """,
+)
+def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    part = read(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supp = read(spark, sf_dir, "supplier")
+    orders = read(spark, sf_dir, "orders")
+    nation = read(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(money_sum(disc_price(), "sum_profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11-ish: important parts by shipped value for one nation's suppliers
+# (aggregate + scalar-subquery threshold). partsupp → lineitem stand-in.
+# ---------------------------------------------------------------------------
+@query(
+    "q11_important_parts",
+    f"""
+    WITH pv AS (
+      SELECT l_partkey AS partkey, SUM({SQL_DISC_PRICE}) AS value
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                    JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey
+    )
+    SELECT partkey, CAST(value AS DOUBLE) AS value
+    FROM pv
+    WHERE value > (SELECT SUM(value) * CAST(0.001 AS DECIMAL(4,3)) FROM pv)
+    """,
+)
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    pv = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(disc_price()).alias("value"))
+    )
+    thresh = pv.agg(
+        (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("t")
+    )
+    return (
+        pv.crossJoin(F.broadcast(thresh))
+        .filter(F.col("value") > F.col("t"))
+        .select("partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12-ish: late shipments by return class × order priority (no
+# shipmode/receiptdate → late := shipped >90 days after order date)
+# ---------------------------------------------------------------------------
+@query(
+    "q12_late_shipments",
+    """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read(spark, sf_dir, "orders")
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_priority_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15: top supplier by quarterly revenue (CTE reused + scalar MAX equality)
+# ---------------------------------------------------------------------------
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH revenue0 AS (
+      SELECT l_suppkey AS supplier_no, SUM({SQL_DISC_PRICE}) AS r
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue0 ON s_suppkey = supplier_no
+    WHERE r = (SELECT MAX(r) FROM revenue0)
+    """,
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    supp = read(spark, sf_dir, "supplier")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).alias("r")
+    )
+    mx = rev.agg(F.max("r").alias("mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("r") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select("s_suppkey", "s_name", F.col("r").cast("double").alias("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16-ish: supplier count per part profile, excluding bad suppliers
+# (NOT IN anti-join + COUNT DISTINCT). partsupp → lineitem pairs.
+# ---------------------------------------------------------------------------
+@query(
+    "q16_part_supplier_count",
+    """
+    SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    part = read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    )
+    bad = read(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17: small-quantity-order revenue (correlated AVG per part)
+# ---------------------------------------------------------------------------
+@query(
+    "q17_small_qty_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+      AND l_quantity < (SELECT 0.2 * AVG(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    part = read(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_type") == "ECONOMY")
+    )
+    # l_quantity is integer-valued → SUM/COUNT in double is exact and
+    # order-independent, so the 0.2*AVG threshold bit-matches DuckDB
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(per_part), li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20-ish: suppliers shipping significant volumes of a part family
+# (IN-subquery chain → semi-join onto an aggregate-HAVING set)
+# ---------------------------------------------------------------------------
+@query(
+    "q20_volume_suppliers",
+    """
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'red%'
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_suppkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > CAST(500 AS DECIMAL(12,2))
+      )
+    """,
+)
+def q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    part = read(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    volume = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > F.lit(500).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(volume, supp.s_suppkey == volume.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21-ish: suppliers who alone shipped late in multi-supplier orders
+# (EXISTS + NOT EXISTS → semi- + anti-join with non-equi conditions).
+# No receiptdate → late := shipped >60 days after the order date.
+# ---------------------------------------------------------------------------
+@query(
+    "q21_waiting_orders",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+                  JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+)
+def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    orders = read(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    late_cutoff = F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")
+    l1 = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > late_cutoff)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name", "o_orderdate")
+        .alias("l1")
+    )
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = li.select("l_orderkey", "l_suppkey", "l_shipdate").alias("l3")
+    with_other = l1.join(
+        l2,
+        (F.col("l2.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l2.l_suppkey") != F.col("l1.l_suppkey")),
+        "left_semi",
+    )
+    only_late = with_other.join(
+        l3,
+        (F.col("l3.l_orderkey") == F.col("l1.l_orderkey"))
+        & (F.col("l3.l_suppkey") != F.col("l1.l_suppkey"))
+        & (F.col("l3.l_shipdate") > F.col("l1.o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_anti",
+    )
+    return only_late.groupBy("s_name").agg(F.count("*").alias("numwait"))
