@@ -67,7 +67,7 @@ def cosine_sql(a: str, b: str) -> str:
 # --- random-hyperplane LSH -------------------------------------------------
 # deterministic ±1 planes derived from MD5 (same constants in Spark and SQL)
 
-N_PLANES = 16
+N_PLANES = 8
 DIMS = 64
 
 HYPERPLANES: list[list[int]] = [
@@ -80,7 +80,9 @@ HYPERPLANES: list[list[int]] = [
 
 
 def lsh_bucket(qvec: Column) -> Column:
-    """16-bit bucket id: bit j = sign of <plane_j, v>."""
+    """8-bit bucket id: bit j = sign of <plane_j, v>. 2^8 buckets keeps
+    expected occupancy meaningful at bench scale; at production scale raise
+    N_PLANES (buckets ≈ 2^planes) to keep per-bucket candidate sets small."""
     out = F.lit(0).cast("long")
     for j, plane in enumerate(HYPERPLANES):
         plane_col = F.array(*[F.lit(s) for s in plane])

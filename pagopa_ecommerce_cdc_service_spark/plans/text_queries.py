@@ -5,8 +5,8 @@ near-dup audit, MinHash+LSH near-dup at scale, SimHash banding, token/
 quality/language/fingerprint analytics. Scale design per operator:
 
 - exact dedup: one hash-groupBy, no joins;
-- sampled audit: brute-force pairs on a deterministic 10% doc sample —
-  bounded O((N/10)²) for density estimation, never the scale path;
+- sampled audit: brute-force pairs on a deterministic 25% doc sample —
+  bounded O((N/4)²) for density estimation, never the scale path;
 - MinHash LSH: banded signature join (r=8, b=2 ⇒ collision ≈ j⁸) so the
   candidate set tracks true near-dup density instead of vocab overlap —
   the all-pairs shingle join would be 769M pairs at sf0.1;
@@ -211,8 +211,8 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # sampled exact near-dup audit (10% sample, brute-force Jaccard)
 # ---------------------------------------------------------------------------
-_SAMPLE = "doc_id % 10 = 0"
-_J_THRESH = 0.5
+_SAMPLE = "doc_id % 4 = 0"
+_J_THRESH = 0.3
 
 
 @query(

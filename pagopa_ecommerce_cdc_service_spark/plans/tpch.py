@@ -230,8 +230,8 @@ def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                     JOIN customer ON c_custkey = o_custkey
                     JOIN nation n1 ON s_nationkey = n1.n_nationkey
                     JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      WHERE (n1.n_name = 'FRANCE' AND n2.n_name = 'GERMANY')
-         OR (n1.n_name = 'GERMANY' AND n2.n_name = 'FRANCE')
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
     ) shipping
     GROUP BY supp_nation, cust_nation, l_year
     """,
@@ -250,8 +250,8 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
         .filter(
-            ((F.col("n1.n_name") == "FRANCE") & (F.col("n2.n_name") == "GERMANY"))
-            | ((F.col("n1.n_name") == "GERMANY") & (F.col("n2.n_name") == "FRANCE"))
+            ((F.col("n1.n_name") == "NATION_1") & (F.col("n2.n_name") == "NATION_2"))
+            | ((F.col("n1.n_name") == "NATION_2") & (F.col("n2.n_name") == "NATION_1"))
         )
         .select(
             F.col("n1.n_name").alias("supp_nation"),
@@ -425,7 +425,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q22-ish: idle high-balance customers (scalar subquery + anti-join)
+# q22-ish: idle high-balance customers (scalar subquery + anti-join);
+# idle := no orders since 1999 (every customer in this data has orders)
 # ---------------------------------------------------------------------------
 @query(
     "q22_idle_customers",
@@ -438,7 +439,8 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE c_acctbal > (
               SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
               FROM customer WHERE c_acctbal > 0.0)
-        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
     ) custsale
     GROUP BY cntrycode
     """,
@@ -453,7 +455,13 @@ def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cust.filter(F.col("c_acctbal") > F.lit(avg_bal_row))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+            ),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
         .select((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"), "c_acctbal")
         .groupBy("cntrycode")
         .agg(
