@@ -36,6 +36,10 @@ HEADLINE = [
     "t_simhash_pairs",
     "e_cosine_topk",
     "e_knn_sample",
+    "q9_product_profit",
+    "q21_waiting_orders",
+    "w_asof_click_purchase",
+    "w_range_recent_clicks",
 ]
 
 

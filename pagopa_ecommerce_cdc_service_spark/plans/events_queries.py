@@ -382,3 +382,197 @@ def w_json_props_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_val")
         .agg(F.count("*").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# as-of join: each purchase picks the user's latest click at-or-before it
+# (operators/asof.py union+window formulation; oracle is DuckDB's native
+# ASOF LEFT JOIN — deterministic because (user_id, ts) is unique)
+# ---------------------------------------------------------------------------
+@query(
+    "w_asof_click_purchase",
+    f"""
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS asof_event_id, c.ts AS asof_ts, c.value AS asof_value
+    FROM (SELECT * FROM {EV} WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM {EV} WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def w_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join_backward
+
+    ev = read(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join_backward(
+        purchases,
+        clicks,
+        by="user_id",
+        left_ts="purchase_ts",
+        right_ts="ts",
+        payload_cols=["event_id", "ts", "value"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# range join: clicks within the 10 minutes before each error, per user.
+# Equi-key (user_id) + range condition → sort-merge join with band filter;
+# at 100 TB add a coarse time-bucket equi-key to both sides so the range
+# only scans adjacent buckets instead of whole user histories.
+# ---------------------------------------------------------------------------
+@query(
+    "w_range_recent_clicks",
+    f"""
+    SELECT e.event_id, e.user_id, e.ts,
+           COUNT(c.event_id) AS n_recent_clicks
+    FROM (SELECT * FROM {EV} WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM {EV} WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND c.ts >= e.ts - INTERVAL 10 MINUTE AND c.ts <= e.ts
+    GROUP BY e.event_id, e.user_id, e.ts
+    """,
+)
+def w_range_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_event_id"),
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTE"))
+        & (F.col("c_ts") <= F.col("ts")),
+        "left",
+    )
+    return joined.groupBy("event_id", "user_id", "ts").agg(
+        F.count("c_event_id").alias("n_recent_clicks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact percentiles per event type, engine-portable: the value at row
+# ceil(p·n) of the (value, event_id)-ordered partition — no reliance on
+# either engine's quantile interpolation rules
+# ---------------------------------------------------------------------------
+@query(
+    "w_value_percentiles",
+    f"""
+    SELECT event_type,
+           MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50,
+           MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90,
+           MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99,
+           COUNT(*) AS n_events
+    FROM (
+      SELECT event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM {EV}
+    )
+    GROUP BY event_type
+    """,
+)
+def w_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(wn)
+    )
+
+    def pct(p: float, alias: str):
+        at = F.ceil(F.lit(p) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("value"))).alias(alias)
+
+    return ranked.groupBy("event_type").agg(
+        pct(0.50, "p50"), pct(0.90, "p90"), pct(0.99, "p99"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations: user cohorts via INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@query(
+    "w_set_op_cohorts",
+    f"""
+    SELECT 'click_and_purchase' AS cohort, COUNT(*) AS n_users FROM (
+      SELECT user_id FROM {EV} WHERE event_type = 'click'
+      INTERSECT
+      SELECT user_id FROM {EV} WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'click_no_purchase' AS cohort, COUNT(*) AS n_users FROM (
+      SELECT user_id FROM {EV} WHERE event_type = 'click'
+      EXCEPT
+      SELECT user_id FROM {EV} WHERE event_type = 'purchase')
+    UNION ALL
+    SELECT 'signup_and_error' AS cohort, COUNT(*) AS n_users FROM (
+      SELECT user_id FROM {EV} WHERE event_type = 'signup'
+      INTERSECT
+      SELECT user_id FROM {EV} WHERE event_type = 'error')
+    """,
+)
+def w_set_op_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+
+    def users(etype: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == etype).select("user_id")
+
+    rows = [
+        ("click_and_purchase", users("click").intersect(users("purchase"))),
+        # subtract = EXCEPT DISTINCT (exceptAll would keep users whose
+        # click count merely exceeds their purchase count)
+        ("click_no_purchase", users("click").subtract(users("purchase"))),
+        ("signup_and_error", users("signup").intersect(users("error"))),
+    ]
+    out = None
+    for label, df in rows:
+        part = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(label).alias("cohort"), "n_users"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CUBE: counts over (event_type, day) with all subtotal combinations
+# ---------------------------------------------------------------------------
+@query(
+    "w_cube_counts",
+    f"""
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(day AS VARCHAR), 'ALL') AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT event_type, CAST(ts AS DATE) AS day, value FROM {EV})
+    GROUP BY CUBE (event_type, day)
+    """,
+)
+def w_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "value"
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(F.count("*").alias("n"), money_sum(dec("value"), "total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n",
+            "total_value",
+        )
+    )
