@@ -1,0 +1,96 @@
+"""Physical-plan regression tests: the scale properties each operator relies
+on must survive refactors.
+
+These assert the *shape* Catalyst actually chose — filter/column pushdown
+into the parquet scan, broadcast joins for dimensions, a single shuffle for
+the CDC fold, top-k via TakeOrderedAndProject instead of a global sort —
+because at 100 TB those are the difference between a plan that works and one
+that doesn't finish.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return entry.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filter_and_column_pushdown(spark, sf_dir, queries):
+    plan = _plan(queries["q6_revenue_change"](spark, sf_dir))
+    # shipdate predicate reaches the parquet scan (node text is truncated,
+    # so match within the scan line rather than to the closing bracket)
+    scan_line = next(l for l in plan.splitlines() if "FileScan parquet" in l)
+    assert "PushedFilters: [" in scan_line
+    assert "IsNotNull(l_shipdate)" in scan_line
+    # projection pruned: the scan reads only the 4 needed lineitem columns
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", scan_line)
+    assert m is not None
+    read_cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q3_broadcasts_dimensions(spark, sf_dir, queries):
+    plan = _plan(queries["q3_shipping_priority"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # top-10 must be a TakeOrderedAndProject, not a global Sort + Limit
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q5_all_dimension_joins_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["q5_local_supplier_volume"](spark, sf_dir))
+    # customer/supplier/nation/region all broadcast; only the fact-fact
+    # lineitem⋈orders join may shuffle
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_cdc_fold_single_shuffle(spark, sf_dir, queries):
+    plan = _plan(queries["cdc_transactions_view"](spark, sf_dir))
+    # the fold's contract: dedup window, guard window and final groupBy all
+    # reuse ONE hash exchange on transactionId
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_topk_window_group_limit(spark, sf_dir, queries):
+    # rank()<=k filters push a WindowGroupLimit below the full window sort
+    plan = _plan(queries["w_topk_per_type"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_cosine_topk_broadcast_no_shuffle_scoring(spark, sf_dir, queries):
+    plan = _plan(queries["e_cosine_topk"](spark, sf_dir))
+    # query vector is broadcast; scoring never shuffles the embeddings side
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_events_queries_no_python_udfs(spark, sf_dir, queries):
+    # hot paths stay JVM-side: no BatchEvalPython / ArrowEvalPython stages
+    for name in (
+        "q1_pricing_summary",
+        "cdc_transactions_view",
+        "t_minhash_lsh_pairs",
+        "t_simhash_pairs",
+        "w_asof_click_purchase",
+        "e_cosine_topk",
+    ):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "EvalPython" not in plan, name
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir, queries):
+    plan = _plan(queries["w_asof_click_purchase"](spark, sf_dir))
+    # union + window ⇒ no join node at all, one exchange on the key
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
