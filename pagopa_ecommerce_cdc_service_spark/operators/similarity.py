@@ -101,3 +101,19 @@ def lsh_bucket_sql(qvec_expr: str) -> str:
             f"CASE WHEN {dot_sql(lit, qvec_expr)} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END"
         )
     return "(" + " + ".join(parts) + ")"
+
+
+def dist2(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance over quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def dist2_sql(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))) AS BIGINT)"
+    )

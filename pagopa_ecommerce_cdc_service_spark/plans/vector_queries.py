@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     cosine,
     cosine_sql,
+    dist2_sql,
     lsh_bucket,
     lsh_bucket_sql,
     quantize,
@@ -187,4 +188,71 @@ def e_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "label", "cos_sim", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer (8 deterministic pivot vectors) → inverted
+# lists (each vector assigned to its nearest pivot by exact integer L2²) →
+# nprobe=2 search of the query's nearest lists → exact cosine re-rank.
+# At 100 TB the lists become the partitioning key: assignment is one
+# broadcast of the pivots, search touches only nprobe/nlist of the corpus.
+# ---------------------------------------------------------------------------
+_N_PIVOTS = 8
+_NPROBE = 2
+
+
+@query(
+    "e_ivf_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QV} AS qvec FROM embeddings),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, e.label, e.qvec, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, label, qvec, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid FROM assign WHERE vec_id = 0 AND rn <= {_NPROBE}),
+    q AS (SELECT qvec AS qv FROM e WHERE vec_id = 0)
+    SELECT c.vec_id, c.label, c.pid AS list_id,
+           {cosine_sql("c.qvec", "q.qv")} AS cos_sim
+    FROM lists c JOIN qprobe USING (pid), q
+    WHERE c.vec_id <> 0
+    ORDER BY cos_sim DESC, c.vec_id LIMIT 5
+    """,
+)
+def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dist2
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "pid")
+    assign = (
+        emb.crossJoin(F.broadcast(piv))
+        .select(
+            "vec_id", "label", "qvec", "pid",
+            dist2(F.col("qvec"), F.col("pv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+    )
+    lists = assign.filter(F.col("rn") == 1).select("vec_id", "label", "qvec", "pid")
+    qprobe = assign.filter((F.col("vec_id") == 0) & (F.col("rn") <= _NPROBE)).select("pid")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    return (
+        lists.join(F.broadcast(qprobe), "pid", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", F.col("pid").alias("list_id"),
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
     )
