@@ -256,3 +256,47 @@ def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicate pairs: LSH-bucket prune (candidates must
+# collide in the hyperplane bucket) → exact cosine verify. The bucket
+# equality join is the scale path: candidate count tracks duplicate density,
+# never O(n²) over the corpus.
+# ---------------------------------------------------------------------------
+# this synthetic corpus is near-orthogonal (max within-bucket cosine ~0.4):
+# the threshold sits at its high-similarity tail; a real dedup corpus would
+# run the same pipeline at ~0.95+
+_DUP_COS = 0.35
+
+
+@query(
+    "e_cosine_near_dup_pairs",
+    f"""
+    WITH e AS (SELECT vec_id, {_QV} AS qvec FROM embeddings),
+    b AS (SELECT vec_id, qvec, {lsh_bucket_sql("qvec")} AS bucket FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {cosine_sql("a.qvec", "b.qvec")} AS cos_sim
+    FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {cosine_sql("a.qvec", "b.qvec")} >= {_DUP_COS}
+    """,
+)
+def e_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    b = emb.withColumn("bucket", lsh_bucket(F.col("qvec")))
+    a2, b2 = b.alias("a"), b.alias("b")
+    return (
+        a2.join(
+            b2,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cosine(F.col("a.qvec"), F.col("b.qvec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _DUP_COS)
+    )
