@@ -82,16 +82,17 @@ def extract_features(media_df: DataFrame) -> DataFrame:
     """Arrow-batched per-partition feature extraction over binary payloads."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 payload: bytes = bytes(r["payload"]) if r["payload"] is not None else b""
                 meta = r["meta"] or {}
-                hist = [0] * N_HIST_BUCKETS
-                total = 0
-                for b in payload:
-                    hist[b * N_HIST_BUCKETS // 256] += 1
-                    total += b
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                # 256/N_HIST_BUCKETS = 16-wide buckets → arr >> 4
+                hist = np.bincount(arr >> 4, minlength=N_HIST_BUCKETS).tolist()
+                total = int(arr.sum())
                 w, h = fake_decode_meta(payload)
                 rows.append(
                     {
@@ -133,3 +134,53 @@ def frame_sample(media_df: DataFrame, n_frames: int = 4) -> DataFrame:
         F.length("payload").cast("long").alias("payload_bytes"),
         offsets.alias("frame_offsets"),
     )
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("orig_width", T.LongType()),
+        T.StructField("orig_height", T.LongType()),
+        T.StructField("target_width", T.LongType()),
+        T.StructField("target_height", T.LongType()),
+        T.StructField("scale_x", T.DoubleType()),
+        T.StructField("scale_y", T.DoubleType()),
+        T.StructField("resized_payload", T.BinaryType()),
+    ]
+)
+
+
+def resize_media(media_df: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Arrow-batched resize stage. The geometry (aspect-preserving fit into
+    target, scale factors) is real; the pixel resample is STUBBED — it
+    requires the decoder, so the "resized payload" is a deterministic
+    truncation sized like the real output would be."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload: bytes = bytes(r["payload"]) if r["payload"] is not None else b""
+                ow, oh = fake_decode_meta(payload)
+                if ow == 0 or oh == 0:
+                    tw = th = 0
+                else:
+                    # aspect-preserving fit
+                    s = min(target_w / ow, target_h / oh)
+                    tw, th = max(1, int(ow * s)), max(1, int(oh * s))
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "orig_width": ow,
+                        "orig_height": oh,
+                        "target_width": tw,
+                        "target_height": th,
+                        "scale_x": (tw / ow) if ow else None,
+                        "scale_y": (th / oh) if oh else None,
+                        # stub: sized like a real tw*th single-channel output
+                        "resized_payload": (payload * ((tw * th) // max(1, len(payload)) + 1))[: tw * th],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)

@@ -45,3 +45,24 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_resize_geometry_and_payload_shape(spark, sf_dir):
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        documents_as_media,
+        fake_decode_meta,
+        resize_media,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    media = documents_as_media(read(spark, sf_dir, "documents").limit(20))
+    out = resize_media(media, target_w=224, target_h=224).collect()
+    payloads = {r.media_id: r for r in media.collect()}
+    assert len(out) == 20
+    for r in out:
+        ow, oh = fake_decode_meta(bytes(payloads[r.media_id].payload))
+        assert (r.orig_width, r.orig_height) == (ow, oh)
+        # aspect preserved within integer truncation; fits in target box
+        assert r.target_width <= 224 and r.target_height <= 224
+        assert max(r.target_width, r.target_height) in (224, 223)
+        assert len(r.resized_payload) == r.target_width * r.target_height
