@@ -728,7 +728,10 @@ def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT partkey, CAST(value AS DOUBLE) AS value
     FROM pv
-    WHERE value > (SELECT SUM(value) * CAST(0.001 AS DECIMAL(4,3)) FROM pv)
+    -- scale-free threshold: value > 3x the average part value (TPC-H scales
+    -- its fraction by 1/SF). Cross-multiplied so both engines compare exact
+    -- decimals -- no engine-specific decimal-division rounding
+    WHERE value * (SELECT COUNT(*) FROM pv) > (SELECT SUM(value) * 3 FROM pv)
     """,
 )
 def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -742,11 +745,11 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(disc_price()).alias("value"))
     )
     thresh = pv.agg(
-        (F.sum("value") * F.lit(0.001).cast("decimal(4,3)")).alias("t")
+        F.sum("value").alias("total"), F.count("*").alias("cnt")
     )
     return (
         pv.crossJoin(F.broadcast(thresh))
-        .filter(F.col("value") > F.col("t"))
+        .filter(F.col("value") * F.col("cnt") > F.col("total") * 3)
         .select("partkey", F.col("value").cast("double").alias("value"))
     )
 
