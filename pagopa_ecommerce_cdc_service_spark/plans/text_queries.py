@@ -395,3 +395,42 @@ def t_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAM_MAX)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE-ish token counting: GPT2-style pre-tokenizer classes (contractions,
+# letter runs, short digit runs, punctuation runs) via one regex — the
+# realistic "how many tokens will the tokenizer see" estimate, vs the
+# whitespace count in t_token_stats. Same pattern string in both engines
+# (Java regex + RE2 agree on these constructs; leftmost-first alternation).
+# ---------------------------------------------------------------------------
+_BPE_PAT = r"'[a-z]+|[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]+"
+_BPE_PAT_SQL = _BPE_PAT.replace("'", "''")
+
+
+@query(
+    "t_bpe_token_count",
+    f"""
+    SELECT doc_id,
+           len(toks) AS n_bpe_tokens,
+           len(list_filter(toks, t -> regexp_full_match(t, '[A-Za-z]+'))) AS n_word_tokens,
+           len(list_filter(toks, t -> regexp_full_match(t, '[0-9]+'))) AS n_digit_tokens,
+           len({TOKENS_SQL.format(c="text")}) AS n_ws_tokens
+    FROM (SELECT doc_id, text,
+                 regexp_extract_all(text, '{_BPE_PAT_SQL}') AS toks
+          FROM documents)
+    """,
+)
+def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).withColumn(
+        "toks", F.regexp_extract_all("text", F.lit(_BPE_PAT), 0)
+    )
+    word = F.size(F.filter("toks", lambda t: t.rlike(r"^[A-Za-z]+$")))
+    digit = F.size(F.filter("toks", lambda t: t.rlike(r"^[0-9]+$")))
+    return d.select(
+        "doc_id",
+        F.size("toks").alias("n_bpe_tokens"),
+        word.alias("n_word_tokens"),
+        digit.alias("n_digit_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+    )
