@@ -23,10 +23,13 @@ if str(_REPO) not in sys.path:
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the host session may not be ours: make sure Python workers can
-        # import the package (Pandas-UDF / stateful paths)
+        # import the package (Pandas-UDF / stateful paths), and pin the
+        # session timezone — timestamp results must align with the
+        # UTC-naive DuckDB oracle regardless of host-session defaults
         from pagopa_ecommerce_cdc_service_spark.session import ship_package
 
         ship_package(spark)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     return run
