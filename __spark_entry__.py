@@ -30,7 +30,19 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
         ship_package(spark)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        return fn(spark, sf_dir)
+        df = fn(spark, sf_dir)
+        # normalize timestamp flavor: DuckDB timestamps are zone-naive; with
+        # the session pinned to UTC, casting LTZ → NTZ yields exactly the
+        # oracle's wall-clock values and an arrow/pandas dtype that matches
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        ltz_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)
+        ]
+        for c in ltz_cols:
+            df = df.withColumn(c, F.col(c).cast("timestamp_ntz"))
+        return df
 
     return run
 

@@ -276,7 +276,7 @@ def w_topk_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
     return (
-        ev.withColumn("rk", F.row_number().over(w))
+        ev.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 5)
         .select("event_type", "event_id", "user_id", "value", "rk")
     )
@@ -344,7 +344,7 @@ def w_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "w_daily_activity",
     f"""
-    SELECT date_trunc('day', ts) AS day,
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS active_users,
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value

@@ -94,8 +94,8 @@ def t_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(read(spark, sf_dir, "documents"), spark).withColumn("toks", tokens(F.col("text")))
     return d.select(
         "doc_id",
-        F.size("toks").alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
         (
             F.aggregate("toks", F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast("double")
             / F.size("toks")
@@ -131,7 +131,7 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         "text",
-        *[stopword_count(F.col("text"), lg).alias(f"score_{lg}") for lg in _LANGS],
+        *[stopword_count(F.col("text"), lg).cast("long").alias(f"score_{lg}") for lg in _LANGS],
     )
     pairs = F.array(
         *[
@@ -143,7 +143,7 @@ def t_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SMALLEST language ⇒ compare (s, reversed(l)) via struct max on (s, neg)
     best = F.aggregate(
         pairs,
-        F.struct(F.lit(-1).alias("s"), F.lit("~").alias("l")),
+        F.struct(F.lit(-1).cast("long").alias("s"), F.lit("~").alias("l")),
         lambda acc, x: F.when(
             (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["l"] < acc["l"])), x
         ).otherwise(acc),
@@ -173,7 +173,7 @@ def t_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.length("text")
     return d.select(
         "doc_id",
-        n.alias("n_chars_actual"),
+        n.cast("long").alias("n_chars_actual"),
         (F.regexp_count("text", F.lit(r"[^a-zA-Z0-9\s]")).cast("double") / n).alias("punct_ratio"),
         (F.regexp_count("text", F.lit(r"[0-9]")).cast("double") / n).alias("digit_ratio"),
         (F.size(F.array_distinct("toks")).cast("double") / F.size("toks")).alias("lexical_diversity"),
@@ -199,7 +199,7 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(read(spark, sf_dir, "documents"), spark).withColumn("sh", shingle_hashes31(F.col("text")))
     return d.select(
         "doc_id",
-        F.size("sh").alias("n_distinct_shingles"),
+        F.size("sh").cast("long").alias("n_distinct_shingles"),
         F.array_min("sh").alias("fp_min"),
         F.array_max("sh").alias("fp_max"),
         (
@@ -429,8 +429,8 @@ def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.size(F.filter("toks", lambda t: t.rlike(r"^[0-9]+$")))
     return d.select(
         "doc_id",
-        F.size("toks").alias("n_bpe_tokens"),
-        word.alias("n_word_tokens"),
-        digit.alias("n_digit_tokens"),
-        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        word.cast("long").alias("n_word_tokens"),
+        digit.cast("long").alias("n_digit_tokens"),
+        F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
     )

@@ -543,7 +543,7 @@ def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("o_year").orderBy(F.desc("revenue"), F.asc("s_name"))
     return (
-        per.withColumn("rk", F.rank().over(w))
+        per.withColumn("rk", F.rank().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("o_year", "s_name", "revenue", "rk")
     )
@@ -762,10 +762,10 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_late_shipments",
     """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_priority_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_priority_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
       AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'

@@ -185,7 +185,7 @@ def e_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= 3)
         .select("qid", "vec_id", "label", "cos_sim", "rk")
     )
