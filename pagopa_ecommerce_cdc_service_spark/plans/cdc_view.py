@@ -276,3 +276,74 @@ GROUP BY tx
 
 QUERIES = {"cdc_transactions_view": cdc_transactions_view}
 ORACLES = {"cdc_transactions_view": ORACLE_SQL}
+
+
+# ---------------------------------------------------------------------------
+# Streaming twin under the driver gate: the SAME synthetic envelope (bounded
+# to the first 3000 events for gate latency) is replayed through the real
+# Structured Streaming path — file readStream → prepare_events →
+# applyInPandasWithState incremental fold → memory sink — and the final view
+# must hash-match the pure-SQL oracle of the batch fold. This puts the
+# batch ≡ streaming ≡ SQL-semantics triangle under the correctness gate.
+# ---------------------------------------------------------------------------
+_STREAM_LIMIT = 3000
+
+
+def cdc_stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from ..streaming.pipeline import read_event_stream, stream_transactions_view
+
+    env = synthesize_envelope(spark, sf_dir).filter(F.col("seq") < _STREAM_LIMIT)
+    workdir = tempfile.mkdtemp(prefix="cdc-stream-gate-")
+    src = f"{workdir}/events"
+    # one json file → one micro-batch → memory sink holds exactly one final
+    # row per transaction
+    env.coalesce(1).write.mode("overwrite").json(src)
+
+    name = f"gate_view_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_transactions_view(read_event_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    view = spark.table(name)
+    return view.select(
+        "transactionId",
+        "email",
+        "clientId",
+        "creationDate",
+        "userId",
+        "status",
+        "lastProcessedEventAt",
+        "paymentGateway",
+        "paymentTypeCode",
+        "pspId",
+        "feeTotal",
+        "authorizationRequestId",
+        "authorizationCode",
+        "rrn",
+        "gatewayAuthorizationStatus",
+        "endToEndId",
+        "authorizationErrorCode",
+        "sendPaymentResultOutcome",
+        F.col("closureErrorData.httpErrorCode").alias("closureHttpErrorCode"),
+        "_class",
+    )
+
+
+_STREAM_ORACLE_SQL = ORACLE_SQL.replace(
+    "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) events",
+    f"FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events "
+    f"WHERE event_id < {_STREAM_LIMIT}) events",
+)
+assert _STREAM_ORACLE_SQL != ORACLE_SQL
+
+QUERIES["cdc_stream_incremental_view"] = cdc_stream_incremental_view
+ORACLES["cdc_stream_incremental_view"] = _STREAM_ORACLE_SQL
