@@ -448,13 +448,12 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read(spark, sf_dir, "customer")
     orders = read(spark, sf_dir, "orders")
-    avg_bal_row = (
-        cust.filter(F.col("c_acctbal") > 0.0)
-        .agg((F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a"))
-        .collect()[0]["a"]
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias("a")
     )
     return (
-        cust.filter(F.col("c_acctbal") > F.lit(avg_bal_row))
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
         .join(
             orders.filter(
                 F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
