@@ -120,3 +120,45 @@ def test_kafka_reader_option_wiring(spark):
         assert "kafka" in str(exc).lower()
         pytest.skip("kafka connector not on classpath")
     assert "id" in good.columns and quar.columns == ["raw_record"]
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """ST3's native Spark primitive (SURVEY §2.5): duplicate event ids
+    arriving within the watermark window are delivered once downstream —
+    the stream-level twin of the fold's (key, id) dedup."""
+    import json
+
+    src = tmp_path / "dups"
+    src.mkdir()
+    rows = [
+        {"id": "e1", "ts": "2025-01-01T00:00:00.000Z", "v": 1},
+        {"id": "e1", "ts": "2025-01-01T00:00:01.000Z", "v": 2},  # dup id
+        {"id": "e2", "ts": "2025-01-01T00:00:02.000Z", "v": 3},
+        {"id": "e2", "ts": "2025-01-01T00:00:02.000Z", "v": 4},  # dup id
+        {"id": "e3", "ts": "2025-01-01T00:10:00.000Z", "v": 5},
+    ]
+    (src / "part-0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    from pyspark.sql import functions as F
+
+    stream = (
+        spark.readStream.schema("id string, ts string, v long")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_demo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    out = spark.table("dedup_demo").collect()
+    assert sorted(r.id for r in out) == ["e1", "e2", "e3"]
+    # first delivery wins, duplicates within the watermark dropped
+    by_id = {r.id: r.v for r in out}
+    assert by_id["e1"] == 1 and by_id["e2"] == 3
