@@ -576,3 +576,34 @@ def w_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS via the spark.sql API surface (rollup/cube cover the
+# DataFrame path; this exercises the SQL front door with a hand-picked set
+# list: by type, by user bucket, and the grand total)
+# ---------------------------------------------------------------------------
+@query(
+    "w_grouping_sets",
+    f"""
+    SELECT COALESCE(event_type, 'ALL') AS etype,
+           COALESCE(CAST(user_bucket AS VARCHAR), 'ALL') AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM {EV})
+    GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+    """,
+)
+def w_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read(spark, sf_dir, "events").createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT COALESCE(event_type, 'ALL') AS etype,
+               COALESCE(CAST(user_bucket AS STRING), 'ALL') AS bucket,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM (SELECT event_type, user_id % 10 AS user_bucket, value
+              FROM _gs_events)
+        GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+        """
+    )
