@@ -32,15 +32,26 @@ def asof_join_backward(
     right_ts: str,
     payload_cols: list[str],
     payload_prefix: str = "asof_",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """Left rows + ``payload_prefix``-prefixed columns of the matched right
-    row (NULLs when no right row is at-or-before the left timestamp)."""
+    row (NULLs when no right row is at-or-before the left timestamp).
+
+    ``right_tiebreak`` names a right column that makes the match well-defined
+    when several right rows share a timestamp: the row with the LARGEST
+    tiebreak value wins. Without it, ties pick an arbitrary right row (the
+    running ``last`` sees them in unspecified order).
+    """
     payload = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    tiebreak = (
+        F.col(right_tiebreak) if right_tiebreak is not None else F.lit(0)
+    )
     r = right.select(
         F.col(by).alias(by),
         F.col(right_ts).alias("_ts"),
         payload.alias("_payload"),
         F.lit(0).alias("_side"),  # right sorts first at equal ts (>= match)
+        tiebreak.alias("_tiebreak"),
     )
     left_cols = left.columns
     l = left.select(
@@ -48,6 +59,7 @@ def asof_join_backward(
         F.col(left_ts).alias("_ts"),
         F.lit(None).cast(r.schema["_payload"].dataType).alias("_payload"),
         F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_tiebreak"].dataType).alias("_tiebreak"),
     )
     left_types = dict(left.dtypes)
     unioned = l.unionByName(
@@ -57,11 +69,15 @@ def asof_join_backward(
             "_ts",
             "_payload",
             "_side",
+            "_tiebreak",
         )
     )
+    # ascending (_ts, _side, _tiebreak): among right rows at an equal ts the
+    # largest tiebreak sorts last, so the running last() picks it; left rows
+    # (_side=1) still sort after every right row at their ts
     w = (
         Window.partitionBy(by)
-        .orderBy("_ts", "_side")
+        .orderBy("_ts", "_side", F.col("_tiebreak").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = unioned.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))

@@ -83,6 +83,11 @@ def prepare_events(
     if "ttl" in df.columns:
         out = out.filter(F.col("ttl").isNull())
     out = out.filter(F.col("eventCode").isin(*KNOWN_EVENT_CODES))
+    # identity guard shared by every intake path (Kafka already enforces it
+    # in parse_envelope_lines): the reference cannot process identity-less
+    # events either — the lock is keyed on event id and the view on
+    # transactionId (TransactionViewUpsertService.kt:138)
+    out = out.filter(F.col("id").isNotNull() & F.col("transactionId").isNotNull())
     return out.withColumn(_TS, ts_millis).filter(F.col(_TS).isNotNull())
 
 

@@ -312,7 +312,14 @@ def cdc_stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(240):
+        # a partially-folded memory table would surface as a confusing hash
+        # mismatch downstream; fail loudly instead
+        q.stop()
+        raise TimeoutError(
+            "cdc_stream_incremental_view: availableNow micro-batch did not "
+            "complete within 240s"
+        )
     view = spark.table(name)
     return view.select(
         "transactionId",

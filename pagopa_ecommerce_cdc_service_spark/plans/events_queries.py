@@ -105,8 +105,11 @@ _SESSION_SQL_CORE = f"""
 def w_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # full microsecond precision: `ts.cast('long')` would truncate to seconds
+    # while the oracle compares the exact interval — a gap within 1s of the
+    # 30-min boundary would sessionize differently
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0)
     with_sess = ev.withColumn("is_new", is_new).withColumn(
         "session_id",
         F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
@@ -139,8 +142,11 @@ def w_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM (
+        -- >= : Spark's session_window treats event ranges as [ts, ts+gap),
+        -- so an event exactly 30:00 after the previous one starts a NEW
+        -- session; the gap-island twin must use >= to match
         SELECT user_id, ts, event_id, value,
-               CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                       OR LAG(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS is_new
         FROM {EV}
@@ -420,6 +426,7 @@ def w_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts="purchase_ts",
         right_ts="ts",
         payload_cols=["event_id", "ts", "value"],
+        right_tiebreak="event_id",  # well-defined match under ts ties
     )
 
 

@@ -58,9 +58,12 @@ def fold_state_func(
 ) -> Iterator[pd.DataFrame]:
     if state.exists:
         packed = json.loads(state.get[0])
-        view, seen = packed["view"], set(packed["seen"])
+        # seen_list preserves arrival order (oldest first) so the cap below
+        # evicts the OLDEST ids, not lexicographically-smallest ones
+        view, seen_list = packed["view"], list(packed["seen"])
+        seen = set(seen_list)
     else:
-        view, seen = new_view(key[0]), set()
+        view, seen_list, seen = new_view(key[0]), [], set()
 
     events: list[dict[str, Any]] = []
     for pdf in pdf_iter:
@@ -70,12 +73,19 @@ def fold_state_func(
     for raw in events:
         e = {k: _clean(v) for k, v in raw.items()}
         eid = e.get("id")
+        if eid is None:
+            # identity-less events cannot be lock-keyed or folded
+            # (reference keys the lock on event id, CdcLockService.kt:40-50,
+            # and the view on transactionId); prepare_events filters them,
+            # this is defense for direct callers
+            continue
         if eid in seen:
             continue  # duplicate delivery (lock semantics)
         seen.add(eid)
+        seen_list.append(eid)
         apply_event(view, e, ts_millis=e.get("_ts_millis"))
 
-    seen_list = sorted(seen)[-MAX_SEEN_IDS_PER_KEY:]
+    seen_list = seen_list[-MAX_SEEN_IDS_PER_KEY:]
     state.update((json.dumps({"view": view, "seen": seen_list}),))
     yield pd.DataFrame([view_as_row(view)])
 
