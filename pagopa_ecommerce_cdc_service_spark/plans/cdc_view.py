@@ -79,9 +79,32 @@ def synthesize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+    # array-of-structs payload set on activation (reference behavior:
+    # TransactionViewUpsertService.kt:313,321). 1-or-2 notices derived from
+    # the event id; every 11th activation carries an explicit NULL so the
+    # SET_ALWAYS (null ≡ $unset) path over an array field stays exercised.
+    def notice(i: int):
+        return F.struct(
+            F.concat(F.lit("pt-"), eid, F.lit(f"-{i}")).alias("paymentToken"),
+            F.concat(F.lit("rpt-"), (eid % 97).cast("string")).alias("rptId"),
+            F.lit(f"notice {i}").alias("description"),
+            ((eid % 1000) + i).cast("long").alias("amount"),
+        )
+
+    payment_notices = (
+        F.when(
+            eid % 11 == 0,
+            F.lit(None).cast(
+                "array<struct<paymentToken:string,rptId:string,description:string,amount:bigint>>"
+            ),
+        )
+        .when(eid % 2 == 1, F.array(notice(0), notice(1)))
+        .otherwise(F.array(notice(0)))
+    )
+
     data = F.struct(
         F.concat(F.lit("u"), F.col("user_id"), F.lit("@example.it")).alias("email"),
-        F.lit(None).cast("array<struct<paymentToken:string,rptId:string,description:string,amount:bigint>>").alias("paymentNotices"),
+        payment_notices.alias("paymentNotices"),
         pick(_CLIENTS, eid % 3).alias("clientId"),
         F.when(eid % 4 == 0, F.lit(None)).otherwise(F.concat(F.lit("uid-"), F.col("user_id"))).alias("userId"),
         F.when(eid % 2 == 0, F.lit("NPG")).otherwise(F.lit("REDIRECT")).alias("paymentGateway"),
@@ -110,12 +133,31 @@ def synthesize_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _payment_notice_proj():
+    """Deterministic scalars of the folded paymentNotices array — hash-stable
+    across Spark→pandas and DuckDB→pandas (a raw array<struct> column would
+    compare list-of-Rows vs ndarray-of-dicts); null array ⇒ all three null.
+    Lazy (column exprs need an active session at call time, not import)."""
+    return (
+        F.when(F.col("paymentNotices").isNotNull(), F.size("paymentNotices"))
+        .alias("paymentNoticesCount"),
+        F.expr(
+            "aggregate(paymentNotices, CAST(0 AS BIGINT), (acc, x) -> acc + x.amount)"
+        ).alias("paymentNoticesTotal"),
+        F.when(
+            F.col("paymentNotices").isNotNull(),
+            F.element_at("paymentNotices", 1)["paymentToken"],
+        ).alias("firstPaymentToken"),
+    )
+
+
 def cdc_transactions_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = synthesize_envelope(spark, sf_dir)
     view = fold_transactions_view(prepare_events(env))
     return view.select(
         "transactionId",
         "email",
+        *_payment_notice_proj(),
         "clientId",
         "creationDate",
         "userId",
@@ -235,6 +277,18 @@ applied_events AS (
 SELECT
   tx AS transactionId,
   {_fold(_ACT, "email", "email")},
+  {_fold(_ACT,
+         "CASE WHEN seq % 11 = 0 THEN NULL ELSE CAST(seq % 2 + 1 AS INTEGER) END",
+         "paymentNoticesCount")},
+  {_fold(_ACT,
+         "CASE WHEN seq % 11 = 0 THEN NULL "
+         "WHEN seq % 2 = 0 THEN seq % 1000 "
+         "ELSE 2 * (seq % 1000) + 1 END",
+         "paymentNoticesTotal")},
+  {_fold(_ACT,
+         "CASE WHEN seq % 11 = 0 THEN NULL "
+         "ELSE 'pt-' || CAST(seq AS VARCHAR) || '-0' END",
+         "firstPaymentToken")},
   {_fold(_ACT, "clientId", "clientId")},
   {_fold(_ACT, "creation_iso", "creationDate")},
   {_fold(_ACT + " AND userId IS NOT NULL", "userId", "userId")},
@@ -324,6 +378,7 @@ def cdc_stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "transactionId",
         "email",
+        *_payment_notice_proj(),
         "clientId",
         "creationDate",
         "userId",
