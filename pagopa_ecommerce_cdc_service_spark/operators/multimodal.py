@@ -78,34 +78,69 @@ def fake_decode_meta(payload: bytes) -> tuple[int, int]:
     return (w, h)
 
 
+def _payload_geometry(payloads: list[bytes]):
+    """Columnar twin of :func:`fake_decode_meta` over a whole Arrow batch:
+    returns (lens, buf, starts, width, height) numpy arrays, where ``buf`` is
+    every payload concatenated and ``starts`` its per-row offsets."""
+    import numpy as np
+
+    n = len(payloads)
+    lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=n)
+    buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+    starts = np.concatenate(([0], np.cumsum(lens[:-1]))).astype(np.int64)
+    nonempty = lens > 0
+    width = np.zeros(n, dtype=np.int64)
+    height = np.zeros(n, dtype=np.int64)
+    if nonempty.any():
+        first = buf[starts[nonempty]]
+        mid = buf[(starts + lens // 2)[nonempty]]
+        width[nonempty] = 16 + first % 240
+        height[nonempty] = 16 + mid % 240
+    return lens, buf, starts, width, height
+
+
 def extract_features(media_df: DataFrame) -> DataFrame:
-    """Arrow-batched per-partition feature extraction over binary payloads."""
+    """Arrow-batched per-partition feature extraction over binary payloads.
+
+    Fully columnar inside each batch: payloads are concatenated into one
+    uint8 buffer and the per-row histograms/sums come from two ``bincount``
+    calls over (row-index, bucket) keys — no per-row Python loop."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        cols = [f.name for f in FEATURES_SCHEMA.fields]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload: bytes = bytes(r["payload"]) if r["payload"] is not None else b""
-                meta = r["meta"] or {}
-                arr = np.frombuffer(payload, dtype=np.uint8)
-                # 256/N_HIST_BUCKETS = 16-wide buckets → arr >> 4
-                hist = np.bincount(arr >> 4, minlength=N_HIST_BUCKETS).tolist()
-                total = int(arr.sum())
-                w, h = fake_decode_meta(payload)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "media_type": meta.get("media_type"),
-                        "n_bytes": len(payload),
-                        "mean_byte": (total / len(payload)) if payload else None,
-                        "byte_hist": hist,
-                        "fake_width": w,
-                        "fake_height": h,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in FEATURES_SCHEMA.fields])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+            lens, buf, starts, width, height = _payload_geometry(payloads)
+            row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+            totals = np.bincount(row_idx, weights=buf, minlength=n)
+            # 256/N_HIST_BUCKETS = 16-wide buckets → byte >> 4; one flat
+            # bincount over row*16+bucket yields every row's histogram
+            flat = row_idx * N_HIST_BUCKETS + (buf >> 4)
+            hist = np.bincount(flat, minlength=n * N_HIST_BUCKETS).reshape(
+                n, N_HIST_BUCKETS
+            )
+            metas = [m if isinstance(m, dict) else {} for m in pdf["meta"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "media_type": [m.get("media_type") for m in metas],
+                    "n_bytes": lens,
+                    # NaN → Arrow null for the empty-payload rows
+                    "mean_byte": np.where(
+                        lens > 0, totals / np.maximum(lens, 1), np.nan
+                    ),
+                    "byte_hist": list(hist),
+                    "fake_width": width,
+                    "fake_height": height,
+                },
+                columns=cols,
+            )
 
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
@@ -157,30 +192,41 @@ def resize_media(media_df: DataFrame, target_w: int = 224, target_h: int = 224) 
     truncation sized like the real output would be."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload: bytes = bytes(r["payload"]) if r["payload"] is not None else b""
-                ow, oh = fake_decode_meta(payload)
-                if ow == 0 or oh == 0:
-                    tw = th = 0
-                else:
-                    # aspect-preserving fit
-                    s = min(target_w / ow, target_h / oh)
-                    tw, th = max(1, int(ow * s)), max(1, int(oh * s))
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "orig_width": ow,
-                        "orig_height": oh,
-                        "target_width": tw,
-                        "target_height": th,
-                        "scale_x": (tw / ow) if ow else None,
-                        "scale_y": (th / oh) if oh else None,
-                        # stub: sized like a real tw*th single-channel output
-                        "resized_payload": (payload * ((tw * th) // max(1, len(payload)) + 1))[: tw * th],
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            payloads = [b"" if p is None else bytes(p) for p in pdf["payload"]]
+            _, _, _, ow, oh = _payload_geometry(payloads)
+            # aspect-preserving fit, vectorized; empty payloads → 0×0
+            valid = (ow > 0) & (oh > 0)
+            s = np.minimum(
+                target_w / np.maximum(ow, 1), target_h / np.maximum(oh, 1)
+            )
+            tw = np.where(valid, np.maximum(1, (ow * s).astype(np.int64)), 0)
+            th = np.where(valid, np.maximum(1, (oh * s).astype(np.int64)), 0)
+            sizes = tw * th
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "orig_width": ow,
+                    "orig_height": oh,
+                    "target_width": tw,
+                    "target_height": th,
+                    "scale_x": np.where(ow > 0, tw / np.maximum(ow, 1), np.nan),
+                    "scale_y": np.where(oh > 0, th / np.maximum(oh, 1), np.nan),
+                    # stub: sized like a real tw*th single-channel output; the
+                    # byte tiling is the one inherently per-row step left
+                    "resized_payload": [
+                        (p * (sz // max(1, len(p)) + 1))[:sz]
+                        for p, sz in zip(payloads, sizes.tolist())
+                    ],
+                },
+                columns=cols,
+            )
 
     return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
