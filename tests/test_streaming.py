@@ -13,11 +13,15 @@ import os
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from pagopa_ecommerce_cdc_service_spark.operators import transactions_view_from_log
 from pagopa_ecommerce_cdc_service_spark.schemas import EVENT_ENVELOPE_TYPE
 from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
-from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import start_view_maintenance
+from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+    read_view,
+    start_view_maintenance,
+)
 
 from reference_replay import replay_reference
 from test_cdc_fold import assert_views_equal, normalize
@@ -53,7 +57,7 @@ def test_streaming_matches_batch_and_oracle(spark, tmp_path, seed):
     finally:
         q.stop()
 
-    stream_rows = spark.read.parquet(view_dir).collect()
+    stream_rows = read_view(spark, view_dir).collect()
     stream_views = {r["transactionId"]: r.asDict(recursive=True) for r in stream_rows}
 
     batch_df = spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
@@ -97,9 +101,70 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path):
     finally:
         q2.stop()
 
-    stream_rows = spark.read.parquet(view_dir).collect()
+    stream_rows = read_view(spark, view_dir).collect()
     stream_views = {r["transactionId"]: r.asDict(recursive=True) for r in stream_rows}
     assert_views_equal(stream_views, replay_reference(events))
+
+
+def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
+    """The bucketed sink's point: a micro-batch touching one transaction must
+    leave every other bucket's parquet files untouched on disk (same paths,
+    same bytes, same mtimes) — per-batch cost O(touched buckets)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        VIEW_BUCKET_COL,
+        parquet_upsert_sink,
+        view_bucket,
+    )
+
+    view_dir = str(tmp_path / "view")
+    sink = parquet_upsert_sink(view_dir, n_buckets=8)
+
+    events = generate_event_log(seed=5, n_transactions=30)
+    batch1 = transactions_view_from_log(
+        spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    )
+    sink(batch1, epoch_id=0)
+
+    def bucket_files():
+        out = {}
+        for root, _dirs, files in os.walk(view_dir):
+            for fn in files:
+                if fn.endswith(".parquet"):
+                    p = os.path.join(root, fn)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = bucket_files()
+    # second batch: update exactly one existing transaction
+    one_tx = events[0]["transactionId"]
+    batch2 = transactions_view_from_log(
+        spark.createDataFrame(
+            [e for e in events if e["transactionId"] == one_tx],
+            schema=EVENT_ENVELOPE_TYPE,
+        )
+    )
+    sink(batch2, epoch_id=1)
+    after = bucket_files()
+
+    touched_bucket = spark.range(1).select(
+        view_bucket(F.lit(one_tx), 8).alias("b")
+    ).collect()[0]["b"]
+    touched_prefix = os.path.join(view_dir, f"{VIEW_BUCKET_COL}={touched_bucket}")
+
+    untouched_before = {p: v for p, v in before.items() if not p.startswith(touched_prefix)}
+    untouched_after = {p: v for p, v in after.items() if not p.startswith(touched_prefix)}
+    assert untouched_before, "expected data outside the touched bucket"
+    assert untouched_before == untouched_after
+    # and the touched bucket did get rewritten
+    assert {p for p in before if p.startswith(touched_prefix)} != {
+        p for p in after if p.startswith(touched_prefix)
+    } or any(
+        before[p] != after[p] for p in after if p.startswith(touched_prefix)
+    )
+    # merged result is still the full fold
+    merged = read_view(spark, view_dir)
+    assert merged.count() == batch1.count()
 
 
 def test_kafka_reader_option_wiring(spark):
