@@ -108,8 +108,10 @@ def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        # customer side is small after the segment filter → broadcast
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        # customer is NOT hinted: at bench scale Catalyst broadcasts it from
+        # size stats anyway, and at 100 TB customer is fact-sized — a forced
+        # broadcast would OOM; supplier/nation/region/part stay hinted
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(money_sum(disc_price(), "revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -172,7 +174,7 @@ def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = read(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
@@ -245,7 +247,7 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = read(spark, sf_dir, "nation").alias("n2")
     df = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2.n_nationkey"))
@@ -290,7 +292,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = read(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(money_sum(disc_price(), "revenue"))
@@ -393,7 +395,7 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(big.withColumnRenamed("l_orderkey", "big_orderkey"),
                 li.l_orderkey == F.col("big_orderkey"), "left_semi")
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(money_sum(dec("l_quantity"), "total_qty"))
     )
@@ -657,7 +659,7 @@ def q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(n1), cust.c_nationkey == F.col("n1.n_nationkey"))
         .join(F.broadcast(region), F.col("n1.n_regionkey") == region.r_regionkey)
