@@ -1,0 +1,90 @@
+"""Unit tests for the streaming state fold's seen-set (ST3 dedup) semantics:
+eviction is by ARRIVAL recency, not lexicographic id order, and identity-less
+events are skipped rather than fatal. No SparkSession needed — the fold
+function is driven directly with a fake GroupState."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+
+from pagopa_ecommerce_cdc_service_spark.streaming.state_fold import (
+    MAX_SEEN_IDS_PER_KEY,
+    fold_state_func,
+)
+
+
+class FakeGroupState:
+    def __init__(self):
+        self._val = None
+
+    @property
+    def exists(self):
+        return self._val is not None
+
+    @property
+    def get(self):
+        return self._val
+
+    def update(self, value):
+        self._val = tuple(value)
+
+
+_DEFAULT = object()
+
+
+def _activated(i: int, *, eid=_DEFAULT, email=None, ts=None, seq=None):
+    return {
+        "id": f"ev-{i}" if eid is _DEFAULT else eid,
+        "transactionId": "tx-1",
+        "eventCode": "TRANSACTION_ACTIVATED_EVENT",
+        "creationDate": "2025-01-01T00:00:00.000Z",
+        "seq": i if seq is None else seq,
+        "_ts_millis": (1_000 + i) if ts is None else ts,
+        "data": {"email": f"e{i}" if email is None else email},
+    }
+
+
+def _run(state, events):
+    out = list(fold_state_func(("tx-1",), [pd.DataFrame(events)], state))
+    assert len(out) == 1 and len(out[0]) == 1
+    return out[0].iloc[0].to_dict()
+
+
+def test_seen_cap_keeps_arrival_recency_not_lexicographic_order():
+    n = MAX_SEEN_IDS_PER_KEY + 904  # overflow the cap
+    state = FakeGroupState()
+    # unpadded ids: lexicographic order ("ev-999" > "ev-4000") disagrees with
+    # arrival order, so a sort-based cap would retain the wrong window
+    row = _run(state, [_activated(i) for i in range(n)])
+    assert row["email"] == f"e{n - 1}"
+
+    seen = json.loads(state.get[0])["seen"]
+    assert len(seen) == MAX_SEEN_IDS_PER_KEY
+    # exactly the most recent arrivals, oldest first
+    assert seen == [f"ev-{i}" for i in range(n - MAX_SEEN_IDS_PER_KEY, n)]
+
+    # a late duplicate of a RECENT id must still be dropped...
+    recent_dup = _activated(n - 1, email="dup-should-be-dropped", seq=n + 1, ts=9_999_999)
+    row = _run(state, [recent_dup])
+    assert row["email"] == f"e{n - 1}"
+
+    # ...while a duplicate of an EVICTED (old) id re-applies — the documented
+    # cap trade-off mirroring the reference's lock TTL expiry
+    old_dup = _activated(0, email="reapplied", seq=n + 2, ts=10_000_000)
+    row = _run(state, [old_dup])
+    assert row["email"] == "reapplied"
+
+
+def test_null_event_id_skipped_not_fatal():
+    state = FakeGroupState()
+    events = [
+        _activated(1),
+        _activated(2, eid=None, email="ghost"),  # identity-less: skipped
+        _activated(3),
+    ]
+    row = _run(state, events)
+    assert row["email"] == "e3"
+    seen = json.loads(state.get[0])["seen"]
+    assert seen == ["ev-1", "ev-3"]
