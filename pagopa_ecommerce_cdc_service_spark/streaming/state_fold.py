@@ -25,12 +25,38 @@ from typing import Any
 
 import pandas as pd
 
+from pyspark.sql import types as T
+
 from ..operators.python_fold import apply_event, new_view, view_as_row
 from ..schemas import TRANSACTIONS_VIEW_TYPE
 
 # cap mirroring the reference's lock TTL intent (10 min of events,
 # helm/values-prod.yaml:130): a key's seen-set keeps the most recent ids only.
 MAX_SEEN_IDS_PER_KEY = 4096
+
+# streaming output = the view row + the micro-batch's poison-pill quarantine:
+# events that threw INSIDE the fold are skipped (view unharmed, stream
+# survives) and reported here — the reference's non-retriable-error path
+# (EcommerceCDCEventDispatcherService.kt:38-66 retries everything except
+# CdcException(retriableError=false), then the stream-level onErrorResume
+# logs and drops, EcommerceTransactionsLogEventsStream.kt:202-205).
+POISONED_COL = "_poisoned"
+STREAM_VIEW_TYPE = T.StructType(
+    [
+        *TRANSACTIONS_VIEW_TYPE.fields,
+        T.StructField(
+            POISONED_COL,
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("error", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
 
 
 def _clean(v: Any) -> Any:
@@ -70,6 +96,7 @@ def fold_state_func(
         events.extend(pdf.to_dict("records"))
     events.sort(key=lambda e: e["seq"])
 
+    poisoned: list[dict[str, str]] = []
     for raw in events:
         e = {k: _clean(v) for k, v in raw.items()}
         eid = e.get("id")
@@ -83,11 +110,22 @@ def fold_state_func(
             continue  # duplicate delivery (lock semantics)
         seen.add(eid)
         seen_list.append(eid)
-        apply_event(view, e, ts_millis=e.get("_ts_millis"))
+        # poison-pill isolation: apply to a scratch copy so a mid-merge
+        # failure can't leave the view half-written; a throwing event is
+        # quarantined (marked seen — skip, don't retry forever) and the
+        # stream survives, like the reference's non-retriable-error skip
+        scratch = dict(view)
+        try:
+            apply_event(scratch, e, ts_millis=e.get("_ts_millis"))
+        except Exception as exc:  # noqa: BLE001 - the whole point: never fatal
+            poisoned.append({"id": eid, "error": f"{type(exc).__name__}: {exc}"})
+            continue
+        view.clear()
+        view.update(scratch)
 
     seen_list = seen_list[-MAX_SEEN_IDS_PER_KEY:]
     state.update((json.dumps({"view": view, "seen": seen_list}),))
-    yield pd.DataFrame([view_as_row(view)])
+    yield pd.DataFrame([{**view_as_row(view), POISONED_COL: poisoned or None}])
 
 
 def incremental_view(prepared_stream, spark=None):
@@ -100,7 +138,7 @@ def incremental_view(prepared_stream, spark=None):
     state_schema = StructType([StructField("packed", StringType())])
     return prepared_stream.groupBy("transactionId").applyInPandasWithState(
         fold_state_func,
-        outputStructType=TRANSACTIONS_VIEW_TYPE,
+        outputStructType=STREAM_VIEW_TYPE,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf="NoTimeout",

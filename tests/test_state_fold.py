@@ -77,6 +77,54 @@ def test_seen_cap_keeps_arrival_recency_not_lexicographic_order():
     assert row["email"] == "reapplied"
 
 
+def test_poison_pill_event_quarantined_view_survives():
+    """ST4: an event that throws inside the fold is skipped (marked seen, not
+    retried) and reported in the _poisoned output column; the view keeps
+    folding the rest of the batch — the reference's non-retriable-error skip
+    (EcommerceCDCEventDispatcherService.kt:38-66)."""
+    state = FakeGroupState()
+    poison = _activated(2)
+    poison["_ts_millis"] = None
+    poison["creationDate"] = "not-a-timestamp"  # parse_millis → ValueError
+
+    out = list(
+        fold_state_func(
+            ("tx-1",),
+            [pd.DataFrame([_activated(1), poison, _activated(3)])],
+            state,
+        )
+    )[0].iloc[0].to_dict()
+
+    assert out["email"] == "e3"  # view built from the surviving events
+    assert len(out["_poisoned"]) == 1
+    assert out["_poisoned"][0]["id"] == "ev-2"
+    assert "ValueError" in out["_poisoned"][0]["error"]
+
+    # poisoned id is seen: a redelivery is dropped, not retried forever
+    seen = json.loads(state.get[0])["seen"]
+    assert seen == ["ev-1", "ev-2", "ev-3"]
+    out2 = _run(state, [dict(poison, seq=10)])
+    assert out2["_poisoned"] is None
+    assert out2["email"] == "e3"
+
+
+def test_poison_pill_leaves_view_unmutated():
+    """A poisoned event must not half-write the view (apply runs on a scratch
+    copy): the stored view state is byte-identical before and after it."""
+    state = FakeGroupState()
+    _run(state, [_activated(1)])
+    before = json.loads(state.get[0])["view"]
+
+    poison = _activated(2, ts=None)
+    poison["_ts_millis"] = None
+    poison["creationDate"] = "boom"  # parse_millis → ValueError
+
+    out = _run(state, [poison])
+    after = json.loads(state.get[0])["view"]
+    assert out["_poisoned"] is not None and out["_poisoned"][0]["id"] == "ev-2"
+    assert after == before  # guard state untouched by the failed event
+
+
 def test_null_event_id_skipped_not_fatal():
     state = FakeGroupState()
     events = [
