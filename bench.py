@@ -43,6 +43,28 @@ HEADLINE = [
 ]
 
 
+# committed regression bar: round-1 per-query seconds (BENCH_r01.json).
+BASELINE_FILE = _REPO / "bench_baseline.json"
+REGRESSION_FACTOR = 2.0
+
+
+def check_regressions(
+    timings: dict[str, float],
+    baseline: dict[str, float],
+    factor: float = REGRESSION_FACTOR,
+) -> list[str]:
+    """Queries slower than ``factor``× their recorded baseline second count.
+
+    Sub-100ms baselines are floored to 100ms before comparing so scheduler
+    jitter on near-instant queries can't trip the gate."""
+    bad = []
+    for name, base in baseline.items():
+        got = timings.get(name)
+        if got is not None and got > factor * max(base, 0.1):
+            bad.append(f"{name}: {got:.3f}s > {factor:g}x baseline {base:.3f}s")
+    return sorted(bad)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -89,6 +111,22 @@ def main() -> None:
             }
         )
     )
+
+    if "--check" in sys.argv:
+        # regression gate vs the committed bar (recorded at sf0.1; only
+        # applied when benching the same scale factor)
+        spec = json.loads(BASELINE_FILE.read_text())
+        if sf == spec["sf"]:
+            bad = check_regressions(timings, spec["queries"])
+            if bad:
+                print("BENCH REGRESSION:\n  " + "\n  ".join(bad), file=sys.stderr)
+                sys.exit(1)
+        else:
+            print(
+                f"bench --check: baseline recorded at sf={spec['sf']}, "
+                f"ran sf={sf}; gate skipped",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":
