@@ -56,13 +56,30 @@ def spread(df: DataFrame, spark: SparkSession, min_parts: int | None = None) -> 
     Small testdata tables arrive as a single parquet file → one input split →
     one core doing all the hashing/shingling. A round-robin repartition of the
     raw rows (cheap: the text itself is small) unlocks the full machine. At
-    production scale the scan is already split, so this is a no-op — guarded
-    by an actual partition count check, not an unconditional shuffle.
+    production scale the scan is already split, so this is a no-op.
+
+    The split estimate comes from the scan's file list + sizes (early-exited
+    once it reaches the target), NOT ``df.rdd`` — converting to an RDD builds
+    the whole lineage driver-side on every query, which is dead weight in a
+    library hot path.
     """
+    import math
+    import os
+
     target = min_parts or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    digits = "".join(c for c in raw if c.isdigit())
+    max_bytes = int(digits or "134217728")
+    est_splits = 0
+    for path in df.inputFiles():
+        local = path.removeprefix("file:")
+        try:
+            est_splits += max(1, math.ceil(os.path.getsize(local) / max_bytes))
+        except OSError:  # non-local / unstat-able: count the file as 1 split
+            est_splits += 1
+        if est_splits >= target:
+            return df
+    return df.repartition(target)
 
 
 def dec(col: Column | str, p: int = 12, s: int = 2) -> Column:
