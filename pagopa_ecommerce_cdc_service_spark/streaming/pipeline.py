@@ -33,11 +33,38 @@ def read_event_stream(
     source_dir: str,
     fmt: str = "json",
     max_files_per_trigger: int | None = None,
+    fallback_minutes: int | None = None,
 ) -> DataFrame:
+    """File-source S1 twin. ``fallback_minutes`` is the S3 fallback start
+    offset for a FIRST run with no checkpoint: log files modified before the
+    window are dropped via the ``_metadata.file_modification_time`` column
+    (the file twin's arrival-time analog of the change stream's position),
+    mirroring the reference's checkpoint-miss policy of starting
+    ``fallbackInMin`` before now (RedisResumePolicyService.kt:43-52). Once a
+    checkpoint exists, committed offsets win — same precedence as the
+    reference's Redis token beating the fallback window. (The Kafka twin
+    maps the same policy onto ``startingTimestamp``, which skips the data
+    server-side.)
+    """
     reader = spark.readStream.format(fmt).schema(EVENT_ENVELOPE_TYPE)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.load(source_dir)
+    raw = reader.load(source_dir)
+    if fallback_minutes is not None:
+        import datetime as _dt
+
+        cutoff = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
+            minutes=fallback_minutes
+        )
+        raw = (
+            raw.select("*", F.col("_metadata.file_modification_time").alias("_mod"))
+            .filter(
+                F.col("_mod")
+                >= F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+            )
+            .drop("_mod")
+        )
+    return raw
 
 
 def stream_transactions_view(

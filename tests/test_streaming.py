@@ -106,6 +106,48 @@ def test_streaming_resume_from_checkpoint(spark, tmp_path):
     assert_views_equal(stream_views, replay_reference(events))
 
 
+def test_fallback_start_offset_skips_stale_files(spark, tmp_path):
+    """S3 fallback start offset on the file source: with no checkpoint and a
+    fallback window, files older than the window are not ingested — the
+    reference's checkpoint-miss policy (RedisResumePolicyService.kt:43-52)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        read_event_stream,
+        stream_transactions_view,
+    )
+
+    events = generate_event_log(seed=3, n_transactions=10)
+    mid = len(events) // 2
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    stale = log_dir / "stale.json"
+    fresh = log_dir / "fresh.json"
+    stale.write_text("\n".join(json.dumps(e) for e in events[:mid]))
+    fresh.write_text("\n".join(json.dumps(e) for e in events[mid:]))
+    old = time.time() - 2 * 3600
+    os.utime(stale, (old, old))
+
+    q = (
+        stream_transactions_view(
+            read_event_stream(spark, str(log_dir), fallback_minutes=60)
+        )
+        .writeStream.format("memory")
+        .queryName("fallback_demo")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    folded = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in spark.table("fallback_demo").collect()
+    }
+    # exactly the view of the fresh half: replaying only events[mid:]
+    assert folded.keys() == replay_reference(events[mid:]).keys()
+    assert_views_equal(folded, replay_reference(events[mid:]))
+
+
 def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     """The bucketed sink's point: a micro-batch touching one transaction must
     leave every other bucket's parquet files untouched on disk (same paths,
