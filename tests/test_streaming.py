@@ -209,6 +209,72 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     assert merged.count() == batch1.count()
 
 
+def test_transform_with_state_twin_matches_batch_and_oracle(spark, tmp_path):
+    """The transformWithStateInPandas fold (Spark 4 stateful API, RocksDB
+    state store) must produce the same view as the batch fold and the
+    reference replay across multiple micro-batches."""
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import prepare_events
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from pagopa_ecommerce_cdc_service_spark.streaming.state_fold import (
+        incremental_view_tws,
+    )
+
+    if incremental_view_tws is None:
+        pytest.skip("transformWithStateInPandas not available")
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf (its state "
+            "protocol) — not in this image; fold body shared with the "
+            "applyInPandasWithState path, which is fully tested"
+        )
+
+    events = generate_event_log(seed=21, n_transactions=30, p_duplicate=0.1)
+    log_dir = str(tmp_path / "log")
+    _write_chunks(events, log_dir, n_chunks=3)
+
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            incremental_view_tws(
+                prepare_events(read_event_stream(spark, log_dir, max_files_per_trigger=1))
+            )
+            .writeStream.format("memory")
+            .queryName("tws_demo")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+    # memory sink in update mode appends one row per key per micro-batch:
+    # keep the LAST row per transaction (max lastProcessedEventAt tie-broken
+    # by arrival — micro-batches arrive in order, so use the row order)
+    rows = spark.table("tws_demo").collect()
+    tws_views = {}
+    for r in rows:  # collect preserves batch order for the memory sink
+        tws_views[r["transactionId"]] = r.asDict(recursive=True)
+
+    assert_views_equal(tws_views, replay_reference(events))
+
+
 def test_kafka_reader_option_wiring(spark):
     """The Kafka source builder wires resume options correctly (no broker or
     connector jar in this image: assert the constructed plan's options, the
