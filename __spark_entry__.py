@@ -58,6 +58,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 _TPCH_TAIL = (
     "q4_order_priority",       # EXISTS semi-join — covered by q18/q21
     "q6_revenue_change",       # single-table filter+agg — covered by q1
+    "q8_market_share",         # n-table broadcast-join star — covered by q5/q9
     "q10_returned_items",      # join+agg top-n — covered by q3/q5
     "q11_important_parts",     # HAVING vs scalar subquery — covered by q15/q22
     "q12_late_shipments",      # CASE aggregation — covered by q1/q14-shape

@@ -336,6 +336,70 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution: connected components over the MinHash+LSH
+# near-dup pair graph (pairs → transitive clusters → keep-one-per-cluster).
+# Oracle: recursive CTE computing min reachable id per node.
+# ---------------------------------------------------------------------------
+_PAIR_SQL = f"""
+    WITH docs AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {minhash_signature_sql("sh", _K)} AS sig FROM docs
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, sh, {b} AS band_idx, {band_key_sql('sig', b, _R)} AS bkey FROM sigs"
+        for b in range(_B)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b
+    FROM cand c JOIN docs x ON c.doc_a = x.doc_id
+                JOIN docs y ON c.doc_b = y.doc_id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= {_LSH_THRESH}
+"""
+
+
+@query(
+    "t_dup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIR_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl
+      FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def t_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (operators/graph.py). component = min doc_id in the cluster,
+    so "keep one per cluster" is ``WHERE doc_id = component``."""
+    from ..operators.graph import connected_components
+
+    pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash banding (near-dup by hamming distance)
 # ---------------------------------------------------------------------------
 _HAM_MAX = 6
