@@ -295,6 +295,64 @@ def test_kafka_reader_option_wiring(spark):
     assert "id" in good.columns and quar.columns == ["raw_record"]
 
 
+def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
+    """Watermarked tumbling-window aggregation in streaming mode produces
+    exactly the batch answer once the watermark passes every real window
+    (append mode emits only finalized windows — a far-future flush event
+    advances the watermark past the real data deterministically)."""
+    from pyspark.sql import functions as F
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import dec, money_sum, read
+
+    ev = read(spark, "/root/testdata/sf0.001", "events").select(
+        "ts", "event_type", "value"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+
+    src = tmp_path / "evsrc"
+    real, flush = str(src / "real.parquet"), str(src / "flush.parquet")
+    ev.coalesce(1).write.parquet(real)
+    spark.createDataFrame(
+        [(max_ts, "__flush__", 0.0)], "ts timestamp, event_type string, value double"
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS")).write.parquet(flush)
+    # file source picks up files in mtime order: real data, then the flush
+    for i, d in enumerate((real, flush)):
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                m = time.time() - 20 + i * 10
+                os.utime(os.path.join(root, fn), (m, m))
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum(dec("value"), "sum_value"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_demo")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in spark.table("win_demo").collect()
+        if r["event_type"] != "__flush__"
+    }
+    expected = {
+        (r["w"]["start"], r["event_type"]): (r["n"], r["sum_value"])
+        for r in ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), money_sum(dec("value"), "sum_value"))
+        .collect()
+    }
+    assert got == expected
+
+
 def test_drop_duplicates_within_watermark(spark, tmp_path):
     """ST3's native Spark primitive (SURVEY §2.5): duplicate event ids
     arriving within the watermark window are delivered once downstream —
