@@ -36,6 +36,21 @@ class CdcConfig:
     # task-level retry replaces CDC_SEND_RETRY_* (helm/values-prod.yaml:108-109)
     task_max_failures: int = 4
 
+    # S3 fallback start window on checkpoint miss, minutes before now
+    # (reference: RedisResumePolicyService.kt:43-52, CDC_RESUME_FALLBACK_IN_MIN);
+    # None = ingest from the beginning on first run
+    fallback_minutes: int | None = None
+
+    # per-key dedup memory, the analog of the lock TTL's dedup horizon
+    # (reference: CDC_REDIS_JOB_LOCK_TTL_MS, helm/values-prod.yaml:130):
+    # how many most-recent event ids each transaction remembers
+    seen_ids_cap: int = 4096
+
+    # liveness staleness bound, seconds (reference:
+    # CDC_LIVENESS_INACTIVITY_THRESHOLD_SECONDS, helm/values-prod.yaml:138);
+    # <= 0 disables, like CustomLivenessIndicator.kt:49-52
+    inactivity_timeout_seconds: float = 3600.0
+
     # unknown event codes are rejected as non-retriable
     # (reference: exceptions/CdcEventTypeException.kt:12-13); quarantined here.
     quarantine_path: str | None = None

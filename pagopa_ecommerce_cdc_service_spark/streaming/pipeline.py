@@ -85,7 +85,7 @@ def stream_transactions_view(
         prepared = observe_fold(prepare_events(raw_stream, config))
     else:
         prepared = prepare_events(raw_stream, config)
-    return incremental_view(prepared)
+    return incremental_view(prepared, seen_ids_cap=config.seen_ids_cap)
 
 
 VIEW_BUCKET_COL = "_bucket"
@@ -155,7 +155,13 @@ def start_view_maintenance(
     max_files_per_trigger: int | None = None,
 ):
     """Wire source → fold → sink and start the query (ST1)."""
-    raw = read_event_stream(spark, source_dir, fmt, max_files_per_trigger)
+    raw = read_event_stream(
+        spark,
+        source_dir,
+        fmt,
+        max_files_per_trigger,
+        fallback_minutes=config.fallback_minutes,
+    )
     updates = stream_transactions_view(raw, config)
     return (
         updates.writeStream.outputMode("update")

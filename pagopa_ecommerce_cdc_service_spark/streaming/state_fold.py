@@ -131,31 +131,36 @@ def _fold_pdfs(
     return poisoned
 
 
-def _pack(view: dict[str, Any], seen_list: list) -> str:
-    return json.dumps({"view": view, "seen": seen_list[-MAX_SEEN_IDS_PER_KEY:]})
+def _pack(view: dict[str, Any], seen_list: list, cap: int = MAX_SEEN_IDS_PER_KEY) -> str:
+    return json.dumps({"view": view, "seen": seen_list[-cap:]})
 
 
 def fold_state_func(
     key: tuple,
     pdf_iter: Iterable[pd.DataFrame],
     state,  # pyspark.sql.streaming.state.GroupState
+    seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
 ) -> Iterator[pd.DataFrame]:
     view, seen_list, seen = _unpack(state.get[0] if state.exists else None, key[0])
     poisoned = _fold_pdfs(view, seen, seen_list, pdf_iter)
-    state.update((_pack(view, seen_list),))
+    state.update((_pack(view, seen_list, seen_ids_cap),))
     yield pd.DataFrame([{**view_as_row(view), POISONED_COL: poisoned or None}])
 
 
-def incremental_view(prepared_stream, spark=None):
+def incremental_view(prepared_stream, spark=None, seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY):
     """prepared (filtered, _ts_millis-attached) streaming DF → view updates.
 
     Emits, per micro-batch, one updated view row per touched transaction.
+    ``seen_ids_cap`` is the per-key dedup horizon (CdcConfig.seen_ids_cap).
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
+    def fold(key, pdf_iter, state):
+        return fold_state_func(key, pdf_iter, state, seen_ids_cap=seen_ids_cap)
+
     state_schema = StructType([StructField("packed", StringType())])
     return prepared_stream.groupBy("transactionId").applyInPandasWithState(
-        fold_state_func,
+        fold,
         outputStructType=STREAM_VIEW_TYPE,
         stateStructType=state_schema,
         outputMode="update",

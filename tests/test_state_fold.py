@@ -125,6 +125,20 @@ def test_poison_pill_leaves_view_unmutated():
     assert after == before  # guard state untouched by the failed event
 
 
+def test_seen_ids_cap_configurable():
+    """CdcConfig.seen_ids_cap flows into the fold (the lock-TTL analog)."""
+    state = FakeGroupState()
+    list(
+        fold_state_func(
+            ("tx-1",),
+            [pd.DataFrame([_activated(i) for i in range(5)])],
+            state,
+            seen_ids_cap=2,
+        )
+    )
+    assert json.loads(state.get[0])["seen"] == ["ev-3", "ev-4"]
+
+
 def test_null_event_id_skipped_not_fatal():
     state = FakeGroupState()
     events = [
