@@ -56,6 +56,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # every distinct operator family. TPC-H tail queries remain fully tested
 # locally (tests/test_oracle_parity.py runs all of them).
 _TPCH_TAIL = (
+    "q2_min_cost_supplier",    # correlated MIN subquery — scalar-subquery family in prefix via q15/q22
     "q4_order_priority",       # EXISTS semi-join — covered by q18/q21
     "q6_revenue_change",       # single-table filter+agg — covered by q1
     "q8_market_share",         # n-table broadcast-join star — covered by q5/q9

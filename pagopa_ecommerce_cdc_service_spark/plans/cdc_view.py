@@ -409,3 +409,104 @@ assert _STREAM_ORACLE_SQL != ORACLE_SQL
 
 QUERIES["cdc_stream_incremental_view"] = cdc_stream_incremental_view
 ORACLES["cdc_stream_incremental_view"] = _STREAM_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# T1/ST6 under the driver gate: tolerant envelope parsing with quarantine.
+# A deterministic JSON-lines corpus is synthesized with three defect classes
+# (truncated JSON, null id, null transactionId) and pushed through the real
+# parse_envelope_lines (from_json PERMISSIVE + corrupt-record filter,
+# EcommerceTransactionsLogEventsStream.kt:122-135). The oracle reproduces
+# the classification by construction and must agree on every aggregate,
+# including the exact byte length of the quarantined raw lines.
+# ---------------------------------------------------------------------------
+
+
+def _envelope_line() -> F.Column:
+    """One deterministic JSON line per event row (explicit concat, not
+    to_json, so both engines know the exact text)."""
+    eid = F.col("event_id")
+    iso = F.concat(F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"), F.lit("Z"))
+    full = F.concat(
+        F.lit('{"id":"ev-'), eid,
+        F.lit('","transactionId":"tx-'), F.col("user_id"),
+        F.lit('","eventCode":"TRANSACTION_ACTIVATED_EVENT","creationDate":"'),
+        iso,
+        F.lit('","seq":'), eid,
+        F.lit(',"operationType":"insert","data":{"email":"u'),
+        F.col("user_id"),
+        F.lit('@example.it"}}'),
+    )
+    null_id = F.concat(
+        F.lit('{"id":null,"transactionId":"tx-'), F.col("user_id"),
+        F.lit('","eventCode":"TRANSACTION_ACTIVATED_EVENT","seq":'), eid,
+        F.lit("}"),
+    )
+    null_tx = F.concat(
+        F.lit('{"id":"ev-'), eid,
+        F.lit('","transactionId":null,"eventCode":"TRANSACTION_ACTIVATED_EVENT","seq":'),
+        eid,
+        F.lit("}"),
+    )
+    return (
+        F.when(eid % 7 == 0, F.substring(full, 1, 25))  # truncated ⇒ invalid JSON
+        .when(eid % 7 == 1, null_id)
+        .when(eid % 7 == 2, null_tx)
+        .otherwise(full)
+    )
+
+
+def cdc_envelope_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.envelope_json import parse_envelope_lines
+
+    ev = read(spark, sf_dir, "events")
+    lines = ev.select(_envelope_line().alias("value"))
+    good, quarantine = parse_envelope_lines(lines)
+    g = good.agg(
+        F.count("*").alias("n_good"),
+        F.sum("seq").alias("good_seq_sum"),
+    )
+    q = quarantine.agg(
+        F.count("*").alias("n_quarantined"),
+        F.sum(F.length("raw_record")).alias("quarantined_chars"),
+    )
+    return g.crossJoin(q)
+
+
+QUERIES["cdc_envelope_quarantine"] = cdc_envelope_quarantine
+ORACLES["cdc_envelope_quarantine"] = """
+WITH lines AS (
+  SELECT event_id AS eid,
+    '{"id":"ev-' || CAST(event_id AS VARCHAR)
+      || '","transactionId":"tx-' || CAST(user_id AS VARCHAR)
+      || '","eventCode":"TRANSACTION_ACTIVATED_EVENT","creationDate":"'
+      || strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || 'Z'
+      || '","seq":' || CAST(event_id AS VARCHAR)
+      || ',"operationType":"insert","data":{"email":"u'
+      || CAST(user_id AS VARCHAR) || '@example.it"}}' AS full_line,
+    '{"id":null,"transactionId":"tx-' || CAST(user_id AS VARCHAR)
+      || '","eventCode":"TRANSACTION_ACTIVATED_EVENT","seq":'
+      || CAST(event_id AS VARCHAR) || '}' AS null_id_line,
+    '{"id":"ev-' || CAST(event_id AS VARCHAR)
+      || '","transactionId":null,"eventCode":"TRANSACTION_ACTIVATED_EVENT","seq":'
+      || CAST(event_id AS VARCHAR) || '}' AS null_tx_line
+  FROM events
+),
+classified AS (
+  SELECT eid,
+    CASE
+      WHEN eid % 7 = 0 THEN substring(full_line, 1, 25)
+      WHEN eid % 7 = 1 THEN null_id_line
+      WHEN eid % 7 = 2 THEN null_tx_line
+      ELSE full_line
+    END AS line,
+    (eid % 7 NOT IN (0, 1, 2)) AS is_good
+  FROM lines
+)
+SELECT
+  (SELECT COUNT(*) FROM classified WHERE is_good) AS n_good,
+  (SELECT CAST(SUM(eid) AS BIGINT) FROM classified WHERE is_good) AS good_seq_sum,
+  (SELECT COUNT(*) FROM classified WHERE NOT is_good) AS n_quarantined,
+  (SELECT CAST(SUM(length(line)) AS BIGINT) FROM classified
+   WHERE NOT is_good) AS quarantined_chars
+"""
