@@ -335,46 +335,61 @@ ORACLES = {"cdc_transactions_view": ORACLE_SQL}
 # ---------------------------------------------------------------------------
 # Streaming twin under the driver gate: the SAME synthetic envelope (bounded
 # to the first 3000 events for gate latency) is replayed through the real
-# Structured Streaming path — file readStream → prepare_events →
-# applyInPandasWithState incremental fold → memory sink — and the final view
-# must hash-match the pure-SQL oracle of the batch fold. This puts the
-# batch ≡ streaming ≡ SQL-semantics triangle under the correctness gate.
+# production pipeline — file readStream → prepare_events →
+# applyInPandasWithState incremental fold → foreachBatch bucketed parquet
+# upsert sink — in TWO phases that share one checkpoint: the first query
+# folds the first half of the log and is stopped; a second query starts
+# against the same checkpoint, recovers the per-key state store and file
+# log, and folds only the files that "arrived" while it was down. The
+# maintained view on disk must then hash-match the pure-SQL oracle of the
+# batch fold: batch ≡ streaming-with-restart-and-upsert-sink ≡ SQL
+# (S1-S5 + fold + ST2 under one hard gate).
 # ---------------------------------------------------------------------------
 _STREAM_LIMIT = 3000
 
 
-def cdc_stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
+def _run_gate_phase(spark: SparkSession, src: str, view_dir: str, ckpt: str) -> None:
+    from ..streaming.pipeline import start_view_maintenance
 
-    from ..streaming.pipeline import read_event_stream, stream_transactions_view
+    q = start_view_maintenance(spark, src, view_dir, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def cdc_stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.pipeline import read_view
+    from ..streaming.state_fold import POISONED_COL
 
     env = synthesize_envelope(spark, sf_dir).filter(F.col("seq") < _STREAM_LIMIT)
     workdir = tempfile.mkdtemp(prefix="cdc-stream-gate-")
-    src = f"{workdir}/events"
-    # one json file → one micro-batch → memory sink holds exactly one final
-    # row per transaction
-    env.coalesce(1).write.mode("overwrite").json(src)
+    src, view_dir, ckpt = f"{workdir}/events", f"{workdir}/view", f"{workdir}/ckpt"
+    os.makedirs(src)
 
-    name = f"gate_view_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_transactions_view(read_event_stream(spark, src))
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{workdir}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(240):
-        # a partially-folded memory table would surface as a confusing hash
-        # mismatch downstream; fail loudly instead
-        q.stop()
-        raise TimeoutError(
-            "cdc_stream_incremental_view: availableNow micro-batch did not "
-            "complete within 240s"
-        )
-    view = spark.table(name)
+    def dump(df, label: str) -> None:
+        # one json file per phase → one micro-batch (file source does not
+        # recurse, so the part file moves into the flat source dir)
+        tmp = f"{workdir}/tmp-{label}"
+        df.coalesce(1).write.json(tmp)
+        part = next(p for p in globmod.glob(f"{tmp}/part-*.json"))
+        shutil.move(part, f"{src}/{label}.json")
+
+    # phase 1: first half of the log
+    dump(env.filter(F.col("seq") < _STREAM_LIMIT // 2), "half-a")
+    _run_gate_phase(spark, src, view_dir, ckpt)
+    # the query is stopped; the second half "arrives" while it is down
+    dump(env.filter(F.col("seq") >= _STREAM_LIMIT // 2), "half-b")
+    # phase 2: new query, SAME checkpoint — recovers state + file log, folds
+    # only the new files, upserts only the touched buckets
+    _run_gate_phase(spark, src, view_dir, ckpt)
+
+    view = read_view(spark, view_dir).drop(POISONED_COL)
     return view.select(
         "transactionId",
         "email",
