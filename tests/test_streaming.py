@@ -295,6 +295,34 @@ def test_kafka_reader_option_wiring(spark):
     assert "id" in good.columns and quar.columns == ["raw_record"]
 
 
+def test_upsert_sink_idempotent_under_batch_replay(spark, tmp_path):
+    """foreachBatch delivery is at-least-once: a replayed micro-batch (same
+    rows, new epoch) must leave the view byte-identical — the upsert's
+    anti-join + overwrite-by-bucket is idempotent by construction."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+        read_view,
+    )
+
+    view_dir = str(tmp_path / "view")
+    sink = parquet_upsert_sink(view_dir, n_buckets=8)
+    events = generate_event_log(seed=9, n_transactions=20)
+    batch = transactions_view_from_log(
+        spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    )
+    sink(batch, epoch_id=0)
+    first = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in read_view(spark, view_dir).collect()
+    }
+    sink(batch, epoch_id=0)  # crash-replay of the same epoch
+    replayed = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in read_view(spark, view_dir).collect()
+    }
+    assert replayed == first
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window aggregation in streaming mode produces
     exactly the batch answer once the watermark passes every real window
