@@ -80,6 +80,7 @@ def test_events_queries_no_python_udfs(spark, sf_dir, queries):
     for name in (
         "q1_pricing_summary",
         "cdc_transactions_view",
+        "cdc_envelope_quarantine",
         "t_minhash_lsh_pairs",
         "t_simhash_pairs",
         "w_asof_click_purchase",
