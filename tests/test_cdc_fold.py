@@ -175,6 +175,92 @@ def test_happy_path_in_order(spark):
     assert v["lastProcessedEventAt"] == replay_reference(events)["t"]["lastProcessedEventAt"]
 
 
+@pytest.mark.parametrize(
+    "status_before,expected",
+    [
+        # full derived-status table for expiration
+        # (TransactionViewUpsertService.kt:452-466, exhaustively tested by the
+        # reference at TransactionViewUpsertServiceTest.kt:2768-2862)
+        ("ACTIVATED", "EXPIRED_NOT_AUTHORIZED"),
+        ("CANCELLATION_REQUESTED", "CANCELLATION_EXPIRED"),
+        ("AUTHORIZATION_REQUESTED", "EXPIRED"),
+        ("AUTHORIZATION_COMPLETED", "EXPIRED"),
+        ("CLOSURE_REQUESTED", "EXPIRED"),
+        ("CLOSED", "EXPIRED"),
+        ("NOTIFIED_OK", "EXPIRED"),
+        ("UNAUTHORIZED", "EXPIRED"),
+        (None, "EXPIRED"),
+    ],
+)
+def test_expired_status_mapping_full_enum(spark, status_before, expected):
+    events = [
+        _ev(0, "t", "TRANSACTION_EXPIRED_EVENT", T0,
+            {"statusBeforeExpiration": status_before}),
+    ]
+    assert spark_views(spark, events)["t"]["status"] == expected
+
+
+@pytest.mark.parametrize(
+    "canceled,outcome,expected",
+    [
+        # closed-event dispatch (TransactionViewUpsertService.kt:483-503,
+        # reference test :1246-1309): user cancellation beats the outcome
+        (True, "OK", "CANCELED"),
+        (True, "KO", "CANCELED"),
+        (False, "OK", "CLOSED"),
+        (False, "KO", "UNAUTHORIZED"),
+        (None, "OK", "CLOSED"),
+        (False, None, None),  # no recognizable outcome → no status write
+    ],
+)
+def test_closed_status_mapping(spark, canceled, outcome, expected):
+    events = [
+        _ev(0, "t", "TRANSACTION_CLOSED_EVENT", T0,
+            {"wasCanceledByUser": canceled, "responseOutcome": outcome}),
+    ]
+    assert spark_views(spark, events)["t"]["status"] == expected
+
+
+@pytest.mark.parametrize(
+    "outcome,expected",
+    [
+        # receipt-added dispatch (TransactionViewUpsertService.kt:567-584)
+        ("OK", "NOTIFIED_OK"),
+        ("KO", "NOTIFIED_KO"),
+        (None, None),
+    ],
+)
+def test_receipt_added_status_mapping(spark, outcome, expected):
+    events = [
+        _ev(0, "t", "TRANSACTION_USER_RECEIPT_ADDED_EVENT", T0,
+            {"responseOutcome": outcome}),
+    ]
+    assert spark_views(spark, events)["t"]["status"] == expected
+
+
+@pytest.mark.parametrize(
+    "kind,expected_status,expected_e2e",
+    [
+        # polymorphic gateway dispatch (TransactionViewUpsertService.kt:388-424):
+        # NPG → operationResult + endToEndId; REDIRECT → outcome, no e2e;
+        # unknown kind → warn + no gateway writes at all
+        ("NPG", "EXECUTED", "e2e"),
+        ("REDIRECT", "KO", None),
+        ("UNKNOWN", None, None),
+    ],
+)
+def test_gateway_polymorphic_dispatch(spark, kind, expected_status, expected_e2e):
+    events = [
+        _ev(0, "t", "TRANSACTION_AUTHORIZATION_COMPLETED_EVENT", T0,
+            {"gatewayAuthData": {"kind": kind, "operationResult": "EXECUTED",
+                                  "outcome": "KO", "paymentEndToEndId": "e2e",
+                                  "errorCode": None}}),
+    ]
+    v = spark_views(spark, events)["t"]
+    assert v["gatewayAuthorizationStatus"] == expected_status
+    assert v["endToEndId"] == expected_e2e
+
+
 def test_out_of_order_status_guarded_data_merged(spark):
     # AUTH_REQUESTED (older ts) arrives after AUTH_COMPLETED (newer ts):
     # status must remain AUTHORIZATION_COMPLETED, enrichment still lands
