@@ -64,6 +64,7 @@ _TPCH_TAIL = (
     "q11_important_parts",     # HAVING vs scalar subquery — covered by q15/q22
     "q12_late_shipments",      # CASE aggregation — covered by q1/q14-shape
     "q14_promo_share",         # CASE ratio — same family as q12
+    "q15_top_supplier",        # scalar-subquery threshold — family in prefix via q22
     "q16_part_supplier_count", # distinct-count agg — covered by q13
     "q17_small_qty_revenue",   # per-key scalar avg — covered by q2
     "q19_disjunctive_revenue", # disjunctive predicates — pushdown shown by q6

@@ -237,6 +237,46 @@ def w_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# salted two-phase aggregation over the hot event_type keys (a handful of
+# types over the whole table — exactly the hot-key shape AQE cannot split,
+# since it is one groupBy key, not a join). Result ≡ plain GROUP BY, so the
+# oracle is the plain SQL; the plan is what differs (two exchanges, hot key
+# spread over n_salts reduce slots).
+# ---------------------------------------------------------------------------
+@query(
+    "w_salted_type_stats",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+           MIN(user_id) AS min_user,
+           MAX(user_id) AS max_user
+    FROM {EV}
+    GROUP BY event_type
+    """,
+)
+def w_salted_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import SaltedAgg, count_agg, max_agg, min_agg, salted_agg
+
+    ev = read(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        ["event_type"],
+        [
+            count_agg("n_events"),
+            SaltedAgg(
+                lambda: F.sum(dec("value")),
+                lambda c: F.sum(c).cast("double"),
+                "sum_value",
+            ),
+            min_agg("user_id", "min_user"),
+            max_agg("user_id", "max_user"),
+        ],
+        n_salts=16,
+    )
+
+
+# ---------------------------------------------------------------------------
 # running total per user (cumulative decimal-exact sum)
 # ---------------------------------------------------------------------------
 @query(
