@@ -351,7 +351,9 @@ _STREAM_LIMIT = 3000
 def _run_gate_phase(spark: SparkSession, src: str, view_dir: str, ckpt: str) -> None:
     from ..streaming.pipeline import start_view_maintenance
 
-    q = start_view_maintenance(spark, src, view_dir, ckpt)
+    # few hundred keys at gate scale: 8 buckets keeps the per-batch file ops
+    # proportionate (bucket count scales with view size, not a constant)
+    q = start_view_maintenance(spark, src, view_dir, ckpt, n_buckets=8)
     try:
         q.processAllAvailable()
     finally:

@@ -153,6 +153,7 @@ def start_view_maintenance(
     config: CdcConfig = DEFAULT_CONFIG,
     fmt: str = "json",
     max_files_per_trigger: int | None = None,
+    n_buckets: int = 64,
 ):
     """Wire source → fold → sink and start the query (ST1)."""
     raw = read_event_stream(
@@ -165,7 +166,7 @@ def start_view_maintenance(
     updates = stream_transactions_view(raw, config)
     return (
         updates.writeStream.outputMode("update")
-        .foreachBatch(parquet_upsert_sink(view_dir))
+        .foreachBatch(parquet_upsert_sink(view_dir, n_buckets))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
