@@ -59,6 +59,7 @@ _TPCH_TAIL = (
     "q2_min_cost_supplier",    # correlated MIN subquery — scalar-subquery family in prefix via q15/q22
     "q4_order_priority",       # EXISTS semi-join — covered by q18/q21
     "q6_revenue_change",       # single-table filter+agg — covered by q1
+    "q7_nation_volume",        # join+agg star — family in prefix via q5/q9
     "q8_market_share",         # n-table broadcast-join star — covered by q5/q9
     "q10_returned_items",      # join+agg top-n — covered by q3/q5
     "q11_important_parts",     # HAVING vs scalar subquery — covered by q15/q22

@@ -207,6 +207,91 @@ def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STREAMING tumbling window under the hard gate: the same hourly rollup run
+# through Structured Streaming with a 1-hour watermark in append mode — only
+# windows the watermark has finalized are emitted, so a far-future flush
+# event (written as a second file, processed as a later micro-batch)
+# deterministically finalizes every real window. The memory-sink result must
+# hash-match the plain batch GROUP BY oracle: streaming ≡ batch ≡ SQL for
+# event-time windows (append mode forbids count-distinct, hence no n_users
+# here unlike the batch w_tumbling_hourly).
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_tumbling_hourly",
+    f"""
+    SELECT date_trunc('hour', ts) AS hour_start,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    ev = read(spark, sf_dir, "events").select("ts", "event_type", "value")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # one scalar to the driver
+
+    workdir = tempfile.mkdtemp(prefix="stream-window-gate-")
+    src = f"{workdir}/src"
+    os.makedirs(src)
+
+    def dump(df, label: str, mtime: float) -> None:
+        tmp = f"{workdir}/tmp-{label}"
+        df.coalesce(1).write.parquet(tmp)
+        part = next(p for p in globmod.glob(f"{tmp}/part-*.parquet"))
+        dest = f"{src}/{label}.parquet"
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+
+    import time as _time
+
+    now = _time.time()
+    dump(ev, "real", now - 20)
+    flush = spark.createDataFrame(
+        [(max_ts, "__flush__", 0.0)],
+        "ts timestamp, event_type string, value double",
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+    dump(flush, "flush", now - 10)
+
+    name = f"swt_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), money_sum(dec("value"), "sum_value"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_tumbling_hourly: availableNow run did not complete in 240s"
+        )
+    return (
+        spark.table(name)
+        .filter(F.col("event_type") != "__flush__")
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sliding windows (1h window, 15min slide) via Spark window() vs SQL expansion
 # ---------------------------------------------------------------------------
 @query(
