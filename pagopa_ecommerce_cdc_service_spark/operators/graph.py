@@ -50,6 +50,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    changed = -1
     for _ in range(max_iterations):
         # each node adopts min(own label, neighbors' labels)
         nbr_min = (
@@ -76,5 +77,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        # returning unconverged labels would silently split one transitive
+        # cluster into several — fail loudly instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise "
+            "max_iterations or pre-contract the graph"
+        )
 
     return labels.select("node", F.col("comp").alias("component"))

@@ -361,32 +361,23 @@ def _run_gate_phase(spark: SparkSession, src: str, view_dir: str, ckpt: str) -> 
 
 
 def cdc_stream_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as globmod
-    import os
-    import shutil
-    import tempfile
-
     from ..streaming.pipeline import read_view
     from ..streaming.state_fold import POISONED_COL
+    from .helpers import gate_workdir, write_single_file
 
     env = synthesize_envelope(spark, sf_dir).filter(F.col("seq") < _STREAM_LIMIT)
-    workdir = tempfile.mkdtemp(prefix="cdc-stream-gate-")
+    workdir = gate_workdir("cdc-stream-gate-")
     src, view_dir, ckpt = f"{workdir}/events", f"{workdir}/view", f"{workdir}/ckpt"
-    os.makedirs(src)
 
-    def dump(df, label: str) -> None:
-        # one json file per phase → one micro-batch (file source does not
-        # recurse, so the part file moves into the flat source dir)
-        tmp = f"{workdir}/tmp-{label}"
-        df.coalesce(1).write.json(tmp)
-        part = next(p for p in globmod.glob(f"{tmp}/part-*.json"))
-        shutil.move(part, f"{src}/{label}.json")
-
-    # phase 1: first half of the log
-    dump(env.filter(F.col("seq") < _STREAM_LIMIT // 2), "half-a")
+    # phase 1: first half of the log (one json file → one micro-batch)
+    write_single_file(
+        env.filter(F.col("seq") < _STREAM_LIMIT // 2), f"{src}/half-a.json"
+    )
     _run_gate_phase(spark, src, view_dir, ckpt)
     # the query is stopped; the second half "arrives" while it is down
-    dump(env.filter(F.col("seq") >= _STREAM_LIMIT // 2), "half-b")
+    write_single_file(
+        env.filter(F.col("seq") >= _STREAM_LIMIT // 2), f"{src}/half-b.json"
+    )
     # phase 2: new query, SAME checkpoint — recovers state + file log, folds
     # only the new files, upserts only the touched buckets
     _run_gate_phase(spark, src, view_dir, ckpt)

@@ -228,28 +228,22 @@ def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import glob as globmod
     import os
-    import shutil
-    import tempfile
+    import time as _time
     import uuid
+
+    from .helpers import gate_workdir, write_single_file
 
     ev = read(spark, sf_dir, "events").select("ts", "event_type", "value")
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # one scalar to the driver
 
-    workdir = tempfile.mkdtemp(prefix="stream-window-gate-")
+    workdir = gate_workdir("stream-window-gate-")
     src = f"{workdir}/src"
-    os.makedirs(src)
 
     def dump(df, label: str, mtime: float) -> None:
-        tmp = f"{workdir}/tmp-{label}"
-        df.coalesce(1).write.parquet(tmp)
-        part = next(p for p in globmod.glob(f"{tmp}/part-*.parquet"))
         dest = f"{src}/{label}.parquet"
-        shutil.move(part, dest)
+        write_single_file(df, dest, fmt="parquet")
         os.utime(dest, (mtime, mtime))
-
-    import time as _time
 
     now = _time.time()
     dump(ev, "real", now - 20)

@@ -17,6 +17,8 @@ bit-identical across engines. Discipline:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -58,28 +60,93 @@ def spread(df: DataFrame, spark: SparkSession, min_parts: int | None = None) -> 
     raw rows (cheap: the text itself is small) unlocks the full machine. At
     production scale the scan is already split, so this is a no-op.
 
-    The split estimate comes from the scan's file list + sizes (early-exited
-    once it reaches the target), NOT ``df.rdd`` — converting to an RDD builds
-    the whole lineage driver-side on every query, which is dead weight in a
-    library hot path.
+    The split estimate mirrors Spark's own file-partition packing
+    (``ceil((total_bytes + n_files * openCostInBytes) / maxPartitionBytes)``
+    — small files PACK together, they don't each get a split) and comes from
+    the scan's file list + sizes, NOT ``df.rdd`` — converting to an RDD
+    builds the whole lineage driver-side on every query, which is dead
+    weight in a library hot path.
     """
     import math
     import os
 
     target = min_parts or spark.sparkContext.defaultParallelism
-    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    digits = "".join(c for c in raw if c.isdigit())
-    max_bytes = int(digits or "134217728")
-    est_splits = 0
+    max_bytes = _parse_bytes(
+        str(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")),
+        default=128 * 1024 * 1024,
+    )
+    open_cost = _parse_bytes(
+        str(spark.conf.get("spark.sql.files.openCostInBytes", "4m")),
+        default=4 * 1024 * 1024,
+    )
+    total = 0
     for path in df.inputFiles():
         local = path.removeprefix("file:")
         try:
-            est_splits += max(1, math.ceil(os.path.getsize(local) / max_bytes))
-        except OSError:  # non-local / unstat-able: count the file as 1 split
-            est_splits += 1
-        if est_splits >= target:
+            total += os.path.getsize(local) + open_cost
+        except OSError:  # non-local / unstat-able: count the open cost only
+            total += open_cost
+        if math.ceil(total / max_bytes) >= target:
             return df
     return df.repartition(target)
+
+
+def gate_workdir(prefix: str, max_age_seconds: float = 2 * 3600) -> str:
+    """Fresh temp workdir for a gate query that stages files on disk; stale
+    workdirs from earlier invocations (same prefix, older than
+    ``max_age_seconds``) are best-effort deleted so repeated gate/bench runs
+    don't accumulate unbounded temp data."""
+    import shutil
+    import tempfile
+    import time
+
+    root = tempfile.gettempdir()
+    cutoff = time.time() - max_age_seconds
+    try:
+        for name in os.listdir(root):
+            if name.startswith(prefix):
+                p = os.path.join(root, name)
+                try:
+                    if os.path.isdir(p) and os.path.getmtime(p) < cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
+    except OSError:
+        pass
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def write_single_file(df: DataFrame, dest: str, fmt: str = "json") -> None:
+    """Write ``df`` as exactly ONE data file at ``dest`` (atomic move of the
+    single part file) — gate queries use this to control micro-batch
+    boundaries of the file stream source."""
+    import glob as globmod
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="single-file-")
+    out = f"{tmp}/out"
+    getattr(df.coalesce(1).write, fmt)(out)
+    part = next(p for p in globmod.glob(f"{out}/part-*") if not p.endswith(".crc"))
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    shutil.move(part, dest)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _parse_bytes(raw: str, default: int) -> int:
+    """Spark size-string → bytes ('134217728', '134217728b', '128m', '1g')."""
+    s = raw.strip().lower()
+    for suffix, mult in (
+        ("tb", 1024**4), ("gb", 1024**3), ("mb", 1024**2), ("kb", 1024),
+        ("t", 1024**4), ("g", 1024**3), ("m", 1024**2), ("k", 1024),
+        ("b", 1),
+    ):
+        if s.endswith(suffix):
+            num = s[: -len(suffix)].strip()
+            if num.isdigit():
+                return int(num) * mult
+            break
+    return int(s) if s.isdigit() else default
 
 
 def dec(col: Column | str, p: int = 12, s: int = 2) -> Column:

@@ -40,11 +40,16 @@ def read_event_stream(
     window are dropped via the ``_metadata.file_modification_time`` column
     (the file twin's arrival-time analog of the change stream's position),
     mirroring the reference's checkpoint-miss policy of starting
-    ``fallbackInMin`` before now (RedisResumePolicyService.kt:43-52). Once a
-    checkpoint exists, committed offsets win — same precedence as the
-    reference's Redis token beating the fallback window. (The Kafka twin
-    maps the same policy onto ``startingTimestamp``, which skips the data
-    server-side.)
+    ``fallbackInMin`` before now (RedisResumePolicyService.kt:43-52).
+
+    CALLER CONTRACT: pass ``fallback_minutes`` only when no checkpoint
+    exists (``start_view_maintenance`` enforces this) — the filter is a
+    per-row predicate with a fresh ``now()``, so applying it on a restart
+    would silently drop events that arrived while the query was down.
+    Committed offsets must win once a checkpoint exists, same precedence as
+    the reference's Redis token beating the fallback window. (The Kafka
+    twin maps the policy onto ``startingTimestamp``, which Kafka itself
+    ignores once the checkpoint has offsets, so it needs no such guard.)
     """
     reader = spark.readStream.format(fmt).schema(EVENT_ENVELOPE_TYPE)
     if max_files_per_trigger is not None:
@@ -56,12 +61,12 @@ def read_event_stream(
         cutoff = _dt.datetime.now(_dt.timezone.utc) - _dt.timedelta(
             minutes=fallback_minutes
         )
+        # epoch comparison: tz-independent (a naive timestamp literal would
+        # be re-interpreted in the session timezone, shifting the window)
+        cutoff_us = int(cutoff.timestamp() * 1_000_000)
         raw = (
             raw.select("*", F.col("_metadata.file_modification_time").alias("_mod"))
-            .filter(
-                F.col("_mod")
-                >= F.lit(cutoff.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
-            )
+            .filter(F.unix_micros(F.col("_mod")) >= F.lit(cutoff_us))
             .drop("_mod")
         )
     return raw
@@ -156,12 +161,17 @@ def start_view_maintenance(
     n_buckets: int = 64,
 ):
     """Wire source → fold → sink and start the query (ST1)."""
+    # S3 precedence: the fallback window applies ONLY on checkpoint miss —
+    # on a restart the committed offsets win and events that arrived while
+    # the query was down must still be ingested (the reference's Redis token
+    # beats the fallback window, RedisResumePolicyService.kt:43-52)
+    first_run = not os.path.exists(os.path.join(checkpoint_dir, "offsets"))
     raw = read_event_stream(
         spark,
         source_dir,
         fmt,
         max_files_per_trigger,
-        fallback_minutes=config.fallback_minutes,
+        fallback_minutes=config.fallback_minutes if first_run else None,
     )
     updates = stream_transactions_view(raw, config)
     return (

@@ -186,6 +186,9 @@ try:  # pragma: no cover - import guard for older runtimes
     class CdcFoldProcessor(StatefulProcessor):
         """Per-transaction CDC fold as a StatefulProcessor."""
 
+        def __init__(self, seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY):
+            self._seen_ids_cap = seen_ids_cap
+
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._state = handle.getValueState("packed", "packed STRING")
 
@@ -193,19 +196,19 @@ try:  # pragma: no cover - import guard for older runtimes
             packed = self._state.get()[0] if self._state.exists() else None
             view, seen_list, seen = _unpack(packed, key[0])
             poisoned = _fold_pdfs(view, seen, seen_list, rows)
-            self._state.update((_pack(view, seen_list),))
+            self._state.update((_pack(view, seen_list, self._seen_ids_cap),))
             yield pd.DataFrame([{**view_as_row(view), POISONED_COL: poisoned or None}])
 
         def close(self) -> None:
             pass
 
-    def incremental_view_tws(prepared_stream):
+    def incremental_view_tws(prepared_stream, seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY):
         """transformWithStateInPandas flavor of :func:`incremental_view`.
 
         Requires the RocksDB state store provider
         (``spark.sql.streaming.stateStore.providerClass``)."""
         return prepared_stream.groupBy("transactionId").transformWithStateInPandas(
-            statefulProcessor=CdcFoldProcessor(),
+            statefulProcessor=CdcFoldProcessor(seen_ids_cap),
             outputStructType=STREAM_VIEW_TYPE,
             outputMode="Update",
             timeMode="None",

@@ -148,6 +148,51 @@ def test_fallback_start_offset_skips_stale_files(spark, tmp_path):
     assert_views_equal(folded, replay_reference(events[mid:]))
 
 
+def test_fallback_not_applied_on_restart(spark, tmp_path):
+    """S3 precedence: once a checkpoint exists, committed offsets win — a
+    file that ARRIVED while the query was down (even with an old mtime) must
+    still be ingested on restart; the fallback window applies only to the
+    checkpointless first run (reference: Redis token beats the fallback,
+    RedisResumePolicyService.kt:43-52)."""
+    from pagopa_ecommerce_cdc_service_spark.config import CdcConfig
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import read_view
+
+    cfg = CdcConfig(fallback_minutes=60)
+    events = generate_event_log(seed=13, n_transactions=8)
+    mid = len(events) // 2
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    view_dir, ckpt = str(tmp_path / "view"), str(tmp_path / "ckpt")
+
+    (log_dir / "fresh.json").write_text(
+        "\n".join(json.dumps(e) for e in events[:mid])
+    )
+    q = start_view_maintenance(spark, str(log_dir), view_dir, ckpt, config=cfg)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # while the query is down, a file arrives bearing an OLD mtime (e.g.
+    # restored from a backlog) — outside any freshly-computed fallback window
+    late = log_dir / "late.json"
+    late.write_text("\n".join(json.dumps(e) for e in events[mid:]))
+    old = time.time() - 3 * 3600
+    os.utime(late, (old, old))
+
+    q2 = start_view_maintenance(spark, str(log_dir), view_dir, ckpt, config=cfg)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    views = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in read_view(spark, view_dir).collect()
+    }
+    assert_views_equal(views, replay_reference(events))
+
+
 def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     """The bucketed sink's point: a micro-batch touching one transaction must
     leave every other bucket's parquet files untouched on disk (same paths,
