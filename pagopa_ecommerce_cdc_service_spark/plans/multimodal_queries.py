@@ -1,7 +1,8 @@
-"""Multimodal pipeline queries (rows-only driver check — the byte-level
-feature extraction runs through Arrow-batched ``mapInPandas``, which has no
-practical ANSI-SQL twin; correctness is pytest-golden-tested against a pure
-Python recomputation instead)."""
+"""Multimodal pipeline queries, oracle-checked: the Arrow-batched
+``mapInPandas`` feature stage is certified against a DuckDB twin that
+expands the payload BLOB to per-byte integers via hex — byte-identical math
+(integer sums, double division of identical operands), so the hash gate
+covers the whole mapInPandas plumbing, not just row counts."""
 
 from __future__ import annotations
 
@@ -40,6 +41,34 @@ def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_media_features"] = mm_media_features
 QUERIES["mm_frame_offsets"] = mm_frame_offsets
+
+# byte-level twin of extract_features: hex-expand the utf-8 payload and
+# recompute n_bytes / mean / one histogram bucket / fake codec geometry
+ORACLES["mm_media_features"] = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         'text/plain;fake-image' AS media_type,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+e AS (
+  SELECT media_id, media_type, n_bytes,
+         list_transform(range(CAST(n_bytes AS INTEGER)),
+                        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT) AS bytes
+  FROM b
+)
+SELECT media_id, media_type, n_bytes,
+       CASE WHEN n_bytes > 0
+            THEN CAST(list_sum(bytes) AS DOUBLE) / n_bytes END AS mean_byte,
+       CAST(len(list_filter(bytes, x -> x // 16 = 6)) AS BIGINT) AS hist_bucket_6,
+       CASE WHEN n_bytes > 0 THEN 16 + bytes[1] % 240
+            ELSE 0 END AS fake_width,
+       CASE WHEN n_bytes > 0
+            THEN 16 + bytes[CAST(n_bytes // 2 AS INTEGER) + 1] % 240
+            ELSE 0 END AS fake_height
+FROM e
+"""
 
 # mm_frame_offsets is actually SQL-expressible — give it an oracle.
 ORACLES["mm_frame_offsets"] = """
