@@ -70,6 +70,8 @@ _TPCH_TAIL = (
     "q17_small_qty_revenue",   # per-key scalar avg — covered by q2
     "q19_disjunctive_revenue", # disjunctive predicates — pushdown shown by q6
     "q20_volume_suppliers",    # nested semi-joins — covered by q18/q21
+    "q_top_suppliers_yearly",  # rank-per-group — family in prefix via w_topk_per_type
+    "q13_customer_distribution",  # left-join histogram — family via w_pivot/w_daily
 )
 
 

@@ -336,6 +336,80 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# deterministic stratified train/validation/test split: assignment is a pure
+# function of (source, doc_id) via the portable md5 bucket — reproducible
+# under any partitioning/retry, no rand(), fractions hold per stratum.
+# ---------------------------------------------------------------------------
+_SPLIT_FRACTIONS = {"train": 0.8, "validation": 0.1, "test": 0.1}
+
+
+def _split_stats_oracle() -> str:
+    from ..operators.split import split_case_sql
+
+    case = split_case_sql("doc_id", _SPLIT_FRACTIONS, "source")
+    return f"""
+    SELECT source, {case} AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source, 2
+    """
+
+
+@query("t_split_stats", None)
+def t_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import assign_split
+
+    d = assign_split(
+        read(spark, sf_dir, "documents"),
+        key="doc_id",
+        fractions=_SPLIT_FRACTIONS,
+        stratum="source",
+    )
+    return d.groupBy("source", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+ORACLES["t_split_stats"] = _split_stats_oracle()
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (pretraining batch construction): concatenate documents
+# per shard in a fixed order and cut into fixed-capacity token bins —
+# pure window-cumsum + integer arithmetic + one sequence explode, no
+# Python, one shuffle on the shard key (operators/packing.py).
+# ---------------------------------------------------------------------------
+_PACK_CAPACITY, _PACK_SHARDS = 512, 8
+
+
+def _pack_oracle() -> str:
+    from ..operators.packing import pack_concat_offsets_sql
+
+    return pack_concat_offsets_sql(
+        weight_expr=f"len({TOKENS_SQL.format(c='text')})",
+        capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
+    )
+
+
+@query("t_pack_offsets", None)
+def t_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_concat_offsets
+
+    d = read(spark, sf_dir, "documents").withColumn(
+        "n_tokens", F.size(tokens(F.col("text"))).cast("long")
+    )
+    return pack_concat_offsets(
+        d, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    )
+
+
+ORACLES["t_pack_offsets"] = _pack_oracle()
+
+
+# ---------------------------------------------------------------------------
 # duplicate-cluster resolution: connected components over the MinHash+LSH
 # near-dup pair graph (pairs → transitive clusters → keep-one-per-cluster).
 # Oracle: recursive CTE computing min reachable id per node.

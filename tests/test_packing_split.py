@@ -1,0 +1,94 @@
+"""Invariant tests for the training-pipeline operators: deterministic
+train/test splitting and sequence packing."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from pagopa_ecommerce_cdc_service_spark.operators.packing import pack_concat_offsets
+from pagopa_ecommerce_cdc_service_spark.operators.split import assign_split
+
+CAP = 100
+
+
+def _docs(spark, n=200):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 37 + 1).alias("n_tokens"),
+    )
+
+
+def test_pack_bins_full_and_docs_tiled(spark):
+    segs = pack_concat_offsets(_docs(spark), capacity=CAP, n_shards=4).collect()
+
+    per_bin = defaultdict(int)
+    per_doc = defaultdict(list)
+    for r in segs:
+        per_bin[(r["shard"], r["bin_idx"])] += r["tok_len"]
+        per_doc[r["doc_id"]].append((r["tok_start"], r["tok_len"]))
+
+    last_bin = {}
+    for shard, b in per_bin:
+        last_bin[shard] = max(last_bin.get(shard, -1), b)
+    for (shard, b), total in per_bin.items():
+        if b == last_bin[shard]:
+            assert 0 < total <= CAP
+        else:
+            assert total == CAP, f"bin ({shard},{b}) holds {total} != {CAP}"
+
+    weights = {r["doc_id"]: r["n_tokens"] for r in _docs(spark).collect()}
+    for doc, parts in per_doc.items():
+        parts.sort()
+        pos = 0
+        for start, ln in parts:
+            assert start == pos  # contiguous slices, nothing lost/duplicated
+            pos += ln
+        assert pos == weights[doc]
+
+
+def test_pack_deterministic_under_partitioning(spark):
+    a = pack_concat_offsets(_docs(spark), capacity=CAP, n_shards=4).collect()
+    b = pack_concat_offsets(
+        _docs(spark).repartition(13), capacity=CAP, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_split_fractions_and_stability(spark):
+    d = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+    )
+    out = assign_split(
+        d, key="doc_id",
+        fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+        stratum="source",
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["validation"] / 5000 - 0.1) < 0.02
+    assert abs(counts["test"] / 5000 - 0.1) < 0.02
+
+    # pure function of (stratum, key): identical under any partitioning
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(
+            d.repartition(17), key="doc_id",
+            fractions={"train": 0.8, "validation": 0.1, "test": 0.1},
+            stratum="source",
+        ).collect()
+    }
+    assert a == b
+
+
+def test_split_fractions_must_sum_to_one(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        assign_split(
+            spark.range(1).select(F.col("id").alias("doc_id")),
+            key="doc_id", fractions={"train": 0.5},
+        )
