@@ -292,17 +292,19 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One linear pass computes shingles → signature → band keys (each
     # expensive expression lives in its own projection so CollapseProject
     # cannot duplicate it); bands come from ONE posexplode instead of a
-    # b-way union (a union re-scans and re-hashes every branch). Shingle
-    # sets ride along through the band join so verification needs no extra
-    # join back to the corpus; the self-join's two sides are identical
-    # subtrees, so the band-key exchange is computed once and reused.
+    # b-way union (a union re-scans and re-hashes every branch). Band rows
+    # carry ONLY (doc_id, band_idx, bkey): the self-join, multi-band pair
+    # dedup, and distinct all shuffle narrow fixed-width keys, and the
+    # shingle arrays are joined back just once per side for verification —
+    # two narrow-key exchanges + one array-bearing hash join beats dragging
+    # the arrays through the band join and a groupBy(first(sh)) (the
+    # round-2 shape, which benched 26% slower: wide shuffles twice).
     docs = spread(read(spark, sf_dir, "documents"), spark).select(
         "doc_id", shingle_hashes31(F.col("text")).alias("sh")
     )
     sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
     bands = sigs.select(
         "doc_id",
-        "sh",
         F.posexplode(
             F.array(*[band_key(F.col("sig"), bi, _R) for bi in range(_B)])
         ).alias("band_idx", "bkey"),
@@ -319,18 +321,17 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
         )
-        # a pair colliding in multiple bands must count once: dedup on the
-        # pair key, keeping one copy of each shingle set
-        .groupBy("doc_a", "doc_b")
-        .agg(F.first("sh_a").alias("sh_a"), F.first("sh_b").alias("sh_b"))
+        # a pair colliding in multiple bands must count once
+        .distinct()
     )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(x, "doc_a").join(y, "doc_b")
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
     return (
-        cand.select("doc_a", "doc_b", jac.alias("jaccard"))
+        verified.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= _LSH_THRESH)
     )
 
