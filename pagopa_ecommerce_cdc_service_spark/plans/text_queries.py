@@ -209,9 +209,16 @@ def t_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# sampled exact near-dup audit (10% sample, brute-force Jaccard)
+# sampled exact near-dup audit: brute-force Jaccard over a FIXED-CARDINALITY
+# deterministic sample — the _AUDIT_K docs with the smallest md5(doc_id)
+# hash (tie-broken by doc_id). The pair count is O(K²) for constant K at
+# ANY corpus size, and the sample is a uniform pseudo-random draw that is
+# reproducible under any partitioning/retry (pure function of doc_id, no
+# rand()). Spark executes the top-K as TakeOrderedAndProject (distributed
+# partial top-K per partition, merge on the driver — no global sort, no
+# single-partition window), then broadcasts the K rows into the self-join.
 # ---------------------------------------------------------------------------
-_SAMPLE = "doc_id % 4 = 0"
+_AUDIT_K = 128
 _J_THRESH = 0.3
 
 
@@ -220,7 +227,9 @@ _J_THRESH = 0.3
     f"""
     WITH s AS (
       SELECT doc_id, {shingle_hashes31_sql("text")} AS sh
-      FROM documents WHERE {_SAMPLE}
+      FROM documents
+      ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+      LIMIT {_AUDIT_K}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -233,7 +242,8 @@ _J_THRESH = 0.3
 def t_near_dup_sample_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = (
         spread(read(spark, sf_dir, "documents"), spark)
-        .filter(F.expr(_SAMPLE))
+        .orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_AUDIT_K)
         .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
     )
     a = d.alias("a")
