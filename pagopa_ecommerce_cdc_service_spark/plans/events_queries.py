@@ -551,10 +551,18 @@ def w_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # range join: clicks within the 10 minutes before each error, per user.
-# Equi-key (user_id) + range condition → sort-merge join with band filter;
-# at 100 TB add a coarse time-bucket equi-key to both sides so the range
-# only scans adjacent buckets instead of whole user histories.
+# BUCKETED: both sides get a coarse time bucket (bucket width = the band
+# width, 600s), each error probes buckets {b-1, b} (a click in
+# [ts-10min, ts] can only live in those two), and the join runs on the
+# (user_id, bucket) EQUI-key with the exact band as a post-join filter.
+# A hot user's click history is scanned per (error, adjacent-bucket) —
+# O(clicks in the 20-minute neighborhood) — instead of per error across
+# the full history, which is what a bare user_id equi-join degrades to at
+# 100 TB. Each click matches at most one probe row (its own bucket), so
+# no dedup is needed; the 2x error-side explode is the entire overhead.
+# The oracle states the same semantics declaratively.
 # ---------------------------------------------------------------------------
+_RANGE_BAND_SECONDS = 600
 @query(
     "w_range_recent_clicks",
     f"""
@@ -569,17 +577,27 @@ def w_asof_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_range_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
+
+    def bucket(ts_col):
+        return F.floor(F.unix_timestamp(ts_col) / F.lit(_RANGE_BAND_SECONDS))
+
+    errors = (
+        ev.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", "ts")
+        .withColumn(
+            "probe_bucket", F.explode(F.array(bucket(F.col("ts")) - 1, bucket(F.col("ts"))))
+        )
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
         F.col("user_id").alias("c_user"),
         F.col("ts").alias("c_ts"),
         F.col("event_id").alias("c_event_id"),
+        bucket(F.col("ts")).alias("c_bucket"),
     )
     joined = errors.join(
         clicks,
         (F.col("user_id") == F.col("c_user"))
+        & (F.col("probe_bucket") == F.col("c_bucket"))
         & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 10 MINUTE"))
         & (F.col("c_ts") <= F.col("ts")),
         "left",

@@ -95,3 +95,15 @@ def test_asof_join_single_shuffle_per_side(spark, sf_dir, queries):
     # union + window ⇒ no join node at all, one exchange on the key
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_range_join_keys_include_time_bucket(spark, sf_dir, queries):
+    # the 10-minute range probe must run on a (user_id, bucket) EQUI-key —
+    # the band alone degrades to scanning whole per-user histories at scale
+    plan = _plan(queries["w_range_recent_clicks"](spark, sf_dir))
+    join_line = next(
+        l for l in plan.splitlines()
+        if "SortMergeJoin" in l or "ShuffledHashJoin" in l or "BroadcastHashJoin" in l
+    )
+    assert "probe_bucket" in join_line and "c_bucket" in join_line
+    assert "user_id" in join_line
