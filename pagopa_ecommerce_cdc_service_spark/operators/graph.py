@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _release_local_checkpoint(df: DataFrame) -> None:
+    """Eagerly drop a localCheckpoint's cached blocks.
+
+    ``DataFrame.unpersist`` only touches ``persist()`` cache-manager entries;
+    a localCheckpoint's data lives in the RDD behind the plan's LogicalRDD
+    node. Without this, an iterative loop accumulates one superseded label
+    table per iteration until the ContextCleaner gets around to it."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 - best effort; GC/ContextCleaner fallback
+        pass
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -74,9 +87,13 @@ def connected_components(
             .filter(F.col("n.comp") != F.col("o.comp"))
             .count()
         )
+        # the superseded label table is dead once the convergence count ran:
+        # release its blocks now, don't hold O(iterations) copies
+        _release_local_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
+    _release_local_checkpoint(sym)
     if changed != 0:
         # returning unconverged labels would silently split one transitive
         # cluster into several — fail loudly instead

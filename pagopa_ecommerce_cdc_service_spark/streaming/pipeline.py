@@ -72,6 +72,21 @@ def read_event_stream(
     return raw
 
 
+def checkpoint_has_offsets(spark: SparkSession, checkpoint_dir: str) -> bool:
+    """True iff the checkpoint already has committed source offsets.
+
+    Resolved through the Hadoop FileSystem API so first-run detection works
+    for ANY checkpoint URI (file:, hdfs://, s3a://...) — an ``os.path``
+    probe is always false for non-local URIs, which would silently re-apply
+    the fallback window on every restart and drop events that arrived while
+    the query was down (the exact hazard the :func:`read_event_stream`
+    contract forbids)."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(checkpoint_dir, "offsets")
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(path))
+
+
 def stream_transactions_view(
     raw_stream: DataFrame,
     config: CdcConfig = DEFAULT_CONFIG,
@@ -117,6 +132,15 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64):
     buckets), not O(view size). Local stand-in for ``MERGE INTO`` on a
     Delta/Iceberg table (jars not in this image); at cluster scale the same
     layout maps onto the table's clustering and MERGE prunes identically.
+
+    CRASH GUARANTEE (narrower than a transactional MERGE): dynamic
+    partition overwrite deletes and rewrites each touched bucket directory
+    non-atomically. A crash between a bucket's delete and its commit can
+    lose that bucket's rows that were NOT in the in-flight batch — the
+    micro-batch replay from the checkpoint re-emits only the batch's own
+    keys, so it repairs the batch's rows but cannot restore the bucket's
+    untouched residents. Accepted local-harness deviation: the production
+    sink is a transactional MERGE INTO, which restores full atomicity.
     """
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
@@ -165,7 +189,7 @@ def start_view_maintenance(
     # on a restart the committed offsets win and events that arrived while
     # the query was down must still be ingested (the reference's Redis token
     # beats the fallback window, RedisResumePolicyService.kt:43-52)
-    first_run = not os.path.exists(os.path.join(checkpoint_dir, "offsets"))
+    first_run = not checkpoint_has_offsets(spark, checkpoint_dir)
     raw = read_event_stream(
         spark,
         source_dir,

@@ -35,3 +35,16 @@ def test_keep_one_per_cluster_idiom(spark):
     comp = connected_components(df)
     keep = comp.filter("node = component").select("node").collect()
     assert sorted(r["node"] for r in keep) == [5, 30]
+
+
+def test_superseded_checkpoints_released(spark):
+    # a long chain forces many iterations; superseded label tables must be
+    # unpersisted as the loop advances, not accumulate O(iterations) blocks
+    n_before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    chain = [(i, i + 1) for i in range(1, 12)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    result = connected_components(df)
+    assert result.count() == 12
+    n_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    # only the FINAL labels checkpoint (backing the returned DF) may remain
+    assert n_after - n_before <= 1
