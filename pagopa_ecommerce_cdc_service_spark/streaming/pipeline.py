@@ -105,7 +105,11 @@ def stream_transactions_view(
         prepared = observe_fold(prepare_events(raw_stream, config))
     else:
         prepared = prepare_events(raw_stream, config)
-    return incremental_view(prepared, seen_ids_cap=config.seen_ids_cap)
+    return incremental_view(
+        prepared,
+        seen_ids_cap=config.seen_ids_cap,
+        view_state_ttl_seconds=config.view_state_ttl_seconds,
+    )
 
 
 VIEW_BUCKET_COL = "_bucket"

@@ -140,23 +140,58 @@ def fold_state_func(
     pdf_iter: Iterable[pd.DataFrame],
     state,  # pyspark.sql.streaming.state.GroupState
     seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+    view_state_ttl_seconds: float | None = None,
 ) -> Iterator[pd.DataFrame]:
+    if view_state_ttl_seconds is not None and state.hasTimedOut:
+        # TTL eviction (CdcConfig.view_state_ttl_seconds — the documented
+        # SURVEY §7 deviation knob, OFF by default): drop the idle key's
+        # state and emit nothing. If the transaction ever speaks again, the
+        # absent-state branch below re-inserts a FRESH view from that event
+        # on — a clean restart, never a half-merged corruption.
+        for _ in pdf_iter:
+            pass  # timed-out groups carry no rows, but the Arrow stream
+        # must be drained — returning early kills the Python worker
+        state.remove()
+        return
     view, seen_list, seen = _unpack(state.get[0] if state.exists else None, key[0])
     poisoned = _fold_pdfs(view, seen, seen_list, pdf_iter)
     state.update((_pack(view, seen_list, seen_ids_cap),))
+    if view_state_ttl_seconds is not None:
+        # processing-time TTL, re-armed on every update (idle keys expire)
+        state.setTimeoutDuration(int(view_state_ttl_seconds * 1000))
     yield pd.DataFrame([{**view_as_row(view), POISONED_COL: poisoned or None}])
 
 
-def incremental_view(prepared_stream, spark=None, seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY):
+def incremental_view(
+    prepared_stream,
+    spark=None,
+    seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+    view_state_ttl_seconds: float | None = None,
+):
     """prepared (filtered, _ts_millis-attached) streaming DF → view updates.
 
     Emits, per micro-batch, one updated view row per touched transaction.
-    ``seen_ids_cap`` is the per-key dedup horizon (CdcConfig.seen_ids_cap).
-    """
+    ``seen_ids_cap`` is the per-key dedup horizon (CdcConfig.seen_ids_cap);
+    ``view_state_ttl_seconds`` arms per-key processing-time state eviction
+    (None = never evict, reference parity — see CdcConfig).
+
+    NOTE: with the TTL armed, the engine keeps scheduling timer-evaluation
+    batches (``shouldRunAnotherBatch`` is unconditionally true under
+    ProcessingTimeTimeout), so the query never reports itself drained:
+    ``processAllAvailable()``/AvailableNow will NOT return. That is the
+    correct shape for a TTL deployment — the query must wake to evict idle
+    keys — and means drain-style harnesses (the driver gate, tests) should
+    only arm the TTL when they poll-and-stop explicitly."""
     from pyspark.sql.types import StringType, StructField, StructType
 
     def fold(key, pdf_iter, state):
-        return fold_state_func(key, pdf_iter, state, seen_ids_cap=seen_ids_cap)
+        return fold_state_func(
+            key,
+            pdf_iter,
+            state,
+            seen_ids_cap=seen_ids_cap,
+            view_state_ttl_seconds=view_state_ttl_seconds,
+        )
 
     state_schema = StructType([StructField("packed", StringType())])
     return prepared_stream.groupBy("transactionId").applyInPandasWithState(
@@ -164,7 +199,9 @@ def incremental_view(prepared_stream, spark=None, seen_ids_cap: int = MAX_SEEN_I
         outputStructType=STREAM_VIEW_TYPE,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "ProcessingTimeTimeout" if view_state_ttl_seconds is not None else "NoTimeout"
+        ),
     )
 
 

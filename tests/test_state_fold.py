@@ -150,3 +150,70 @@ def test_null_event_id_skipped_not_fatal():
     assert row["email"] == "e3"
     seen = json.loads(state.get[0])["seen"]
     assert seen == ["ev-1", "ev-3"]
+
+
+class FakeTimeoutGroupState(FakeGroupState):
+    def __init__(self, timed_out=False):
+        super().__init__()
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_ms = None
+
+    def remove(self):
+        self._val = None
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_view_state_ttl_off_by_default_never_arms_timeout():
+    """Reference parity (ST5): without the knob the fold must not arm any
+    state timeout — the view state lives forever, like the Mongo view."""
+    state = FakeTimeoutGroupState()
+    _run(state, [_activated(1)])
+    assert state.timeout_ms is None
+
+
+def test_view_state_ttl_evicts_then_reinserts_fresh():
+    """SURVEY §7 deviation knob: a timed-out key is evicted silently; a
+    later event re-inserts a FRESH view (clean restart, not a corrupt
+    half-merge with the expired state)."""
+    state = FakeTimeoutGroupState()
+    out = list(
+        fold_state_func(
+            ("tx-1",), [pd.DataFrame([_activated(1)])], state,
+            view_state_ttl_seconds=30.0,
+        )
+    )
+    assert state.timeout_ms == 30_000  # armed (and re-armed) on update
+    assert len(out) == 1
+
+    # the key goes idle past the TTL: Spark invokes the fold with
+    # hasTimedOut=True and no rows — state drops, nothing is emitted
+    expired = FakeTimeoutGroupState(timed_out=True)
+    expired._val = state._val
+    out = list(
+        fold_state_func(
+            ("tx-1",), iter([]), expired, view_state_ttl_seconds=30.0,
+        )
+    )
+    assert expired.removed and not expired.exists
+    assert out == []
+
+    # the transaction speaks again: absent state ⇒ fresh view from the new
+    # event on; the pre-TTL email is gone, the seen-set restarts
+    revived = FakeTimeoutGroupState()
+    row = _run_ttl(revived, [_activated(7, email="fresh-after-ttl")])
+    assert row["email"] == "fresh-after-ttl"
+    assert json.loads(revived.get[0])["seen"] == ["ev-7"]
+
+
+def _run_ttl(state, events):
+    out = list(
+        fold_state_func(
+            ("tx-1",), [pd.DataFrame(events)], state, view_state_ttl_seconds=30.0
+        )
+    )
+    assert len(out) == 1 and len(out[0]) == 1
+    return out[0].iloc[0].to_dict()

@@ -466,3 +466,60 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     # first delivery wins, duplicates within the watermark dropped
     by_id = {r.id: r.v for r in out}
     assert by_id["e1"] == 1 and by_id["e2"] == 3
+
+
+def test_view_state_ttl_wiring_executes_end_to_end(spark, tmp_path):
+    """CdcConfig.view_state_ttl_seconds arms ProcessingTimeTimeout on the
+    real applyInPandasWithState query. With a TTL far longer than the run,
+    no key expires, so the maintained view must equal the batch fold —
+    proving the timeout wiring executes without disturbing the fold.
+
+    A TTL-armed query never reports itself drained (the engine keeps
+    scheduling timer-evaluation batches), so this test polls the sink for
+    the expected keys and stops the query explicitly — the documented
+    operating mode for the knob. Expire/re-insert semantics are unit-tested
+    in test_state_fold.py (wall-clock timeout firing is not test-stable)."""
+    from dataclasses import replace
+
+    from pagopa_ecommerce_cdc_service_spark.config import DEFAULT_CONFIG
+
+    events = generate_event_log(seed=5, n_transactions=20)
+    expected_keys = {e["transactionId"] for e in events}
+    log_dir = str(tmp_path / "log")
+    view_dir = str(tmp_path / "view")
+    ckpt_dir = str(tmp_path / "ckpt")
+    _write_chunks(events, log_dir, n_chunks=2)
+
+    cfg = replace(DEFAULT_CONFIG, view_state_ttl_seconds=3600.0)
+    q = start_view_maintenance(
+        spark, log_dir, view_dir, ckpt_dir, config=cfg, max_files_per_trigger=1
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                keys = {
+                    r["transactionId"]
+                    for r in read_view(spark, view_dir).select("transactionId").collect()
+                }
+            except Exception:  # view dir not written yet
+                keys = set()
+            if keys == expected_keys:
+                break
+            time.sleep(0.5)
+        assert keys == expected_keys
+    finally:
+        q.stop()
+
+    stream_views = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in read_view(spark, view_dir).collect()
+    }
+    batch_df = spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    batch_views = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in transactions_view_from_log(batch_df).collect()
+    }
+    assert {k: normalize(v) for k, v in stream_views.items()} == {
+        k: normalize(v) for k, v in batch_views.items()
+    }
