@@ -583,3 +583,62 @@ def t_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         digit.cast("long").alias("n_digit_tokens"),
         F.size(tokens(F.col("text"))).cast("long").alias("n_ws_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL BPE apply: the rank-ordered merge table of operators/bpe.py applied
+# to every word (leftmost-first fold per merge, Sennrich apply order) —
+# the actual tokenizer count a training pipeline budgets by, vs the regex
+# pre-tokenizer ESTIMATE above. Pure Catalyst higher-order functions
+# (transform/aggregate), zero UDFs, embarrassingly parallel; the oracle
+# runs the identical fold as DuckDB list_reduce kernels. tok_hash_sum
+# fingerprints the exact token identities (md5 per token, mod-M sum), so
+# a hash match certifies the tokenization itself, not just the counts.
+# ---------------------------------------------------------------------------
+def _bpe_apply_oracle() -> str:
+    from ..operators.bpe import bpe_tokens_sql
+
+    toks = "flatten(list_transform(words, w -> " + bpe_tokens_sql("w") + "))"
+    return f"""
+    SELECT doc_id,
+           len(words) AS n_words,
+           CAST(coalesce(list_sum(list_transform(toks, t -> len(t))), 0) AS BIGINT)
+             AS n_char_symbols,
+           len(toks) AS n_bpe_merged_tokens,
+           CAST(coalesce(list_sum(list_transform(toks, t ->
+             {md5_long_sql('t')} % 2147483647)), 0) AS BIGINT) AS tok_hash_sum
+    FROM (
+      SELECT doc_id, words, {toks} AS toks
+      FROM (SELECT doc_id,
+                   regexp_extract_all(lower(text), '[a-z]+') AS words
+            FROM documents)
+    )
+    """
+
+
+@query("t_bpe_apply", None)
+def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_tokens
+
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .withColumn("words", F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0))
+        .withColumn("toks", F.flatten(F.transform("words", bpe_tokens)))
+    )
+    tok_hash = F.aggregate(
+        "toks",
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + md5_long(t) % F.lit(2147483647),
+    )
+    return d.select(
+        "doc_id",
+        F.size("words").cast("long").alias("n_words"),
+        F.aggregate(
+            "toks", F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("n_char_symbols"),
+        F.size("toks").cast("long").alias("n_bpe_merged_tokens"),
+        tok_hash.alias("tok_hash_sum"),
+    )
+
+
+ORACLES["t_bpe_apply"] = _bpe_apply_oracle()
