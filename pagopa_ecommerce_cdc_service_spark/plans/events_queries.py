@@ -286,6 +286,85 @@ def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# STREAMING dedup under the hard gate (ST3's stream-level twin): the events
+# table is replayed as micro-batch 1, then a duplicate subset (every third
+# event — byte-identical redelivery, the crash-replay shape) "arrives" as
+# micro-batch 2. dropDuplicatesWithinWatermark keys the stateful dedup on
+# event_id; the watermark delay is sized past the corpus time-span so no
+# row is ever late-dropped — every removal is the DEDUP operator's doing,
+# across the batch boundary, from state. The deduped append stream must
+# then aggregate to exactly the original table's per-type stats (the
+# oracle): streaming dedup ≡ batch distinct. At scale the watermark delay
+# is the redelivery horizon and state is evicted past it, the same
+# horizon/capped-state trade the fold's seen-set makes.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_dedup_within_watermark",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_distinct_ids,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}
+    GROUP BY event_type
+    """,
+)
+def w_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    ev = read(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+
+    workdir = gate_workdir("stream-dedup-gate-")
+    src = f"{workdir}/src"
+
+    def dump(df, label: str, mtime: float) -> None:
+        dest = f"{src}/{label}.parquet"
+        write_single_file(df, dest, fmt="parquet")
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    dump(ev, "original", now - 20)
+    dump(ev.filter(F.col("event_id") % 3 == 0), "redelivered", now - 10)
+
+    name = f"sdw_{uuid.uuid4().hex[:8]}"
+    schema = "event_id bigint, ts timestamp, event_type string, value double"
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # delay > the whole corpus span: nothing is ever late, so every
+        # dropped row is provably the dedup state's decision
+        .withWatermark("ts", "365 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_dedup_within_watermark: availableNow run did not "
+            "complete in 240s"
+        )
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct_ids"),
+            money_sum(dec("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sliding windows (1h window, 15min slide) via Spark window() vs SQL expansion
 # ---------------------------------------------------------------------------
 @query(
