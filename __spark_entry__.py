@@ -80,6 +80,7 @@ def _suite():
         cdc_view,
         events_queries,
         multimodal_queries,
+        pipeline_queries,
         text_queries,
         tpch,
         vector_queries,
@@ -90,6 +91,7 @@ def _suite():
     for mod in (
         cdc_view,
         text_queries,
+        pipeline_queries,
         vector_queries,
         multimodal_queries,
         events_queries,

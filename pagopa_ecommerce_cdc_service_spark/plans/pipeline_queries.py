@@ -1,0 +1,213 @@
+"""End-to-end training-corpus pipeline — the composition a real
+training-data user runs, certified as ONE gated query.
+
+``t_corpus_pipeline`` chains the first-class operators:
+
+1. exact dedup        — keep min doc_id per md5(text) (hash window, one
+                         shuffle on the content hash);
+2. near-dup clusters  — MinHash+LSH candidate pairs (same signature
+                         constants as t_minhash_lsh_pairs) over the exact
+                         survivors → connected components
+                         (operators/graph.py) → keep one doc per cluster
+                         (the component representative, min doc_id);
+3. split assignment   — deterministic stratified train/val/test
+                         (operators/split.py, pure hash of (source,
+                         doc_id) — identical membership to t_split_stats
+                         for surviving docs);
+4. sequence packing   — the TRAIN split packs into capacity-512 token
+                         bins across 8 shards (operators/packing.py).
+
+Output: one row per surviving doc x bin segment — (doc_id, split, shard,
+bin_idx, tok_start, tok_len); validation/test docs carry NULL segment
+fields. The DuckDB oracle recomputes the whole chain (recursive CTE for
+the components), so a hash match certifies that the operators COMPOSE,
+not just that each works alone.
+
+Scale shape: stages 1/3/4 are single-shuffle or shuffle-free; stage 2 is
+the banded LSH join + iterative label propagation — each documented at
+its operator. Nothing here adds a join or shuffle beyond the operators
+themselves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    band_key,
+    band_key_sql,
+    minhash_signature,
+    minhash_signature_sql,
+    shingle_hashes31,
+    shingle_hashes31_sql,
+    tokens,
+    TOKENS_SQL,
+)
+from .helpers import read, spread
+from .text_queries import _B, _K, _LSH_THRESH, _R, _SPLIT_FRACTIONS
+
+QUERIES = {}
+ORACLES = {}
+
+_PACK_CAPACITY, _PACK_SHARDS = 512, 8
+
+
+def _lsh_pair_ctes(table: str) -> str:
+    """CTE fragments computing near-dup pairs (>= _LSH_THRESH jaccard) over
+    ``table`` — same constants and helpers as t_minhash_lsh_pairs."""
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_key_sql('sig', b, _R)} AS bkey FROM sigs"
+        for b in range(_B)
+    )
+    return f"""
+    docs_sh AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh FROM {table}
+    ),
+    sigs AS (
+      SELECT doc_id, {minhash_signature_sql("sh", _K)} AS sig FROM docs_sh
+    ),
+    bands AS ({bands_union}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c JOIN docs_sh x ON c.doc_a = x.doc_id
+                  JOIN docs_sh y ON c.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+            >= {_LSH_THRESH}
+    )"""
+
+
+def _corpus_pipeline_oracle() -> str:
+    from ..operators.packing import pack_concat_offsets_sql
+    from ..operators.split import split_case_sql
+
+    split_case = split_case_sql("doc_id", _SPLIT_FRACTIONS, "source")
+    pack_sql = pack_concat_offsets_sql(
+        weight_expr="n_tokens",
+        capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
+        table="train",
+    )
+    return f"""
+    WITH RECURSIVE
+    exact_keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    surv1 AS (
+      SELECT d.doc_id, d.source, d.text
+      FROM documents d JOIN exact_keep k ON d.doc_id = k.doc_id
+    ),
+    {_lsh_pair_ctes("surv1")},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    surv2 AS (
+      SELECT s.doc_id, s.source, s.text
+      FROM surv1 s LEFT JOIN comp c ON s.doc_id = c.node
+      WHERE c.component IS NULL OR c.component = s.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, {split_case} AS split,
+             len({TOKENS_SQL.format(c="text")}) AS n_tokens
+      FROM surv2
+    ),
+    train AS (SELECT doc_id, n_tokens FROM assigned WHERE split = 'train'),
+    pack AS ({pack_sql})
+    SELECT a.doc_id, a.split, p.shard, p.bin_idx, p.tok_start, p.tok_len
+    FROM assigned a LEFT JOIN pack p ON a.doc_id = p.doc_id
+    """
+
+
+def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.packing import pack_concat_offsets
+    from ..operators.split import assign_split
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source", "text"
+    )
+
+    # 1. exact dedup: representative = min doc_id per content hash
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    surv1 = (
+        docs.withColumn("_keeper", keeper)
+        .filter(F.col("doc_id") == F.col("_keeper"))
+        .drop("_keeper")
+    )
+
+    # 2. near-dup pairs over the survivors (narrow-key band join, same
+    # shape/constants as t_minhash_lsh_pairs) → components → one per cluster
+    sh_docs = surv1.select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+    sigs = sh_docs.select(
+        "doc_id", minhash_signature(F.col("sh"), _K).alias("sig")
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), bi, _R) for bi in range(_B)])
+        ).alias("band_idx", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh_docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = sh_docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    pairs = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(jac >= _LSH_THRESH)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    surv2 = (
+        surv1.join(comp, surv1["doc_id"] == comp["node"], "left")
+        .filter(F.col("component").isNull() | (F.col("doc_id") == F.col("component")))
+        .select("doc_id", "source", "text")
+    )
+
+    # 3. deterministic stratified split + token weights
+    assigned = assign_split(
+        surv2, key="doc_id", fractions=_SPLIT_FRACTIONS, stratum="source"
+    ).select(
+        "doc_id", "split", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+
+    # 4. pack the train split into capacity bins
+    train = assigned.filter(F.col("split") == "train")
+    pack = pack_concat_offsets(
+        train, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    ).withColumnRenamed("doc_id", "p_doc_id")
+
+    return (
+        assigned.join(pack, assigned["doc_id"] == pack["p_doc_id"], "left")
+        .select("doc_id", "split", "shard", "bin_idx", "tok_start", "tok_len")
+    )
+
+
+QUERIES["t_corpus_pipeline"] = t_corpus_pipeline
+ORACLES["t_corpus_pipeline"] = _corpus_pipeline_oracle()
