@@ -55,6 +55,10 @@ _NORMALIZERS = (
     (re.compile(r"plan_id=\d+"), "plan_id=N"),
     (re.compile(r"(file:)?/tmp/[^\s,\)\]\*]*"), "<TMP>"),  # gate workdirs
     (re.compile(r"@[0-9a-f]{6,}"), "@ADDR"),          # JVM object addresses
+    # higher-order-function lambda variables get PROCESS-GLOBAL counters
+    # (x_123, acc_124): the number depends on how many lambdas the session
+    # built before this query, not on the query itself — normalize it
+    (re.compile(r"\b([A-Za-z][A-Za-z0-9]*)_\d+\b"), r"\1_N"),
 )
 
 
