@@ -5,8 +5,9 @@ near-dup audit, MinHash+LSH near-dup at scale, SimHash banding, token/
 quality/language/fingerprint analytics. Scale design per operator:
 
 - exact dedup: one hash-groupBy, no joins;
-- sampled audit: brute-force pairs on a deterministic 25% doc sample —
-  bounded O((N/4)²) for density estimation, never the scale path;
+- sampled audit: brute-force pairs on a FIXED-cardinality deterministic
+  sample (the K docs with the smallest md5(doc_id)) — O(K²) at any corpus
+  size, for density estimation only, never the scale path;
 - MinHash LSH: banded signature join (r=8, b=2 ⇒ collision ≈ j⁸) so the
   candidate set tracks true near-dup density instead of vocab overlap —
   the all-pairs shingle join would be 769M pairs at sf0.1;

@@ -1,0 +1,80 @@
+"""Guard the 50-query certification-prefix rotation policy.
+
+The driver gate certifies exactly the first 50 registered queries
+(``__spark_entry__._suite`` order).  A query may sit in the 19-slot
+uncertified tail ONLY if it is provably unchanged since its last green gate
+row: its normalized analyzed-plan hash and oracle-SQL hash must be
+byte-identical to the committed snapshot of the code state that run
+certified (``FINGERPRINTS_r02.json`` for round 2), and that run must have
+recorded all three checks (rows + schema + hash) green.
+
+If you edit any operator or plan a tail query depends on, this test fails —
+rotate that query back into the prefix (swapping out a provably-unchanged
+one) before committing.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from tools.fingerprints import RUNTIME_QUERIES, _normalize, _sha
+
+REPO = Path(__file__).resolve().parent.parent
+SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r02.json").read_text())
+CERTIFIED = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
+
+
+def _order():
+    queries, oracles = entry_mod._suite()
+    return list(queries), queries, oracles
+
+
+def test_prefix_is_full_budget():
+    names, _, _ = _order()
+    assert len(names) >= 50, "fewer queries than the gate budget"
+    assert len(names[:50]) == 50
+
+
+def test_runtime_queries_pinned_in_prefix():
+    # Queries that execute jobs at build time have no static fingerprint, so
+    # the rotation policy never lets them claim a tail slot.
+    names, _, _ = _order()
+    tail = set(names[50:])
+    leaked = RUNTIME_QUERIES & tail
+    assert not leaked, f"runtime queries must stay in the certified prefix: {leaked}"
+
+
+def test_tail_queries_have_green_certified_rows():
+    names, _, _ = _order()
+    for name in names[50:]:
+        row = CERTIFIED.get(name)
+        assert row is not None, f"{name} in tail but never gate-certified"
+        assert row["rows_match"] and row["schema_match"] and row["hash_match"], (
+            f"{name} in tail but its certified row was not fully green: {row}"
+        )
+
+
+def test_tail_queries_unchanged_since_certification(spark):
+    # Recompute each tail query's fingerprint on CURRENT code and require it
+    # to equal the snapshot taken at the certified code state.  Plan analysis
+    # only — nothing executes.
+    names, queries, oracles = _order()
+    drifted = []
+    for name in names[50:]:
+        snap = SNAPSHOT.get(name)
+        if snap is None:
+            drifted.append((name, "no snapshot"))
+            continue
+        df = queries[name](spark, "/root/testdata/sf0.001")
+        plan_sha = _sha(_normalize(df._jdf.queryExecution().analyzed().toString()))
+        oracle_sha = _sha(oracles[name]) if name in oracles else None
+        if (plan_sha, oracle_sha) != (snap["plan_sha"], snap["oracle_sha"]):
+            drifted.append((name, (plan_sha, oracle_sha), (snap["plan_sha"], snap["oracle_sha"])))
+    assert not drifted, (
+        "tail queries drifted from their certified state — rotate them into "
+        f"the prefix: {drifted}"
+    )
