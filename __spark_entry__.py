@@ -92,6 +92,11 @@ _CERTIFIED_TAIL = (
     "t_pack_offsets",
     "mm_frame_offsets",
     "w_lag_delta",
+    # added when round 3 grew the suite to 72 (t_repetition_stats,
+    # t_decontaminate, e_ann_recall) — certified round 2, plans untouched
+    "w_running_total",
+    "w_daily_activity",
+    "w_session_stats",
 )
 
 

@@ -117,3 +117,39 @@ def dist2_sql(a: str, b: str) -> str:
         f"CAST(list_sum(list_transform(generate_series(1, len({a})), "
         f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))) AS BIGINT)"
     )
+
+
+def nearest_pivot(emb, piv, vec_col: str = "qvec", out_col: str = "pid"):
+    """Assign every vector its nearest pivot (exact integer L2²) with ZERO
+    corpus shuffle.
+
+    The pivot table (nlist rows) collapses to one array-of-structs row —
+    sorted by pid so the fold's strict ``<`` resolves distance ties to the
+    smallest pid — which broadcasts to every task; assignment is then a pure
+    per-row fold over the pivot array. This replaces the crossJoin +
+    per-vec_id ROW_NUMBER window formulation, whose full-corpus hash shuffle
+    is exactly the cost IVF assignment must not pay at 100 TB. The fold
+    evaluates dist2 twice per pivot (predicate + kept struct, ~2·nlist·dims
+    integer ops per row, interpreted): linear, embarrassingly parallel, and
+    cheap next to one corpus-wide exchange.
+    """
+    piv_arr = piv.agg(
+        F.array_sort(F.collect_list(F.struct("pid", "pv"))).alias("_pivots")
+    )
+    v = F.col(vec_col)
+    best = F.aggregate(
+        F.col("_pivots"),
+        F.struct(
+            F.lit(None).cast("long").alias("pid"),
+            F.lit(None).cast("long").alias("d2"),
+        ),
+        lambda acc, p: F.when(
+            acc["pid"].isNull() | (dist2(p["pv"], v) < acc["d2"]),
+            F.struct(p["pid"].alias("pid"), dist2(p["pv"], v).alias("d2")),
+        ).otherwise(acc),
+    )
+    return (
+        emb.crossJoin(F.broadcast(piv_arr))
+        .withColumn(out_col, best["pid"])
+        .drop("_pivots")
+    )

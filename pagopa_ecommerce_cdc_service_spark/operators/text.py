@@ -65,6 +65,30 @@ def shingle_hashes31_sql(c: str, n: int = 5) -> str:
     )
 
 
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-grams (space-joined), empty array when the doc has < n tokens.
+
+    Pure Catalyst array expression — no explode, no shuffle: the gram array
+    stays inside the row until a caller chooses to explode it.
+    """
+    t = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.when(F.size(t) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def word_ngrams_sql(c: str, n: int) -> str:
+    t = TOKENS_SQL.format(c=c)
+    return (
+        f"list_transform(range(0, greatest(len({t}) - {n - 1}, 0)), "
+        f"i -> array_to_string(({t})[i + 1:i + {n}], ' '))"
+    )
+
+
 # ---------------------------------------------------------------------------
 # minhash signatures
 # ---------------------------------------------------------------------------

@@ -38,6 +38,8 @@ from ..operators.text import (
     stopword_count,
     stopword_count_sql,
     tokens,
+    word_ngrams,
+    word_ngrams_sql,
 )
 from .helpers import read, spread
 
@@ -643,3 +645,142 @@ def t_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["t_bpe_apply"] = _bpe_apply_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition quality stats (Rae et al. 2021, Table A1 family):
+# duplicate-bigram fraction, top-bigram fraction, duplicate-trigram fraction.
+# Scale shape: the mode (top bigram) comes from ONE explode → two map-side-
+# combined groupBys — linear in corpus size, codegen'd end to end, robust to
+# arbitrarily long documents (no O(n·d) per-row higher-order lambda). The
+# trigram dup-fraction never leaves the row: size(array_distinct(·)) on the
+# in-row gram array, zero extra shuffle. Join back to per-doc base stats
+# reuses the groupBy's hash partitioning on doc_id.
+# ---------------------------------------------------------------------------
+_TOKS = TOKENS_SQL.format(c="text")
+
+
+@query(
+    "t_repetition_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+             {word_ngrams_sql("text", 3)} AS tg
+      FROM documents WHERE len({_TOKS}) >= 3
+    ),
+    bg AS (
+      SELECT doc_id, unnest({word_ngrams_sql("text", 2)}) AS g FROM documents
+    ),
+    bgc AS (SELECT doc_id, g, COUNT(*) AS c FROM bg GROUP BY doc_id, g),
+    bgs AS (
+      SELECT doc_id, SUM(c) AS total_bg, COUNT(*) AS distinct_bg,
+             MAX(c) AS top_bg
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           (total_bg - distinct_bg) / total_bg AS dup_bigram_frac,
+           top_bg / total_bg AS top_bigram_frac,
+           (len(tg) - len(list_distinct(tg))) / len(tg) AS dup_trigram_frac
+    FROM base b JOIN bgs USING (doc_id)
+    """,
+)
+def t_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("n_tokens"),
+        word_ngrams(F.col("text"), 3).alias("tg"),
+    ).filter(F.col("n_tokens") >= 3)
+    bg = docs.select("doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+    bg_stats = (
+        bg.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("total_bg"),
+            F.count("*").alias("distinct_bg"),
+            F.max("c").alias("top_bg"),
+        )
+    )
+    return base.join(bg_stats, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        ((F.col("total_bg") - F.col("distinct_bg")) / F.col("total_bg")).alias(
+            "dup_bigram_frac"
+        ),
+        (F.col("top_bg") / F.col("total_bg")).alias("top_bigram_frac"),
+        (
+            (F.size("tg") - F.size(F.array_distinct("tg"))) / F.size("tg")
+        ).alias("dup_trigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination: flag corpus documents sharing any 5-word-gram
+# with a held-out benchmark set (GPT-3 appendix-C style n-gram overlap).
+# The benchmark here is a deterministic ~5% doc sample (md5(doc_id) % 20 =
+# 1) standing in for an eval suite. Scale shape: the benchmark gram set is
+# small by construction (eval suites, not corpora) → broadcast hash join
+# against the exploded corpus grams, so the corpus never shuffles for the
+# probe; only HIT rows (rare) reach the count-distinct and the final left
+# join back to doc ids. At 100 TB the same plan holds with the gram set
+# swapped for the real benchmark suite (or a bloom filter ahead of it).
+# ---------------------------------------------------------------------------
+_DECON_N = 5
+_DECON_MOD = 20
+
+
+def _decon_oracle() -> str:
+    grams = word_ngrams_sql("text", _DECON_N)
+    member = f"{md5_long_sql('CAST(doc_id AS VARCHAR)')} % {_DECON_MOD}"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {grams} AS gs, {member} AS m FROM documents
+    ),
+    bench_set AS (
+      SELECT DISTINCT {md5_long_sql('g')} AS gh
+      FROM (SELECT unnest(gs) AS g FROM d WHERE m = 1)
+    ),
+    corpus AS (SELECT doc_id, gs FROM d WHERE m <> 1),
+    cg AS (
+      SELECT doc_id, {md5_long_sql('g')} AS gh
+      FROM (SELECT doc_id, unnest(gs) AS g FROM corpus)
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(DISTINCT gh) AS n
+      FROM cg JOIN bench_set USING (gh) GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS contaminated_ngrams,
+           COALESCE(h.n, 0) > 0 AS is_contaminated
+    FROM corpus c LEFT JOIN hits h USING (doc_id)
+    """
+
+
+@query("t_decontaminate", _decon_oracle())
+def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id",
+        word_ngrams(F.col("text"), _DECON_N).alias("gs"),
+        (md5_long(F.col("doc_id").cast("string")) % _DECON_MOD).alias("m"),
+    )
+    bench_set = (
+        docs.filter(F.col("m") == 1)
+        .select(F.explode("gs").alias("g"))
+        .select(md5_long(F.col("g")).alias("gh"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("m") != 1)
+    corpus_grams = corpus.select(
+        "doc_id", F.explode("gs").alias("g")
+    ).select("doc_id", md5_long(F.col("g")).alias("gh"))
+    hits = (
+        corpus_grams.join(F.broadcast(bench_set), "gh")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gh").alias("n"))
+    )
+    return corpus.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("contaminated_ngrams"),
+        (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("is_contaminated"),
+    )

@@ -225,7 +225,7 @@ _NPROBE = 2
     """,
 )
 def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dist2
+    from ..operators.similarity import dist2, nearest_pivot
 
     emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
@@ -233,17 +233,19 @@ def e_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
         F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
     )
-    w = Window.partitionBy("vec_id").orderBy("d2", "pid")
-    assign = (
-        emb.crossJoin(F.broadcast(piv))
-        .select(
-            "vec_id", "label", "qvec", "pid",
-            dist2(F.col("qvec"), F.col("pv")).alias("d2"),
-        )
-        .withColumn("rn", F.row_number().over(w))
+    # corpus-side assignment: broadcast pivot-array fold, zero shuffle (the
+    # per-vec_id window formulation exchanged the whole corpus just to rank
+    # 8 pivot distances). Only the 1-row query side still uses a window.
+    lists = nearest_pivot(emb, piv).select("vec_id", "label", "qvec", "pid")
+    wq = Window.orderBy("d2", "pid")  # 8 rows: query × pivots
+    qprobe = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("qvec"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("pid")
     )
-    lists = assign.filter(F.col("rn") == 1).select("vec_id", "label", "qvec", "pid")
-    qprobe = assign.filter((F.col("vec_id") == 0) & (F.col("rn") <= _NPROBE)).select("pid")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
     return (
         lists.join(F.broadcast(qprobe), "pid", "left_semi")
@@ -299,4 +301,124 @@ def e_cosine_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine(F.col("a.qvec"), F.col("b.qvec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= _DUP_COS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality audit: recall@5 of the IVF index against brute-force ground
+# truth, for a fixed deterministic query panel (vec_id % 97 = 3). The ground
+# truth is O(N·Q) with Q constant — an audit, not the serving path (same
+# bounded-sample discipline as t_near_dup_sample_pairs). The IVF side reuses
+# the e_ivf_topk layout: 8 broadcast pivots, nearest-pivot inverted lists,
+# nprobe=2 probe. Certifying recall, not just top-k rows, is what lets a
+# user trade nprobe/nlist against quality at 100 TB with evidence.
+# ---------------------------------------------------------------------------
+_RECALL_K = 5
+_QUERY_MOD = 97
+_QUERY_RES = 3
+
+
+def _ann_recall_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, {_QV} AS qvec FROM embeddings),
+    qs AS (SELECT vec_id AS qid, qvec AS qv FROM e
+           WHERE vec_id % {_QUERY_MOD} = {_QUERY_RES}),
+    gt AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY {cosine_sql("e.qvec", "q.qv")} DESC, e.vec_id
+               ) AS rn
+        FROM e, qs q WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, e.qvec, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, qvec, pid FROM assign WHERE rn = 1),
+    qprobe AS (
+      SELECT q.qid, q.qv, a.pid
+      FROM qs q JOIN assign a ON a.vec_id = q.qid AND a.rn <= {_NPROBE}
+    ),
+    ivf AS (
+      SELECT qid, vec_id FROM (
+        SELECT p.qid, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.qid
+                 ORDER BY {cosine_sql("c.qvec", "p.qv")} DESC, c.vec_id
+               ) AS rn
+        FROM lists c JOIN qprobe p USING (pid)
+        WHERE c.vec_id <> p.qid
+      ) WHERE rn <= {_RECALL_K}
+    ),
+    hits AS (
+      SELECT gt.qid, COUNT(*) AS n
+      FROM gt JOIN ivf ON gt.qid = ivf.qid AND gt.vec_id = ivf.vec_id
+      GROUP BY gt.qid
+    )
+    SELECT q.qid AS query_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_hits,
+           COALESCE(h.n, 0) / {_RECALL_K} AS recall_at_5
+    FROM qs q LEFT JOIN hits h ON q.qid = h.qid
+    """
+
+
+@query("e_ann_recall", _ann_recall_oracle())
+def e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dist2, nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    qs = emb.filter(F.col("vec_id") % _QUERY_MOD == _QUERY_RES).select(
+        F.col("vec_id").alias("qid"), F.col("qvec").alias("qv")
+    )
+
+    # ground truth: brute-force top-k per query (broadcast query panel)
+    wq = Window.partitionBy("qid").orderBy(F.desc("cs"), F.asc("vec_id"))
+    gt = (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+    # IVF: nearest-pivot lists via the broadcast pivot-array fold (zero
+    # corpus shuffle); only the Q-row query panel ranks pivots by window
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    lists = nearest_pivot(emb, piv).select("vec_id", "qvec", "pid")
+    wa = Window.partitionBy("qid").orderBy("d2", "pid")
+    qprobe = (
+        qs.crossJoin(F.broadcast(piv))
+        .select("qid", "qv", "pid", dist2(F.col("qv"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("qid", "qv", "pid")
+    )
+    ivf = (
+        lists.join(F.broadcast(qprobe), "pid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+
+    hits = gt.join(ivf, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n")
+    )
+    return qs.select("qid").join(hits, "qid", "left").select(
+        F.col("qid").alias("query_id"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce(F.col("n"), F.lit(0)) / _RECALL_K).alias("recall_at_5"),
     )

@@ -107,3 +107,30 @@ def test_range_join_keys_include_time_bucket(spark, sf_dir, queries):
     )
     assert "probe_bucket" in join_line and "c_bucket" in join_line
     assert "user_id" in join_line
+
+
+def test_ivf_assignment_has_no_corpus_shuffle(spark, sf_dir, queries):
+    # IVF list assignment must be the broadcast pivot-array fold: the only
+    # exchange allowed is the SinglePartition one under the 8-row query-side
+    # window. A hash-partitioning exchange means the corpus is being
+    # shuffled to rank pivot distances — the formulation that dies at 100 TB.
+    plan = _plan(queries["e_ivf_topk"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_decontaminate_probes_via_broadcast(spark, sf_dir, queries):
+    # the benchmark-gram probe must broadcast the gram set; a sort-merge
+    # join would shuffle every exploded corpus gram by hash
+    plan = _plan(queries["t_decontaminate"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_stats_single_explode_two_aggs(spark, sf_dir, queries):
+    # bigram mode: one Generate (explode) feeding two map-side-combined
+    # groupBys; the trigram dup-fraction stays in-row (no second Generate)
+    plan = _plan(queries["t_repetition_stats"](spark, sf_dir))
+    assert plan.count("Generate explode") == 1
+    assert "EvalPython" not in plan
