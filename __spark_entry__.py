@@ -92,11 +92,14 @@ _CERTIFIED_TAIL = (
     "t_pack_offsets",
     "mm_frame_offsets",
     "w_lag_delta",
-    # added when round 3 grew the suite to 72 (t_repetition_stats,
-    # t_decontaminate, e_ann_recall) — certified round 2, plans untouched
+    # added as round 3 grew the suite to 74 (t_repetition_stats,
+    # t_decontaminate, e_ann_recall, t_bm25_topdocs, t_quality_funnel) —
+    # all certified round 2, plans untouched since (guard-tested)
     "w_running_total",
     "w_daily_activity",
     "w_session_stats",
+    "w_pivot_event_counts",
+    "w_json_props_hist",
 )
 
 

@@ -784,3 +784,166 @@ def t_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("contaminated_ngrams"),
         (F.coalesce(F.col("n"), F.lit(0)) > 0).alias("is_contaminated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval over the corpus for a fixed query, exact-rational scoring.
+#
+# Determinism: no ln() — engines don't guarantee bit-identical transcendental
+# rounding, so idf is the linear variant (2N-2df+1)/(2df+1) and each term
+# score is ONE double division of two int64 products (IEEE division is
+# correctly rounded, so Spark and DuckDB agree bit-for-bit); the three term
+# scores add in fixed sorted-term order. k1=6/5, b=3/4 folded into integers:
+#   tf_part = 22·tf·T / (10·tf·T + 3·T + 9·dl·N)   (≡ 2.2·tf / (tf + k1·(1-b+b·dl/avgdl)))
+# int64 bound: products stay < 2^63 up to ~10^5 docs × 10^3 tokens per
+# shard; beyond that, compute per-shard or widen to decimal(38,0).
+#
+# Scale shape: corpus stats (N, total tokens, per-term document frequencies)
+# reduce to ONE row via map-side-combined aggregation, broadcast back, and
+# scoring is per-row in-row (tf via list filter against literal terms — no
+# explode, no shuffle); top-k is TakeOrderedAndProject. Two linear scans,
+# zero wide exchanges, any corpus size.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("join", "spark", "vector")  # kept sorted: score addition order
+_BM25_TOPK = 10
+
+
+def _bm25_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    tf_cols = ", ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf_{t}" for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    score = " + ".join(
+        f"(CAST((2*n - 2*df_{t} + 1) * (22*tf_{t}*tt) AS DOUBLE)"
+        f" / CAST((2*df_{t} + 1) * (10*tf_{t}*tt + 3*tt + 9*dl*n) AS DOUBLE))"
+        for t in _BM25_TERMS
+    )
+    return f"""
+    WITH base AS (
+      SELECT doc_id, len(toks) AS dl, {tf_cols}
+      FROM (SELECT doc_id, {toks} AS toks FROM documents)
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, CAST(SUM(dl) AS BIGINT) AS tt, {df_cols}
+      FROM base
+    )
+    SELECT doc_id, {score} AS bm25_score
+    FROM base, s
+    ORDER BY bm25_score DESC, doc_id LIMIT {_BM25_TOPK}
+    """
+
+
+@query("t_bm25_topdocs", _bm25_oracle())
+def t_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    def tf_col(t: str):
+        # single-param lambda: a second param would be treated as the index
+        return (
+            F.size(F.filter("toks", lambda x: x == F.lit(t)))
+            .cast("long")
+            .alias(f"tf_{t}")
+        )
+
+    base = docs.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[tf_col(t) for t in _BM25_TERMS],
+    )
+    stats = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("tt"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+
+    def term_score(t: str):
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        n, tt, dl = F.col("n"), F.col("tt"), F.col("dl")
+        num = (2 * n - 2 * df + 1) * (22 * tf * tt)
+        den = (2 * df + 1) * (10 * tf * tt + 3 * tt + 9 * dl * n)
+        return num.cast("double") / den.cast("double")
+
+    score = term_score(_BM25_TERMS[0])
+    for t in _BM25_TERMS[1:]:
+        score = score + term_score(t)
+    return (
+        base.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("bm25_score"))
+        .orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-filter funnel: the per-rule drop report a curation pipeline ships
+# with every corpus build. Rules apply in sequence (a doc counts against the
+# FIRST rule it fails), so the output is a stage/rule/n_docs funnel that
+# sums to the corpus. One linear pass: per-doc metrics are in-row Catalyst
+# expressions, the funnel label is a CASE, and the only shuffle is the
+# map-side-combined groupBy over <5 label values.
+# ---------------------------------------------------------------------------
+_FUNNEL_MIN_TOKENS = 15
+_FUNNEL_MAX_DUP_TOK = 0.68
+_FUNNEL_MIN_STOPWORD = 0.01
+
+
+def _funnel_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    sw = stopword_count_sql("text", "en")
+    return f"""
+    WITH m AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             (len(toks) - len(list_distinct(toks))) / len(toks) AS dup_tok_frac,
+             {sw} / len(toks) AS stopword_ratio
+      FROM (SELECT doc_id, text, {toks} AS toks FROM documents)
+    ),
+    lab AS (
+      SELECT CASE
+        WHEN n_tokens < {_FUNNEL_MIN_TOKENS} THEN 'too_short'
+        WHEN dup_tok_frac > {_FUNNEL_MAX_DUP_TOK} THEN 'too_repetitive'
+        WHEN stopword_ratio < {_FUNNEL_MIN_STOPWORD} THEN 'stopword_poor'
+        ELSE 'pass' END AS rule
+      FROM m
+    )
+    SELECT CASE rule
+             WHEN 'too_short' THEN 1 WHEN 'too_repetitive' THEN 2
+             WHEN 'stopword_poor' THEN 3 ELSE 4 END AS stage,
+           rule, COUNT(*) AS n_docs
+    FROM lab GROUP BY rule
+    """
+
+
+@query("t_quality_funnel", _funnel_oracle())
+def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    n_tokens = F.size("toks")
+    dup_tok_frac = (n_tokens - F.size(F.array_distinct("toks"))) / n_tokens
+    stopword_ratio = stopword_count(F.col("text"), "en") / n_tokens
+    rule = (
+        F.when(n_tokens < _FUNNEL_MIN_TOKENS, F.lit("too_short"))
+        .when(dup_tok_frac > _FUNNEL_MAX_DUP_TOK, F.lit("too_repetitive"))
+        .when(stopword_ratio < _FUNNEL_MIN_STOPWORD, F.lit("stopword_poor"))
+        .otherwise(F.lit("pass"))
+    )
+    stage = (
+        F.when(F.col("rule") == "too_short", 1)
+        .when(F.col("rule") == "too_repetitive", 2)
+        .when(F.col("rule") == "stopword_poor", 3)
+        .otherwise(4)
+    )
+    return (
+        d.select(rule.alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_docs"))
+        .select(stage.cast("bigint").alias("stage"), "rule", "n_docs")
+    )
