@@ -422,3 +422,51 @@ def e_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_hits"),
         (F.coalesce(F.col("n"), F.lit(0)) / _RECALL_K).alias("recall_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic search end-to-end: embedding top-k → join document metadata (the
+# retrieval shape a RAG/selection pipeline runs). The 10-row top-k side
+# broadcasts into the documents join — the corpus-sized table never
+# shuffles; at 100 TB the same plan holds (TakeOrderedAndProject, then a
+# broadcast of k rows against the doc store).
+# ---------------------------------------------------------------------------
+_SEARCH_K = 10
+
+
+def _semantic_search_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT e.vec_id, {cosine_sql(quantize_sql("e.embedding"), "q.qv")} AS cos_sim
+      FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    topk AS (
+      SELECT vec_id, cos_sim FROM scored
+      ORDER BY cos_sim DESC, vec_id LIMIT {_SEARCH_K}
+    )
+    SELECT t.vec_id AS doc_id, d.source, d.lang, d.n_chars, t.cos_sim
+    FROM topk t JOIN documents d ON d.doc_id = t.vec_id
+    """
+
+
+@query("e_semantic_search", _semantic_search_oracle())
+def e_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).withColumn(
+        "qvec", quantize(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    topk = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_SEARCH_K)
+    )
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    )
+    return (
+        docs.join(F.broadcast(topk), docs["doc_id"] == topk["vec_id"])
+        .select("doc_id", "source", "lang", "n_chars", "cos_sim")
+    )

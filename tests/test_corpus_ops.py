@@ -1,0 +1,145 @@
+"""Edge-case tests for the round-3 corpus operators (repetition stats,
+decontamination, BM25, funnel, nearest-pivot IVF assignment) — semantics the
+oracle-parity hash can't isolate on the synthetic corpus.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagopa_ecommerce_cdc_service_spark.operators.similarity import (
+    nearest_pivot,
+    quantize,
+)
+from pagopa_ecommerce_cdc_service_spark.operators.text import (
+    word_ngrams,
+)
+
+
+# --- word n-grams ----------------------------------------------------------
+
+def test_word_ngrams_shorter_than_n_is_empty(spark):
+    df = spark.createDataFrame(
+        [("one two",), ("one",), ("",), ("a b c",)], ["text"]
+    )
+    out = [r[0] for r in df.select(word_ngrams(F.col("text"), 3)).collect()]
+    assert out == [[], [], [], ["a b c"]]
+
+
+def test_word_ngrams_collapses_whitespace(spark):
+    df = spark.createDataFrame([("  a   b \t c  ",)], ["text"])
+    out = df.select(word_ngrams(F.col("text"), 2).alias("g")).head()[0]
+    assert out == ["a b", "b c"]
+
+
+# --- nearest_pivot ---------------------------------------------------------
+
+def _emb_df(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+
+
+def test_nearest_pivot_picks_closest(spark):
+    emb = _emb_df(
+        spark,
+        [(10, [0.9, 0.0]), (11, [0.0, 1.1]), (12, [-1.0, 0.0])],
+    )
+    piv = _emb_df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])]).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    got = {
+        r["vec_id"]: r["pid"]
+        for r in nearest_pivot(emb, piv).select("vec_id", "pid").collect()
+    }
+    assert got == {10: 1, 11: 2, 12: 2}  # (-1,0): d2 4e6 vs 2e6 → pid 2
+
+
+def test_nearest_pivot_tie_breaks_to_smallest_pid(spark):
+    # query vector equidistant from both pivots → deterministic smallest pid
+    emb = _emb_df(spark, [(10, [0.0, 0.0])])
+    piv = _emb_df(spark, [(2, [1.0, 0.0]), (1, [0.0, 1.0])]).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    assert nearest_pivot(emb, piv).head()["pid"] == 1
+
+
+def test_nearest_pivot_adds_no_shuffle(spark):
+    emb = _emb_df(spark, [(10, [0.9, 0.0]), (11, [0.0, 1.1])])
+    piv = _emb_df(spark, [(1, [1.0, 0.0])]).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    plan = nearest_pivot(emb, piv)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+
+
+# --- funnel / decontamination / repetition over the suite ------------------
+
+@pytest.fixture(scope="module")
+def suite():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+def test_quality_funnel_conserves_corpus(spark, sf_dir, suite):
+    import duckdb
+
+    total = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    rows = suite["t_quality_funnel"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == total
+    assert {r["rule"] for r in rows} <= {
+        "too_short", "too_repetitive", "stopword_poor", "pass"
+    }
+    # stages must be distinct and consistent with the rule labels
+    assert len({r["stage"] for r in rows}) == len(rows)
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir, suite):
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import _DECON_MOD
+
+    out = suite["t_decontaminate"](spark, sf_dir)
+    bench_rows = out.filter(
+        md5_long(F.col("doc_id").cast("string")) % _DECON_MOD == 1
+    ).count()
+    assert bench_rows == 0  # benchmark docs never appear in the report
+
+
+def test_repetition_stats_known_doc(spark, suite, tmp_path):
+    # "a b a b a b": bigrams [ab, ba, ab, ba, ab] → total 5, distinct 2,
+    # top 3; trigrams [aba, bab, aba, bab] → dup frac 2/4
+    spark.createDataFrame(
+        [(0, "a b a b a b", "en", "s", 11)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_repetition_stats,
+    )
+
+    r = t_repetition_stats(spark, str(tmp_path)).head()
+    assert r["n_tokens"] == 6
+    assert r["dup_bigram_frac"] == pytest.approx(3 / 5)
+    assert r["top_bigram_frac"] == pytest.approx(3 / 5)
+    assert r["dup_trigram_frac"] == pytest.approx(2 / 4)
+
+
+def test_bm25_scores_monotonic_in_tf(spark, tmp_path):
+    # same length docs; more matches of a query term ⇒ strictly higher score
+    docs = [
+        (0, "join join join pad pad pad", "en", "s", 1),
+        (1, "join join pad pad pad pad", "en", "s", 1),
+        (2, "pad pad pad pad pad pad", "en", "s", 1),
+    ]
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_bm25_topdocs,
+    )
+
+    rows = {r["doc_id"]: r["bm25_score"] for r in t_bm25_topdocs(spark, str(tmp_path)).collect()}
+    assert rows[0] > rows[1] > rows[2] == 0.0
