@@ -947,3 +947,131 @@ def t_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"))
         .select(stage.cast("bigint").alias("stage"), "rule", "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# long-document chunking for embedding/index pipelines: fixed-size token
+# windows with overlap (C=32, stride 24). All in-row: starts come from
+# sequence(), the chunk explode is the only row-count change, and the chunk
+# content hash certifies the exact token spans. No shuffle anywhere — the
+# op is a pure flatMap at any corpus size.
+# ---------------------------------------------------------------------------
+_CHUNK_C = 32
+_CHUNK_S = 24
+
+
+def _chunks_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+    WITH d AS (SELECT doc_id, {toks} AS toks FROM documents),
+    st AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             unnest(range(0, len(toks), {_CHUNK_S})) AS start_tok,
+             generate_subscripts(range(0, len(toks), {_CHUNK_S}), 1) - 1 AS chunk_idx
+      FROM d
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({_CHUNK_C}, n - start_tok) AS BIGINT) AS n_chunk_toks,
+           {md5_long_sql(f"array_to_string(toks[start_tok + 1:start_tok + least({_CHUNK_C}, n - start_tok)], ' ')")} AS chunk_hash
+    FROM st
+    """
+
+
+@query("t_doc_chunks", _chunks_oracle())
+def t_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    starts = F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_S))
+    ex = d.select(
+        "doc_id", "toks", n.alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "start_tok"),
+    )
+    chunk_len = F.least(F.lit(_CHUNK_C), F.col("n") - F.col("start_tok"))
+    chunk_text = F.concat_ws(
+        " ", F.slice("toks", F.col("start_tok") + 1, chunk_len)
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("start_tok").cast("long").alias("start_tok"),
+        chunk_len.cast("long").alias("n_chunk_toks"),
+        md5_long(chunk_text).alias("chunk_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain-mixture plan: per-source token shares vs a uniform target mixture →
+# the per-source sampling rate a curation run would apply. One map-side-
+# combined groupBy to source granularity plus a broadcast single-row total;
+# doubles are int-sum divisions (bit-identical cross-engine).
+# ---------------------------------------------------------------------------
+def _mixture_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({toks})) AS BIGINT) AS n_toks
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS t, COUNT(*) AS k FROM per)
+    SELECT source, n_docs, n_toks,
+           CAST(n_toks AS DOUBLE) / t AS token_share,
+           least(1.0, (CAST(1 AS DOUBLE) / k) / (CAST(n_toks AS DOUBLE) / t))
+             AS sampling_rate
+    FROM per, tot
+    """
+
+
+@query("t_mixture_plan", _mixture_oracle())
+def t_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).select(
+        "source", F.size(tokens(F.col("text"))).alias("ntok")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("ntok").alias("n_toks")
+    )
+    tot = per.agg(F.sum("n_toks").alias("t"), F.count("*").alias("k"))
+    share = F.col("n_toks").cast("double") / F.col("t")
+    target = F.lit(1).cast("double") / F.col("k")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_toks",
+        share.alias("token_share"),
+        F.least(F.lit(1.0), target / share).alias("sampling_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted deterministic sampling: accept doc iff
+# u(doc) < weight(doc), where u is the 60-bit md5 hash mapped to [0,1) and
+# weight is the lexical-diversity score. Pure function of the row —
+# reproducible under any partitioning/retry (same discipline as the
+# train/val/test split), no rand(), no shuffle.
+# ---------------------------------------------------------------------------
+_U_DENOM = float(1 << 60)
+
+
+def _qsample_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    w = f"(CAST(len(list_distinct({toks})) AS DOUBLE) / len({toks}))"
+    u = f"(CAST({md5_long_sql('CAST(doc_id AS VARCHAR)')} AS DOUBLE) / {_U_DENOM!r})"
+    return f"""
+    SELECT doc_id, source,
+           {w} AS weight,
+           {u} < {w} AS accepted
+    FROM documents
+    """
+
+
+@query("t_quality_weighted_sample", _qsample_oracle())
+def t_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).withColumn(
+        "toks", tokens(F.col("text"))
+    )
+    w = F.size(F.array_distinct("toks")).cast("double") / F.size("toks")
+    u = md5_long(F.col("doc_id").cast("string")).cast("double") / F.lit(_U_DENOM)
+    return d.select(
+        "doc_id", "source", w.alias("weight"), (u < w).alias("accepted")
+    )
