@@ -96,6 +96,98 @@ def bpe_tokens(word: Column) -> Column:
     return arr
 
 
+# --- Training ----------------------------------------------------------------
+
+def bpe_train(words, n_merges: int) -> list[tuple[str, str, int]]:
+    """Learn a BPE merge table from a word-frequency table (Sennrich et al.
+    2016, ``learn_bpe``): start every word as its character sequence, then
+    repeatedly (1) count adjacent symbol pairs corpus-wide weighted by word
+    frequency, (2) pick the most frequent pair — ties broken (count DESC,
+    lhs ASC, rhs ASC) so the table is deterministic — and (3) fuse that pair
+    everywhere, leftmost-first. Returns ``[(lhs, rhs, pair_count)]`` in rank
+    order; the table is well-formed by construction (each merge's operands
+    are single chars or earlier outputs), so ``bpe_tokens``-style rank-order
+    application reproduces training tokenization exactly.
+
+    ``words`` is a DataFrame with columns ``word: string, cnt: long`` —
+    the same shape industrial trainers (SentencePiece, HuggingFace
+    tokenizers) reduce the corpus to before the merge loop.
+
+    Scale: building ``words`` is the caller's one corpus-wide shuffle; the
+    loop itself runs over the vocabulary table (millions of rows at 100 TB,
+    not billions), eagerly ``localCheckpoint``-ed so each iteration's plan
+    is a single explode → partial-agg groupBy pass, with superseded
+    checkpoints released immediately (same discipline as
+    ``graph.connected_components``). Per iteration the driver collects
+    exactly one row (the argmax pair).
+    """
+    from pyspark.sql import functions as F
+
+    from .graph import _release_local_checkpoint
+
+    cur = words.select(
+        F.split("word", "").alias("syms"), F.col("cnt").cast("long").alias("cnt")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pairs_arr = F.when(
+            F.size("syms") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("syms") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("syms"), i).alias("a"),
+                    F.element_at(F.col("syms"), i + 1).alias("b"),
+                ),
+            ),
+        )  # single-symbol words -> NULL -> explode drops the row
+        best = (
+            cur.select("cnt", F.explode(pairs_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # every word is one symbol — nothing left to merge
+        a, b, c = best[0]["a"], best[0]["b"], int(best[0]["c"])
+        merges.append((a, b, c))
+        nxt = cur.withColumn("syms", _merge_pass(F.col("syms"), a, b)).localCheckpoint(
+            eager=True
+        )
+        _release_local_checkpoint(cur)
+        cur = nxt
+    _release_local_checkpoint(cur)
+    return merges
+
+
+def bpe_train_py(word_counts: dict[str, int], n_merges: int) -> list[tuple[str, str, int]]:
+    """Sequential reference trainer — the differential-test twin of
+    ``bpe_train`` (same counting, tie-break, and leftmost fuse)."""
+    syms = {w: list(w) for w in word_counts}
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, c in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + c
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w, s in syms.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            syms[w] = out
+    return merges
+
+
 # --- DuckDB twin -------------------------------------------------------------
 
 def bpe_tokens_sql(word_expr: str) -> str:
@@ -114,6 +206,52 @@ def bpe_tokens_sql(word_expr: str) -> str:
             f"ELSE list_concat(acc, x) END)"
         )
     return expr
+
+
+def bpe_train_sql(n_merges: int, words_sql: str) -> str:
+    """Unrolled-CTE DuckDB twin of ``bpe_train``: ``n_merges`` chained
+    (pair-count → argmax → fold-merge) steps. Data-dependent control flow
+    becomes a CTE chain — ``b{k}`` is the argmax pair of step k, referenced
+    inside step k's ``list_reduce`` lambda via a LEFT JOIN ON TRUE (NULL
+    guard keeps the chain total when fewer than n merges exist).
+
+    ``words_sql`` must select ``word, cnt`` (the word-frequency table).
+    Output: one row per learned merge — ``merge_rank, lhs, rhs, merged,
+    pair_count`` — exactly ``bpe_train``'s return, relationalized.
+    """
+    parts = [
+        "WITH w0 AS (",
+        "  SELECT word, CAST(cnt AS BIGINT) AS cnt,",
+        "         list_transform(range(1, len(word)+1),"
+        " i -> substr(word, i::INT, 1)) AS syms",
+        f"  FROM ({words_sql})",
+        ")",
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(f""", p{k} AS (
+  SELECT u.pair[1] AS a, u.pair[2] AS b, CAST(SUM(cnt) AS BIGINT) AS c
+  FROM w{k - 1}, UNNEST(list_transform(range(1, len(syms)),
+                                       i -> [syms[i], syms[i+1]])) AS u(pair)
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1
+), w{k} AS (
+  SELECT word, cnt,
+         CASE WHEN b{k}.a IS NULL THEN syms ELSE
+           list_reduce(list_prepend([]::VARCHAR[], list_transform(syms, s -> [s])),
+             (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b{k}.a AND x[1] = b{k}.b
+               THEN list_append(acc[:len(acc)-1], b{k}.a || b{k}.b)
+               ELSE list_concat(acc, x) END)
+         END AS syms
+  FROM w{k - 1} LEFT JOIN b{k} ON TRUE
+)""")
+    selects = "\n  UNION ALL ".join(
+        f"SELECT CAST({k} AS INT) AS merge_rank, a AS lhs, b AS rhs,"
+        f" a || b AS merged, c AS pair_count FROM b{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(f"SELECT * FROM (\n  {selects}\n) ORDER BY merge_rank")
+    return "\n".join(parts)
 
 
 # --- Python reference (tests only) -------------------------------------------

@@ -648,6 +648,55 @@ ORACLES["t_bpe_apply"] = _bpe_apply_oracle()
 
 
 # ---------------------------------------------------------------------------
+# Distributed BPE tokenizer TRAINING (Sennrich et al. 2016 learn_bpe): reduce
+# the corpus to a word-frequency table (the one corpus-scale shuffle), then
+# iterate (pair-count → argmax → fuse) on the vocab-sized table. RUNTIME
+# query: the merge chosen at step k depends on data, so the driver loop
+# collects one argmax row per iteration and the plan is rebuilt per step
+# (localCheckpoint keeps it O(1) deep). The oracle unrolls the same loop as
+# a chained CTE per step — a full data-dependent training run, hash-checked.
+# ---------------------------------------------------------------------------
+N_TRAIN_MERGES = 8
+
+_TRAIN_WORDS_SQL = """
+  SELECT word, COUNT(*) AS cnt
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents)
+  GROUP BY word
+"""
+
+
+def _bpe_train_oracle() -> str:
+    from ..operators.bpe import bpe_train_sql
+
+    return bpe_train_sql(N_TRAIN_MERGES, _TRAIN_WORDS_SQL)
+
+
+@query("t_bpe_train_merges", None)
+def t_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    words = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select(
+            F.explode(
+                F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merges = bpe_train(words, N_TRAIN_MERGES)
+    rows = [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+ORACLES["t_bpe_train_merges"] = _bpe_train_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Gopher-style repetition quality stats (Rae et al. 2021, Table A1 family):
 # duplicate-bigram fraction, top-bigram fraction, duplicate-trigram fraction.
 # Scale shape: the mode (top bigram) comes from ONE explode → two map-side-

@@ -70,3 +70,64 @@ def test_spark_and_duckdb_match_python_reference(spark):
         literal = "'" + w + "'"
         (ducked,) = con.execute(f"SELECT {bpe_tokens_sql(literal)}").fetchone()
         assert list(ducked) == expected, f"duckdb mismatch on {w!r}"
+
+
+# --- training ---------------------------------------------------------------
+
+_CORPUS = {
+    # counts chosen so ties exist (er/re at equal count in the tail words)
+    "the": 50, "thing": 30, "theater": 10, "rare": 7, "rarer": 7,
+    "inner": 12, "running": 9, "a": 40, "stress": 5, "assess": 5,
+}
+
+
+def test_train_matches_python_reference(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_py,
+    )
+
+    words = spark.createDataFrame(
+        list(_CORPUS.items()), "word string, cnt long"
+    )
+    assert bpe_train(words, 10) == bpe_train_py(_CORPUS, 10)
+
+
+def test_train_matches_duckdb_unrolled_oracle(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.bpe import (
+        bpe_train_py,
+        bpe_train_sql,
+    )
+
+    rows = " UNION ALL ".join(
+        f"SELECT '{w}' AS word, {c} AS cnt" for w, c in _CORPUS.items()
+    )
+    got = duckdb.connect().execute(bpe_train_sql(6, rows)).fetchall()
+    expected = [
+        (i + 1, a, b, a + b, c)
+        for i, (a, b, c) in enumerate(bpe_train_py(_CORPUS, 6))
+    ]
+    assert got == expected
+
+
+def test_train_learned_table_is_well_formed_and_compact(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.bpe import bpe_train_py
+
+    merges = bpe_train_py(_CORPUS, 12)
+    _check_well_formed(tuple((a, b) for a, b, _ in merges))
+    # counts are non-increasing only within equal symbol generations is NOT
+    # guaranteed by BPE; what IS guaranteed: every count is positive
+    assert all(c > 0 for _, _, c in merges)
+
+
+def test_train_stops_when_nothing_left_to_merge(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.bpe import (
+        bpe_train,
+        bpe_train_py,
+    )
+
+    tiny = {"ab": 3, "cd": 2}  # two merges exhaust every multi-symbol word
+    words = spark.createDataFrame(list(tiny.items()), "word string, cnt long")
+    got = bpe_train(words, 10)
+    assert got == bpe_train_py(tiny, 10)
+    assert len(got) == 2

@@ -48,6 +48,7 @@ RUNTIME_QUERIES = {
     "w_stream_dedup_within_watermark",  # stages parquet, runs a stream
     "t_dup_clusters",               # iterative min-label propagation
     "t_corpus_pipeline",            # composes t_dup_clusters
+    "t_bpe_train_merges",           # iterative train loop, per-step collect
 }
 
 _NORMALIZERS = (
