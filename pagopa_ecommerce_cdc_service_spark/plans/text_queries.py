@@ -1124,3 +1124,150 @@ def t_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", "source", w.alias("weight"), (u < w).alias("accepted")
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global corpus shuffle + sharding — the pretraining reorder
+# step: shard = md5(doc_id) % K (uniform, key-only, reproducible under any
+# partitioning/retry), intra-shard order = (md5, doc_id). At 100 TB this is
+# exactly `repartition(K, shard)` + `sortWithinPartitions(h)` then a
+# per-shard writer — ONE shuffle, no global sort, no sampled range
+# boundaries (range partitioning would make shard membership depend on
+# nondeterministic boundary samples). The gated result pins per-shard
+# membership AND the intra-shard permutation via an order-sensitive
+# checksum sum(pos * (h mod p)), so a hash match certifies the full
+# shuffle order, not just bucket counts.
+# ---------------------------------------------------------------------------
+_N_SHUFFLE_SHARDS = 16
+_SHUFFLE_P = 1_000_003  # keeps pos*(h%p) sums far inside int64
+
+
+def _shuffle_oracle() -> str:
+    h = md5_long_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(pos * (h % {_SHUFFLE_P})) AS BIGINT) AS order_checksum
+    FROM (
+      SELECT {h} % {_N_SHUFFLE_SHARDS} AS shard, {h} AS h, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY {h} % {_N_SHUFFLE_SHARDS}
+                                ORDER BY {h}, doc_id) AS pos
+      FROM documents
+    )
+    GROUP BY shard
+    """
+
+
+@query("t_global_shuffle_shards", _shuffle_oracle())
+def t_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = md5_long(F.col("doc_id").cast("string"))
+    d = spread(read(spark, sf_dir, "documents"), spark).select(
+        (h % _N_SHUFFLE_SHARDS).alias("shard"),
+        h.alias("h"),
+        "doc_id",
+        "n_chars",
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("h", "doc_id")
+    )
+    return (
+        d.withColumn("pos", pos.cast("long"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.col("pos") * (F.col("h") % _SHUFFLE_P)).alias(
+                "order_checksum"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — rule-based scrubbing of emails / phone numbers / IPv4
+# addresses, the standard pre-training curation pass. The synthetic corpus
+# is PII-free by construction, so the query first INJECTS deterministic
+# synthetic PII derived from doc_id (documented augmentation, not detector
+# fakery: the regexes, replacement order, and counts are all exercised for
+# real on every row). Patterns restrict to features with identical
+# semantics in Java regex (Spark) and RE2 (DuckDB): character classes and
+# greedy counted repeats only — no alternation, no lookaround. Pure
+# per-row Catalyst expressions: embarrassingly parallel, zero shuffles
+# before the final ordering, the exact shape a 100 TB scrub pass needs.
+# ---------------------------------------------------------------------------
+_PII_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PII_PHONE = "\\+[0-9][0-9-]{5,}[0-9]"
+_PII_IP = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+def _pii_oracle() -> str:
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com +39-06-' || "
+        "lpad(CAST(doc_id % 1000000 AS VARCHAR), 7, '0') || "
+        "' ip 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || "
+        "CAST((doc_id * 7) % 250 AS VARCHAR)"
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT)
+             AS n_phones,
+           CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS BIGINT)
+             AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS scrubbed_hash,
+           CAST(len(regexp_replace(regexp_replace(regexp_replace(aug,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g'),
+                 '{_PII_IP}', '<IP>', 'g')) AS BIGINT) AS scrubbed_len
+    FROM (SELECT doc_id, {aug} AS aug FROM documents)
+    """
+
+
+@query("t_pii_scrub", _pii_oracle())
+def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com +39-06-"),
+        F.lpad((F.col("doc_id") % 1000000).cast("string"), 7, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 250).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", aug.alias("aug"))
+        .select(
+            "doc_id",
+            F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), 0))
+            .cast("long")
+            .alias("n_emails"),
+            F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), 0))
+            .cast("long")
+            .alias("n_phones"),
+            F.size(F.regexp_extract_all("aug", F.lit(_PII_IP), 0))
+            .cast("long")
+            .alias("n_ips"),
+            F.md5(scrubbed).alias("scrubbed_hash"),
+            F.length(scrubbed).cast("long").alias("scrubbed_len"),
+        )
+    )

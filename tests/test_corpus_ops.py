@@ -143,3 +143,80 @@ def test_bm25_scores_monotonic_in_tf(spark, tmp_path):
 
     rows = {r["doc_id"]: r["bm25_score"] for r in t_bm25_topdocs(spark, str(tmp_path)).collect()}
     assert rows[0] > rows[1] > rows[2] == 0.0
+
+
+# --- global shuffle sharding -----------------------------------------------
+
+def test_global_shuffle_checksum_pins_intra_shard_order(spark, tmp_path):
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _N_SHUFFLE_SHARDS,
+        _SHUFFLE_P,
+        t_global_shuffle_shards,
+    )
+
+    docs = [(i, f"doc {i}", "en", "s", 10 + i) for i in range(40)]
+    spark.createDataFrame(
+        docs, ["doc_id", "text", "lang", "source", "n_chars"]
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["shard"]: (r["n_docs"], r["sum_chars"], r["order_checksum"])
+        for r in t_global_shuffle_shards(spark, str(tmp_path)).collect()
+    }
+
+    # sequential reference: shard by md5, order by (md5, doc_id)
+    by_shard: dict[int, list[tuple[int, int, int]]] = {}
+    for i, _, _, _, nc in docs:
+        h = md5_long_py(str(i))
+        by_shard.setdefault(h % _N_SHUFFLE_SHARDS, []).append((h, i, nc))
+    expected = {}
+    for s, rows in by_shard.items():
+        rows.sort()
+        expected[s] = (
+            len(rows),
+            sum(nc for _, _, nc in rows),
+            sum((p + 1) * (h % _SHUFFLE_P) for p, (h, _, _) in enumerate(rows)),
+        )
+    assert got == expected
+
+
+def test_global_shuffle_membership_is_partitioning_invariant(spark, tmp_path):
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_global_shuffle_shards,
+    )
+
+    docs = [(i, "x", "en", "s", 1) for i in range(64)]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source", "n_chars"])
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "a" / "documents.parquet"))
+    df.repartition(13).write.mode("overwrite").parquet(str(tmp_path / "b" / "documents.parquet"))
+    a = sorted(map(tuple, t_global_shuffle_shards(spark, str(tmp_path / "a")).collect()))
+    b = sorted(map(tuple, t_global_shuffle_shards(spark, str(tmp_path / "b")).collect()))
+    assert a == b
+
+
+# --- PII scrub --------------------------------------------------------------
+
+def test_pii_scrub_redacts_known_patterns(spark, tmp_path):
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import t_pii_scrub
+
+    # doc text itself carries one extra email + one ip; the query injects one
+    # synthetic email, phone, and ip derived from doc_id=3
+    text = "write to bob.smith@corp.example.org from 192.168.001.7 today"
+    spark.createDataFrame(
+        [(3, text, "en", "s", len(text))],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    r = t_pii_scrub(spark, str(tmp_path)).head()
+    assert r["n_emails"] == 2       # corpus email + injected user3@example.com
+    assert r["n_phones"] == 1       # injected +39-06-0000003
+    assert r["n_ips"] == 2          # corpus ip + injected 10.3.0.21
+    import hashlib
+
+    scrubbed = (
+        "write to <EMAIL> from <IP> today"
+        " contact <EMAIL> <PHONE> ip <IP>"
+    )
+    assert r["scrubbed_len"] == len(scrubbed)
+    assert r["scrubbed_hash"] == hashlib.md5(scrubbed.encode()).hexdigest()
