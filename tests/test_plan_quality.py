@@ -134,3 +134,20 @@ def test_repetition_stats_single_explode_two_aggs(spark, sf_dir, queries):
     plan = _plan(queries["t_repetition_stats"](spark, sf_dir))
     assert plan.count("Generate explode") == 1
     assert "EvalPython" not in plan
+
+
+def test_pii_scrub_is_map_only(spark, sf_dir, queries):
+    # the scrub pass is per-row Catalyst expressions: zero hash shuffles,
+    # no Python stages — the shape a 100 TB scrub needs
+    plan = _plan(queries["t_pii_scrub"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_global_shuffle_single_exchange_reused_by_agg(spark, sf_dir, queries):
+    # row_number window and the per-shard aggregate share hashpartitioning
+    # on shard: exactly ONE exchange end to end (plus the test-only spread
+    # round-robin), partial aggregation map-side
+    plan = _plan(queries["t_global_shuffle_shards"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
