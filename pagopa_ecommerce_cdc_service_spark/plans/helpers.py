@@ -39,16 +39,27 @@ TABLES = (
 def read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a testdata table, normalizing timestamp encodings.
 
-    ``events.ts`` is physically INT64 TIMESTAMP(NANOS), which Spark refuses
-    by default; with ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as
-    a long we floor-convert to a micros timestamp — exactly what DuckDB does
-    when it reads TIMESTAMP_NS, so oracle comparisons stay bit-identical.
+    ``events.ts`` has shipped in two physical encodings across testdata
+    generations: INT64 TIMESTAMP(NANOS) (Spark refuses by default; with
+    ``spark.sql.legacy.parquet.nanosAsLong`` it surfaces as a long we
+    floor-convert to a micros timestamp — exactly what DuckDB does when it
+    reads TIMESTAMP_NS) and TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark
+    reads TIMESTAMP_NTZ). Either way we normalize to session-local TIMESTAMP
+    under the pinned UTC session so downstream event-time arithmetic
+    (``unix_micros``, watermarks, window frames) sees one type with the same
+    wall-clock values the oracle reads.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # integer division — double math would lose 1µs at ~1.7e18 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # integer division — double math would lose 1µs at ~1.7e18 ns
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # same wall clock under the UTC session; restores the LTZ type
+            # every event-time operator in the suite was certified against
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

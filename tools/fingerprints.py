@@ -87,6 +87,49 @@ def _session():
     )
 
 
+def write_legacy_events_twin(sf_dir: str, out_dir: str) -> str:
+    """Materialize a twin of ``sf_dir`` whose ``events.parquet`` uses the
+    r02-era physical encoding (INT64 TIMESTAMP(NANOS) → read as bigint under
+    ``nanosAsLong``).
+
+    The driver regenerates testdata between rounds and switched events.ts
+    from nanos to MICROS-NTZ, which changes the ingest projection in every
+    event query's analyzed plan (``plans/helpers.read``). Fingerprints are
+    PLAN hashes, so that re-encode alone would mark every event query
+    "drifted" with zero code change. The twin lets the rotation audit replay
+    a tail query's plan against the certified-era encoding: if current code
+    reproduces the snapshot hash on the old encoding, the code is provably
+    unchanged — the only delta is the driver's re-encode, which Spark and
+    the DuckDB oracle both read (full parity re-checked every round in
+    tests/test_oracle_parity.py).
+
+    Only schemas matter for plan analysis, so the twin's events table is
+    empty; other tables are symlinked.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    src = Path(sf_dir)
+    for p in src.glob("*.parquet"):
+        dst = out / p.name
+        if dst.exists():
+            continue
+        if p.name != "events.parquet":
+            dst.symlink_to(p)
+    events = out / "events.parquet"
+    if not events.exists():
+        real = pq.read_schema(str(src / "events.parquet"))
+        fields = [
+            pa.field("ts", pa.timestamp("ns")) if f.name == "ts" else f
+            for f in real
+        ]
+        schema = pa.schema(fields)
+        pq.write_table(schema.empty_table(), str(events))
+    return str(out)
+
+
 def compute(sf_dir: str = "/root/testdata/sf0.001") -> dict[str, dict]:
     import __spark_entry__ as entry_mod
 
