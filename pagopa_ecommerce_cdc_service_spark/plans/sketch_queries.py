@@ -1,0 +1,320 @@
+"""Sketch-operator query suite over ``documents`` (oracle-checked).
+
+Three classic engine sketches, each deterministic and integer-exact so the
+DuckDB oracle replays them value-for-value (see ``operators/sketches.py``
+for the portability + scale rationale):
+
+- ``t_hll_distinct``: HyperLogLog register build + raw harmonic estimate of
+  distinct tokens per language, next to the exact count it approximates.
+  At 100 TB the register table (m rows per group) is what you'd persist,
+  merge across partitions, or accumulate in a stream — the exact
+  COUNT(DISTINCT) here is the audit column, not the scale path.
+- ``t_cms_heavy_hitters``: Count-Min sketch (d=4, w=256) of token
+  frequencies + point estimates for the top-20 tokens, overcount shown
+  against exact counts. The sketch is a fixed d·w grid whatever the corpus
+  size; estimates broadcast that grid.
+- ``t_bloom_prune_join``: a 1008-bit Bloom filter (16 longs via bit_or
+  aggregation) built over a deterministic "quarantine" subset's content,
+  probed by every document — the declarative runtime-filter pattern:
+  16 longs broadcast instead of a shuffle-wide semi-join, false positives
+  quantified against the exact join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_long, md5_long_sql
+from ..operators.sketches import (
+    BLOOM_K,
+    CMS_D,
+    HLL_EMPTY_TERM,
+    HLL_EST_NUM,
+    HLL_M,
+    bloom_mask,
+    bloom_mask_sql,
+    bloom_pos,
+    bloom_pos_sql,
+    bloom_word,
+    bloom_word_sql,
+    cms_pos,
+    cms_pos_sql,
+    hll_bucket,
+    hll_bucket_sql,
+    hll_estimate,
+    hll_estimate_sql,
+    hll_register_term,
+    hll_register_term_sql,
+    hll_rho,
+    hll_rho_sql,
+)
+from ..operators.text import TOKENS_SQL, tokens
+from .helpers import read, spread
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_TOKS_SQL = TOKENS_SQL.format(c="text")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-token estimate per language
+# ---------------------------------------------------------------------------
+@query(
+    "t_hll_distinct",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashed AS (
+      SELECT lang, tok, {md5_long_sql("tok")} AS h FROM toks
+    ), regs AS (
+      SELECT lang, {hll_bucket_sql("h")} AS bucket,
+             MAX({hll_rho_sql("h")}) AS m_rho
+      FROM hashed GROUP BY 1, 2
+    ), agg AS (
+      SELECT lang, COUNT(*) AS used_buckets,
+             CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT) AS occ_sum
+      FROM regs GROUP BY lang
+    ), ex AS (
+      SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY lang
+    )
+    SELECT a.lang, a.used_buckets,
+           a.occ_sum + ({HLL_M} - a.used_buckets) * {HLL_EMPTY_TERM}::BIGINT AS denom_q,
+           {hll_estimate_sql(
+               HLL_EST_NUM.__repr__()
+               + " / CAST(a.occ_sum + (" + str(HLL_M) + " - a.used_buckets) * "
+               + str(HLL_EMPTY_TERM) + "::BIGINT AS DOUBLE)",
+               "a.used_buckets",
+           )} AS hll_estimate,
+           ex.exact_distinct
+    FROM agg a JOIN ex USING (lang)
+    """,
+)
+def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    hashed = toks.withColumn("h", md5_long(F.col("tok")))
+    # ONE shuffle on (lang, bucket): max(rho) partial-aggregates to ≤ m rows
+    # per group per partition before the exchange — the mergeable-register
+    # property that makes HLL the scale path for distinct counts.
+    regs = hashed.groupBy(
+        "lang", hll_bucket(F.col("h")).alias("bucket")
+    ).agg(F.max(hll_rho(F.col("h"))).alias("m_rho"))
+    agg = regs.groupBy("lang").agg(
+        F.count("*").alias("used_buckets"),
+        F.sum(hll_register_term(F.col("m_rho"))).alias("occ_sum"),
+    )
+    denom = F.col("occ_sum") + (F.lit(HLL_M) - F.col("used_buckets")) * F.lit(
+        HLL_EMPTY_TERM
+    )
+    # exact distinct is the AUDIT column (its (lang, tok) shuffle is the
+    # thing HLL exists to avoid at scale)
+    exact = toks.groupBy("lang").agg(F.count_distinct("tok").alias("exact_distinct"))
+    return (
+        agg.join(F.broadcast(exact), "lang")
+        .select(
+            "lang",
+            "used_buckets",
+            denom.alias("denom_q"),
+            hll_estimate(
+                F.lit(HLL_EST_NUM) / denom.cast("double"), F.col("used_buckets")
+            ).alias("hll_estimate"),
+            "exact_distinct",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min heavy hitters: top-20 tokens, estimate vs exact
+# ---------------------------------------------------------------------------
+def _cms_cells_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {r} AS hrow, {cms_pos_sql('tok', r)} AS pos FROM {src}"
+        for r in range(CMS_D)
+    )
+
+
+def _cms_probe_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT tok, exact_n, {r} AS hrow, {cms_pos_sql('tok', r)} AS pos FROM {src}"
+        for r in range(CMS_D)
+    )
+
+
+@query(
+    "t_cms_heavy_hitters",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cells AS (
+      {_cms_cells_sql("toks")}
+    ), sketch AS (
+      SELECT hrow, pos, COUNT(*) AS n FROM cells GROUP BY hrow, pos
+    ), exact AS (
+      SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+    ), cand AS (
+      SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20
+    ), probes AS (
+      {_cms_probe_sql("cand")}
+    )
+    SELECT p.tok, p.exact_n, MIN(s.n) AS cms_n,
+           MIN(s.n) - p.exact_n AS overcount
+    FROM probes p JOIN sketch s USING (hrow, pos)
+    GROUP BY p.tok, p.exact_n
+    """,
+)
+def t_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    pos_arr = F.array(*[cms_pos(F.col("tok"), r) for r in range(CMS_D)])
+    # fixed d×w grid: partial aggregation bounds the shuffle at d·w rows per
+    # partition no matter how many tokens stream through
+    sketch = (
+        toks.select(F.posexplode(pos_arr).alias("hrow", "pos"))
+        .groupBy("hrow", "pos")
+        .agg(F.count("*").alias("n"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    # TakeOrderedAndProject, not a global-window rank
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    probes = cand.select(
+        "tok", "exact_n", F.posexplode(pos_arr).alias("hrow", "pos")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["hrow", "pos"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning: 16-long filter over a quarantine set's content
+# ---------------------------------------------------------------------------
+_QUARANTINE_SQL = (
+    f"({md5_long_sql(chr(39) + 'bloomset:' + chr(39) + ' || CAST(doc_id AS VARCHAR)')} % 37 = 0)"
+)
+
+
+def _bloom_positions_sql(src: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT {bloom_pos_sql('text', k)} AS pos FROM {src}" for k in range(BLOOM_K)
+    )
+
+
+@query(
+    "t_bloom_prune_join",
+    f"""
+    WITH build AS (
+      SELECT text FROM documents WHERE {_QUARANTINE_SQL}
+    ), positions AS (
+      {_bloom_positions_sql("build")}
+    ), bitmap AS (
+      SELECT {bloom_word_sql("pos")} AS word,
+             bit_or({bloom_mask_sql("pos")}) AS bits
+      FROM positions GROUP BY 1
+    ), build_texts AS (
+      SELECT DISTINCT text FROM build
+    ), probe AS (
+      SELECT d.lang, d.text,
+             {", ".join(
+                f"{bloom_word_sql(bloom_pos_sql('d.text', k))} AS w{k}, "
+                f"{bloom_mask_sql(bloom_pos_sql('d.text', k))} AS m{k}"
+                for k in range(BLOOM_K))}
+      FROM documents d
+    ), flagged AS (
+      SELECT p.lang,
+             ({" AND ".join(f"COALESCE(b{k}.bits & p.m{k}, 0) <> 0" for k in range(BLOOM_K))})
+               AS bloom_hit,
+             (bt.text IS NOT NULL) AS true_hit
+      FROM probe p
+      {" ".join(f"LEFT JOIN bitmap b{k} ON b{k}.word = p.w{k}" for k in range(BLOOM_K))}
+      LEFT JOIN build_texts bt ON bt.text = p.text
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           CAST(SUM(CASE WHEN true_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_true_hit,
+           CAST(SUM(CASE WHEN bloom_hit AND NOT true_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM flagged GROUP BY lang
+    """,
+)
+def t_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    quarantine = md5_long(
+        F.concat(F.lit("bloomset:"), F.col("doc_id").cast("string"))
+    ) % 37 == F.lit(0)
+    build = docs.filter(quarantine).select("text")
+    positions = build.select(
+        F.explode(F.array(*[bloom_pos(F.col("text"), k) for k in range(BLOOM_K)])).alias(
+            "pos"
+        )
+    )
+    # the whole filter is ≤ 16 (word, bits) rows — THIS is what ships to
+    # every executor at scale, instead of shuffling the probe side
+    bitmap = positions.groupBy(bloom_word(F.col("pos")).alias("word")).agg(
+        F.bit_or(bloom_mask(F.col("pos"))).alias("bits")
+    )
+    build_texts = build.distinct().withColumn("true_hit", F.lit(True))
+
+    probe = docs.select(
+        "lang",
+        "text",
+        *[
+            c
+            for k in range(BLOOM_K)
+            for c in (
+                bloom_word(bloom_pos(F.col("text"), k)).alias(f"w{k}"),
+                bloom_mask(bloom_pos(F.col("text"), k)).alias(f"m{k}"),
+            )
+        ],
+    )
+    for k in range(BLOOM_K):
+        bm = bitmap.withColumnRenamed("word", f"word{k}").withColumnRenamed(
+            "bits", f"bits{k}"
+        )
+        probe = probe.join(
+            F.broadcast(bm), probe[f"w{k}"] == bm[f"word{k}"], "left"
+        )
+    bloom_hit = None
+    for k in range(BLOOM_K):
+        hit_k = F.coalesce(F.col(f"bits{k}").bitwiseAND(F.col(f"m{k}")), F.lit(0)) != 0
+        bloom_hit = hit_k if bloom_hit is None else (bloom_hit & hit_k)
+    flagged = (
+        probe.join(F.broadcast(build_texts), "text", "left")
+        .select(
+            "lang",
+            bloom_hit.alias("bloom_hit"),
+            F.coalesce(F.col("true_hit"), F.lit(False)).alias("true_hit"),
+        )
+    )
+    return flagged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).cast("long").alias("n_bloom_pass"),
+        F.sum(F.when(F.col("true_hit"), 1).otherwise(0)).cast("long").alias("n_true_hit"),
+        F.sum(F.when(F.col("bloom_hit") & ~F.col("true_hit"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_false_pos"),
+    )
