@@ -312,8 +312,20 @@ def t_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two narrow-key exchanges + one array-bearing hash join beats dragging
     # the arrays through the band join and a groupBy(first(sh)) (the
     # round-2 shape, which benched 26% slower: wide shuffles twice).
-    docs = spread(read(spark, sf_dir, "documents"), spark).select(
-        "doc_id", shingle_hashes31(F.col("text")).alias("sh")
+    #
+    # The hash repartition below the shingle consumers is the SCALE pivot:
+    # the plan references the shingled relation four times (band self-join
+    # a/b, verification x/y). At cluster scale those joins are sort-merge,
+    # every consumer requires hashpartitioning(doc_id), and Spark's
+    # ReuseExchange collapses the four canonically-equal subtrees into ONE
+    # exchange — the md5 shingle pass runs once, not four times. (At local
+    # test scale AQE broadcasts the tiny sides with per-key broadcast modes
+    # that can't be shared, so the reuse shows up only in the SMJ regime —
+    # measured locally neutral, never worse.)
+    docs = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
     bands = sigs.select(
