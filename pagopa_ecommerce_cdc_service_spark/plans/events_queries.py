@@ -919,3 +919,123 @@ def w_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# histogram-quantile sketch: fixed-width bins estimate p50/p90/p99 next to
+# the exact rank-based audit. The sketch is the SCALE path: the histogram is
+# a bounded (event_type, bin) grid built in one map-side-combined
+# aggregation — no global sort, no full-width row_number window — and grids
+# from any partitioning merge by addition (the mergeable-summary property;
+# same argument as the HLL registers in operators/sketches.py). The exact
+# columns are the audit, carried by a rank window the sketch exists to
+# avoid at 100 TB. All estimate arithmetic is integer-derived doubles with
+# identical parenthesization in both engines.
+# ---------------------------------------------------------------------------
+_HIST_W = 2.0  # bin width in value units
+
+
+def _hist_quantiles_oracle() -> str:
+    def est(q: float) -> str:
+        t = f"CAST(ceil({q} * n) AS BIGINT)"
+        cond = f"((cum - cnt) < {t} AND {t} <= cum)"
+        frac = f"(CAST({t} - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE))"
+        e = f"((CAST(bin AS DOUBLE) * {_HIST_W}) + ({_HIST_W} * {frac}))"
+        return f"MAX(CASE WHEN {cond} THEN {e} END)"
+
+    return f"""
+    WITH hist AS (
+      SELECT event_type, CAST(FLOOR(value / {_HIST_W}) AS BIGINT) AS bin,
+             COUNT(*) AS cnt
+      FROM {EV} GROUP BY event_type, bin
+    ), cum_hist AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM hist
+    ), sketch AS (
+      SELECT event_type,
+             {est(0.50)} AS p50_est,
+             {est(0.90)} AS p90_est,
+             {est(0.99)} AS p99_est,
+             COUNT(*) AS n_bins
+      FROM cum_hist GROUP BY event_type
+    ), exact AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN value END) AS p50_exact,
+             MAX(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT) THEN value END) AS p90_exact,
+             MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99_exact,
+             COUNT(*) AS n_events
+      FROM (
+        SELECT event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM {EV}
+      ) GROUP BY event_type
+    )
+    SELECT s.event_type, e.n_events, s.n_bins,
+           s.p50_est, s.p90_est, s.p99_est,
+           e.p50_exact, e.p90_exact, e.p99_exact
+    FROM sketch s JOIN exact e USING (event_type)
+    """
+
+
+@query("w_hist_quantiles", _hist_quantiles_oracle())
+def w_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(_HIST_W)).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum_hist = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def est(q: float, alias: str):
+        t = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        cond = ((F.col("cum") - F.col("cnt")) < t) & (t <= F.col("cum"))
+        frac = (t - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt").cast(
+            "double"
+        )
+        e = (F.col("bin").cast("double") * F.lit(_HIST_W)) + (F.lit(_HIST_W) * frac)
+        return F.max(F.when(cond, e)).alias(alias)
+
+    sketch = cum_hist.groupBy("event_type").agg(
+        est(0.50, "p50_est"),
+        est(0.90, "p90_est"),
+        est(0.99, "p99_est"),
+        F.count("*").alias("n_bins"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+
+    def pct(q: float, alias: str):
+        at = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("value"))).alias(alias)
+
+    exact = ranked.groupBy("event_type").agg(
+        pct(0.50, "p50_exact"),
+        pct(0.90, "p90_exact"),
+        pct(0.99, "p99_exact"),
+        F.count("*").alias("n_events"),
+    )
+    return sketch.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_events",
+        "n_bins",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+    )

@@ -470,3 +470,140 @@ def e_semantic_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(F.broadcast(topk), docs["doc_id"] == topk["vec_id"])
         .select("doc_id", "source", "lang", "n_chars", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means: unrolled Lloyd's as ONE static plan (operators/
+# clustering.py has the full determinism + one-exchange scale rationale)
+# ---------------------------------------------------------------------------
+def _kmeans_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_oracle_ctes
+    from ..operators.similarity import QUANT
+
+    return f"""
+    WITH {kmeans_oracle_ctes(_QV)}
+    SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+           CAST(SUM(dist) AS BIGINT) AS wcss_q,
+           sqrt(CAST(SUM(dist) AS DOUBLE) / COUNT(*)) / {QUANT}.0 AS rmse
+    FROM a{KM_ITERS} GROUP BY cid
+    """
+
+
+@query("e_kmeans_clusters", _kmeans_oracle())
+def e_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_plan
+    from ..operators.similarity import QUANT
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        # the ONE wide exchange: every assignment pass downstream reuses
+        # this partitioning through the centroid broadcasts
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    final = kmeans_plan(emb)
+    return (
+        final.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("dist").cast("long").alias("wcss_q"),
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            "wcss_q",
+            (
+                F.sqrt(F.col("wcss_q").cast("double") / F.col("n_vectors"))
+                / F.lit(float(QUANT))
+            ).alias("rmse"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar-quantized (int8) ANN: corpus-scaled 8-bit vectors prefilter a wide
+# candidate set by integer dot product, exact QUANT-domain cosine rescores.
+# THE scale rationale: an int8 vector is 64 bytes against 512 for the
+# double-domain one — the brute-force scoring scan reads 8x less memory and
+# the exact path touches only the candidate set. Determinism: one corpus
+# max-abs statistic (exact double max), scale applied as (x*127.0)/m with
+# identical parenthesization in both engines, round-then-cast (cast alone
+# differs: Spark truncates, DuckDB rounds), integer dots, double cosine
+# only over the 40 candidates.
+# ---------------------------------------------------------------------------
+_SQ8_CAND = 40
+_SQ8_K = 10
+
+
+def _sq8_oracle() -> str:
+    from ..operators.similarity import DIMS
+
+    q8 = (
+        "list_transform(embedding, x -> "
+        "CAST(round((CAST(x AS DOUBLE) * 127.0) / mx.m, 0) AS BIGINT))"
+    )
+    dot8 = (
+        f"CAST(list_sum(list_transform(generate_series(1, {DIMS}), "
+        f"i -> (e.q8)[i] * (q.q8q)[i])) AS BIGINT)"
+    )
+    return f"""
+    WITH mx AS (
+      SELECT MAX(list_max(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))))) AS m
+      FROM embeddings
+    ), e8 AS (
+      SELECT vec_id, label, {q8} AS q8, {_QV} AS qvec
+      FROM embeddings, mx
+    ), q AS (
+      SELECT q8 AS q8q, qvec AS qv FROM e8 WHERE vec_id = 0
+    ), cand AS (
+      SELECT e.vec_id, e.label, {dot8} AS dot8, e.qvec
+      FROM e8 e, q WHERE e.vec_id <> 0
+      ORDER BY dot8 DESC, e.vec_id LIMIT {_SQ8_CAND}
+    )
+    SELECT c.vec_id, c.label, c.dot8,
+           {cosine_sql("c.qvec", "q.qv")} AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_SQ8_K}
+    """
+
+
+@query("e_sq8_topk", _sq8_oracle())
+def e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark)
+    mx = emb.select(
+        F.max(
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+        ).alias("m")
+    )
+    e8 = emb.crossJoin(F.broadcast(mx)).select(
+        "vec_id",
+        "label",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round((x.cast("double") * F.lit(127.0)) / F.col("m"), 0).cast(
+                "long"
+            ),
+        ).alias("q8"),
+        quantize(F.col("embedding")).alias("qvec"),
+    )
+    q = e8.filter(F.col("vec_id") == 0).select(
+        F.col("q8").alias("q8q"), F.col("qvec").alias("qv")
+    )
+    cand = (
+        e8.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", dot(F.col("q8"), F.col("q8q")).alias("dot8"), "qvec")
+        .orderBy(F.desc("dot8"), F.asc("vec_id"))
+        .limit(_SQ8_CAND)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", "dot8", cosine(F.col("qvec"), F.col("qv")).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_SQ8_K)
+    )

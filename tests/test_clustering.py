@@ -1,0 +1,82 @@
+"""k-means / quantized-ANN semantics and plan-shape guarantees.
+
+Oracle parity (test_oracle_parity.py) proves engine agreement; these prove
+the algorithm behaves like k-means and the plan has the promised scale
+shape (operators/clustering.py docstring).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+    KM_K,
+    kmeans_assign,
+    kmeans_plan,
+    kmeans_seeds,
+    kmeans_update,
+)
+from pagopa_ecommerce_cdc_service_spark.operators.similarity import quantize
+from pagopa_ecommerce_cdc_service_spark.plans.helpers import read, spread
+from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+    e_kmeans_clusters,
+    e_sq8_topk,
+)
+
+
+def _emb(spark, sf_dir):
+    return (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(4, "vec_id")
+    )
+
+
+def test_kmeans_iteration_never_increases_wcss(spark, sf_dir):
+    # Lloyd's invariant: each assign→update→assign round is monotone.
+    emb = _emb(spark, sf_dir)
+    cent = kmeans_seeds(emb, KM_K)
+    prev = None
+    for _ in range(3):
+        assigned = kmeans_assign(emb, cent)
+        wcss = assigned.agg(F.sum("dist")).collect()[0][0]
+        if prev is not None:
+            assert wcss <= prev, f"WCSS rose: {prev} -> {wcss}"
+        prev = wcss
+        cent = kmeans_update(assigned)
+
+
+def test_kmeans_assignment_total_and_exclusive(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    final = kmeans_plan(emb)
+    n_vec = emb.count()
+    assert final.count() == n_vec  # every vector assigned exactly once
+    assert final.select("vec_id").distinct().count() == n_vec
+    k_used = final.select("cid").distinct().count()
+    assert 1 <= k_used <= KM_K
+
+
+def test_kmeans_single_wide_exchange(spark, sf_dir):
+    # The 100 TB claim: vector rows cross the wire once. After execution the
+    # adaptive plan must show the assignment subtrees collapsed onto ONE
+    # materialized vec_id exchange (ReusedExchange elsewhere), and no
+    # exchange keyed on vec_id beyond the explicit repartition.
+    df = e_kmeans_clusters(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3, plan[:2000]
+    assert "EvalPython" not in plan
+
+
+def test_sq8_candidates_superset_rescore(spark, sf_dir):
+    rows = e_sq8_topk(spark, sf_dir).collect()
+    assert len(rows) == 10
+    # int8 dots are coarse but monotone-ish: the rescored top must come out
+    # sorted by exact cosine, and every int8 dot must be a plausible product
+    # of two 127-bounded vectors
+    cos = [r.cos_sim for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    for r in rows:
+        assert abs(r.dot8) <= 127 * 127 * 64
