@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 88 queries in the suite, 38 must sit in the
+# verified rounds 1 and 2). With 89 queries in the suite, 39 must sit in the
 # uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -119,10 +119,12 @@ _CERTIFIED_TAIL = (
     "e_knn_sample",
     "e_cosine_near_dup_pairs",
     # certified round 2, untouched since; rotated out as the suite grew to
-    # 88 (e_kmeans_clusters, e_sq8_topk, w_hist_quantiles enter the prefix)
+    # 89 (e_kmeans_clusters, e_sq8_topk, w_hist_quantiles and the
+    # runtime-pinned w_stream_hll_merge enter the prefix)
     "mm_media_features",
     "w_session_windows",
     "w_salted_type_stats",
+    "e_ann_lsh_topk",
 )
 
 

@@ -318,3 +318,95 @@ def t_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_false_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING HLL accumulation under the hard gate: the documents corpus
+# replays as a 2-file stream and the register table builds as a streaming
+# complete-mode aggregation — groupBy(lang, bucket).max(rho) is exactly the
+# merge operation HLL registers are designed for (max is associative and
+# commutative), so accumulating them micro-batch by micro-batch MUST land
+# on the byte-identical register state a single batch pass produces. The
+# final estimate therefore hash-matches the batch oracle — the streaming
+# twin of t_hll_distinct, and the property that lets a 1000-executor
+# stream maintain a live distinct-count: bounded state (m registers per
+# group), no per-item memory, any arrival order.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_hll_merge",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashed AS (
+      SELECT lang, {md5_long_sql("tok")} AS h FROM toks
+    ), regs AS (
+      SELECT lang, {hll_bucket_sql("h")} AS bucket,
+             MAX({hll_rho_sql("h")}) AS m_rho
+      FROM hashed GROUP BY 1, 2
+    )
+    SELECT lang, COUNT(*) AS used_buckets,
+           CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT)
+             + ({HLL_M} - COUNT(*)) * {HLL_EMPTY_TERM}::BIGINT AS denom_q,
+           {hll_estimate_sql(
+               HLL_EST_NUM.__repr__()
+               + " / CAST(CAST(SUM(" + hll_register_term_sql("m_rho")
+               + ") AS BIGINT) + (" + str(HLL_M) + " - COUNT(*)) * "
+               + str(HLL_EMPTY_TERM) + "::BIGINT AS DOUBLE)",
+               "COUNT(*)",
+           )} AS hll_estimate
+    FROM regs GROUP BY lang
+    """,
+)
+def w_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    workdir = gate_workdir("stream-hll-gate-")
+    src = f"{workdir}/src"
+    # two micro-batches split by doc hash — every register must merge
+    # across the batch boundary, not within one batch
+    half = md5_long(F.concat(F.lit("hllsplit:"), F.col("doc_id").cast("string"))) % 2
+    write_single_file(docs.filter(half == 0), f"{src}/half0.parquet", fmt="parquet")
+    write_single_file(docs.filter(half == 1), f"{src}/half1.parquet", fmt="parquet")
+
+    name = f"shll_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("doc_id bigint, lang string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+        .withColumn("h", md5_long(F.col("tok")))
+        .groupBy("lang", hll_bucket(F.col("h")).alias("bucket"))
+        .agg(F.max(hll_rho(F.col("h"))).alias("m_rho"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_hll_merge: availableNow run did not complete in 240s"
+        )
+    regs = spark.table(name)
+    agg = regs.groupBy("lang").agg(
+        F.count("*").alias("used_buckets"),
+        F.sum(hll_register_term(F.col("m_rho"))).alias("occ_sum"),
+    )
+    denom = F.col("occ_sum") + (F.lit(HLL_M) - F.col("used_buckets")) * F.lit(
+        HLL_EMPTY_TERM
+    )
+    return agg.select(
+        "lang",
+        "used_buckets",
+        denom.alias("denom_q"),
+        hll_estimate(
+            F.lit(HLL_EST_NUM) / denom.cast("double"), F.col("used_buckets")
+        ).alias("hll_estimate"),
+    )

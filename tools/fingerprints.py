@@ -50,6 +50,7 @@ RUNTIME_QUERIES = {
     "t_corpus_pipeline",            # composes t_dup_clusters
     "t_bpe_train_merges",           # iterative train loop, per-step collect
     "w_stream_static_enrich",       # stages parquet, runs a stream
+    "w_stream_hll_merge",           # stages parquet, runs a stream
 }
 
 _NORMALIZERS = (
