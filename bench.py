@@ -40,8 +40,7 @@ HEADLINE = [
     "q21_waiting_orders",
     "w_asof_click_purchase",
     "w_range_recent_clicks",
-    # round-4/5 additions (no round-1 baseline entry; --check skips them
-    # until a baseline is recorded)
+    # round-4/5 additions (baseline recorded at their introduction)
     "t_hll_distinct",
     "e_kmeans_clusters",
     "e_sq8_topk",
