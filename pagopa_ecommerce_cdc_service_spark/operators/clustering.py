@@ -57,9 +57,9 @@ def sq_dist(a: Column, b: Column) -> Column:
     )
 
 
-def sq_dist_sql(a: str, b: str) -> str:
+def sq_dist_sql(a: str, b: str, dims: int = DIMS) -> str:
     return (
-        f"CAST(list_sum(list_transform(generate_series(1, {DIMS}), "
+        f"CAST(list_sum(list_transform(generate_series(1, {dims}), "
         f"i -> (({a})[i] - ({b})[i]) * (({a})[i] - ({b})[i]))) AS BIGINT)"
     )
 
@@ -174,4 +174,145 @@ def kmeans_oracle_ctes(qv_sql: str, k: int = KM_K, iters: int = KM_ITERS) -> str
         parts.append(update(f"c{i}", f"a{i}"))
         cent = f"c{i}"
     parts.append(assign(f"a{iters}", cent))
+    return ",\n".join(parts)
+
+
+# --- product quantization ---------------------------------------------------
+# PQ = per-subspace k-means: the 64-dim QUANT vector splits into PQ_M
+# 8-dim subvectors, each trained against its own PQ_K-centroid codebook
+# (grouped Lloyd's — the same unrolled-static-plan machinery with `sub` as
+# an extra key everywhere). A vector's code is PQ_M small ints; search is
+# asymmetric distance (ADC): the query's 8x16 = 128-entry distance lookup
+# table broadcasts, candidate distances are a sum of PQ_M exact-integer
+# lookups. The 100 TB story: the corpus scan for search touches ONLY the
+# (vec_id, sub, cid) code table — PQ_M bytes of code per vector instead of
+# 512 bytes of floats — and the scoring join is a broadcast against 128
+# rows; full vectors are read back for the final rescore of a fixed-size
+# candidate set alone.
+
+PQ_M = 8
+PQ_SUBDIM = DIMS // PQ_M
+PQ_K = 16
+PQ_ITERS = 2
+
+
+def pq_subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sq): the PQ_M 8-dim slices of each quantized vector."""
+    slices = F.array(
+        *[F.slice(F.col("q"), m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    return emb.select("vec_id", F.posexplode(slices).alias("sub", "sq"))
+
+
+def pq_seeds(subs: DataFrame, k: int = PQ_K) -> DataFrame:
+    """Per-subspace seed codebook: the k subvectors with the smallest
+    (md5_long('pq:'||id), id) rank within each subspace. One rank window
+    per training run — a one-time cost the assignment passes never repeat."""
+    w = Window.partitionBy("sub").orderBy("h", "vec_id")
+    return (
+        subs.withColumn(
+            "h",
+            md5_long(F.concat(F.lit("pq:"), F.col("vec_id").cast("string"))),
+        )
+        .withColumn("cid", F.row_number().over(w))
+        .filter(F.col("cid") <= k)
+        .select("sub", "cid", F.col("sq").alias("c"))
+    )
+
+
+def pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid code per (vector, subspace): broadcast the PQ_M*PQ_K
+    codebook, argmin via min(struct) with map-side partial aggregation."""
+    scored = subs.join(F.broadcast(cent), "sub").select(
+        "vec_id",
+        "sub",
+        "sq",
+        F.struct(
+            sq_dist(F.col("sq"), F.col("c")).alias("dist"), F.col("cid").alias("cid")
+        ).alias("sc"),
+    )
+    best = scored.groupBy("vec_id", "sub").agg(
+        F.min("sc").alias("m"), F.first("sq").alias("sq")
+    )
+    return best.select(
+        "vec_id", "sub", "sq", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+    )
+
+
+def pq_update(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, cluster, dim) exact floor-mean → new codebooks."""
+    dims = (
+        assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "v"))
+        .groupBy("sub", "cid", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("cv")
+        )
+    )
+    return dims.groupBy("sub", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
+        ).alias("c")
+    )
+
+
+def pq_train(subs: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS):
+    """(codes, codebook): unrolled grouped Lloyd's, one static plan."""
+    cent = pq_seeds(subs, k)
+    for _ in range(iters):
+        cent = pq_update(pq_assign(subs, cent))
+    return pq_assign(subs, cent), cent
+
+
+def pq_oracle_ctes(qv_sql: str, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+    """CTE chain mirroring pq_train over ``embeddings``: the caller reads
+    ``pq_codes`` (vec_id, sub, sq, cid, dist) and ``pq_cb`` (sub, cid, c)."""
+    seed_hash = md5_long_sql("'pq:' || CAST(vec_id AS VARCHAR)")
+    sub_slices = " UNION ALL ".join(
+        f"SELECT vec_id, {m} AS sub, "
+        f"list_slice(q, {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM}) AS sq "
+        f"FROM pq_emb"
+        for m in range(PQ_M)
+    )
+    d = lambda a, b: sq_dist_sql(a, b, PQ_SUBDIM)  # noqa: E731
+    parts = [
+        f"pq_emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
+        f"pq_subs AS ({sub_slices})",
+        f"""pq_seeds AS (
+          SELECT sub, cid, sq AS c FROM (
+            SELECT sub, vec_id, sq,
+                   row_number() OVER (PARTITION BY sub ORDER BY {seed_hash}, vec_id)
+                     AS cid
+            FROM pq_subs)
+          WHERE cid <= {k})""",
+    ]
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, sub, sq, cid, dist FROM (
+            SELECT s.vec_id, s.sub, s.sq, c.cid,
+                   {d("s.sq", "c.c")} AS dist,
+                   row_number() OVER (
+                     PARTITION BY s.vec_id, s.sub
+                     ORDER BY {d("s.sq", "c.c")}, c.cid) AS rn
+            FROM pq_subs s JOIN {cent} c USING (sub))
+          WHERE rn = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+          SELECT sub, cid, array_agg(cv ORDER BY pos) AS c FROM (
+            SELECT sub, cid, pos,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+            FROM (SELECT a.sub, a.cid, i.pos, a.sq[i.pos] AS v
+                  FROM {assigned} a,
+                       (SELECT unnest(generate_series(1, {PQ_SUBDIM})) AS pos) i)
+            GROUP BY sub, cid, pos)
+          GROUP BY sub, cid)"""
+
+    cent = "pq_seeds"
+    for i in range(iters):
+        parts.append(assign(f"pa{i}", cent))
+        parts.append(update(f"pc{i}", f"pa{i}"))
+        cent = f"pc{i}"
+    parts.append(assign("pq_codes", cent))
+    parts.append(f"pq_cb AS (SELECT sub, cid, c FROM {cent})")
     return ",\n".join(parts)

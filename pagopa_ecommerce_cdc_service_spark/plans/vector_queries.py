@@ -607,3 +607,76 @@ def e_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_SQ8_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# product-quantization ANN: per-subspace codebooks (grouped unrolled
+# Lloyd's), PQ codes, asymmetric-distance search, exact rescore. See
+# operators/clustering.py for the code-table-scan scale rationale.
+# ---------------------------------------------------------------------------
+_PQ_CAND = 40
+_PQ_OUT = 10
+
+
+def _pq_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {pq_oracle_ctes(_QV)},
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM pq_subs s JOIN pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ), adc AS (
+      SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+      FROM pq_codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), cand AS (
+      SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {_PQ_CAND}
+    ), qq AS (
+      SELECT q AS qv FROM pq_emb WHERE vec_id = 0
+    )
+    SELECT c.vec_id, e.label, c.adc_q,
+           {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_PQ_OUT}
+    """
+
+
+@query("e_pq_topk", _pq_oracle())
+def e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    subs = pq_subvectors(full.select("vec_id", "q"))
+    codes, cb = pq_train(subs)
+    # query-side 128-entry distance lookup table (the only place full
+    # subvectors meet the codebook at search time)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    )
+    cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    return (
+        full.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "adc_q",
+            cosine(F.col("q"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_PQ_OUT)
+    )

