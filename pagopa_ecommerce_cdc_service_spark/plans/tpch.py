@@ -992,3 +992,56 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return only_late.groupBy("s_name").agg(F.count("*").alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located fact-fact join: both fact tables are written
+# bucketBy(8, orderkey) + sortBy, read back through the catalog, and joined
+# — Spark plans a sort-merge join with ZERO exchanges (bucket layout
+# satisfies both sides' distribution requirement; plan-asserted in
+# tests/test_plan_quality.py). THE pre-shuffle technique for a 100 TB
+# pipeline: pay the orderkey shuffle once at ingest, then every
+# orders⋈lineitem join — the workload's hottest shape — runs
+# exchange-free forever. The oracle is the plain join: bucketing must be
+# invisible in values.
+# ---------------------------------------------------------------------------
+@query(
+    "q_bucketed_colocated_join",
+    """
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lineitems,
+           COUNT(DISTINCT o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .helpers import gate_workdir
+
+    workdir = gate_workdir("bucket-join-gate-")
+    suffix = uuid.uuid4().hex[:8]
+    tables = {}
+    for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{t}_{suffix}"
+        (
+            read(spark, sf_dir, t)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", f"{workdir}/{name}")
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+        tables[t] = name
+    o = spark.table(tables["orders"])
+    li = spark.table(tables["lineitem"])
+    joined = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        F.count_distinct("o_orderkey").alias("n_orders"),
+        money_sum(disc_price(), "revenue"),
+    )

@@ -151,3 +151,27 @@ def test_global_shuffle_single_exchange_reused_by_agg(spark, sf_dir, queries):
     plan = _plan(queries["t_global_shuffle_shards"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_count" in plan
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    # In the SMJ regime (broadcast off) the bucketBy(8, orderkey) layout
+    # must satisfy both join sides' distribution requirement: a sort-merge
+    # join with NO exchange on either join key, scans marked bucketed.
+    import re
+
+    from pagopa_ecommerce_cdc_service_spark.plans.tpch import (
+        q_bucketed_colocated_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_colocated_join(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert plan.count("SortMergeJoin") == 1, plan[:1500]
+    assert not re.findall(
+        r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan
+    ), plan[:1500]
+    assert plan.count("Bucketed: true") == 2
