@@ -1039,3 +1039,49 @@ def w_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_exact",
         "p99_exact",
     )
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned scan: events re-laid-out as a date-partitioned dataset
+# (the ingest layout any 100 TB event store uses), then a one-day query —
+# the scan must prune to that day's directory via PartitionFilters (plan-
+# asserted in tests/test_plan_quality.py), reading 1/Nth of the data
+# before a single row is decoded. partitionBy writes the hive layout;
+# dynamic partition pruning and predicate pushdown follow from it for
+# free. The oracle is the plain filtered aggregate: layout must be
+# invisible in values.
+# ---------------------------------------------------------------------------
+@query(
+    "w_partition_pruned_day",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM {EV}
+    WHERE CAST(ts AS DATE) = (SELECT MIN(CAST(ts AS DATE)) FROM {EV})
+    GROUP BY event_type
+    """,
+)
+def w_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .helpers import gate_workdir
+
+    ev = read(spark, sf_dir, "events")
+    workdir = gate_workdir("part-prune-gate-")
+    dest = f"{workdir}/events_by_day_{uuid.uuid4().hex[:8]}"
+    ev.withColumn("day", F.to_date("ts")).write.partitionBy("day").mode(
+        "overwrite"
+    ).parquet(dest)
+    laid = spark.read.parquet(dest)
+    first_day = ev.select(F.min(F.to_date("ts")).alias("d")).first()[0]
+    return (
+        laid.filter(F.col("day") == F.lit(first_day))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            money_sum(dec("value"), "sum_value"),
+        )
+    )

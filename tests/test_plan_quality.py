@@ -175,3 +175,18 @@ def test_bucketed_join_is_exchange_free(spark):
         r"Exchange hashpartitioning\((o_orderkey|l_orderkey)", plan
     ), plan[:1500]
     assert plan.count("Bucketed: true") == 2
+
+
+def test_partitioned_layout_scan_prunes(spark):
+    # The one-day query over the date-partitioned layout must reach the
+    # scan as a PartitionFilter (directory pruning before any row decode).
+    import re
+
+    from pagopa_ecommerce_cdc_service_spark.plans.events_queries import (
+        w_partition_pruned_day,
+    )
+
+    df = w_partition_pruned_day(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "day" in pf.group(1), plan[:1500]
