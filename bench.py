@@ -45,6 +45,7 @@ HEADLINE = [
     "e_kmeans_clusters",
     "e_sq8_topk",
     "w_hist_quantiles",
+    "e_pq_topk",
 ]
 
 
