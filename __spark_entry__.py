@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 92 queries in the suite, 42 must sit in the
+# verified rounds 1 and 2). With 93 queries in the suite, 43 must sit in the
 # uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -128,6 +128,10 @@ _CERTIFIED_TAIL = (
     "w_asof_click_purchase",
     "e_cosine_topk",
     "cdc_envelope_quarantine",
+    # certified r02, fold plan fingerprint-stable (legacy-twin replay);
+    # still executed every round as the entry() smoke query, and its
+    # fold semantics stay prefix-certified via cdc_stream_incremental_view
+    "cdc_transactions_view",
 )
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_long_sql
 from ..operators.cdc_fold import fold_transactions_view, prepare_events
 from ..schemas import TRANSACTION_VIEW_CLASS
 from .helpers import read
@@ -518,3 +519,146 @@ SELECT
   (SELECT CAST(SUM(length(line)) AS BIGINT) FROM classified
    WHERE NOT is_good) AS quarantined_chars
 """
+
+
+# ---------------------------------------------------------------------------
+# CDC CHANGE FEED: the row-level delta between the fold state at a log
+# cutoff (first ~4% of the envelope log by seq — early enough that new
+# keys still arrive after it, so both insert and update classes carry
+# rows) and at the full log — the
+# change-data-feed surface a downstream consumer of the view would
+# subscribe to (Delta CDF / Debezium-shaped: insert / update / delete
+# classification per key). Both states come from the SAME fold plan
+# (plan-level reuse of every fold rule), diffed by a FULL OUTER join on the
+# key with whole-row md5 comparison; deletes are structurally impossible
+# here (the fold ignores 'delete' ops — reference parity, F1) and the
+# query proves it by construction: the count lands in the gated output.
+# Scale: the diff joins two folds of the same log partitioned identically
+# on transactionId — co-partitioned SMJ, no extra wide shuffle; row hashes
+# are computed pre-join so the compare moves (key, hash) pairs only.
+# ---------------------------------------------------------------------------
+_CF_NULL = "<NULL>"
+_CF_SEP = "|~|"
+_CF_MOD = 1000000007
+
+_VIEW_COLS = (
+    "transactionId", "email", "paymentNoticesCount", "paymentNoticesTotal",
+    "firstPaymentToken", "clientId", "creationDate", "userId", "status",
+    "lastProcessedEventAt", "paymentGateway", "paymentTypeCode", "pspId",
+    "feeTotal", "authorizationRequestId", "authorizationCode", "rrn",
+    "gatewayAuthorizationStatus", "endToEndId", "authorizationErrorCode",
+    "sendPaymentResultOutcome", "closureHttpErrorCode", "_class",
+)
+
+_CF_CUT_SQL = (
+    "(SELECT CAST(FLOOR((MAX(event_id) * 2.0) / 50.0) AS BIGINT) FROM events)"
+)
+_CF_EVENTS_SRC = (
+    "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value "
+    "FROM events) events"
+)
+_CF_EVENTS_SRC_CUT = _CF_EVENTS_SRC[:-8] + f" WHERE event_id <= {_CF_CUT_SQL}) events"
+
+
+def _cf_rowhash_sql(alias: str) -> str:
+    cols = ", ".join(
+        f"COALESCE(CAST({alias}.{c} AS VARCHAR), '{_CF_NULL}')" for c in _VIEW_COLS
+    )
+    return md5_long_sql(f"concat_ws('{_CF_SEP}', {cols})")
+
+
+CHANGE_FEED_ORACLE_SQL = f"""
+WITH v1 AS ({ORACLE_SQL}),
+v0 AS ({ORACLE_SQL.replace(_CF_EVENTS_SRC, _CF_EVENTS_SRC_CUT)}),
+h1 AS (SELECT transactionId, {_cf_rowhash_sql("v1")} AS h FROM v1),
+h0 AS (SELECT transactionId, {_cf_rowhash_sql("v0")} AS h FROM v0),
+delta AS (
+  SELECT COALESCE(h1.transactionId, h0.transactionId) AS tid,
+         CASE WHEN h0.transactionId IS NULL THEN 'insert'
+              WHEN h1.transactionId IS NULL THEN 'delete'
+              ELSE 'update' END AS change_type,
+         COALESCE(h1.h, h0.h) AS h
+  FROM h1 FULL OUTER JOIN h0 ON h1.transactionId = h0.transactionId
+  WHERE h0.transactionId IS NULL OR h1.transactionId IS NULL OR h1.h <> h0.h
+)
+SELECT change_type, COUNT(*) AS n_rows,
+       CAST(SUM(h % {_CF_MOD}) AS BIGINT) AS checksum
+FROM delta GROUP BY change_type
+"""
+
+
+def _cf_rowhash(df: DataFrame) -> DataFrame:
+    from ..functions.hashing import md5_long as _md5l
+
+    parts = [
+        F.coalesce(F.col(c).cast("string"), F.lit(_CF_NULL)) for c in _VIEW_COLS
+    ]
+    return df.select(
+        "transactionId", _md5l(F.concat_ws(_CF_SEP, *parts)).alias("h")
+    )
+
+
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthesize_envelope(spark, sf_dir)
+    cut = env.agg(
+        F.floor((F.max("seq") * F.lit(2.0)) / F.lit(50.0)).cast("long").alias("cut")
+    )
+    env0 = env.crossJoin(F.broadcast(cut)).filter(F.col("seq") <= F.col("cut")).drop(
+        "cut"
+    )
+
+    def view(e):
+        v = fold_transactions_view(prepare_events(e))
+        return v.select(
+            "transactionId",
+            "email",
+            *_payment_notice_proj(),
+            "clientId",
+            "creationDate",
+            "userId",
+            "status",
+            "lastProcessedEventAt",
+            "paymentGateway",
+            "paymentTypeCode",
+            "pspId",
+            "feeTotal",
+            "authorizationRequestId",
+            "authorizationCode",
+            "rrn",
+            "gatewayAuthorizationStatus",
+            "endToEndId",
+            "authorizationErrorCode",
+            "sendPaymentResultOutcome",
+            F.col("closureErrorData.httpErrorCode").alias("closureHttpErrorCode"),
+            "_class",
+        )
+
+    h1 = _cf_rowhash(view(env)).withColumnRenamed("h", "h1")
+    h0 = (
+        _cf_rowhash(view(env0))
+        .withColumnRenamed("h", "h0")
+        .withColumnRenamed("transactionId", "tid0")
+    )
+    delta = (
+        h1.join(h0, h1["transactionId"] == h0["tid0"], "full_outer")
+        .filter(
+            F.col("tid0").isNull()
+            | F.col("transactionId").isNull()
+            | (F.col("h1") != F.col("h0"))
+        )
+        .select(
+            F.when(F.col("tid0").isNull(), F.lit("insert"))
+            .when(F.col("transactionId").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.coalesce(F.col("h1"), F.col("h0")).alias("h"),
+        )
+    )
+    return delta.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("h") % F.lit(_CF_MOD)).cast("long").alias("checksum"),
+    )
+
+
+QUERIES["cdc_change_feed"] = cdc_change_feed
+ORACLES["cdc_change_feed"] = CHANGE_FEED_ORACLE_SQL
