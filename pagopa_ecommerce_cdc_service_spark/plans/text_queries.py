@@ -1283,3 +1283,96 @@ def t_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(scrubbed).cast("long").alias("scrubbed_len"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph, citation-oriented — integer-exact,
+# unrolled. Each near-dup pair contributes one directed edge from the
+# LATER duplicate to the EARLIER document (duplicates "cite" their
+# original), so rank mass concentrates on the canonical representative of
+# every duplicate neighborhood — the keeper signal a dedup pass wants.
+# (The symmetric orientation is a fixed point — every regular component
+# holds uniform rank — which demonstrates nothing.) Determinism: ranks
+# live in a 1e6-scaled integer domain; per-edge contributions are
+# floor(rank/out_degree) and the damped update is 0.15e6 +
+# floor(sum*85.0/100.0) — every division goes through the exact-double
+# floor (sums < 2^53), no float accumulation order anywhere. Two
+# iterations unrolled into ONE static plan (no driver loop; the
+# convergence-driven variant is connected_components' iterative shape).
+# Scale: each iteration is one ranks⋈degree node-local join, one
+# edges⋈shares join co-partitioned on src, one groupBy(dst) — the
+# standard distributed PR shuffle profile; dangling and isolated nodes
+# ride the documents side of a left join and never enter the edge
+# shuffles.
+# ---------------------------------------------------------------------------
+_PR_SCALE = 1_000_000
+_PR_BASE = 150_000  # 0.15 damping, scaled
+_PR_ITERS = 2
+_PR_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    parts = [
+        f"pairs AS ({_PAIR_SQL})",
+        "edges AS (SELECT doc_b AS src, doc_a AS dst FROM pairs)",
+        "deg AS (SELECT src, COUNT(*) AS degree FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id AS node, CAST({_PR_SCALE} AS BIGINT) AS rank_q "
+        "FROM documents)",
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(f"""r{i + 1} AS (
+          SELECT d.doc_id AS node,
+                 {_PR_BASE} + CAST(FLOOR((COALESCE(inc.s, 0) * 85.0) / 100.0)
+                                   AS BIGINT) AS rank_q
+          FROM documents d LEFT JOIN (
+            SELECT e.dst, CAST(SUM(sh.c) AS BIGINT) AS s
+            FROM (SELECT r.node,
+                         CAST(FLOOR(CAST(r.rank_q AS DOUBLE) / g.degree)
+                              AS BIGINT) AS c
+                  FROM r{i} r JOIN deg g ON g.src = r.node) sh
+                 JOIN edges e ON e.src = sh.node
+            GROUP BY e.dst) inc ON inc.dst = d.doc_id)""")
+    joined = ",\n".join(parts)
+    return f"""
+    WITH {joined}
+    SELECT r.node AS doc_id, COALESCE(g.degree, 0) AS degree, r.rank_q
+    FROM r{_PR_ITERS} r LEFT JOIN deg g ON g.src = r.node
+    ORDER BY r.rank_q DESC, r.node LIMIT {_PR_TOP}
+    """
+
+
+@query("t_pagerank_similarity", _pagerank_oracle())
+def t_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
+    ranks = docs.withColumn("rank_q", F.lit(_PR_SCALE).cast("long"))
+    for _ in range(_PR_ITERS):
+        shares = ranks.join(deg, ranks["node"] == deg["src"]).select(
+            F.col("node").alias("snode"),
+            F.floor(F.col("rank_q").cast("double") / F.col("degree"))
+            .cast("long")
+            .alias("c"),
+        )
+        contrib = edges.join(shares, edges["src"] == shares["snode"]).select("dst", "c")
+        incoming = contrib.groupBy("dst").agg(F.sum("c").cast("long").alias("s"))
+        ranks = docs.join(incoming, docs["node"] == incoming["dst"], "left").select(
+            "node",
+            (
+                F.lit(_PR_BASE)
+                + F.floor((F.coalesce(F.col("s"), F.lit(0)) * F.lit(85.0)) / F.lit(100.0)).cast(
+                    "long"
+                )
+            ).alias("rank_q"),
+        )
+    return (
+        ranks.join(deg, ranks["node"] == deg["src"], "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce(F.col("degree"), F.lit(0)).cast("long").alias("degree"),
+            "rank_q",
+        )
+        .orderBy(F.desc("rank_q"), F.asc("doc_id"))
+        .limit(_PR_TOP)
+    )

@@ -48,9 +48,23 @@ def test_runtime_queries_pinned_in_prefix():
     assert not leaked, f"runtime queries must stay in the certified prefix: {leaked}"
 
 
+def test_pending_first_cert_is_small_and_parity_checked():
+    # New queries that arrived after the 50-slot prefix filled may sit in
+    # the tail awaiting their first gate certification — but only if they
+    # are explicitly declared, few, and covered by an oracle (local parity
+    # runs them every round).
+    _, queries, oracles = _order()
+    pending = entry_mod._PENDING_FIRST_CERT
+    assert len(pending) <= 5, "rotate pending queries into the prefix"
+    for name in pending:
+        assert name in queries and name in oracles, name
+
+
 def test_tail_queries_have_green_certified_rows():
     names, _, _ = _order()
     for name in names[50:]:
+        if name in entry_mod._PENDING_FIRST_CERT:
+            continue
         row = CERTIFIED.get(name)
         assert row is not None, f"{name} in tail but never gate-certified"
         assert row["rows_match"] and row["schema_match"] and row["hash_match"], (
@@ -87,6 +101,8 @@ def test_tail_queries_unchanged_since_certification(spark, tmp_path_factory):
 
     drifted = []
     for name in names[50:]:
+        if name in entry_mod._PENDING_FIRST_CERT:
+            continue
         snap = SNAPSHOT.get(name)
         if snap is None:
             drifted.append((name, "no snapshot"))
