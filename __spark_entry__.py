@@ -57,7 +57,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # committed snapshot of the code state that gate run certified
 # (FINGERPRINTS_r02.json for round 2). Queries that execute Spark jobs at
 # build time (streaming phases, iterative convergence) have no static plan
-# and are pinned inside the prefix every round. All 82 queries additionally
+# and are pinned inside the prefix every round. All 94 queries additionally
 # run against the DuckDB oracle locally every round
 # (tests/test_oracle_parity.py), so tail queries are still soft-checked.
 #
@@ -68,7 +68,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # w_stream_dedup_within_watermark, t_minhash_lsh_pairs,
 # t_near_dup_sample_pairs, w_range_recent_clicks, the three sketch queries)
 # and the runtime-pinned set (which now includes the iterative
-# t_bpe_train_merges). Rotating OUT: 35 queries certified green in
+# t_bpe_train_merges). Rotating OUT (grown through rounds 4/5 to 43): queries certified green in
 # CORRECTNESS_r02.json whose fingerprints are unchanged since that run
 # (guard-tested; event-query fingerprints replayed on the legacy ts-encoding
 # twin because the driver re-encoded events.ts between rounds).

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..functions.hashing import md5_long_sql
+from ..functions.hashing import md5_long, md5_long_sql
 
 # --- HyperLogLog ----------------------------------------------------------
 # md5_long yields 60 usable bits: the low HLL_P select the register, the
@@ -141,8 +141,6 @@ CMS_W = 256                   # counters per row
 
 def cms_pos(col: Column, row: int) -> Column:
     """Counter index for hash row ``row``: salted portable hash mod w."""
-    from ..functions.hashing import md5_long
-
     return md5_long(F.concat(F.lit(f"cms{row}:"), col)) % F.lit(CMS_W)
 
 
@@ -161,8 +159,6 @@ BLOOM_K = 3
 
 
 def bloom_pos(col: Column, probe: int) -> Column:
-    from ..functions.hashing import md5_long
-
     return md5_long(F.concat(F.lit(f"bloom{probe}:"), col)) % F.lit(BLOOM_BITS)
 
 
@@ -187,3 +183,23 @@ def bloom_word_sql(pos: str) -> str:
 
 def bloom_mask_sql(pos: str) -> str:
     return f"(1::BIGINT << CAST(({pos}) % {BLOOM_WORD_BITS} AS INTEGER))"
+
+
+def hll_final_cols(occ_sum: Column, used_buckets: Column) -> tuple[Column, Column]:
+    """Shared finalization for every HLL surface (batch + streaming twins):
+    (denom_q, hll_estimate) from the occupied-register scaled sum and the
+    used-bucket count."""
+    denom = occ_sum + (F.lit(HLL_M) - used_buckets) * F.lit(HLL_EMPTY_TERM)
+    return (
+        denom.alias("denom_q"),
+        hll_estimate(F.lit(HLL_EST_NUM) / denom.cast("double"), used_buckets).alias(
+            "hll_estimate"
+        ),
+    )
+
+
+def hll_final_sql(occ_sum: str, used_buckets: str) -> tuple[str, str]:
+    """SQL twin of hll_final_cols: (denom_expr, estimate_expr)."""
+    denom = f"({occ_sum}) + ({HLL_M} - ({used_buckets})) * {HLL_EMPTY_TERM}::BIGINT"
+    est = hll_estimate_sql(f"{HLL_EST_NUM!r} / CAST({denom} AS DOUBLE)", used_buckets)
+    return denom, est

@@ -567,6 +567,11 @@ def _cf_rowhash_sql(alias: str) -> str:
     return md5_long_sql(f"concat_ws('{_CF_SEP}', {cols})")
 
 
+# guard the string surgery: if ORACLE_SQL's events source is ever
+# reworded, fail at import instead of silently diffing v1 against itself
+assert _CF_EVENTS_SRC in ORACLE_SQL, "change-feed cutoff injection target moved"
+assert _CF_EVENTS_SRC_CUT.endswith(") events") and _CF_CUT_SQL in _CF_EVENTS_SRC_CUT
+
 CHANGE_FEED_ORACLE_SQL = f"""
 WITH v1 AS ({ORACLE_SQL}),
 v0 AS ({ORACLE_SQL.replace(_CF_EVENTS_SRC, _CF_EVENTS_SRC_CUT)}),

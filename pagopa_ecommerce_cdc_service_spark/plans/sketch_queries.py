@@ -42,8 +42,8 @@ from ..operators.sketches import (
     cms_pos_sql,
     hll_bucket,
     hll_bucket_sql,
-    hll_estimate,
-    hll_estimate_sql,
+    hll_final_cols,
+    hll_final_sql,
     hll_register_term,
     hll_register_term_sql,
     hll_rho,
@@ -67,6 +67,10 @@ def query(name: str, oracle: str | None = None):
 
 
 _TOKS_SQL = TOKENS_SQL.format(c="text")
+# one finalization, four surfaces: the SQL templates use OCC/USED
+# placeholders so the batch and streaming oracles can't desynchronize
+_HLL_FINAL_SQL = hll_final_sql("OCC", "USED")
+_OCC_AGG = f'CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT)' 
 
 
 # ---------------------------------------------------------------------------
@@ -91,13 +95,8 @@ _TOKS_SQL = TOKENS_SQL.format(c="text")
       SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY lang
     )
     SELECT a.lang, a.used_buckets,
-           a.occ_sum + ({HLL_M} - a.used_buckets) * {HLL_EMPTY_TERM}::BIGINT AS denom_q,
-           {hll_estimate_sql(
-               HLL_EST_NUM.__repr__()
-               + " / CAST(a.occ_sum + (" + str(HLL_M) + " - a.used_buckets) * "
-               + str(HLL_EMPTY_TERM) + "::BIGINT AS DOUBLE)",
-               "a.used_buckets",
-           )} AS hll_estimate,
+           {_HLL_FINAL_SQL[0].replace("OCC", "a.occ_sum").replace("USED", "a.used_buckets")} AS denom_q,
+           {_HLL_FINAL_SQL[1].replace("OCC", "a.occ_sum").replace("USED", "a.used_buckets")} AS hll_estimate,
            ex.exact_distinct
     FROM agg a JOIN ex USING (lang)
     """,
@@ -118,9 +117,6 @@ def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("used_buckets"),
         F.sum(hll_register_term(F.col("m_rho"))).alias("occ_sum"),
     )
-    denom = F.col("occ_sum") + (F.lit(HLL_M) - F.col("used_buckets")) * F.lit(
-        HLL_EMPTY_TERM
-    )
     # exact distinct is the AUDIT column (its (lang, tok) shuffle is the
     # thing HLL exists to avoid at scale)
     exact = toks.groupBy("lang").agg(F.count_distinct("tok").alias("exact_distinct"))
@@ -129,10 +125,7 @@ def t_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "lang",
             "used_buckets",
-            denom.alias("denom_q"),
-            hll_estimate(
-                F.lit(HLL_EST_NUM) / denom.cast("double"), F.col("used_buckets")
-            ).alias("hll_estimate"),
+            *hll_final_cols(F.col("occ_sum"), F.col("used_buckets")),
             "exact_distinct",
         )
     )
@@ -345,15 +338,8 @@ def t_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed GROUP BY 1, 2
     )
     SELECT lang, COUNT(*) AS used_buckets,
-           CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT)
-             + ({HLL_M} - COUNT(*)) * {HLL_EMPTY_TERM}::BIGINT AS denom_q,
-           {hll_estimate_sql(
-               HLL_EST_NUM.__repr__()
-               + " / CAST(CAST(SUM(" + hll_register_term_sql("m_rho")
-               + ") AS BIGINT) + (" + str(HLL_M) + " - COUNT(*)) * "
-               + str(HLL_EMPTY_TERM) + "::BIGINT AS DOUBLE)",
-               "COUNT(*)",
-           )} AS hll_estimate
+           {_HLL_FINAL_SQL[0].replace("OCC", _OCC_AGG).replace("USED", "COUNT(*)")} AS denom_q,
+           {_HLL_FINAL_SQL[1].replace("OCC", _OCC_AGG).replace("USED", "COUNT(*)")} AS hll_estimate
     FROM regs GROUP BY lang
     """,
 )
@@ -399,14 +385,8 @@ def w_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("used_buckets"),
         F.sum(hll_register_term(F.col("m_rho"))).alias("occ_sum"),
     )
-    denom = F.col("occ_sum") + (F.lit(HLL_M) - F.col("used_buckets")) * F.lit(
-        HLL_EMPTY_TERM
-    )
     return agg.select(
         "lang",
         "used_buckets",
-        denom.alias("denom_q"),
-        hll_estimate(
-            F.lit(HLL_EST_NUM) / denom.cast("double"), F.col("used_buckets")
-        ).alias("hll_estimate"),
+        *hll_final_cols(F.col("occ_sum"), F.col("used_buckets")),
     )

@@ -1019,15 +1019,15 @@ def q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
-
     from .helpers import gate_workdir
 
     workdir = gate_workdir("bucket-join-gate-")
-    suffix = uuid.uuid4().hex[:8]
     tables = {}
+    # deterministic table names + overwrite: repeated gate/bench runs in a
+    # long-lived session replace the catalog entries instead of leaking a
+    # uuid-named pair per invocation
     for t, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
-        name = f"bkt_{t}_{suffix}"
+        name = f"bkt_{t}_gate"
         (
             read(spark, sf_dir, t)
             .write.bucketBy(8, key)

@@ -7,8 +7,6 @@ shape (operators/clustering.py docstring).
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import functions as F
 
 from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
@@ -43,7 +41,11 @@ def test_kmeans_iteration_never_increases_wcss(spark, sf_dir):
         assigned = kmeans_assign(emb, cent)
         wcss = assigned.agg(F.sum("dist")).collect()[0][0]
         if prev is not None:
-            assert wcss <= prev, f"WCSS rose: {prev} -> {wcss}"
+            # floor-quantized centroids can sit up to 1 off the true mean
+            # per dim, so exact-Lloyd's monotonicity holds only up to
+            # n_vec * dims of quantization slack
+            slack = emb.count() * 64
+            assert wcss <= prev + slack, f"WCSS rose: {prev} -> {wcss}"
         prev = wcss
         cent = kmeans_update(assigned)
 
@@ -100,19 +102,24 @@ def test_pq_codes_cover_every_vector_subspace(spark, sf_dir):
     assert cb.select("sub").distinct().count() == PQ_M
 
 
-def test_pq_adc_is_sum_of_subspace_mins(spark, sf_dir):
-    # ADC distance for a vector must equal the sum over subspaces of its
-    # assigned-centroid distances — i.e. the code table loses no information
-    # relative to the codebook.
+def test_pq_code_table_distances_match_codebook(spark, sf_dir):
+    # The code table loses no information relative to the codebook: every
+    # stored dist must equal sq_dist(subvector, assigned centroid)
+    # recomputed independently against the codebook.
     from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
         pq_subvectors,
         pq_train,
+        sq_dist,
     )
 
     emb = _emb(spark, sf_dir).select("vec_id", "q")
-    codes, _ = pq_train(pq_subvectors(emb))
-    per_vec = codes.groupBy("vec_id").agg(
-        F.sum("dist").alias("sum_sub"), F.count("*").alias("m")
+    codes, cb = pq_train(pq_subvectors(emb))
+    mismatches = (
+        codes.join(cb, ["sub", "cid"])
+        .withColumn("recomputed", sq_dist(F.col("sq"), F.col("c")))
+        .filter(F.col("recomputed") != F.col("dist"))
+        .count()
     )
-    row = per_vec.orderBy("vec_id").first()
-    assert row.m == 8 and row.sum_sub >= 0
+    assert mismatches == 0
+    per_vec = codes.groupBy("vec_id").agg(F.count("*").alias("m"))
+    assert per_vec.filter(F.col("m") != 8).count() == 0

@@ -45,14 +45,53 @@ def test_cms_never_undercounts(spark, sf_dir):
 
 
 def test_bloom_no_false_negatives(spark, sf_dir):
+    # direct membership check, not an aggregate inequality (which false
+    # positives could mask): rebuild the bitmap, then verify IN PYTHON that
+    # every build-set text has all k probe bits set.
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import (
+        md5_long,
+        md5_long_py,
+    )
+    from pagopa_ecommerce_cdc_service_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+        bloom_mask,
+        bloom_pos,
+        bloom_word,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    from pyspark.sql import functions as F
+
+    docs = read(spark, sf_dir, "documents")
+    quarantine = md5_long(
+        F.concat(F.lit("bloomset:"), F.col("doc_id").cast("string"))
+    ) % 37 == F.lit(0)
+    build = docs.filter(quarantine).select("text")
+    positions = build.select(
+        F.explode(
+            F.array(*[bloom_pos(F.col("text"), k) for k in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    bitmap = dict(
+        positions.groupBy(bloom_word(F.col("pos")).alias("word"))
+        .agg(F.bit_or(bloom_mask(F.col("pos"))).alias("bits"))
+        .collect()
+    )
+    texts = [r.text for r in build.collect()]
+    assert texts, "build set empty — filter untested"
+    for text in texts:
+        for k in range(BLOOM_K):
+            pos = md5_long_py(f"bloom{k}:{text}") % BLOOM_BITS
+            word, bit = pos // BLOOM_WORD_BITS, pos % BLOOM_WORD_BITS
+            assert bitmap.get(word, 0) & (1 << bit), (
+                f"false negative: probe {k} of a build text not set"
+            )
+
     rows = t_bloom_prune_join(spark, sf_dir).collect()
     total = {c: sum(getattr(r, c) for r in rows) for c in rows[0].asDict()
              if c != "lang"}
-    # every true member must pass the filter: pass-count dominates hit-count
-    # per language, with zero misses overall
-    for r in rows:
-        assert r.n_bloom_pass >= r.n_true_hit, f"false negative in lang={r.lang}"
-    assert total["n_true_hit"] > 0, "build set empty — filter untested"
     # 1008 bits / k=3: fp rate stays tiny at this build-set size
     non_members = total["n_docs"] - total["n_true_hit"]
     assert total["n_false_pos"] <= max(2, 0.05 * non_members)
