@@ -1085,3 +1085,128 @@ def w_partition_pruned_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("value"), "sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sequential-pattern funnel: signup → later click → later purchase, per
+# user (the MATCH_RECOGNIZE-class analytic). Each stage is one
+# map-side-combined min-aggregation on user_id plus a co-partitioned join
+# back — three narrow shuffles on the same key (exchange-reusable), never
+# a per-user sort of full history. Elapsed totals are exact micros sums.
+# ---------------------------------------------------------------------------
+@query(
+    "w_funnel_signup_click_purchase",
+    f"""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM {EV}
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), s2 AS (
+      SELECT events.user_id, s1.t1, MIN(events.ts) AS t2
+      FROM {EV} JOIN s1 ON events.user_id = s1.user_id
+      WHERE events.event_type = 'click' AND events.ts > s1.t1
+      GROUP BY events.user_id, s1.t1
+    ), s3 AS (
+      SELECT events.user_id, s2.t1, MIN(events.ts) AS t3
+      FROM {EV} JOIN s2 ON events.user_id = s2.user_id
+      WHERE events.event_type = 'purchase' AND events.ts > s2.t2
+      GROUP BY events.user_id, s2.t1
+    )
+    SELECT COUNT(*) AS n_signed_up,
+           (SELECT COUNT(*) FROM s2) AS n_clicked_after,
+           (SELECT COUNT(*) FROM s3) AS n_purchased_after,
+           (SELECT CAST(COALESCE(SUM(epoch_us(t3) - epoch_us(t1)), 0) AS BIGINT)
+            FROM s3) AS total_conversion_micros
+    FROM s1
+    """,
+)
+def w_funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+    n1 = s1.agg(F.count("*").alias("n_signed_up"))
+    n2 = s2.agg(F.count("*").alias("n_clicked_after"))
+    n3 = s3.agg(
+        F.count("*").alias("n_purchased_after"),
+        F.coalesce(
+            F.sum(F.unix_micros("t3") - F.unix_micros("t1")), F.lit(0)
+        )
+        .cast("long")
+        .alias("total_conversion_micros"),
+    )
+    return n1.crossJoin(F.broadcast(n2)).crossJoin(F.broadcast(n3))
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix: users grouped by first-activity week, activity
+# tracked as distinct (user, day), offsets in whole weeks. Two shuffles on
+# user_id (first-seen + distinct-day) and one bounded (cohort, offset)
+# grid aggregation — the standard retention shape; the matrix is tiny at
+# any corpus size (weeks x offsets).
+# ---------------------------------------------------------------------------
+@query(
+    "w_cohort_retention",
+    f"""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(CAST(ts AS DATE))) AS TIMESTAMP) AS cohort_week,
+             MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM {EV} GROUP BY user_id
+    ), acts AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM {EV}
+    ), offsets AS (
+      SELECT f.cohort_week, (a.d - f.cohort_day) // 7 AS week_offset, a.user_id
+      FROM acts a JOIN firsts f ON a.user_id = f.user_id
+    ), grid AS (
+      SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS n_active
+      FROM offsets GROUP BY cohort_week, week_offset
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort FROM firsts GROUP BY cohort_week
+    )
+    SELECT g.cohort_week, g.week_offset, g.n_active, s.n_cohort,
+           CAST(g.n_active AS DOUBLE) / s.n_cohort AS retention
+    FROM grid g JOIN sizes s USING (cohort_week)
+    """,
+)
+def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(F.to_date("ts"))).alias("cohort_week"),
+        F.min(F.to_date("ts")).alias("cohort_day"),
+    )
+    acts = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    offsets = acts.join(firsts, "user_id").select(
+        "cohort_week",
+        (F.datediff(F.col("d"), F.col("cohort_day")) / F.lit(7))
+        .cast("int")
+        .cast("long")
+        .alias("week_offset"),
+        "user_id",
+    )
+    grid = offsets.groupBy("cohort_week", "week_offset").agg(
+        F.count_distinct("user_id").alias("n_active")
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count("*").alias("n_cohort"))
+    return grid.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
+    )
