@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 96 queries in the suite, 46 must sit in the
+# verified rounds 1 and 2). With 98 queries in the suite, 48 must sit in the
 # uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -146,6 +146,8 @@ _PENDING_FIRST_CERT = (
     "t_pagerank_similarity",
     "w_funnel_signup_click_purchase",
     "w_cohort_retention",
+    "w_scd2_tier_enrich",
+    "w_dq_audit",
 )
 
 

@@ -1210,3 +1210,172 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_cohort",
         (F.col("n_active").cast("double") / F.col("n_cohort")).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 validity-interval enrichment: a slowly-changing dimension is derived
+# from each user's purchase history (tier = cumulative purchase count,
+# valid [purchase_ts, next_purchase_ts)), and every click is enriched with
+# the tier valid AT ITS EVENT TIME. The scale formulation is the as-of
+# union trick — tier changes and clicks interleave in ONE window ordered
+# by (ts, tiebreak), last_value(tier) carries forward — so there is NO
+# range join at all: one exchange on user_id, no per-event scan of
+# dimension history (the naive fact⋈dim BETWEEN join is quadratic per hot
+# user). Clicks before any purchase get tier 0.
+# ---------------------------------------------------------------------------
+@query(
+    "w_scd2_tier_enrich",
+    f"""
+    WITH changes AS (
+      SELECT user_id, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS tier
+      FROM {EV} WHERE event_type = 'purchase'
+    ), unioned AS (
+      SELECT user_id, ts, 0 AS is_click, tier, NULL AS event_id FROM changes
+      UNION ALL
+      SELECT user_id, ts, 1 AS is_click, NULL AS tier, event_id
+      FROM {EV} WHERE event_type = 'click'
+    ), carried AS (
+      SELECT user_id, ts, is_click, event_id,
+             COALESCE(MAX(tier) OVER (
+               PARTITION BY user_id ORDER BY ts, is_click, tier NULLS FIRST
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS tier_at
+      FROM unioned
+    )
+    SELECT tier_at AS tier, COUNT(*) AS n_clicks,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM carried WHERE is_click = 1
+    GROUP BY tier_at
+    """,
+)
+def w_scd2_tier_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_type") == "purchase")
+        .withColumn("tier", F.row_number().over(w_rank))
+        .select("user_id", "ts", F.lit(0).alias("is_click"), "tier",
+                F.lit(None).cast("long").alias("event_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.lit(1).alias("is_click"),
+        F.lit(None).cast("int").alias("tier"), "event_id",
+    )
+    # purchases sort before clicks at the same instant (is_click asc), so a
+    # click at exactly a tier-change ts sees the NEW tier — the SCD2
+    # inclusive-start convention
+    w_carry = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_click"), F.col("tier").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = changes.unionAll(clicks).withColumn(
+        "tier_at", F.coalesce(F.max("tier").over(w_carry), F.lit(0))
+    )
+    return (
+        carried.filter(F.col("is_click") == 1)
+        .groupBy(F.col("tier_at").alias("tier"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# data-quality audit: the constraint checks a pipeline runs before
+# trusting a batch — key uniqueness, null rates, referential integrity,
+# domain ranges — as ONE pass of map-side-combined aggregates plus one
+# broadcast-probe anti-join for the FK check. Output is a compact
+# (check, violations, total) report; every check is a SUM(CASE), so the
+# whole audit is a single scan of each table at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "w_dq_audit",
+    f"""
+    WITH ev_checks AS (
+      SELECT 'events.event_id unique' AS check_name,
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT) AS violations,
+             COUNT(*) AS total
+      FROM {EV}
+      UNION ALL
+      SELECT 'events.value in [0, 1e6)',
+             CAST(SUM(CASE WHEN value < 0 OR value >= 1000000 THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             COUNT(*)
+      FROM {EV}
+      UNION ALL
+      SELECT 'events.required columns non-null',
+             CAST(SUM(CASE WHEN ts IS NULL OR user_id IS NULL
+                            OR event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM {EV}
+      UNION ALL
+      SELECT 'events.event_type in domain',
+             CAST(SUM(CASE WHEN event_type NOT IN
+                   ('click','error','purchase','signup','view')
+                   THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM {EV}
+      UNION ALL
+      SELECT 'lineitem.l_orderkey in orders',
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             COUNT(*)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    SELECT * FROM ev_checks
+    """,
+)
+def w_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    li = read(spark, sf_dir, "lineitem")
+    orders = read(spark, sf_dir, "orders")
+
+    def check(name, violations, total):
+        return F.struct(
+            F.lit(name).alias("check_name"),
+            violations.cast("long").alias("violations"),
+            total.alias("total"),
+        )
+
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    ev_agg = ev.agg(
+        F.count("*").alias("n"),
+        (F.count("*") - F.count_distinct("event_id")).alias("dup_ids"),
+        flag((F.col("value") < 0) | (F.col("value") >= 1000000)).alias("bad_range"),
+        flag(
+            F.col("ts").isNull() | F.col("user_id").isNull() | F.col("event_type").isNull()
+        ).alias("nulls"),
+        flag(
+            ~F.col("event_type").isin("click", "error", "purchase", "signup", "view")
+        ).alias("bad_domain"),
+    )
+    ev_rows = ev_agg.select(
+        F.explode(
+            F.array(
+                check("events.event_id unique", F.col("dup_ids"), F.col("n")),
+                check("events.value in [0, 1e6)", F.col("bad_range"), F.col("n")),
+                check("events.required columns non-null", F.col("nulls"), F.col("n")),
+                check("events.event_type in domain", F.col("bad_domain"), F.col("n")),
+            )
+        ).alias("r")
+    ).select("r.*")
+    fk = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey")),
+            li["l_orderkey"] == orders["o_orderkey"],
+            "left",
+        )
+        .agg(
+            flag(F.col("o_orderkey").isNull()).cast("long").alias("violations"),
+            F.count("*").alias("total"),
+        )
+        .select(
+            F.lit("lineitem.l_orderkey in orders").alias("check_name"),
+            "violations",
+            "total",
+        )
+    )
+    return ev_rows.unionAll(fk)
