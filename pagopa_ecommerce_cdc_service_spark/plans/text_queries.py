@@ -1345,7 +1345,13 @@ def _pagerank_oracle() -> str:
 def t_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # ONE materialization of the LSH pair pipeline: edges are referenced by
+    # every iteration's contribution join, the degree build and the output
+    # join — hash-partitioning them makes those subtrees canonically equal
+    # so AQE's ReusedExchange computes the minhash candidate join once
+    edges = pairs.select(
+        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    ).repartition(spark.sparkContext.defaultParallelism, "src")
     deg = edges.groupBy("src").agg(F.count("*").alias("degree"))
     ranks = docs.withColumn("rank_q", F.lit(_PR_SCALE).cast("long"))
     for _ in range(_PR_ITERS):
