@@ -190,3 +190,17 @@ def test_partitioned_layout_scan_prunes(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "day" in pf.group(1), plan[:1500]
+
+
+def test_pagerank_reuses_edge_exchange(spark):
+    # Every iteration's contribution join, the degree build and the output
+    # join must read the ONE materialized LSH-pair exchange rather than
+    # re-running the minhash candidate pipeline.
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_pagerank_similarity,
+    )
+
+    df = t_pagerank_similarity(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 4, plan[:1500]
