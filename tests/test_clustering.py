@@ -123,3 +123,41 @@ def test_pq_code_table_distances_match_codebook(spark, sf_dir):
     assert mismatches == 0
     per_vec = codes.groupBy("vec_id").agg(F.count("*").alias("m"))
     assert per_vec.filter(F.col("m") != 8).count() == 0
+
+
+def test_kmeans_identical_under_any_partitioning(spark, sf_dir):
+    # The determinism contract: assignments are a pure function of the
+    # data, not of physical layout — rerunning the whole unrolled plan
+    # with different partition counts must produce identical rows.
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read, spread
+
+    def run(n_parts):
+        emb = (
+            spread(read(spark, sf_dir, "embeddings"), spark)
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .repartition(n_parts, "vec_id")
+        )
+        rows = kmeans_plan(emb).select("vec_id", "cid", "dist").collect()
+        return sorted((r.vec_id, r.cid, r.dist) for r in rows)
+
+    assert run(2) == run(9)
+
+
+def test_pq_codes_identical_under_any_partitioning(spark, sf_dir):
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        pq_subvectors,
+        pq_train,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read, spread
+
+    def run(n_parts):
+        emb = (
+            spread(read(spark, sf_dir, "embeddings"), spark)
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        )
+        subs = pq_subvectors(emb).repartition(n_parts, "vec_id", "sub")
+        codes, _ = pq_train(subs)
+        rows = codes.select("vec_id", "sub", "cid", "dist").collect()
+        return sorted((r.vec_id, r.sub, r.cid, r.dist) for r in rows)
+
+    assert run(3) == run(8)
