@@ -57,7 +57,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # committed snapshot of the code state that gate run certified
 # (FINGERPRINTS_r02.json for round 2). Queries that execute Spark jobs at
 # build time (streaming phases, iterative convergence) have no static plan
-# and are pinned inside the prefix every round. All 94 queries additionally
+# and are pinned inside the prefix every round. All 98 queries additionally
 # run against the DuckDB oracle locally every round
 # (tests/test_oracle_parity.py), so tail queries are still soft-checked.
 #

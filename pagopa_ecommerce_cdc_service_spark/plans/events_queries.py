@@ -1250,32 +1250,37 @@ def w_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_scd2_tier_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the interval join IS a backward as-of join: reuse the one
+    # implementation of the union-window carry (operators/asof.py) instead
+    # of a second copy of its tie-break logic. Right rows sort before left
+    # rows at an equal timestamp (inclusive SCD2 start: a click at exactly
+    # a tier-change instant sees the NEW tier) and right_tiebreak="tier"
+    # resolves same-ts purchases to the highest tier.
+    from ..operators.asof import asof_join_backward
+
     ev = read(spark, sf_dir, "events")
     w_rank = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.filter(F.col("event_type") == "purchase")
         .withColumn("tier", F.row_number().over(w_rank))
-        .select("user_id", "ts", F.lit(0).alias("is_click"), "tier",
-                F.lit(None).cast("long").alias("event_id"))
+        .select("user_id", "ts", "tier")
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", F.lit(1).alias("is_click"),
-        F.lit(None).cast("int").alias("tier"), "event_id",
+        "user_id", "ts", "event_id"
     )
-    # purchases sort before clicks at the same instant (is_click asc), so a
-    # click at exactly a tier-change ts sees the NEW tier — the SCD2
-    # inclusive-start convention
-    w_carry = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts"), F.col("is_click"), F.col("tier").asc_nulls_first())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = changes.unionAll(clicks).withColumn(
-        "tier_at", F.coalesce(F.max("tier").over(w_carry), F.lit(0))
+    enriched = asof_join_backward(
+        clicks,
+        changes,
+        by="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        payload_cols=["tier"],
+        right_tiebreak="tier",
     )
     return (
-        carried.filter(F.col("is_click") == 1)
-        .groupBy(F.col("tier_at").alias("tier"))
+        enriched.groupBy(
+            F.coalesce(F.col("asof_tier"), F.lit(0)).cast("long").alias("tier")
+        )
         .agg(
             F.count("*").alias("n_clicks"),
             F.count_distinct("user_id").alias("n_users"),
@@ -1362,9 +1367,12 @@ def w_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+    # fact-fact FK probe: a plain left join — the optimizer broadcasts at
+    # test scale, and at 100 TB this is the one legitimate shuffled join
+    # (forcing broadcast of a fact key column would OOM)
     fk = (
         li.join(
-            F.broadcast(orders.select("o_orderkey")),
+            orders.select("o_orderkey"),
             li["l_orderkey"] == orders["o_orderkey"],
             "left",
         )

@@ -129,8 +129,6 @@ def test_kmeans_identical_under_any_partitioning(spark, sf_dir):
     # The determinism contract: assignments are a pure function of the
     # data, not of physical layout — rerunning the whole unrolled plan
     # with different partition counts must produce identical rows.
-    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read, spread
-
     def run(n_parts):
         emb = (
             spread(read(spark, sf_dir, "embeddings"), spark)
@@ -148,7 +146,6 @@ def test_pq_codes_identical_under_any_partitioning(spark, sf_dir):
         pq_subvectors,
         pq_train,
     )
-    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read, spread
 
     def run(n_parts):
         emb = (
