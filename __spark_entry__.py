@@ -55,23 +55,22 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # slot ONLY if it is provably unchanged since its last green gate row — its
 # normalized analyzed-plan hash AND oracle-SQL hash are byte-identical to the
 # committed snapshot of the code state that gate run certified
-# (FINGERPRINTS_r02.json for round 2). Queries that execute Spark jobs at
+# (FINGERPRINTS_r03.json as of round 4). Queries that execute Spark jobs at
 # build time (streaming phases, iterative convergence) have no static plan
-# and are pinned inside the prefix every round. All 98 queries additionally
-# run against the DuckDB oracle locally every round
+# and are pinned inside the prefix every round. ALL registered queries
+# additionally run against the DuckDB oracle locally every round
 # (tests/test_oracle_parity.py), so tail queries are still soft-checked.
 #
-# Round-3 rotation: the 16 TPC-H queries that sat in the round-2 tail (last
-# gate-certified on round-1 code, and plans/tpch.py changed since) rotate
-# INTO the prefix for re-certification on current code, together with every
-# query added or changed this round (t_bpe_apply, t_corpus_pipeline,
-# w_stream_dedup_within_watermark, t_minhash_lsh_pairs,
-# t_near_dup_sample_pairs, w_range_recent_clicks, the three sketch queries)
-# and the runtime-pinned set (which now includes the iterative
-# t_bpe_train_merges). Rotating OUT (grown through rounds 4/5 to 43): queries certified green in
-# CORRECTNESS_r02.json whose fingerprints are unchanged since that run
-# (guard-tested; event-query fingerprints replayed on the legacy ts-encoding
-# twin because the driver re-encoded events.ts between rounds).
+# Round-4 rotation: the 5 queries that were _PENDING_FIRST_CERT in round 3
+# (t_pagerank_similarity, w_funnel_signup_click_purchase, w_cohort_retention,
+# w_scd2_tier_enrich, w_dq_audit) rotate INTO the prefix for their first hard
+# certification, together with the two queries ADDED this round
+# (w_skew_join_topn, mm_image_decode_stats) and every query whose plan
+# changed this round (w_range_recent_clicks: scalar collect → broadcast
+# one-row join). Rotating OUT to make room: 7 TPC-H queries certified green
+# in CORRECTNESS_r03.json whose code (plans/tpch.py) is untouched since that
+# run (fingerprint-equal vs FINGERPRINTS_r03.json, guard-tested by
+# tests/test_rotation.py).
 _CERTIFIED_TAIL = (
     # TPC-H certified round 2; tpch.py untouched since (fingerprint-equal)
     "q1_pricing_summary",
@@ -82,6 +81,15 @@ _CERTIFIED_TAIL = (
     "q21_waiting_orders",
     "q22_idle_customers",
     "q_rollup_revenue",
+    # TPC-H re-certified round 3 (CORRECTNESS_r03.json all-green);
+    # plans/tpch.py untouched since (fingerprint-equal vs FINGERPRINTS_r03)
+    "q4_order_priority",
+    "q6_revenue_change",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q14_promo_share",
+    "q19_disjunctive_revenue",
     # pure-Catalyst text/window/multimodal stats certified round 2;
     # operators/text.py + their plan modules untouched since
     "t_exact_dedup",
@@ -142,13 +150,7 @@ _CERTIFIED_TAIL = (
 # for first certification next round. Explicitly surfaced here so the
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
-_PENDING_FIRST_CERT = (
-    "t_pagerank_similarity",
-    "w_funnel_signup_click_purchase",
-    "w_cohort_retention",
-    "w_scd2_tier_enrich",
-    "w_dq_audit",
-)
+_PENDING_FIRST_CERT = ()
 
 
 def _suite():

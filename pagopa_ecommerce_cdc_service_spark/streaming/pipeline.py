@@ -17,8 +17,6 @@ Spark translation of the reference's stream lifecycle
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -70,6 +68,17 @@ def read_event_stream(
             .drop("_mod")
         )
     return raw
+
+
+def _hadoop_fs(spark: SparkSession, path_str: str):
+    """(FileSystem, Path) for ``path_str`` resolved through the Hadoop API —
+    the ONLY correct way to probe paths here: ``os.path`` is always false
+    for non-local URIs (hdfs://, s3a://...), silently taking the wrong
+    branch on any real cluster."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path
 
 
 def checkpoint_has_offsets(spark: SparkSession, checkpoint_dir: str) -> bool:
@@ -125,39 +134,90 @@ def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
     return spark.read.parquet(view_dir).drop(VIEW_BUCKET_COL)
 
 
-def parquet_upsert_sink(view_dir: str, n_buckets: int = 64):
+def _bucket_dir(bucket: int) -> str:
+    return f"{VIEW_BUCKET_COL}={bucket}"
+
+
+def _saved_dir(bucket: int) -> str:
+    # leading "." ⇒ invisible to Spark's file listing even though the name
+    # contains "=" (shouldFilterOutPathName drops any dot-prefixed name)
+    return f".saved-{VIEW_BUCKET_COL}={bucket}"
+
+
+def recover_view(spark: SparkSession, view_dir: str) -> None:
+    """Roll the view forward/back after a crash mid-commit (idempotent).
+
+    The sink commits a bucket in three renames (save old → move staged in →
+    drop saved); a kill can land between any two. Recovery restores the
+    invariant "every bucket directory holds exactly one complete
+    generation": a ``.saved-`` dir with NO live bucket dir means the crash
+    hit between save and move-in — the old generation is renamed back
+    (no rows lost; the replayed batch re-applies the updates); a ``.saved-``
+    dir WITH a live bucket dir means the new generation committed — the
+    saved copy is dropped. Stale ``_staging-`` dirs are always dropped
+    (never referenced by a committed bucket)."""
+    fs, root = _hadoop_fs(spark, view_dir)
+    if not fs.exists(root):
+        return
+    jvm = spark._jvm
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if name.startswith("_staging-"):
+            fs.delete(status.getPath(), True)
+        elif name.startswith(f".saved-{VIEW_BUCKET_COL}="):
+            live = jvm.org.apache.hadoop.fs.Path(root, name[len(".saved-"):])
+            if fs.exists(live):
+                fs.delete(status.getPath(), True)
+            else:
+                fs.rename(status.getPath(), live)
+
+
+def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
     """foreachBatch merge: upsert batch view-updates into a keyed parquet
     table partitioned by ``hash(transactionId) % n_buckets``.
 
     Only the buckets actually touched by the batch are rewritten: the old
-    rows are read with a partition-pruned filter on the bucket column and
-    the write uses dynamic partition overwrite, so untouched buckets' files
-    are never listed, read, or replaced. Per-batch cost is O(touched
-    buckets), not O(view size). Local stand-in for ``MERGE INTO`` on a
-    Delta/Iceberg table (jars not in this image); at cluster scale the same
-    layout maps onto the table's clustering and MERGE prunes identically.
+    rows are read with a partition-pruned filter on the bucket column, so
+    untouched buckets' files are never listed, read, or replaced. Per-batch
+    cost is O(touched buckets), not O(view size). Local stand-in for
+    ``MERGE INTO`` on a Delta/Iceberg table (jars not in this image); at
+    cluster scale the same layout maps onto the table's clustering and
+    MERGE prunes identically.
 
-    CRASH GUARANTEE (narrower than a transactional MERGE): dynamic
-    partition overwrite deletes and rewrites each touched bucket directory
-    non-atomically. A crash between a bucket's delete and its commit can
-    lose that bucket's rows that were NOT in the in-flight batch — the
-    micro-batch replay from the checkpoint re-emits only the batch's own
-    keys, so it repairs the batch's rows but cannot restore the bucket's
-    untouched residents. Accepted local-harness deviation: the production
-    sink is a transactional MERGE INTO, which restores full atomicity.
+    CRASH GUARANTEE: the merged generation of each touched bucket is staged
+    to a hidden ``_staging-<epoch>`` dir first, then committed per bucket by
+    rename: (1) current bucket dir → hidden ``.saved-`` dir, (2) staged
+    dir → bucket dir, (3) drop ``.saved-``. Every step preserves a complete
+    copy of the pre-batch generation until the new one is in place, so a
+    kill at ANY point loses no rows: :func:`recover_view` (run at the top
+    of every merge) rolls a half-committed bucket back to its saved
+    generation, and the checkpoint replays the batch, whose re-merge is
+    idempotent (delete-by-key ∪ upsert). Renames are atomic on file:/HDFS;
+    on S3 they are copies — production uses transactional MERGE INTO there
+    (reference guarantee: TransactionViewUpsertService.kt:160-189).
+
+    ``failpoint(step, bucket)`` is a test-only seam called between commit
+    steps to simulate a crash (raise to abort mid-commit).
     """
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        recover_view(spark, view_dir)
         updates = batch_df.withColumn(
             VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets)
         ).cache()
+        staging = f"{view_dir}/_staging-{epoch_id}"
         try:
-            if os.path.exists(view_dir):
-                # metadata-sized collect: at most n_buckets ints
-                touched = [
-                    r[0] for r in updates.select(VIEW_BUCKET_COL).distinct().collect()
-                ]
+            fs, root = _hadoop_fs(spark, view_dir)
+            # metadata-sized collect: at most n_buckets ints
+            touched = sorted(
+                r[0] for r in updates.select(VIEW_BUCKET_COL).distinct().collect()
+            )
+            if fs.exists(root) and fs.globStatus(
+                spark._jvm.org.apache.hadoop.fs.Path(
+                    root, f"{VIEW_BUCKET_COL}=*"
+                )
+            ):
                 old = spark.read.parquet(view_dir).filter(
                     F.col(VIEW_BUCKET_COL).isin(touched)
                 )
@@ -166,12 +226,26 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64):
                 ).unionByName(updates)
             else:
                 merged = updates
-            (
-                merged.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(VIEW_BUCKET_COL)
-                .parquet(view_dir)
+            merged.write.mode("overwrite").partitionBy(VIEW_BUCKET_COL).parquet(
+                staging
             )
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            for bucket in touched:
+                live = jvm_path(root, _bucket_dir(bucket))
+                saved = jvm_path(root, _saved_dir(bucket))
+                staged = jvm_path(jvm_path(staging), _bucket_dir(bucket))
+                if not fs.exists(staged):
+                    continue  # defensive: no staged output for this bucket
+                if fs.exists(live):
+                    fs.rename(live, saved)
+                if failpoint is not None:
+                    failpoint("saved", bucket)
+                fs.rename(staged, live)
+                if failpoint is not None:
+                    failpoint("moved", bucket)
+                if fs.exists(saved):
+                    fs.delete(saved, True)
+            fs.delete(jvm_path(staging), True)
         finally:
             updates.unpersist()
 

@@ -523,3 +523,102 @@ def test_view_state_ttl_wiring_executes_end_to_end(spark, tmp_path):
     assert {k: normalize(v) for k, v in stream_views.items()} == {
         k: normalize(v) for k, v in batch_views.items()
     }
+
+
+def _view_state(spark, view_dir):
+    return {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in read_view(spark, view_dir).collect()
+    }
+
+
+@pytest.mark.parametrize("kill_step", ["saved", "moved"])
+def test_upsert_sink_kill_mid_commit_loses_no_rows(spark, tmp_path, kill_step):
+    """Crash atomicity (reference guarantee: Mongo's per-document atomic
+    upsert, TransactionViewUpsertService.kt:160-189): kill the sink between
+    any two commit renames, then replay the batch — the view must equal the
+    no-crash outcome, INCLUDING rows of the touched bucket that were not in
+    the in-flight batch (the exact rows the old delete-then-rewrite sink
+    could drop)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=11, n_transactions=40)
+    batch1 = transactions_view_from_log(
+        spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    )
+    parquet_upsert_sink(view_dir, n_buckets=4)(batch1, epoch_id=0)
+    baseline = _view_state(spark, view_dir)
+    assert len(baseline) == batch1.count() > 30
+
+    # batch 2 updates ONE transaction; with 4 buckets its bucket holds ~10
+    # other transactions that must survive the crash
+    one_tx = events[0]["transactionId"]
+    batch2 = transactions_view_from_log(
+        spark.createDataFrame(
+            [e for e in events if e["transactionId"] == one_tx],
+            schema=EVENT_ENVELOPE_TYPE,
+        )
+    )
+
+    class Kill(RuntimeError):
+        pass
+
+    def failpoint(step, bucket):
+        if step == kill_step:
+            raise Kill(f"simulated kill after {step} of bucket {bucket}")
+
+    with pytest.raises(Kill):
+        parquet_upsert_sink(view_dir, n_buckets=4, failpoint=failpoint)(
+            batch2, epoch_id=1
+        )
+
+    # checkpoint replay: same batch, fresh sink (recovery runs first)
+    parquet_upsert_sink(view_dir, n_buckets=4)(batch2, epoch_id=1)
+    recovered = _view_state(spark, view_dir)
+
+    assert set(recovered) == set(baseline), "rows lost or invented by crash"
+    assert recovered == {**baseline, one_tx: recovered[one_tx]}
+    # no litter: staging and saved dirs all cleaned up
+    leftovers = [
+        n
+        for n in os.listdir(view_dir)
+        if n.startswith("_staging-") or n.startswith(".saved-")
+    ]
+    assert leftovers == []
+
+
+def test_upsert_sink_and_recovery_honor_path_uris(spark, tmp_path):
+    """Path probes must go through the Hadoop FileSystem API: with a
+    scheme-qualified ``file:`` URI (the local stand-in for hdfs://s3a://),
+    an ``os.path.exists`` probe is ALWAYS false — the sink would take the
+    first-merge branch on every batch and overwrite instead of merge."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+    )
+
+    view_dir = f"file:{tmp_path}/view"
+    events = generate_event_log(seed=13, n_transactions=12)
+    tx_ids = sorted({e["transactionId"] for e in events})
+    half_ids = set(tx_ids[: len(tx_ids) // 2])
+    half = [e for e in events if e["transactionId"] in half_ids]
+    rest = [e for e in events if e["transactionId"] not in half_ids]
+    sink = parquet_upsert_sink(view_dir, n_buckets=4)
+    sink(
+        transactions_view_from_log(
+            spark.createDataFrame(rest, schema=EVENT_ENVELOPE_TYPE)
+        ),
+        epoch_id=0,
+    )
+    n_first = read_view(spark, view_dir).count()
+    assert n_first > 0
+    sink(
+        transactions_view_from_log(
+            spark.createDataFrame(half, schema=EVENT_ENVELOPE_TYPE)
+        ),
+        epoch_id=1,
+    )
+    # merge, not overwrite: both halves present
+    assert read_view(spark, view_dir).count() == len(tx_ids)
