@@ -594,7 +594,22 @@ FROM delta GROUP BY change_type
 
 def _cf_rowhash(df: DataFrame) -> DataFrame:
     from ..functions.hashing import md5_long as _md5l
+    from pyspark.sql import types as T
 
+    # cross-engine hash precondition: CAST AS STRING must render identically
+    # in Spark and DuckDB, which holds for strings/ints/timestamps but NOT
+    # floating point (Spark emits scientific notation, DuckDB does not) —
+    # fail at plan build, not with a silent hash mismatch at the gate
+    floaty = [
+        f.name
+        for f in df.schema.fields
+        if f.name in _VIEW_COLS
+        and isinstance(f.dataType, (T.DoubleType, T.FloatType))
+    ]
+    assert not floaty, (
+        f"change-feed row hash is not engine-portable for float columns "
+        f"{floaty}: normalize to DECIMAL/text before hashing"
+    )
     parts = [
         F.coalesce(F.col(c).cast("string"), F.lit(_CF_NULL)) for c in _VIEW_COLS
     ]

@@ -235,7 +235,6 @@ def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .helpers import gate_workdir, write_single_file
 
     ev = read(spark, sf_dir, "events").select("ts", "event_type", "value")
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # one scalar to the driver
 
     workdir = gate_workdir("stream-window-gate-")
     src = f"{workdir}/src"
@@ -247,10 +246,13 @@ def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     now = _time.time()
     dump(ev, "real", now - 20)
-    flush = spark.createDataFrame(
-        [(max_ts, "__flush__", 0.0)],
-        "ts timestamp, event_type string, value double",
-    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 3 HOURS"))
+    # watermark flush row at max(ts)+3h, computed and written executor-side
+    # (a one-row aggregate DF) — no scalar ever crosses to the driver
+    flush = ev.agg(
+        (F.max("ts") + F.expr("INTERVAL 3 HOURS")).alias("ts"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+    )
     dump(flush, "flush", now - 10)
 
     name = f"swt_{uuid.uuid4().hex[:8]}"

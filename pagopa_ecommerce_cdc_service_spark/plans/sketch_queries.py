@@ -67,10 +67,13 @@ def query(name: str, oracle: str | None = None):
 
 
 _TOKS_SQL = TOKENS_SQL.format(c="text")
-# one finalization, four surfaces: the SQL templates use OCC/USED
-# placeholders so the batch and streaming oracles can't desynchronize
-_HLL_FINAL_SQL = hll_final_sql("OCC", "USED")
-_OCC_AGG = f'CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT)' 
+# one finalization, four surfaces: each use site passes its occ/used
+# expressions as REAL hll_final_sql parameters (textual placeholder
+# surgery would silently corrupt the SQL if a generated identifier ever
+# contained the placeholder substring)
+_OCC_AGG = f'CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT)'
+_HLL_FINAL_BATCH = hll_final_sql("a.occ_sum", "a.used_buckets")
+_HLL_FINAL_STREAM = hll_final_sql(_OCC_AGG, "COUNT(*)")
 
 
 # ---------------------------------------------------------------------------
@@ -95,8 +98,8 @@ _OCC_AGG = f'CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT)'
       SELECT lang, COUNT(DISTINCT tok) AS exact_distinct FROM toks GROUP BY lang
     )
     SELECT a.lang, a.used_buckets,
-           {_HLL_FINAL_SQL[0].replace("OCC", "a.occ_sum").replace("USED", "a.used_buckets")} AS denom_q,
-           {_HLL_FINAL_SQL[1].replace("OCC", "a.occ_sum").replace("USED", "a.used_buckets")} AS hll_estimate,
+           {_HLL_FINAL_BATCH[0]} AS denom_q,
+           {_HLL_FINAL_BATCH[1]} AS hll_estimate,
            ex.exact_distinct
     FROM agg a JOIN ex USING (lang)
     """,
@@ -338,8 +341,8 @@ def t_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM hashed GROUP BY 1, 2
     )
     SELECT lang, COUNT(*) AS used_buckets,
-           {_HLL_FINAL_SQL[0].replace("OCC", _OCC_AGG).replace("USED", "COUNT(*)")} AS denom_q,
-           {_HLL_FINAL_SQL[1].replace("OCC", _OCC_AGG).replace("USED", "COUNT(*)")} AS hll_estimate
+           {_HLL_FINAL_STREAM[0]} AS denom_q,
+           {_HLL_FINAL_STREAM[1]} AS hll_estimate
     FROM regs GROUP BY lang
     """,
 )

@@ -153,7 +153,7 @@ def test_global_shuffle_single_exchange_reused_by_agg(spark, sf_dir, queries):
     assert "partial_count" in plan
 
 
-def test_bucketed_join_is_exchange_free(spark):
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
     # In the SMJ regime (broadcast off) the bucketBy(8, orderkey) layout
     # must satisfy both join sides' distribution requirement: a sort-merge
     # join with NO exchange on either join key, scans marked bucketed.
@@ -166,7 +166,7 @@ def test_bucketed_join_is_exchange_free(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        df = q_bucketed_colocated_join(spark, "/root/testdata/sf0.001")
+        df = q_bucketed_colocated_join(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
@@ -177,7 +177,7 @@ def test_bucketed_join_is_exchange_free(spark):
     assert plan.count("Bucketed: true") == 2
 
 
-def test_partitioned_layout_scan_prunes(spark):
+def test_partitioned_layout_scan_prunes(spark, sf_dir):
     # The one-day query over the date-partitioned layout must reach the
     # scan as a PartitionFilter (directory pruning before any row decode).
     import re
@@ -186,13 +186,13 @@ def test_partitioned_layout_scan_prunes(spark):
         w_partition_pruned_day,
     )
 
-    df = w_partition_pruned_day(spark, "/root/testdata/sf0.001")
+    df = w_partition_pruned_day(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "day" in pf.group(1), plan[:1500]
 
 
-def test_pagerank_reuses_edge_exchange(spark):
+def test_pagerank_reuses_edge_exchange(spark, sf_dir):
     # Every iteration's contribution join, the degree build and the output
     # join must read the ONE materialized LSH-pair exchange rather than
     # re-running the minhash candidate pipeline.
@@ -200,7 +200,7 @@ def test_pagerank_reuses_edge_exchange(spark):
         t_pagerank_similarity,
     )
 
-    df = t_pagerank_similarity(spark, "/root/testdata/sf0.001")
+    df = t_pagerank_similarity(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 4, plan[:1500]
