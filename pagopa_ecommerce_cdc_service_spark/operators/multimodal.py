@@ -54,17 +54,78 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
+BMP_DATA_OFFSET = 14 + 40 + 256 * 4  # file header + BITMAPINFOHEADER + palette
+_BMP_PALETTE = b"".join(bytes((i, i, i, 0)) for i in range(256))
+
+
+def encode_bmp_gray8(pixels) -> bytes:
+    """Encode a 2-D uint8 array (rows top-down) as a real 8-bit grayscale BMP:
+    BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry palette + BI_RGB pixel
+    rows stored bottom-up and padded to 4-byte boundaries — the standard
+    on-disk container, parseable by any image tool."""
+    import struct
+
+    import numpy as np
+
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w = pixels.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = pixels
+    body = rows[::-1].tobytes()  # bottom-up row order
+    header = struct.pack(
+        "<2sIHHI", b"BM", BMP_DATA_OFFSET + len(body), 0, 0, BMP_DATA_OFFSET
+    )
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(body), 2835, 2835, 256, 0
+    )
+    return header + info + _BMP_PALETTE + body
+
+
+def decode_bmp_gray8(payload: bytes):
+    """Pure-Python BMP decode (8-bit uncompressed): parses the file header,
+    DIB header, row stride and bottom-up ordering, returning a 2-D uint8
+    array in top-down row-major order. Raises ValueError on a non-BMP
+    signature and NotImplementedError for depths/compressions outside the
+    8-bit BI_RGB profile this pipeline writes."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    _size, w, h, _planes, bpp, comp = struct.unpack_from("<IiiHHI", payload, 14)
+    if bpp != 8 or comp != 0:
+        raise NotImplementedError(f"only 8-bit BI_RGB supported, got {bpp}/{comp}")
+    bottom_up, h = h > 0, abs(h)
+    stride = (w + 3) & ~3
+    arr = (
+        np.frombuffer(payload, np.uint8, stride * h, data_offset)
+        .reshape(h, stride)[:, :w]
+    )
+    return arr[::-1] if bottom_up else arr
+
+
 def decode_image(payload: bytes):
-    """Real decode — requires an imaging library (not in this image)."""
+    """Decode an image payload to a 2-D uint8 grayscale array.
+
+    BMP payloads decode through the pure-Python parser above (no external
+    libs needed); anything else goes through PIL when available and raises
+    ``NotImplementedError`` otherwise (PNG/JPEG codecs are not in this
+    container)."""
+    if payload[:2] == b"BM":
+        return decode_bmp_gray8(payload)
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image
         import io
 
-        return Image.open(io.BytesIO(payload))
+        import numpy as np
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
     except ImportError as exc:  # pragma: no cover - environment-dependent
         raise NotImplementedError(
-            "image decoding requires PIL/pillow; use fake_decode_meta for "
-            "pipeline plumbing tests"
+            "non-BMP decoding requires PIL/pillow; BMP decodes natively"
         ) from exc
 
 
@@ -143,6 +204,90 @@ def extract_features(media_df: DataFrame) -> DataFrame:
             )
 
     return media_df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+BMP_MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), nullable=False),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ]
+)
+
+
+def _synth_pixels(media_id: int):
+    """Deterministic test-card image for ``media_id``: geometry and every
+    pixel are pure integer functions of the id, so an oracle can recompute
+    the decoded stats from first principles without any codec."""
+    import numpy as np
+
+    w = 8 + media_id % 9
+    h = 8 + media_id % 7
+    i = np.arange(w * h, dtype=np.int64)
+    return ((media_id * 31 + 7 * i) % 256).astype(np.uint8).reshape(h, w)
+
+
+def synthesize_bmp_media(docs: DataFrame) -> DataFrame:
+    """documents → (media_id, payload) where payload is a REAL encoded BMP
+    of the deterministic test card — Arrow-batched binary-column producer."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        encode_bmp_gray8(_synth_pixels(int(m))) for m in ids
+                    ],
+                },
+                columns=["media_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BMP_MEDIA_SCHEMA)
+
+
+def image_decode_stats(media_df: DataFrame) -> DataFrame:
+    """Decode BMP payloads (real container parse: header offsets, stride
+    padding, bottom-up flip) and emit integer pixel stats per image.
+
+    ``pos_checksum`` = Σ (i+1)·pᵢ over the TOP-DOWN row-major pixel order is
+    position-sensitive: a decoder that mishandles row padding or vertical
+    flip cannot hash-match the oracle, unlike order-invariant sums. All
+    outputs are exact integers → engine-portable. Map-only stage: zero
+    shuffles at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in DECODE_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                h, w = px.shape
+                flat = px.astype(np.int64).ravel()
+                rows["media_id"].append(int(mid))
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["pixel_sum"].append(int(flat.sum()))
+                rows["pos_checksum"].append(
+                    int(((np.arange(flat.size, dtype=np.int64) + 1) * flat).sum())
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media_df.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

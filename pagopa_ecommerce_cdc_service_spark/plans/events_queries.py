@@ -778,6 +778,59 @@ def w_range_recent_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HOT-KEY fact-fact join under AQE skew handling: signup→click pairs within
+# one day, joined on user_id ALONE. user_id is deliberately low-cardinality
+# in this corpus (~15 users per 1k events), so every join key is hot: a
+# plain hash layout puts each user's full click history into ONE shuffle
+# partition, and at 100 TB that single task is the job. The scale path is
+# AQE's skew-join split (spark.sql.adaptive.skewJoin): the oversized probe
+# partitions are split into map-range chunks and the matching build
+# partition is replicated per chunk — same results, bounded task size, no
+# manual salting. tests/test_plan_quality.py::test_skew_join_pairs_aqe_split
+# executes this plan with skew thresholds forced low and asserts the final
+# adaptive plan actually applied the split (skew=true on the join node);
+# PLANS.md carries the evidence. The time band rides on the equi-join as a
+# post-join predicate, and the aggregation keeps output at |users| rows.
+# ---------------------------------------------------------------------------
+@query(
+    "w_skew_join_pairs",
+    f"""
+    SELECT s.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CASE WHEN c.ts <= s.ts + INTERVAL 1 HOUR THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_within_hour
+    FROM (SELECT * FROM {EV} WHERE event_type = 'signup') s
+    JOIN (SELECT * FROM {EV} WHERE event_type = 'click') c
+      ON s.user_id = c.user_id
+     AND c.ts >= s.ts AND c.ts <= s.ts + INTERVAL 1 DAY
+    GROUP BY s.user_id
+    """,
+)
+def w_skew_join_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("s_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    pairs = signups.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("s_ts"))
+        & (F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 DAY")),
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.when(
+                F.col("c_ts") <= F.col("s_ts") + F.expr("INTERVAL 1 HOUR"), 1
+            ).otherwise(0)
+        ).alias("n_within_hour"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # exact percentiles per event type, engine-portable: the value at row
 # ceil(p·n) of the (value, event_id)-ordered partition — no reliance on
 # either engine's quantile interpolation rules

@@ -9,7 +9,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import documents_as_media, extract_features, frame_sample
+from ..operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+    image_decode_stats,
+    synthesize_bmp_media,
+)
 from .helpers import read
 
 QUERIES = {}
@@ -39,8 +45,21 @@ def mm_frame_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real codec round-trip under the value-hash gate: encode a
+    deterministic test-card image per document as an actual 8-bit BMP
+    (header + palette + padded bottom-up rows), DECODE it back with the
+    pure-Python parser, and emit integer pixel stats. The oracle recomputes
+    the same stats from the pixel formula alone — any container-parse bug
+    (stride, flip, offset) breaks the position-weighted checksum. Two
+    chained Arrow mapInPandas stages, map-only: zero shuffles at 100 TB."""
+    docs = read(spark, sf_dir, "documents")
+    return image_decode_stats(synthesize_bmp_media(docs))
+
+
 QUERIES["mm_media_features"] = mm_media_features
 QUERIES["mm_frame_offsets"] = mm_frame_offsets
+QUERIES["mm_image_decode_stats"] = mm_image_decode_stats
 
 # byte-level twin of extract_features: hex-expand the utf-8 payload and
 # recompute n_bytes / mean / one histogram bucket / fake codec geometry
@@ -76,4 +95,30 @@ ORACLES["mm_frame_offsets"] = """
            CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
            2 * CAST(octet_length(encode(text)) // 4 AS BIGINT) AS frame2_offset
     FROM documents
+"""
+
+# first-principles twin of the BMP round-trip: the same integer pixel
+# formula evaluated directly — the Spark side only matches if encode→decode
+# reproduced every pixel in top-down row-major order
+ORACLES["mm_image_decode_stats"] = """
+WITH g AS (
+  SELECT doc_id,
+         8 + doc_id % 9 AS width,
+         8 + doc_id % 7 AS height
+  FROM documents
+),
+px AS (
+  SELECT doc_id, width, height,
+         list_transform(range(CAST(width * height AS INTEGER)),
+                        i -> (doc_id * 31 + 7 * i) % 256) AS pxs
+  FROM g
+)
+SELECT doc_id AS media_id,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(width * height AS BIGINT) AS n_pixels,
+       CAST(list_sum(pxs) AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(CAST(width * height AS INTEGER)),
+            i -> (i + 1) * pxs[i + 1])) AS BIGINT) AS pos_checksum
+FROM px
 """

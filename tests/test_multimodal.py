@@ -32,7 +32,7 @@ def test_features_match_python_golden(spark, sf_dir):
         assert got["media_type"] == "text/plain;fake-image"
 
 
-def test_decode_image_is_stubbed():
+def test_decode_image_non_bmp_needs_pil():
     import pytest
 
     try:
@@ -45,6 +45,84 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG\r\n")
+
+
+def test_bmp_round_trip_including_padding_and_flip():
+    """encode → decode must reproduce every pixel for widths that exercise
+    all four stride paddings (w % 4 ∈ {0,1,2,3}) and non-square shapes."""
+    import numpy as np
+
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        decode_bmp_gray8,
+        decode_image,
+        encode_bmp_gray8,
+    )
+
+    rng = np.random.default_rng(7)
+    for w in (1, 2, 3, 4, 5, 8, 13, 16, 127):
+        for h in (1, 3, 8, 31):
+            px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+            payload = encode_bmp_gray8(px)
+            assert payload[:2] == b"BM"
+            got = decode_bmp_gray8(payload)
+            assert got.shape == (h, w)
+            assert np.array_equal(got, px), (w, h)
+            # decode_image dispatches BMP to the native parser
+            assert np.array_equal(decode_image(payload), px)
+
+
+def test_bmp_decode_golden_bytes():
+    """Decode a hand-assembled BMP (not produced by our encoder): 3×2,
+    bottom-up rows padded to 4 bytes — guards against an encoder/decoder
+    pair that agrees with itself but not with the format."""
+    import struct
+
+    import numpy as np
+
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        BMP_DATA_OFFSET,
+        decode_bmp_gray8,
+    )
+
+    # top-down image [[1,2,3],[4,5,6]] → bottom-up padded rows: 4,5,6,0 then 1,2,3,0
+    body = bytes([4, 5, 6, 0, 1, 2, 3, 0])
+    header = struct.pack(
+        "<2sIHHI", b"BM", BMP_DATA_OFFSET + len(body), 0, 0, BMP_DATA_OFFSET
+    )
+    info = struct.pack("<IiiHHIIiiII", 40, 3, 2, 1, 8, 0, len(body), 0, 0, 256, 0)
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    got = decode_bmp_gray8(header + info + palette + body)
+    assert np.array_equal(got, np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8))
+
+
+def test_image_decode_stats_matches_pixel_formula(spark, sf_dir):
+    """The full Spark stage (synthesize BMP → decode → stats) must equal the
+    first-principles per-pixel computation, including the position-weighted
+    checksum that detects stride/flip mistakes."""
+    import numpy as np
+
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        _synth_pixels,
+        image_decode_stats,
+        synthesize_bmp_media,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    docs = read(spark, sf_dir, "documents").limit(50)
+    rows = {
+        r["media_id"]: r.asDict()
+        for r in image_decode_stats(synthesize_bmp_media(docs)).collect()
+    }
+    assert len(rows) == 50
+    for mid, got in rows.items():
+        px = _synth_pixels(mid).astype(np.int64)
+        h, w = px.shape
+        flat = px.ravel()
+        assert (got["width"], got["height"], got["n_pixels"]) == (w, h, w * h)
+        assert got["pixel_sum"] == int(flat.sum())
+        assert got["pos_checksum"] == int(
+            ((np.arange(flat.size) + 1) * flat).sum()
+        )
 
 
 def test_resize_geometry_and_payload_shape(spark, sf_dir):

@@ -204,3 +204,52 @@ def test_pagerank_reuses_edge_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ReusedExchange") >= 4, plan[:1500]
+
+
+def test_skew_join_pairs_aqe_split(spark, sf_dir, tmp_path):
+    """The hot-key fact-fact join must actually take AQE's skew-join split
+    when partitions are oversized: final adaptive plan shows the SMJ marked
+    skew=true with AQEShuffleRead skewed on both sides. Events are staged as
+    16 files first — skew split carves reduce partitions along MAPPER block
+    boundaries, so a single-file (single-mapper) input is unsplittable no
+    matter how skewed (exactly why a 100 TB layout keeps many map tasks)."""
+    import re
+
+    from pagopa_ecommerce_cdc_service_spark.plans.events_queries import (
+        w_skew_join_pairs,
+    )
+
+    staged = str(tmp_path / "sf")
+    spark.read.parquet(f"{sf_dir}/events.parquet").repartition(16).write.parquet(
+        f"{staged}/events.parquet"
+    )
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256b",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the downstream per-user agg reuses the join's hash partitioning;
+        # splitting breaks that guarantee, so AQE must be told the extra
+        # post-agg shuffle is worth it (it is: the agg input after the
+        # split is tiny compared to an unsplittable hot-key join task)
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        df = w_skew_join_pairs(spark, staged)
+        df.collect()  # AQE finalizes the plan only on execution
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "isFinalPlan=true" in plan
+    assert re.search(r"SortMergeJoin.*skew=true", final), final[:1500]
+    assert final.count("AQEShuffleRead skewed") == 2, final[:1500]
