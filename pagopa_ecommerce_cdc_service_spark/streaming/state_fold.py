@@ -209,11 +209,18 @@ def incremental_view(
 # transformWithStateInPandas twin (Spark 4 stateful API): same fold body,
 # state held in a named ValueState on the RocksDB state store — the layering
 # a long-lived 100 TB deployment wants (state size O(#live transactions),
-# incremental checkpointing, no JVM-heap state). NOTE: executing it needs
-# google.protobuf (the TWS state protocol), which this image does not ship —
-# the differential test skips with that reason; every line of fold logic is
-# shared with (and covered by) the applyInPandasWithState path above.
+# incremental checkpointing, no JVM-heap state). The TWS worker↔JVM state
+# protocol is protobuf; when the google.protobuf runtime is absent (this
+# image ships pyspark without it), state_message_shim installs a
+# wire-compatible pure-Python twin of StateMessage_pb2. The install runs at
+# THIS module's import time, which covers both sides: the driver imports it
+# directly, and the worker imports it while unpickling CdcFoldProcessor —
+# before the lazy `import ...StateMessage_pb2` in the first state call.
 # ---------------------------------------------------------------------------
+from . import state_message_shim
+
+state_message_shim.install()
+
 try:  # pragma: no cover - import guard for older runtimes
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

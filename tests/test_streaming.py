@@ -268,14 +268,9 @@ def test_transform_with_state_twin_matches_batch_and_oracle(spark, tmp_path):
 
     if incremental_view_tws is None:
         pytest.skip("transformWithStateInPandas not available")
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-    except ImportError:
-        pytest.skip(
-            "transformWithStateInPandas needs google.protobuf (its state "
-            "protocol) — not in this image; fold body shared with the "
-            "applyInPandasWithState path, which is fully tested"
-        )
+    # no google.protobuf skip: state_message_shim provides a wire-compatible
+    # StateMessage_pb2 twin when the runtime is absent (installed at
+    # state_fold import)
 
     events = generate_event_log(seed=21, n_transactions=30, p_duplicate=0.1)
     log_dir = str(tmp_path / "log")
