@@ -335,6 +335,86 @@ def test_kafka_reader_option_wiring(spark):
     assert "id" in good.columns and quar.columns == ["raw_record"]
 
 
+def test_kafka_reader_resume_contract(spark, monkeypatch):
+    """Contract-level gate for the Kafka source (no broker in this image):
+    intercept the DataStreamReader the builder drives and assert the resume
+    policy lands in the right options, mirroring the reference's precedence
+    (EcommerceTransactionsLogEventsStream.kt:74-94,
+    RedisResumePolicyService.kt:37-53):
+
+    - explicit resume token   → startingTimestamp = that timestamp
+    - no token, fallback set  → startingTimestamp = now − fallback window
+    - neither                 → startingOffsets=latest
+    - failOnDataLoss disabled and the topic subscribed in every mode
+
+    The post-``load()`` stages (JSON envelope parse, quarantine) are the
+    same code path as the file-source twin, which streams under the hard
+    gate every round — so this test plus the file twin covers the full
+    Kafka path except the socket itself."""
+    import time as _time
+
+    from pyspark.sql.streaming import readwriter as _rw
+
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        read_kafka_event_stream,
+    )
+
+    captured: list[dict] = []
+
+    class FakeReader:
+        def __init__(self, spark_session):
+            self._opts: dict = {}
+            self._fmt = None
+            self._spark = spark_session
+
+        def format(self, fmt):
+            self._fmt = fmt
+            return self
+
+        def option(self, k, v):
+            self._opts[k] = v
+            return self
+
+        def load(self):
+            captured.append({"format": self._fmt, **self._opts})
+            # hand back a DF shaped like the Kafka source's output so the
+            # downstream envelope parse builds on it unchanged
+            return self._spark.createDataFrame(
+                [], "key binary, value binary, topic string, partition int, "
+                "offset long, timestamp timestamp, timestampType int"
+            )
+
+    monkeypatch.setattr(
+        type(spark), "readStream", property(lambda s: FakeReader(s))
+    )
+
+    # mode 1: explicit resume token wins
+    good, quar = read_kafka_event_stream(
+        spark, "broker:9092", "eventstore", starting_timestamp_ms=1700000000000
+    )
+    assert "id" in good.columns and quar.columns == ["raw_record"]
+    opts = captured[-1]
+    assert opts["format"] == "kafka"
+    assert opts["subscribe"] == "eventstore"
+    assert opts["kafka.bootstrap.servers"] == "broker:9092"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["startingTimestamp"] == "1700000000000"
+    assert "startingOffsets" not in opts
+
+    # mode 2: fallback window (S3) when no token exists
+    before_ms = int(_time.time() * 1000) - 30 * 60_000
+    read_kafka_event_stream(spark, "b:9092", "t", fallback_minutes=30)
+    after_ms = int(_time.time() * 1000) - 30 * 60_000
+    got = int(captured[-1]["startingTimestamp"])
+    assert before_ms <= got <= after_ms
+
+    # mode 3: neither → start at latest, no timestamp option
+    read_kafka_event_stream(spark, "b:9092", "t")
+    opts = captured[-1]
+    assert opts["startingOffsets"] == "latest"
+    assert "startingTimestamp" not in opts
+
+
 def test_upsert_sink_idempotent_under_batch_replay(spark, tmp_path):
     """foreachBatch delivery is at-least-once: a replayed micro-batch (same
     rows, new epoch) must leave the view byte-identical — the upsert's
