@@ -46,6 +46,9 @@ HEADLINE = [
     "e_sq8_topk",
     "w_hist_quantiles",
     "e_pq_topk",
+    # round-4 (second pass) additions: AQE hot-key join + BMP codec stage
+    "w_skew_join_pairs",
+    "mm_image_decode_stats",
 ]
 
 
