@@ -98,6 +98,11 @@ def bpe_tokens(word: Column) -> Column:
 
 # --- Training ----------------------------------------------------------------
 
+# driver-sequenced merge loop envelope: one Spark job wave per merge (see
+# bpe_train docstring); large vocabularies belong in bpe_train_py offline
+BPE_TRAIN_MAX_MERGES = 256
+
+
 def bpe_train(words, n_merges: int) -> list[tuple[str, str, int]]:
     """Learn a BPE merge table from a word-frequency table (Sennrich et al.
     2016, ``learn_bpe``): start every word as its character sequence, then
@@ -120,10 +125,29 @@ def bpe_train(words, n_merges: int) -> list[tuple[str, str, int]]:
     checkpoints released immediately (same discipline as
     ``graph.connected_components``). Per iteration the driver collects
     exactly one row (the argmax pair).
+
+    BOUND: the control loop is driver-sequenced — one Spark job wave per
+    merge — so wall-clock scales with ``n_merges`` regardless of cluster
+    size (a 30k-vocab run would be 30k sequential waves). That is the
+    correct shape for the small merge tables this suite trains (≤ 8 under
+    the gate) but the wrong tool for production-size vocabularies, where
+    training runs once offline on a word-frequency SAMPLE
+    (``bpe_train_py`` on the collected vocab table) and only ``bpe_tokens``
+    application runs at corpus scale. ``BPE_TRAIN_MAX_MERGES`` enforces the
+    intended envelope loudly instead of letting a config knob schedule an
+    unbounded job sequence.
     """
     from pyspark.sql import functions as F
 
     from .graph import _release_local_checkpoint
+
+    if n_merges > BPE_TRAIN_MAX_MERGES:
+        raise ValueError(
+            f"bpe_train is driver-sequenced (one job wave per merge): "
+            f"n_merges={n_merges} exceeds the supported bound "
+            f"{BPE_TRAIN_MAX_MERGES}; collect the word-frequency table and "
+            f"use bpe_train_py for large merge tables"
+        )
 
     cur = words.select(
         F.split("word", "").alias("syms"), F.col("cnt").cast("long").alias("cnt")

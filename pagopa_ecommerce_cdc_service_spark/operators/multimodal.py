@@ -5,11 +5,16 @@ and implements the Spark-side machinery a 100 TB media pipeline needs:
 Arrow-batched ``mapInPandas`` decode/feature stages with explicit schemas,
 per-partition batching, and no driver-side collection.
 
-The actual codec step is STUBBED: this container ships no image/audio
-libraries, so ``decode_image`` raises ``NotImplementedError`` unless PIL is
-importable, and the pipeline uses :func:`fake_decode_meta` — a deterministic
-byte-level "decode" — to keep every seam (schema, batch shape, partitioning)
-real and testable.
+Codec status: 8-bit BMP is REAL — a pure-Python encoder/decoder
+(:func:`encode_bmp_gray8` / :func:`decode_bmp_gray8`) handles the standard
+container (file+DIB headers, palette, 4-byte row stride, bottom-up order),
+and :func:`resize_bmp_media` / :func:`image_decode_stats` move actual
+pixels through Arrow batches under the value-hash gate. Other formats
+(PNG/JPEG/audio/video) still need external libraries this container does
+not ship: ``decode_image`` dispatches BMP natively, uses PIL when present,
+and raises ``NotImplementedError`` otherwise; those pipelines fall back to
+:func:`fake_decode_meta` — a deterministic byte-level "decode" — keeping
+every seam (schema, batch shape, partitioning) real and testable.
 """
 
 from __future__ import annotations
@@ -373,5 +378,52 @@ def resize_media(media_df: DataFrame, target_w: int = 224, target_h: int = 224) 
                 },
                 columns=cols,
             )
+
+    return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def resize_pixels_nearest(pixels, target_w: int, target_h: int):
+    """Nearest-neighbor resample of a 2-D uint8 array, pure integer source
+    mapping (``src = ((2·dst+1)·n_src) // (2·n_dst)``, the pixel-center
+    rule) — deterministic across platforms, vectorized via index fancy-
+    indexing, no interpolation arithmetic to drift."""
+    import numpy as np
+
+    h, w = pixels.shape
+    ys = ((2 * np.arange(target_h, dtype=np.int64) + 1) * h) // (2 * target_h)
+    xs = ((2 * np.arange(target_w, dtype=np.int64) + 1) * w) // (2 * target_w)
+    return pixels[ys[:, None], xs[None, :]]
+
+
+def resize_bmp_media(
+    media_df: DataFrame, target_w: int = 224, target_h: int = 224
+) -> DataFrame:
+    """REAL resize stage over BMP payloads: decode → aspect-preserving
+    nearest-neighbor resample → re-encode, all inside Arrow batches.
+
+    The codec-less :func:`resize_media` remains for payloads that are not
+    decodable in this environment; this variant is the production shape —
+    pixels actually move. Map-only: zero shuffles at any scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RESIZE_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload))
+                oh, ow = px.shape
+                s = min(target_w / ow, target_h / oh)
+                tw = max(1, int(ow * s))
+                th = max(1, int(oh * s))
+                out = resize_pixels_nearest(px, tw, th)
+                rows["media_id"].append(int(mid))
+                rows["orig_width"].append(ow)
+                rows["orig_height"].append(oh)
+                rows["target_width"].append(tw)
+                rows["target_height"].append(th)
+                rows["scale_x"].append(tw / ow)
+                rows["scale_y"].append(th / oh)
+                rows["resized_payload"].append(encode_bmp_gray8(out))
+            yield pd.DataFrame(rows, columns=cols)
 
     return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)

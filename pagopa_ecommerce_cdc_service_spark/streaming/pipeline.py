@@ -130,7 +130,13 @@ def view_bucket(key_col: str, n_buckets: int):
 
 
 def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
-    """Read the maintained view, hiding the internal bucket column."""
+    """Read the maintained view, hiding the internal bucket column.
+
+    Runs :func:`recover_view` first (one directory listing, no-op in the
+    steady state) so a reader that arrives after a mid-commit crash — and
+    before the stream restarts — still sees every bucket's last complete
+    generation."""
+    recover_view(spark, view_dir)
     return spark.read.parquet(view_dir).drop(VIEW_BUCKET_COL)
 
 

@@ -144,3 +144,37 @@ def test_resize_geometry_and_payload_shape(spark, sf_dir):
         assert r.target_width <= 224 and r.target_height <= 224
         assert max(r.target_width, r.target_height) in (224, 223)
         assert len(r.resized_payload) == r.target_width * r.target_height
+
+
+def test_resize_bmp_media_actually_resamples(spark, sf_dir):
+    """The BMP resize stage decodes, resamples and re-encodes real pixels:
+    decoding each output payload must equal the numpy nearest-neighbor
+    reference of the input test card (pixel-center integer rule)."""
+    import numpy as np
+
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        _synth_pixels,
+        decode_image,
+        resize_bmp_media,
+        resize_pixels_nearest,
+        synthesize_bmp_media,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    docs = read(spark, sf_dir, "documents").limit(20)
+    out = {
+        r["media_id"]: r
+        for r in resize_bmp_media(
+            synthesize_bmp_media(docs), target_w=8, target_h=6
+        ).collect()
+    }
+    assert len(out) == 20
+    for mid, row in out.items():
+        src = _synth_pixels(mid)
+        oh, ow = src.shape
+        s = min(8 / ow, 6 / oh)
+        tw, th = max(1, int(ow * s)), max(1, int(oh * s))
+        assert (row["target_width"], row["target_height"]) == (tw, th)
+        got = decode_image(bytes(row["resized_payload"]))
+        assert got.shape == (th, tw)
+        assert np.array_equal(got, resize_pixels_nearest(src, tw, th)), mid
