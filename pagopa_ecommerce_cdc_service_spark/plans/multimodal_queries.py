@@ -16,7 +16,7 @@ from ..operators.multimodal import (
     image_decode_stats,
     synthesize_bmp_media,
 )
-from .helpers import read
+from .helpers import read, spread
 
 QUERIES = {}
 ORACLES: dict[str, str] = {}
@@ -52,8 +52,10 @@ def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python parser, and emit integer pixel stats. The oracle recomputes
     the same stats from the pixel formula alone — any container-parse bug
     (stride, flip, offset) breaks the position-weighted checksum. Two
-    chained Arrow mapInPandas stages, map-only: zero shuffles at 100 TB."""
-    docs = read(spark, sf_dir, "documents")
+    chained Arrow mapInPandas stages, map-only at scale; locally the
+    single-file scan is spread across cores first so the codec stage
+    parallelizes (no-op on an already-split production layout)."""
+    docs = spread(read(spark, sf_dir, "documents"), spark)
     return image_decode_stats(synthesize_bmp_media(docs))
 
 
