@@ -132,11 +132,14 @@ def view_bucket(key_col: str, n_buckets: int):
 def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
     """Read the maintained view, hiding the internal bucket column.
 
-    Runs :func:`recover_view` first (one directory listing, no-op in the
-    steady state) so a reader that arrives after a mid-commit crash — and
-    before the stream restarts — still sees every bucket's last complete
-    generation."""
-    recover_view(spark, view_dir)
+    Deliberately does NOT run :func:`recover_view`: recovery mutates the
+    directory (restores ``.saved-`` generations, drops staging), which is
+    only safe under the sink's single-writer assumption — a reader racing a
+    LIVE commit could otherwise restore a bucket the writer just saved and
+    corrupt the commit. Recovery belongs to the writer, which runs it at
+    the top of every merge; until the stream restarts after a crash, a
+    reader may observe a touched bucket's pre-crash generation as absent
+    (bounded staleness, never corruption)."""
     return spark.read.parquet(view_dir).drop(VIEW_BUCKET_COL)
 
 
@@ -236,6 +239,15 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
                 staging
             )
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+            def rename_or_die(src, dst, what):
+                # Hadoop rename reports failure by RETURN VALUE; swallowing
+                # it would silently drop a bucket generation (e.g. under an
+                # unexpected concurrent writer) — fail the batch instead so
+                # the checkpoint replays it
+                if not fs.rename(src, dst):
+                    raise IOError(f"upsert commit: rename failed ({what}): {src} -> {dst}")
+
             for bucket in touched:
                 live = jvm_path(root, _bucket_dir(bucket))
                 saved = jvm_path(root, _saved_dir(bucket))
@@ -243,10 +255,10 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
                 if not fs.exists(staged):
                     continue  # defensive: no staged output for this bucket
                 if fs.exists(live):
-                    fs.rename(live, saved)
+                    rename_or_die(live, saved, "save old generation")
                 if failpoint is not None:
                     failpoint("saved", bucket)
-                fs.rename(staged, live)
+                rename_or_die(staged, live, "publish new generation")
                 if failpoint is not None:
                     failpoint("moved", bucket)
                 if fs.exists(saved):
