@@ -393,3 +393,97 @@ def w_stream_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "used_buckets",
         *hll_final_cols(F.col("occ_sum"), F.col("used_buckets")),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING Count-Min accumulation under the hard gate: the d×w counter grid
+# maintained by a complete-mode streaming aggregation across two
+# micro-batches (docs split by hash, so every counter merges across the
+# batch boundary) must equal the single-pass batch sketch COUNTER FOR
+# COUNTER — counts are associative/commutative, the merge property that
+# lets a 1000-executor stream maintain live heavy-hitter estimates with
+# d·w bounded state and any arrival order. Candidate probing and the exact
+# audit run batch-side on the same corpus; the output (and oracle) is
+# exactly t_cms_heavy_hitters', so the gate hash certifies the streamed
+# grid bit-for-bit.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_cms_merge",
+    f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS tok FROM documents
+    ), cells AS (
+      {_cms_cells_sql("toks")}
+    ), sketch AS (
+      SELECT hrow, pos, COUNT(*) AS n FROM cells GROUP BY hrow, pos
+    ), exact AS (
+      SELECT tok, COUNT(*) AS exact_n FROM toks GROUP BY tok
+    ), cand AS (
+      SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 20
+    ), probes AS (
+      {_cms_probe_sql("cand")}
+    )
+    SELECT p.tok, p.exact_n, MIN(s.n) AS cms_n,
+           MIN(s.n) - p.exact_n AS overcount
+    FROM probes p JOIN sketch s USING (hrow, pos)
+    GROUP BY p.tok, p.exact_n
+    """,
+)
+def w_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-cms-gate-")
+    src = f"{workdir}/src"
+    half = md5_long(F.concat(F.lit("cmssplit:"), F.col("doc_id").cast("string"))) % 2
+    write_single_file(docs.filter(half == 0), f"{src}/half0.parquet", fmt="parquet")
+    write_single_file(docs.filter(half == 1), f"{src}/half1.parquet", fmt="parquet")
+
+    pos_arr = F.array(*[cms_pos(F.col("tok"), r) for r in range(CMS_D)])
+    name = f"scms_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .select(F.posexplode(pos_arr).alias("hrow", "pos"))
+        .groupBy("hrow", "pos")
+        .agg(F.count("*").alias("n"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_cms_merge: availableNow run did not complete in 240s"
+        )
+    sketch = spark.table(name)
+
+    toks = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    cand = exact.orderBy(F.desc("exact_n"), F.asc("tok")).limit(20)
+    probes = cand.select(
+        "tok", "exact_n", F.posexplode(pos_arr).alias("hrow", "pos")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["hrow", "pos"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("n").alias("cms_n"))
+        .select(
+            "tok",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )

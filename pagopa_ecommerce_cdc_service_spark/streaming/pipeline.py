@@ -238,36 +238,98 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
             merged.write.mode("overwrite").partitionBy(VIEW_BUCKET_COL).parquet(
                 staging
             )
-            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-
-            def rename_or_die(src, dst, what):
-                # Hadoop rename reports failure by RETURN VALUE; swallowing
-                # it would silently drop a bucket generation (e.g. under an
-                # unexpected concurrent writer) — fail the batch instead so
-                # the checkpoint replays it
-                if not fs.rename(src, dst):
-                    raise IOError(f"upsert commit: rename failed ({what}): {src} -> {dst}")
-
-            for bucket in touched:
-                live = jvm_path(root, _bucket_dir(bucket))
-                saved = jvm_path(root, _saved_dir(bucket))
-                staged = jvm_path(jvm_path(staging), _bucket_dir(bucket))
-                if not fs.exists(staged):
-                    continue  # defensive: no staged output for this bucket
-                if fs.exists(live):
-                    rename_or_die(live, saved, "save old generation")
-                if failpoint is not None:
-                    failpoint("saved", bucket)
-                rename_or_die(staged, live, "publish new generation")
-                if failpoint is not None:
-                    failpoint("moved", bucket)
-                if fs.exists(saved):
-                    fs.delete(saved, True)
-            fs.delete(jvm_path(staging), True)
+            _commit_staged_buckets(spark, fs, root, staging, touched, failpoint)
         finally:
             updates.unpersist()
 
     return merge
+
+
+def _commit_staged_buckets(spark, fs, root, staging, buckets, failpoint=None):
+    """Publish staged bucket generations by per-bucket save→move→drop
+    renames (the crash-safe commit both the upsert sink and the compactor
+    use). A complete copy of each pre-commit generation survives until its
+    replacement is in place; :func:`recover_view` + replay handles any
+    interruption."""
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+
+    def rename_or_die(src, dst, what):
+        # Hadoop rename reports failure by RETURN VALUE; swallowing it
+        # would silently drop a bucket generation (e.g. under an unexpected
+        # concurrent writer) — fail instead so the caller's replay runs
+        if not fs.rename(src, dst):
+            raise IOError(f"bucket commit: rename failed ({what}): {src} -> {dst}")
+
+    for bucket in buckets:
+        live = jvm_path(root, _bucket_dir(bucket))
+        saved = jvm_path(root, _saved_dir(bucket))
+        staged = jvm_path(jvm_path(staging), _bucket_dir(bucket))
+        if not fs.exists(staged):
+            continue  # defensive: no staged output for this bucket
+        if fs.exists(live):
+            rename_or_die(live, saved, "save old generation")
+        if failpoint is not None:
+            failpoint("saved", bucket)
+        rename_or_die(staged, live, "publish new generation")
+        if failpoint is not None:
+            failpoint("moved", bucket)
+        if fs.exists(saved):
+            fs.delete(saved, True)
+    fs.delete(jvm_path(staging), True)
+
+
+def compact_view(
+    spark: SparkSession,
+    view_dir: str,
+    max_files_per_bucket: int = 4,
+    failpoint=None,
+) -> list[int]:
+    """Compact fragmented view buckets back to one file each (small-file
+    maintenance — the operational cost of per-batch bucket rewrites at
+    100 TB: a long-running stream leaves each hot bucket with one file per
+    touching batch, and scan/open cost grows with file count, not data).
+
+    WRITER-SCOPE operation (same single-writer assumption as the sink; run
+    it from the maintenance window or the foreachBatch callback, not beside
+    a live stream). Only buckets holding more than ``max_files_per_bucket``
+    data files are rewritten — listed via one FileSystem pass, no Spark job
+    for the untouched ones — and the rewrite publishes through the same
+    staged-rename commit as the sink, so a crash mid-compact plus a re-run
+    loses nothing (the data is unchanged by construction; compaction is
+    idempotent). Returns the bucket ids compacted."""
+    recover_view(spark, view_dir)
+    fs, root = _hadoop_fs(spark, view_dir)
+    if not fs.exists(root):
+        return []
+    touched = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not name.startswith(f"{VIEW_BUCKET_COL}="):
+            continue
+        n_files = sum(
+            1
+            for f in fs.listStatus(status.getPath())
+            if f.getPath().getName().endswith(".parquet")
+        )
+        if n_files > max_files_per_bucket:
+            touched.append(int(name.split("=", 1)[1]))
+    if not touched:
+        return []
+    touched.sort()
+    staging = f"{view_dir}/_staging-compact"
+    rows = spark.read.parquet(view_dir).filter(
+        F.col(VIEW_BUCKET_COL).isin(touched)
+    )
+    # repartition BY the bucket column: each bucket lands in exactly one
+    # task → exactly one output file per bucket directory
+    (
+        rows.repartition(len(touched), VIEW_BUCKET_COL)
+        .write.mode("overwrite")
+        .partitionBy(VIEW_BUCKET_COL)
+        .parquet(staging)
+    )
+    _commit_staged_buckets(spark, fs, root, staging, touched, failpoint)
+    return touched
 
 
 def start_view_maintenance(

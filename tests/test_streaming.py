@@ -697,3 +697,89 @@ def test_upsert_sink_and_recovery_honor_path_uris(spark, tmp_path):
     )
     # merge, not overwrite: both halves present
     assert read_view(spark, view_dir).count() == len(tx_ids)
+
+
+def test_compact_view_single_file_per_bucket_same_rows(spark, tmp_path):
+    """After many small merges each hot bucket holds one file per batch;
+    compaction must collapse each fragmented bucket to ONE file without
+    changing a single row, and be a no-op the second time."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        VIEW_BUCKET_COL,
+        compact_view,
+        parquet_upsert_sink,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=17, n_transactions=30)
+    tx_ids = sorted({e["transactionId"] for e in events})
+    sink = parquet_upsert_sink(view_dir, n_buckets=2)
+    # 6 single-transaction batches -> every touched bucket accretes files
+    for i, tx in enumerate(tx_ids):
+        batch = transactions_view_from_log(
+            spark.createDataFrame(
+                [e for e in events if e["transactionId"] == tx],
+                schema=EVENT_ENVELOPE_TYPE,
+            )
+        )
+        sink(batch, epoch_id=i)
+    before = _view_state(spark, view_dir)
+
+    def files_per_bucket():
+        out = {}
+        for root, _dirs, files in os.walk(view_dir):
+            base = os.path.basename(root)
+            if base.startswith(f"{VIEW_BUCKET_COL}="):
+                out[base] = sum(1 for f in files if f.endswith(".parquet"))
+        return out
+
+    assert max(files_per_bucket().values()) > 4, "fixture not fragmented"
+    compacted = compact_view(spark, view_dir, max_files_per_bucket=4)
+    assert compacted, "nothing compacted"
+    assert all(n == 1 for n in files_per_bucket().values()), files_per_bucket()
+    assert _view_state(spark, view_dir) == before
+    # idempotent / no-op when nothing exceeds the threshold
+    assert compact_view(spark, view_dir, max_files_per_bucket=4) == []
+
+
+@pytest.mark.parametrize("kill_step", ["saved", "moved"])
+def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
+    """A kill between compaction's commit renames plus a re-run must leave
+    exactly the original rows (compaction changes layout, never data)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        compact_view,
+        parquet_upsert_sink,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=19, n_transactions=24)
+    tx_ids = sorted({e["transactionId"] for e in events})
+    sink = parquet_upsert_sink(view_dir, n_buckets=2)
+    for i, tx in enumerate(tx_ids):
+        sink(
+            transactions_view_from_log(
+                spark.createDataFrame(
+                    [e for e in events if e["transactionId"] == tx],
+                    schema=EVENT_ENVELOPE_TYPE,
+                )
+            ),
+            epoch_id=i,
+        )
+    before = _view_state(spark, view_dir)
+
+    class Kill(RuntimeError):
+        pass
+
+    def failpoint(step, bucket):
+        if step == kill_step:
+            raise Kill(step)
+
+    with pytest.raises(Kill):
+        compact_view(spark, view_dir, max_files_per_bucket=1, failpoint=failpoint)
+    compact_view(spark, view_dir, max_files_per_bucket=1)
+    assert _view_state(spark, view_dir) == before
+    leftovers = [
+        n
+        for n in os.listdir(view_dir)
+        if n.startswith("_staging-") or n.startswith(".saved-")
+    ]
+    assert leftovers == []

@@ -51,6 +51,7 @@ RUNTIME_QUERIES = {
     "t_bpe_train_merges",           # iterative train loop, per-step collect
     "w_stream_static_enrich",       # stages parquet, runs a stream
     "w_stream_hll_merge",           # stages parquet, runs a stream
+    "w_stream_cms_merge",           # stages parquet, runs a stream
     "q_bucketed_colocated_join",    # writes bucketed tables at build
     "w_partition_pruned_day",       # writes partitioned layout at build
 }
