@@ -90,9 +90,11 @@ _CERTIFIED_TAIL = (
     "q13_customer_distribution",
     "q14_promo_share",
     "q19_disjunctive_revenue",
-    # rotated out mid-round-4 to free a prefix slot for the (runtime-pinned)
-    # w_stream_cms_merge gate; certified r03, tpch.py untouched since
+    # rotated out mid-round-4 to free prefix slots for the (runtime-pinned)
+    # w_stream_cms_merge gate and the WAV codec round-trip; certified r03,
+    # tpch.py untouched since
     "q_top_suppliers_yearly",
+    "q2_min_cost_supplier",
     # pure-Catalyst text/window/multimodal stats certified round 2;
     # operators/text.py + their plan modules untouched since
     "t_exact_dedup",

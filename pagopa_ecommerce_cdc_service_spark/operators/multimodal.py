@@ -295,6 +295,126 @@ def image_decode_stats(media_df: DataFrame) -> DataFrame:
     return media_df.mapInPandas(run, schema=DECODE_STATS_SCHEMA)
 
 
+def encode_wav_pcm16(samples, sample_rate: int = 16000) -> bytes:
+    """Encode a 1-D int16 array as a real RIFF/WAVE file (PCM, mono,
+    16-bit little-endian): RIFF header + fmt chunk + data chunk — the
+    standard container, playable by any audio tool."""
+    import struct
+
+    import numpy as np
+
+    samples = np.ascontiguousarray(samples, dtype="<i2")
+    body = samples.tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, byte_rate, 2, 16)
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def decode_wav_pcm16(payload: bytes):
+    """Pure-Python WAV decode (PCM16 mono): walks the RIFF chunk list (fmt
+    may be followed by optional chunks like LIST before data), validates the
+    PCM16 profile, and returns (samples int16 array, sample_rate). Raises
+    ValueError on a non-RIFF payload, NotImplementedError outside the
+    16-bit PCM profile this pipeline writes."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, end = 12, len(payload)
+    sample_rate, bits, channels, audio_format = None, None, None, None
+    while pos + 8 <= end:
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        if cid == b"fmt ":
+            audio_format, channels, sample_rate = struct.unpack_from(
+                "<HHI", payload, pos
+            )
+            bits = struct.unpack_from("<H", payload, pos + 14)[0]
+        elif cid == b"data":
+            if audio_format != 1 or bits != 16 or channels != 1:
+                raise NotImplementedError(
+                    f"only mono PCM16 supported, got fmt={audio_format} "
+                    f"bits={bits} ch={channels}"
+                )
+            samples = np.frombuffer(payload, "<i2", size // 2, pos)
+            return samples, sample_rate
+        pos += size + (size & 1)  # RIFF chunks are word-aligned
+    raise ValueError("no data chunk")
+
+
+def _synth_samples(media_id: int):
+    """Deterministic test waveform: every sample is an integer function of
+    the id, so an oracle recomputes decoded stats from first principles."""
+    import numpy as np
+
+    n = 64 + media_id % 129
+    i = np.arange(n, dtype=np.int64)
+    return (((media_id * 17 + 3 * i * i) % 4001) - 2000).astype(np.int16)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ]
+)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """documents → (media_id, payload) where payload is a REAL encoded WAV
+    of the deterministic test waveform."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        encode_wav_pcm16(_synth_samples(int(m))) for m in ids
+                    ],
+                },
+                columns=["media_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BMP_MEDIA_SCHEMA)
+
+
+def audio_decode_stats(media_df: DataFrame) -> DataFrame:
+    """Decode WAV payloads (real RIFF chunk walk) and emit integer sample
+    stats. ``pos_checksum`` = Σ (i+1)·sᵢ is order-sensitive — an endianness
+    or offset bug cannot hash-match. Map-only: zero shuffles at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in AUDIO_STATS_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, rate = decode_wav_pcm16(bytes(payload))
+                s = samples.astype(np.int64)
+                rows["media_id"].append(int(mid))
+                rows["n_samples"].append(int(s.size))
+                rows["sample_rate"].append(int(rate))
+                rows["sample_sum"].append(int(s.sum()))
+                rows["peak_abs"].append(int(np.abs(s).max()) if s.size else 0)
+                rows["pos_checksum"].append(
+                    int(((np.arange(s.size, dtype=np.int64) + 1) * s).sum())
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media_df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Build a media table in-flight from ``documents`` (payload = utf-8
     bytes) so the plumbing is exercised without binary fixtures on disk."""

@@ -10,11 +10,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
+    audio_decode_stats,
     documents_as_media,
     extract_features,
     frame_sample,
     image_decode_stats,
     synthesize_bmp_media,
+    synthesize_wav_media,
 )
 from .helpers import read, spread
 
@@ -123,4 +125,40 @@ SELECT doc_id AS media_id,
        CAST(list_sum(list_transform(range(CAST(width * height AS INTEGER)),
             i -> (i + 1) * pxs[i + 1])) AS BIGINT) AS pos_checksum
 FROM px
+"""
+
+
+def mm_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of mm_image_decode_stats: encode a deterministic PCM16
+    waveform per document as a real RIFF/WAVE file, DECODE it back through
+    the chunk-walking parser, and emit integer sample stats the oracle
+    recomputes from the waveform formula alone — endianness/offset bugs
+    break the position-weighted checksum. Spread + two map-only Arrow
+    stages, no shuffles at scale."""
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    return audio_decode_stats(synthesize_wav_media(docs))
+
+
+QUERIES["mm_audio_decode_stats"] = mm_audio_decode_stats
+
+# first-principles twin of the WAV round-trip: n = 64 + id%129,
+# s_i = ((id*17 + 3*i*i) % 4001) - 2000, evaluated directly in SQL
+ORACLES["mm_audio_decode_stats"] = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+),
+sm AS (
+  SELECT doc_id, n,
+         list_transform(range(CAST(n AS INTEGER)),
+                        i -> (doc_id * 17 + 3 * i * i) % 4001 - 2000) AS s
+  FROM g
+)
+SELECT doc_id AS media_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(16000 AS BIGINT) AS sample_rate,
+       CAST(list_sum(s) AS BIGINT) AS sample_sum,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak_abs,
+       CAST(list_sum(list_transform(range(CAST(n AS INTEGER)),
+            i -> (i + 1) * s[i + 1])) AS BIGINT) AS pos_checksum
+FROM sm
 """

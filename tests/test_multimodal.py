@@ -178,3 +178,58 @@ def test_resize_bmp_media_actually_resamples(spark, sf_dir):
         got = decode_image(bytes(row["resized_payload"]))
         assert got.shape == (th, tw)
         assert np.array_equal(got, resize_pixels_nearest(src, tw, th)), mid
+
+
+def test_wav_round_trip_and_golden_bytes():
+    """encode → decode reproduces every sample; a hand-assembled WAV with an
+    extra chunk before data (not produced by our encoder) also decodes —
+    the parser walks the RIFF chunk list rather than assuming offsets."""
+    import struct
+
+    import numpy as np
+
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (0, 1, 7, 128, 1001):
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int16)
+        got, rate = decode_wav_pcm16(encode_wav_pcm16(s, sample_rate=8000))
+        assert rate == 8000
+        assert np.array_equal(got, s), n
+
+    # golden: RIFF + fmt + a LIST chunk the decoder must skip + data
+    samples = struct.pack("<3h", 1, -2, 300)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, 16000, 32000, 2, 16)
+    lst = struct.pack("<4sI", b"LIST", 4) + b"INFO"
+    data = struct.pack("<4sI", b"data", len(samples)) + samples
+    body = fmt + lst + data
+    wav = struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+    got, rate = decode_wav_pcm16(wav)
+    assert rate == 16000 and got.tolist() == [1, -2, 300]
+
+
+def test_audio_decode_stats_matches_waveform_formula(spark, sf_dir):
+    import numpy as np
+
+    from pagopa_ecommerce_cdc_service_spark.operators.multimodal import (
+        _synth_samples,
+        audio_decode_stats,
+        synthesize_wav_media,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    docs = read(spark, sf_dir, "documents").limit(40)
+    rows = {
+        r["media_id"]: r.asDict()
+        for r in audio_decode_stats(synthesize_wav_media(docs)).collect()
+    }
+    assert len(rows) == 40
+    for mid, got in rows.items():
+        s = _synth_samples(mid).astype(np.int64)
+        assert got["n_samples"] == s.size
+        assert got["sample_sum"] == int(s.sum())
+        assert got["peak_abs"] == int(np.abs(s).max())
+        assert got["pos_checksum"] == int(((np.arange(s.size) + 1) * s).sum())
