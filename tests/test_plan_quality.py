@@ -255,3 +255,15 @@ def test_skew_join_pairs_aqe_split(spark, sf_dir, tmp_path):
     # at least the probe side must read split (skewed) partitions; whether
     # the build side is also marked depends on its measured sizes
     assert final.count("AQEShuffleRead skewed") >= 1, final[:1500]
+
+
+def test_codec_round_trip_queries_are_map_only(spark, sf_dir, queries):
+    """The BMP/WAV round-trip stages must stay map-only: exactly the one
+    round-robin exchange from spread() (local single-file fan-out), two
+    Arrow mapInPandas stages, and no other shuffle — at scale the codec
+    work parallelizes with zero data movement."""
+    for name in ("mm_image_decode_stats", "mm_audio_decode_stats"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert plan.count("MapInPandas") == 2, (name, plan[:800])
+        assert plan.count("Exchange hashpartitioning") == 0, (name, plan[:800])
+        assert plan.count("Exchange") <= 1, (name, plan[:800])
