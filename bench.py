@@ -97,6 +97,19 @@ def main() -> None:
     queries["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # Python-worker pool warm-up: the codec queries run Arrow mapInPandas
+    # stages, and the FIRST such stage pays one python process spawn +
+    # numpy/pandas import per core (~10s of pure bootstrap at local[32]) —
+    # process bring-up, not operator cost, exactly like the JVM warm-up
+    # above. One trivial mapInPandas over every core spawns the reusable
+    # workers (spark.python.worker.reuse) outside the timed region.
+    (
+        spark.range(cpus * 4, numPartitions=cpus)
+        .mapInPandas(lambda it: it, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

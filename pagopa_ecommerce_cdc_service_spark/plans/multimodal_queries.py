@@ -55,9 +55,13 @@ def mm_image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same stats from the pixel formula alone — any container-parse bug
     (stride, flip, offset) breaks the position-weighted checksum. Two
     chained Arrow mapInPandas stages, map-only at scale; locally the
-    single-file scan is spread across cores first so the codec stage
-    parallelizes (no-op on an already-split production layout)."""
-    docs = spread(read(spark, sf_dir, "documents"), spark)
+    single-file scan is spread first so the codec stage parallelizes
+    (no-op on an already-split production layout). Fan-out capped at 8:
+    with only thousands of tiny rows locally, 32 one-busy-millisecond
+    Python partitions are dominated by worker round-trips (measured 0.4 s
+    at 8 parts vs 2.5 s at 32); real corpora get their parallelism from
+    the input split count, which spread never reduces."""
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
     return image_decode_stats(synthesize_bmp_media(docs))
 
 
@@ -134,8 +138,9 @@ def mm_audio_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chunk-walking parser, and emit integer sample stats the oracle
     recomputes from the waveform formula alone — endianness/offset bugs
     break the position-weighted checksum. Spread + two map-only Arrow
-    stages, no shuffles at scale."""
-    docs = spread(read(spark, sf_dir, "documents"), spark)
+    stages, no shuffles at scale (fan-out capped at 8 locally — see
+    mm_image_decode_stats)."""
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
     return audio_decode_stats(synthesize_wav_media(docs))
 
 
