@@ -177,8 +177,11 @@ def recover_view(spark: SparkSession, view_dir: str) -> None:
             live = jvm.org.apache.hadoop.fs.Path(root, name[len(".saved-"):])
             if fs.exists(live):
                 fs.delete(status.getPath(), True)
-            else:
-                fs.rename(status.getPath(), live)
+            elif not fs.rename(status.getPath(), live):
+                # a silent restore failure would leave the bucket's rows
+                # invisible — surface it instead of proceeding to a merge
+                # that would treat the bucket as empty
+                raise IOError(f"recovery: could not restore {name} -> {live}")
 
 
 def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
