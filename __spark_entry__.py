@@ -91,10 +91,13 @@ _CERTIFIED_TAIL = (
     "q14_promo_share",
     "q19_disjunctive_revenue",
     # rotated out mid-round-4 to free prefix slots for the (runtime-pinned)
-    # w_stream_cms_merge gate and the WAV codec round-trip; certified r03,
-    # tpch.py untouched since
+    # w_stream_cms_merge and q_zorder_box_scan gates and the WAV codec
+    # round-trip; certified r03, and their plans are fingerprint-equal to
+    # the certified state (tpch.py additions this round are append-only
+    # new queries — guard-tested)
     "q_top_suppliers_yearly",
     "q2_min_cost_supplier",
+    "q8_market_share",
     # pure-Catalyst text/window/multimodal stats certified round 2;
     # operators/text.py + their plan modules untouched since
     "t_exact_dedup",

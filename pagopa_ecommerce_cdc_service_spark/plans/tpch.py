@@ -1045,3 +1045,50 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderkey").alias("n_orders"),
         money_sum(disc_price(), "revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-ORDER clustered layout + box scan: orders rewritten on the Morton key
+# of (o_custkey, days(o_orderdate)) — the multi-column locality layout
+# (Delta/Iceberg OPTIMIZE ZORDER BY, built here from primitives:
+# operators/layout.py). A single-column sort prunes one dimension and
+# leaves every file spanning the other's full range; the Morton layout
+# gives every file a narrow box in BOTH, so parquet min/max footer stats
+# skip most files for any (customer × date) box predicate —
+# tests/test_zorder_layout.py measures exactly that against a date-sorted
+# twin of the same data. The oracle is the plain filtered aggregate over
+# the original table: layout must be invisible in values.
+# ---------------------------------------------------------------------------
+@query(
+    "q_zorder_box_scan",
+    """
+    SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey < 200 AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..operators.layout import write_zordered
+    from .helpers import gate_workdir
+
+    orders = read(spark, sf_dir, "orders")
+    workdir = gate_workdir("zorder-gate-")
+    dest = f"{workdir}/orders_z_{uuid.uuid4().hex[:8]}"
+    write_zordered(
+        orders,
+        dest,
+        F.col("o_custkey"),
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date")),
+        n_files=16,
+    )
+    laid = spark.read.parquet(dest)
+    return laid.filter(
+        (F.col("o_custkey") < 200)
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).agg(
+        F.count("*").alias("n_orders"),
+        money_sum(dec("o_totalprice", 14, 2), "sum_price"),
+    )

@@ -54,6 +54,7 @@ RUNTIME_QUERIES = {
     "w_stream_cms_merge",           # stages parquet, runs a stream
     "q_bucketed_colocated_join",    # writes bucketed tables at build
     "w_partition_pruned_day",       # writes partitioned layout at build
+    "q_zorder_box_scan",            # writes z-ordered layout at build
 }
 
 _NORMALIZERS = (
