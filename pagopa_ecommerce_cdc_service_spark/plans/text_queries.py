@@ -1382,3 +1382,169 @@ def t_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_q"), F.asc("doc_id"))
         .limit(_PR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle / wedge census of the near-dup similarity graph — the structural
+# audit a dedup pass runs on its candidate graph: triangles mean mutually-
+# similar triples (true duplicate neighborhoods); wedges WITHOUT closing
+# triangles flag LSH band collisions that verification should have pruned
+# (or chained borderline similarity). Per node we emit degree, centered
+# wedge count C(deg,2) and triangle membership count — the ingredients of
+# the local clustering coefficient, kept integer-exact so the gate hash is
+# engine-portable.
+#
+# Algorithm (standard distributed triangle counting): edges arrive
+# canonically oriented (doc_a < doc_b) from the LSH pair pipeline, so each
+# triangle {a<b<c} is enumerated exactly once as wedge (a-b, b-c) closed by
+# edge (a-c). Scale shape: wedge build is one self-join of the edge list on
+# the shared vertex (co-partitioned, narrow 16-byte rows); closure is one
+# equi-join of wedges against edges on the (a, c) pair key; membership is a
+# 3-way posexplode + groupBy. No all-pairs stage anywhere — cost is
+# O(sum of deg^2) like every degree-ordered triangle count, and the edge
+# list is the LSH-verified pair set, orders of magnitude smaller than the
+# corpus. The edge relation is hash-partitioned once and referenced three
+# times (wedge a-side, wedge b-side, closure) so the SMJ regime reuses one
+# exchange, mirroring t_pagerank_similarity's shape.
+# ---------------------------------------------------------------------------
+@query(
+    "t_similarity_triangles",
+    f"""
+    WITH pairs AS ({_PAIR_SQL}),
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    members AS (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tri_counts AS (
+      SELECT doc_id, COUNT(*) AS n_triangles FROM members GROUP BY doc_id
+    ),
+    sym AS (
+      SELECT doc_a AS doc_id FROM pairs
+      UNION ALL SELECT doc_b FROM pairs
+    ),
+    deg AS (SELECT doc_id, COUNT(*) AS degree FROM sym GROUP BY doc_id)
+    SELECT d.doc_id, d.degree,
+           CAST(d.degree * (d.degree - 1) / 2 AS BIGINT) AS n_wedges,
+           COALESCE(t.n_triangles, 0) AS n_triangles
+    FROM deg d LEFT JOIN tri_counts t ON t.doc_id = d.doc_id
+    """,
+)
+def t_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # one hash partitioning of the canonical edge list, shared by the wedge
+    # self-join sides and the closure probe (ReusedExchange in SMJ regime)
+    edges = pairs.repartition(spark.sparkContext.defaultParallelism, "doc_a")
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
+    e3 = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = wedges.join(
+        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
+    ).select("a", "b", "c")
+    members = tri.select(
+        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    )
+    tri_counts = members.groupBy("doc_id").agg(
+        F.count("*").alias("n_triangles")
+    )
+    sym = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
+        edges.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = sym.groupBy("doc_id").agg(F.count("*").alias("degree"))
+    return deg.join(tri_counts, "doc_id", "left").select(
+        "doc_id",
+        "degree",
+        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("n_wedges"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance near-dup join — the character-level complement to
+# the token-level MinHash path: catches small in-place edits (typo fixes,
+# single-word swaps) that keep most shingles intact but that a byte-exact
+# dedup misses. Candidate generation is a BLOCKING equi-self-join on
+# (lang, 32-char prefix): at 100 TB this is one narrow-key shuffle whose
+# per-block fan-out is bounded by block size, never an all-pairs product.
+# Verification is two-tier: an O(1) length-difference guard first (if
+# |len(a)-len(b)| > k the distance cannot be <= k — prunes the DP off most
+# survivors), then the banded Levenshtein via Spark's thresholded 3-arg
+# ``levenshtein(l, r, k)`` which runs O(k*n) instead of O(n*m) and returns
+# -1 past the threshold; values within the threshold equal the exact
+# distance, which the DuckDB oracle recomputes with its unbounded
+# ``levenshtein``. Prefix blocking trades recall for scale exactly like
+# LSH banding does (an edit inside the first 32 chars moves the pair to a
+# different block); production stacks several offset blocks the same way
+# LSH stacks bands.
+# ---------------------------------------------------------------------------
+_ED_MAX = 8
+_ED_PFX = 32
+
+
+@query(
+    "t_edit_distance_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, text, length(text) AS n,
+             substring(text, 1, {_ED_PFX}) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           a.n AS len_a, b.n AS len_b
+    FROM d a JOIN d b
+      ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+    WHERE abs(a.n - b.n) <= {_ED_MAX}
+      AND levenshtein(a.text, b.text) <= {_ED_MAX}
+    """,
+)
+def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select(
+            "doc_id",
+            "lang",
+            "text",
+            F.length("text").alias("n"),
+            F.substring("text", 1, _ED_PFX).alias("pfx"),
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("pfx").alias("pfx_a"),
+        F.col("text").alias("text_a"),
+        F.col("n").alias("len_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("text").alias("text_b"),
+        F.col("n").alias("len_b"),
+    )
+    cand = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("pfx_a") == F.col("pfx_b"))
+        & (F.col("doc_a") < F.col("doc_b")),
+    ).filter(F.abs(F.col("len_a") - F.col("len_b")) <= _ED_MAX)
+    # banded DP: O(k*n) and -1 past the threshold; within it, exact
+    ed = F.levenshtein(F.col("text_a"), F.col("text_b"), _ED_MAX)
+    return (
+        cand.select(
+            "doc_a",
+            "doc_b",
+            ed.cast("long").alias("edit_dist"),
+            "len_a",
+            "len_b",
+        )
+        .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _ED_MAX))
+    )
