@@ -163,6 +163,7 @@ _PENDING_FIRST_CERT = (
     # parity every round, first hard gate next round
     "t_similarity_triangles",
     "t_edit_distance_pairs",
+    "cdc_incremental_agg",
 )
 
 

@@ -682,3 +682,116 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_change_feed"] = cdc_change_feed
 ORACLES["cdc_change_feed"] = CHANGE_FEED_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# INCREMENTAL MATERIALIZED-AGGREGATE MAINTENANCE from the change feed — the
+# downstream pattern the reference's CDC view exists to feed: a consumer
+# keeps a per-status count dashboard live by applying row-level deltas
+# instead of re-scanning the view. The query proves the algebra inside the
+# gate: counts maintained as (base at the v0 snapshot) + (retract old
+# status / assert new status deltas for every changed key) must equal the
+# direct recompute on v1, status for status — both sides land in the gated
+# output so the value hash certifies the equivalence. Deletes retract
+# without asserting (structurally absent here — the fold ignores delete
+# ops, reference F1); inserts assert without retracting.
+# Scale shape: the delta join touches only (transactionId, status) pairs —
+# narrow rows, co-partitioned from the SAME fold plan on both sides (one
+# exchange reused, as in cdc_change_feed); the retract/assert explosion and
+# both aggregates are map-side-combinable; at production scale base comes
+# from the stored aggregate, not a recompute, so maintenance cost is
+# O(changed keys), never O(view).
+# ---------------------------------------------------------------------------
+CDC_INCR_AGG_ORACLE_SQL = f"""
+WITH v1 AS ({ORACLE_SQL}),
+v0 AS ({ORACLE_SQL.replace(_CF_EVENTS_SRC, _CF_EVENTS_SRC_CUT)}),
+-- a freshly-activated key can hold a NULL status until its first
+-- status-bearing event arrives; fold it into a sentinel group so
+-- NULL -> X transitions retract correctly (<> and GROUP BY would both
+-- silently drop the NULL group otherwise)
+s1 AS (SELECT transactionId, COALESCE(status, '{_CF_NULL}') AS status FROM v1),
+s0 AS (SELECT transactionId, COALESCE(status, '{_CF_NULL}') AS status FROM v0),
+base AS (SELECT status, COUNT(*) AS n FROM s0 GROUP BY status),
+changed AS (
+  SELECT s0.status AS st0, s1.status AS st1
+  FROM s1 FULL OUTER JOIN s0 ON s1.transactionId = s0.transactionId
+  WHERE s0.transactionId IS NULL OR s1.transactionId IS NULL
+     OR s0.status <> s1.status
+),
+delta AS (
+  SELECT st0 AS status, -1 AS dn FROM changed WHERE st0 IS NOT NULL
+  UNION ALL
+  SELECT st1 AS status, 1 AS dn FROM changed WHERE st1 IS NOT NULL
+),
+agg_delta AS (SELECT status, CAST(SUM(dn) AS BIGINT) AS dn FROM delta GROUP BY status),
+recomputed AS (SELECT status, COUNT(*) AS n FROM s1 GROUP BY status)
+SELECT COALESCE(r.status, b.status, ad.status) AS status,
+       COALESCE(b.n, 0) AS n_base,
+       COALESCE(ad.dn, 0) AS n_delta,
+       COALESCE(b.n, 0) + COALESCE(ad.dn, 0) AS n_maintained,
+       COALESCE(r.n, 0) AS n_recomputed
+FROM recomputed r
+FULL OUTER JOIN base b ON b.status = r.status
+FULL OUTER JOIN agg_delta ad ON ad.status = COALESCE(r.status, b.status)
+"""
+
+
+def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthesize_envelope(spark, sf_dir)
+    cut = env.agg(
+        F.floor((F.max("seq") * F.lit(2.0)) / F.lit(50.0)).cast("long").alias("cut")
+    )
+    env0 = env.crossJoin(F.broadcast(cut)).filter(F.col("seq") <= F.col("cut")).drop(
+        "cut"
+    )
+
+    def statuses(e: DataFrame) -> DataFrame:
+        # sentinel for the pre-first-status NULL group (mirrors the oracle):
+        # keeps NULL -> X transitions retractable and the group aggregable
+        return fold_transactions_view(prepare_events(e)).select(
+            "transactionId",
+            F.coalesce(F.col("status"), F.lit(_CF_NULL)).alias("status"),
+        )
+
+    s1 = statuses(env).withColumnsRenamed({"transactionId": "tid1", "status": "st1"})
+    s0 = statuses(env0).withColumnsRenamed({"transactionId": "tid0", "status": "st0"})
+    base = s0.groupBy(F.col("st0").alias("status")).agg(F.count("*").alias("n_b"))
+    changed = (
+        s1.join(s0, s1["tid1"] == s0["tid0"], "full_outer")
+        .filter(
+            F.col("tid0").isNull()
+            | F.col("tid1").isNull()
+            | (F.col("st0") != F.col("st1"))
+        )
+        .select("st0", "st1")
+    )
+    # retract the old status, assert the new one — one row each way
+    delta = changed.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("st0").alias("status"), F.lit(-1).alias("dn")),
+                F.struct(F.col("st1").alias("status"), F.lit(1).alias("dn")),
+            )
+        ).alias("x")
+    ).select("x.status", "x.dn").filter(F.col("status").isNotNull())
+    agg_delta = delta.groupBy("status").agg(F.sum("dn").cast("long").alias("dn"))
+    recomputed = s1.groupBy(F.col("st1").alias("status")).agg(
+        F.count("*").alias("n_r")
+    )
+    out = (
+        recomputed.join(base, "status", "full_outer")
+        .join(agg_delta, "status", "full_outer")
+    )
+    return out.select(
+        "status",
+        F.coalesce(F.col("n_b"), F.lit(0)).cast("long").alias("n_base"),
+        F.coalesce(F.col("dn"), F.lit(0)).cast("long").alias("n_delta"),
+        (F.coalesce(F.col("n_b"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0)))
+        .cast("long")
+        .alias("n_maintained"),
+        F.coalesce(F.col("n_r"), F.lit(0)).cast("long").alias("n_recomputed"),
+    )
+
+
+QUERIES["cdc_incremental_agg"] = cdc_incremental_agg
+ORACLES["cdc_incremental_agg"] = CDC_INCR_AGG_ORACLE_SQL
