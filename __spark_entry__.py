@@ -110,6 +110,10 @@ _CERTIFIED_TAIL = (
     "t_split_stats",
     "t_pack_offsets",
     "mm_frame_offsets",
+    # rotated out late round 4 to free a prefix slot for the runtime-pinned
+    # w_stream_join_click_purchase gate; certified r03 and fingerprint-equal
+    # (its streaming twin w_stream_hll_merge stays prefix-certified)
+    "t_hll_distinct",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",

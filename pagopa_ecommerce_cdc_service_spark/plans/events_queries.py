@@ -1442,3 +1442,128 @@ def w_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ev_rows.unionAll(fk)
+
+
+# ---------------------------------------------------------------------------
+# STREAMING stream-stream interval join under the hard gate — the last
+# Structured Streaming join class the suite lacked (stream-static enrich
+# and stateful dedup/aggregation gates already run). Clicks and purchases
+# arrive as two INDEPENDENT file streams, each split into two micro-batch
+# files by event-id hash, so join matches must form ACROSS source/batch
+# boundaries purely from the join state store — nothing matches within a
+# single trigger's slice by construction of the split. Both sides are
+# watermarked and the join carries the event-time constraint
+# purchase.ts ∈ [click.ts, click.ts + 30 min]; the delay is sized past the
+# corpus span so no row is late-dropped and the append stream provably
+# contains EXACTLY the batch join's matches (the oracle), aggregated
+# per user with decimal-exact sums.
+# Scale shape: Spark shuffles both streams on user_id once and keeps
+# per-key interval state; state size is bounded by watermark delay ×
+# arrival rate — at production the delay is the 30-min business horizon
+# plus allowed lateness, not the corpus span, so state is O(minutes of
+# traffic per key), the canonical stream-stream join posture. Reference
+# analog: correlating the transaction-activated stream with its
+# authorization outcomes inside a bounded window.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_join_click_purchase",
+    f"""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(p.value AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_purchase_value,
+           MIN(p.ts) AS first_purchase_ts,
+           MAX(p.ts) AS last_purchase_ts
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events) c
+    JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+          FROM events) p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def w_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    ev = read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+    clicks = read(spark, sf_dir, "events").filter(
+        F.col("event_type") == "click"
+    ).select("event_id", "ts", "user_id")
+    purchases = read(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "ts", "user_id", "value")
+
+    workdir = gate_workdir("stream-join-gate-")
+
+    def dump(df, sub: str, label: str, mtime: float) -> None:
+        dest = f"{workdir}/{sub}/{label}.parquet"
+        write_single_file(df, dest, fmt="parquet")
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    # hash-split each side: a pair's click and purchase land in the same
+    # micro-batch only by coincidence — matches must come from join state
+    dump(clicks.filter(F.col("event_id") % 2 == 0), "clicks", "half0", now - 20)
+    dump(clicks.filter(F.col("event_id") % 2 == 1), "clicks", "half1", now - 10)
+    dump(purchases.filter(F.col("event_id") % 2 == 0), "purch", "half0", now - 20)
+    dump(purchases.filter(F.col("event_id") % 2 == 1), "purch", "half1", now - 10)
+
+    c = (
+        spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/clicks")
+        .withWatermark("ts", "365 days")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+    )
+    p = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/purch")
+        .withWatermark("ts", "365 days")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("p_value"),
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_join_click_purchase: availableNow run did not "
+            "complete in 240s"
+        )
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            money_sum(dec("p_value"), "sum_purchase_value"),
+            F.min("p_ts").alias("first_purchase_ts"),
+            F.max("p_ts").alias("last_purchase_ts"),
+        )
+    )
