@@ -110,10 +110,17 @@ _CERTIFIED_TAIL = (
     "t_split_stats",
     "t_pack_offsets",
     "mm_frame_offsets",
-    # rotated out late round 4 to free a prefix slot for the runtime-pinned
-    # w_stream_join_click_purchase gate; certified r03 and fingerprint-equal
-    # (its streaming twin w_stream_hll_merge stays prefix-certified)
+    # rotated out late round 4 to free prefix slots for the runtime-pinned
+    # w_stream_join_click_purchase gate and the three queries added this
+    # session (t_similarity_triangles, t_edit_distance_pairs,
+    # cdc_incremental_agg — certified this round instead of pending); all
+    # four rotated-out queries are r03-green and fingerprint-equal
+    # (t_hll_distinct's streaming twin w_stream_hll_merge stays
+    # prefix-certified)
     "t_hll_distinct",
+    "t_decontaminate",
+    "t_doc_chunks",
+    "t_mixture_plan",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",
@@ -162,13 +169,7 @@ _CERTIFIED_TAIL = (
 # for first certification next round. Explicitly surfaced here so the
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
-_PENDING_FIRST_CERT = (
-    # added late round 4 after the 50-slot prefix filled; local DuckDB
-    # parity every round, first hard gate next round
-    "t_similarity_triangles",
-    "t_edit_distance_pairs",
-    "cdc_incremental_agg",
-)
+_PENDING_FIRST_CERT = ()
 
 
 def _suite():
