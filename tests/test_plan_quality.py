@@ -267,3 +267,41 @@ def test_codec_round_trip_queries_are_map_only(spark, sf_dir, queries):
         assert plan.count("MapInPandas") == 2, (name, plan[:800])
         assert plan.count("Exchange hashpartitioning") == 0, (name, plan[:800])
         assert plan.count("Exchange") <= 1, (name, plan[:800])
+
+
+def test_edit_distance_candidates_equi_join(spark, sf_dir, queries):
+    # blocking must give Catalyst an equi-join on (lang, pfx) — a plan that
+    # degenerates to BroadcastNestedLoop/Cartesian re-derives all-pairs and
+    # dies at scale; the levenshtein verify must stay JVM-side
+    plan = _plan(queries["t_edit_distance_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_triangle_census_no_cartesian(spark, sf_dir, queries):
+    # wedge build and closure are equi-joins over the (narrow) edge list;
+    # nothing may expand to an unkeyed product against the corpus
+    plan = _plan(queries["t_similarity_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_agg_reuses_fold_exchange(spark, sf_dir, queries):
+    # v0/v1 statuses come from the SAME fold plan; under the no-AQE static
+    # build the fold's transactionId exchange appears once per fold leg at
+    # most, and the delta join shuffles only narrow (tid, status) rows —
+    # no EvalPython, no cartesian anywhere
+    plan = _plan(queries["cdc_incremental_agg"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_incremental_agg_identity_holds(spark, sf_dir, queries):
+    # the maintained aggregate must equal the recompute, row for row — the
+    # algebra the gate hash certifies, asserted here against live data
+    rows = queries["cdc_incremental_agg"](spark, sf_dir).collect()
+    assert rows, "expected at least one status group"
+    for r in rows:
+        assert r.n_maintained == r.n_base + r.n_delta
+        assert r.n_maintained == r.n_recomputed, r
