@@ -121,6 +121,10 @@ _CERTIFIED_TAIL = (
     "t_decontaminate",
     "t_doc_chunks",
     "t_mixture_plan",
+    # rotated out for the runtime-pinned w_stream_session_windows gate
+    # (r03-green, fingerprint-equal; its batch twin w_session_windows was
+    # r02-certified and stays fingerprint-guarded in the tail)
+    "t_quality_weighted_sample",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",

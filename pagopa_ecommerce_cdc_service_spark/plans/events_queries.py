@@ -1567,3 +1567,114 @@ def w_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_ts").alias("last_purchase_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING session windows under the hard gate — the stateful MERGING
+# window operator (distinct from tumbling aggregation: session state must
+# EXTEND and MERGE as events arrive, not just accumulate into fixed
+# buckets). The events table replays as two micro-batch files hash-split
+# by event id, so most sessions receive events in BOTH batches and the
+# emitted windows exist only if cross-batch session-state merge is
+# correct. Append-mode sessions finalize only when the watermark passes
+# their end, so a single synthetic flush row (user_id = -1, filtered from
+# the output) advances the global watermark past the corpus; the 45-day
+# delay exceeds the corpus span so no real event is ever late-dropped —
+# the streamed sessions must equal the batch gap-island oracle (the same
+# SQL that certifies batch session_window). Scale shape: state is keyed
+# by (user_id, open session) and evicted at the real production delay
+# (minutes, not the test's corpus-span bound) once the watermark passes.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_session_windows",
+    f"""
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                      OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {EV}
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      )
+    )
+    GROUP BY user_id, session_id
+    """,
+)
+def w_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    ev = read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
+
+    workdir = gate_workdir("stream-session-gate-")
+    src = f"{workdir}/src"
+
+    def dump(df, label: str, mtime: float) -> None:
+        dest = f"{src}/{label}.parquet"
+        write_single_file(df, dest, fmt="parquet")
+        os.utime(dest, (mtime, mtime))
+
+    now = _time.time()
+    dump(ev.filter(F.col("event_id") % 2 == 0), "half0", now - 30)
+    dump(ev.filter(F.col("event_id") % 2 == 1), "half1", now - 20)
+    # one watermark-advancing flush row far past the corpus: finalizes every
+    # real session; computed executor-side (one-row aggregate), no collect
+    flush = ev.agg(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.max("ts") + F.expr("INTERVAL 100 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit(0.0).alias("value"),
+    )
+    dump(flush, "flush", now - 10)
+
+    name = f"ssw_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # delay > corpus span: the hash-split batches interleave in event
+        # time, so nothing may be late; only the flush row moves the
+        # watermark past the real sessions
+        .withWatermark("ts", "45 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(
+            F.count("*").alias("n_events"),
+            money_sum(dec("value"), "sum_value"),
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_session_windows: availableNow run did not complete in 240s"
+        )
+    return (
+        spark.table(name)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
