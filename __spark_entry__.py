@@ -125,6 +125,9 @@ _CERTIFIED_TAIL = (
     # (r03-green, fingerprint-equal; its batch twin w_session_windows was
     # r02-certified and stays fingerprint-guarded in the tail)
     "t_quality_weighted_sample",
+    # rotated out for e_mips_topk (first cert this round); r03-green,
+    # fingerprint-equal
+    "t_repetition_stats",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",

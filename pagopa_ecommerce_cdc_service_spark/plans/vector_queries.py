@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     cosine,
     cosine_sql,
+    dot,
+    dot_sql,
     dist2_sql,
     lsh_bucket,
     lsh_bucket_sql,
@@ -687,4 +689,49 @@ def e_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_PQ_OUT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Maximum-inner-product top-k (MIPS) — the retrieval scoring used with
+# learned embedding models where magnitude carries relevance (un-normalized
+# dual-encoder scores), distinct from cosine's angle-only ranking. The dot
+# product runs entirely in BIGINT over the shared quantized domain, so the
+# score is exact and bit-identical cross-engine with no float anywhere.
+# Scale shape: identical to e_cosine_topk — the single query vector is a
+# broadcast one-row relation, scoring is a map-side zip_with fold over the
+# corpus scan (no shuffle of the embeddings side), and top-k is
+# TakeOrderedAndProject, never a global sort. The standard MIPS→NN
+# reduction (augment with sqrt(M² − ‖x‖²), then any cosine/L2 ANN index
+# applies) is how this composes with the LSH/IVF/PQ paths at 100 TB.
+# ---------------------------------------------------------------------------
+@query(
+    "e_mips_topk",
+    f"""
+    WITH q AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 1),
+    scored AS (
+      SELECT e.vec_id, e.label,
+             CAST({dot_sql(quantize_sql("e.embedding"), "q.qv")} AS BIGINT) AS dot_q
+      FROM embeddings e, q
+      WHERE e.vec_id <> 1
+    )
+    SELECT vec_id, label, dot_q
+    FROM scored ORDER BY dot_q DESC, vec_id LIMIT 10
+    """,
+)
+def e_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).withColumn(
+        "qvec", quantize(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("qvec").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            dot(F.col("qvec"), F.col("qv")).cast("long").alias("dot_q"),
+        )
+        .orderBy(F.desc("dot_q"), F.asc("vec_id"))
+        .limit(10)
     )
