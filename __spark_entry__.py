@@ -128,6 +128,9 @@ _CERTIFIED_TAIL = (
     # rotated out for e_mips_topk (first cert this round); r03-green,
     # fingerprint-equal
     "t_repetition_stats",
+    # rotated out for the runtime-pinned w_stream_left_join_clicks gate;
+    # r03-green, fingerprint-equal
+    "t_bm25_topdocs",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",

@@ -49,6 +49,11 @@ HEADLINE = [
     # round-4 (second pass) additions: AQE hot-key join + BMP codec stage
     "w_skew_join_pairs",
     "mm_image_decode_stats",
+    # round-4 (third pass) additions: dedup/graph/IVM/vector breadth
+    "t_edit_distance_pairs",
+    "t_similarity_triangles",
+    "cdc_incremental_agg",
+    "e_mips_topk",
 ]
 
 

@@ -1678,3 +1678,135 @@ def w_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING LEFT-OUTER stream-stream join under the hard gate — the
+# state-EVICTION emission path, which the inner-join gate cannot exercise:
+# an unmatched click emits its null-padded row only when the watermark
+# passes the end of its match window, i.e. the row is produced BY state
+# expiry, not by an arriving match. Both sides carry flush rows
+# (user_id < 0, filtered from the output) because the global watermark is
+# the MINIMUM over the two sources — one flushed side alone would hold
+# every unmatched click in state forever. The append output aggregates to
+# the batch LEFT JOIN oracle: matched pair counts AND unmatched-click
+# counts per user, so the gate hash certifies both emission paths.
+# Scale shape: same as the inner gate (shuffle both streams on user_id
+# once; state bounded by watermark delay × rate) plus deterministic state
+# cleanup — the property that keeps a 1000-executor outer join's store
+# from growing without bound.
+# ---------------------------------------------------------------------------
+@query(
+    "w_stream_left_join_clicks",
+    f"""
+    SELECT c.user_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CASE WHEN p.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN p.ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unmatched
+    FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+          FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+               FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def w_stream_left_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_single_file
+
+    ev = read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id"
+    )
+
+    workdir = gate_workdir("stream-ljoin-gate-")
+
+    def dump(df, sub: str, label: str, mtime: float) -> None:
+        dest = f"{workdir}/{sub}/{label}.parquet"
+        write_single_file(df, dest, fmt="parquet")
+        os.utime(dest, (mtime, mtime))
+
+    def flush(df, uid: int):
+        # one watermark-advancing row per SOURCE (global watermark = min
+        # across sources), far past every click's match-window end
+        return df.agg(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.max("ts") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
+            F.lit(uid).cast("long").alias("user_id"),
+        )
+
+    now = _time.time()
+    dump(clicks.filter(F.col("event_id") % 2 == 0), "clicks", "half0", now - 40)
+    dump(clicks.filter(F.col("event_id") % 2 == 1), "clicks", "half1", now - 30)
+    dump(purchases.filter(F.col("event_id") % 2 == 0), "purch", "half0", now - 40)
+    dump(purchases.filter(F.col("event_id") % 2 == 1), "purch", "half1", now - 30)
+    dump(flush(ev, -1), "clicks", "flush", now - 10)
+    dump(flush(ev, -2), "purch", "flush", now - 10)
+
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    c = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/clicks")
+        # 45 days > corpus span (no real row late); the flush rows land
+        # 200 days out, pushing the watermark past every match window so
+        # unmatched state evicts and emits
+        .withWatermark("ts", "45 days")
+        .select(
+            F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+        )
+    )
+    p = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{workdir}/purch")
+        .withWatermark("ts", "45 days")
+        .select(
+            F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+        )
+    )
+    joined = c.join(
+        p,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    name = f"slj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_left_join_clicks: availableNow run did not complete in 240s"
+        )
+    return (
+        spark.table(name)
+        .filter(F.col("c_user") >= 0)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_clicks"),
+            F.sum(F.when(F.col("p_ts").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+            F.sum(F.when(F.col("p_ts").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unmatched"),
+        )
+    )

@@ -1437,32 +1437,49 @@ def t_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Adjacency-list formulation: the expensive LSH pair pipeline is
+    # referenced exactly TWICE — once to build the per-node sorted neighbor
+    # arrays (one explode + one groupBy), once as the closure probe — not
+    # once per wedge/degree/membership consumer (a naive three-join
+    # enumeration reads it six times; at scale that sextuples the shingle
+    # pass unless exchange reuse catches every copy). Each node is the
+    # CENTER of exactly one wedge per triangle it belongs to (its two
+    # incident edges), so per-node triangle membership = closed wedges
+    # centered there — no per-triangle 3-way explosion needed. Wedge pairs
+    # come from the sorted neighbor array (x < y by construction, matching
+    # the canonical doc_a < doc_b edge orientation); explode_outer keeps
+    # degree-1 nodes in the output.
     pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    # one hash partitioning of the canonical edge list, shared by the wedge
-    # self-join sides and the closure probe (ReusedExchange in SMJ regime)
     edges = pairs.repartition(spark.sparkContext.defaultParallelism, "doc_a")
-    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = edges.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    wedges = e1.join(e2, F.col("b") == F.col("b2")).select("a", "b", "c")
-    e3 = edges.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
-    tri = wedges.join(
-        e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3"))
-    ).select("a", "b", "c")
-    members = tri.select(
-        F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("doc_id")
+    sym = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("n"), F.col("doc_b").alias("m")),
+                F.struct(F.col("doc_b").alias("n"), F.col("doc_a").alias("m")),
+            )
+        ).alias("x")
+    ).select("x.n", "x.m")
+    adj = sym.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("nbrs"))
+    wedge_pairs = F.expr(
+        "flatten(transform(nbrs, (x, i) -> "
+        "transform(slice(nbrs, i + 2, size(nbrs)), y -> struct(x, y))))"
     )
-    tri_counts = members.groupBy("doc_id").agg(
-        F.count("*").alias("n_triangles")
+    wedges = adj.select(
+        F.col("n").alias("doc_id"),
+        F.size("nbrs").alias("degree"),
+        F.explode_outer(wedge_pairs).alias("w"),
     )
-    sym = edges.select(F.col("doc_a").alias("doc_id")).unionAll(
-        edges.select(F.col("doc_b").alias("doc_id"))
+    closed = wedges.join(
+        edges,
+        (F.col("w.x") == F.col("doc_a")) & (F.col("w.y") == F.col("doc_b")),
+        "left",
     )
-    deg = sym.groupBy("doc_id").agg(F.count("*").alias("degree"))
-    return deg.join(tri_counts, "doc_id", "left").select(
-        "doc_id",
-        "degree",
-        (F.col("degree") * (F.col("degree") - 1) / 2).cast("long").alias("n_wedges"),
-        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+    return closed.groupBy("doc_id").agg(
+        F.first("degree").alias("degree"),
+        (F.first("degree") * (F.first("degree") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.count("doc_a").alias("n_triangles"),
     )
 
 

@@ -279,12 +279,20 @@ def test_edit_distance_candidates_equi_join(spark, sf_dir, queries):
     assert "EvalPython" not in plan
 
 
-def test_triangle_census_no_cartesian(spark, sf_dir, queries):
-    # wedge build and closure are equi-joins over the (narrow) edge list;
-    # nothing may expand to an unkeyed product against the corpus
-    plan = _plan(queries["t_similarity_triangles"](spark, sf_dir))
+def test_triangle_census_no_cartesian_and_reuses_pair_exchange(
+    spark, sf_dir, queries
+):
+    # adjacency build and closure are equi-joins over the (narrow) edge
+    # list — nothing may expand to an unkeyed product against the corpus —
+    # and the two references to the expensive LSH pair pipeline must
+    # collapse to reused exchanges at runtime (AQE stage reuse), so the
+    # shingle/minhash pass runs once, not per consumer
+    df = queries["t_similarity_triangles"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("ReusedExchange") >= 1, plan[:1500]
 
 
 def test_incremental_agg_reuses_fold_exchange(spark, sf_dir, queries):
@@ -305,3 +313,12 @@ def test_incremental_agg_identity_holds(spark, sf_dir, queries):
     for r in rows:
         assert r.n_maintained == r.n_base + r.n_delta
         assert r.n_maintained == r.n_recomputed, r
+
+
+def test_mips_topk_broadcast_no_shuffle_scoring(spark, sf_dir, queries):
+    # same posture as cosine top-k: one-row query broadcast, scoring stays
+    # map-side over the corpus scan, top-k via TakeOrderedAndProject
+    plan = _plan(queries["e_mips_topk"](spark, sf_dir))
+    assert "Broadcast" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
