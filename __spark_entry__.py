@@ -131,6 +131,9 @@ _CERTIFIED_TAIL = (
     # rotated out for the runtime-pinned w_stream_left_join_clicks gate;
     # r03-green, fingerprint-equal
     "t_bm25_topdocs",
+    # rotated out for w_interval_overlap_sessions (first cert this round);
+    # r03-green, fingerprint-equal
+    "t_quality_funnel",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",

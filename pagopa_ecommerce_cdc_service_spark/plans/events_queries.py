@@ -1810,3 +1810,108 @@ def w_stream_left_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unmatched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL-OVERLAP self-join — the remaining join class (equi / as-of /
+# range-bucket / skew / SCD2 / stream-stream are all gated already):
+# concurrent-session analysis, "which sessions were live at the same
+# time", the genomic/observability overlap shape. The scale path is
+# time-bucket blocking: each session explodes to the hour buckets it
+# covers (bounded by session length / bucket width), candidates come from
+# an EQUI-join on the bucket, and each overlapping pair is counted exactly
+# once by attributing it to the bucket containing the overlap's start
+# (greatest of the two session starts) — the standard dedup trick that
+# avoids a distinct over the pair blowup. The DuckDB oracle computes the
+# SAME pairs with a direct quadratic inequality join, so the gate
+# certifies that blocking loses nothing. Overlap durations are exact
+# epoch-millisecond integers. Sessions come from the same native
+# session_window aggregation the session gates certify.
+# At 100 TB: the bucket explode is bounded fan-out, the bucket equi-join
+# shuffles on a narrow key whose per-bucket population is the concurrency
+# level (thousands, not corpus-sized), and no all-pairs stage exists.
+# ---------------------------------------------------------------------------
+@query(
+    "w_interval_overlap_sessions",
+    f"""
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) + INTERVAL 30 MINUTE AS s_end
+      FROM (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        OR LAG(ts) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM {EV}
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+      ) GROUP BY user_id, sid
+    )
+    SELECT strftime(date_trunc('day', greatest(a.s_start, b.s_start)),
+                    '%Y-%m-%d') AS day,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(epoch_ms(least(a.s_end, b.s_end))
+                    - epoch_ms(greatest(a.s_start, b.s_start))) AS BIGINT)
+             AS sum_overlap_ms
+    FROM s a JOIN s b
+      ON a.user_id < b.user_id
+     AND a.s_start < b.s_end AND b.s_start < a.s_end
+    GROUP BY 1
+    """,
+)
+def w_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    s = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count("*").alias("_n"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("s_start"),
+            F.col("sw.end").alias("s_end"),
+        )
+    )
+    b = s.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('hour', s_start), "
+                "date_trunc('hour', s_end), interval 1 hour)"
+            )
+        ),
+    )
+    a = b.select(
+        F.col("user_id").alias("u_a"),
+        F.col("s_start").alias("st_a"),
+        F.col("s_end").alias("en_a"),
+        "bucket",
+    )
+    c = b.select(
+        F.col("user_id").alias("u_b"),
+        F.col("s_start").alias("st_b"),
+        F.col("s_end").alias("en_b"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    ov_start = F.greatest(F.col("st_a"), F.col("st_b"))
+    ov_end = F.least(F.col("en_a"), F.col("en_b"))
+    pairs = (
+        a.join(
+            c,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("u_a") < F.col("u_b"))
+            & (F.col("st_a") < F.col("en_b"))
+            & (F.col("st_b") < F.col("en_a")),
+        )
+        # count each pair once: only in the bucket where its overlap starts
+        .filter(F.date_trunc("hour", ov_start) == F.col("bucket"))
+    )
+    return pairs.groupBy(
+        F.date_format(ov_start, "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.unix_millis(ov_end) - F.unix_millis(ov_start))
+        .cast("long")
+        .alias("sum_overlap_ms"),
+    )

@@ -322,3 +322,13 @@ def test_mips_topk_broadcast_no_shuffle_scoring(spark, sf_dir, queries):
     assert "Broadcast" in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_interval_overlap_blocking_equi_join(spark, sf_dir, queries):
+    # candidates must come from the hour-bucket EQUI-join (narrow key,
+    # bounded per-bucket population) — a BNLJ/cartesian would re-derive the
+    # quadratic pair space the bucketization exists to avoid
+    plan = _plan(queries["w_interval_overlap_sessions"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
