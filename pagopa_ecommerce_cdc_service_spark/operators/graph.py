@@ -104,3 +104,59 @@ def connected_components(
         )
 
     return labels.select("node", F.col("comp").alias("component"))
+
+
+def triangle_census(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> DataFrame:
+    """Per-node degree / wedge / triangle counts over a canonical edge list.
+
+    ``edges`` must be canonically oriented (src < dst, one row per
+    undirected edge, no duplicates) — exactly what the LSH/SimHash pair
+    pipelines emit. Output: one row per node appearing in the graph with
+    ``doc_id, degree, n_wedges (= C(degree, 2)), n_triangles`` — the
+    ingredients of the local clustering coefficient, all integer-exact.
+
+    Shape (the scale contract, asserted by plan tests at the query layer):
+    the edge relation is referenced exactly TWICE — once to build per-node
+    sorted neighbor arrays (one explode + one groupBy), once as the closure
+    probe — never once per consumer. Per-node triangle membership = closed
+    wedges CENTERED at the node (each node centers exactly one wedge per
+    triangle it belongs to: its two incident edges), so there is no
+    per-triangle 3-way explosion and no third join. Wedge pairs come from
+    the sorted neighbor array, so x < y matches the canonical edge
+    orientation; ``explode_outer`` keeps degree-1 nodes in the output.
+    Cost is O(sum of degree^2) wedge rows — the standard bound for exact
+    triangle counting — against the (small) pair graph, never the corpus.
+    """
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    sym = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("n"), F.col("_d").alias("m")),
+                F.struct(F.col("_d").alias("n"), F.col("_s").alias("m")),
+            )
+        ).alias("x")
+    ).select("x.n", "x.m")
+    adj = sym.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("nbrs"))
+    wedge_pairs = F.expr(
+        "flatten(transform(nbrs, (x, i) -> "
+        "transform(slice(nbrs, i + 2, size(nbrs)), y -> struct(x, y))))"
+    )
+    wedges = adj.select(
+        F.col("n").alias("doc_id"),
+        F.size("nbrs").alias("degree"),
+        F.explode_outer(wedge_pairs).alias("w"),
+    )
+    closed = wedges.join(
+        e,
+        (F.col("w.x") == F.col("_s")) & (F.col("w.y") == F.col("_d")),
+        "left",
+    )
+    return closed.groupBy("doc_id").agg(
+        F.first("degree").alias("degree"),
+        (F.first("degree") * (F.first("degree") - 1) / 2)
+        .cast("long")
+        .alias("n_wedges"),
+        F.count("_s").alias("n_triangles"),
+    )

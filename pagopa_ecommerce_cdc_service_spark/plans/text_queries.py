@@ -1449,38 +1449,11 @@ def t_similarity_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # come from the sorted neighbor array (x < y by construction, matching
     # the canonical doc_a < doc_b edge orientation); explode_outer keeps
     # degree-1 nodes in the output.
+    from ..operators.graph import triangle_census
+
     pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.repartition(spark.sparkContext.defaultParallelism, "doc_a")
-    sym = edges.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("doc_a").alias("n"), F.col("doc_b").alias("m")),
-                F.struct(F.col("doc_b").alias("n"), F.col("doc_a").alias("m")),
-            )
-        ).alias("x")
-    ).select("x.n", "x.m")
-    adj = sym.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("nbrs"))
-    wedge_pairs = F.expr(
-        "flatten(transform(nbrs, (x, i) -> "
-        "transform(slice(nbrs, i + 2, size(nbrs)), y -> struct(x, y))))"
-    )
-    wedges = adj.select(
-        F.col("n").alias("doc_id"),
-        F.size("nbrs").alias("degree"),
-        F.explode_outer(wedge_pairs).alias("w"),
-    )
-    closed = wedges.join(
-        edges,
-        (F.col("w.x") == F.col("doc_a")) & (F.col("w.y") == F.col("doc_b")),
-        "left",
-    )
-    return closed.groupBy("doc_id").agg(
-        F.first("degree").alias("degree"),
-        (F.first("degree") * (F.first("degree") - 1) / 2)
-        .cast("long")
-        .alias("n_wedges"),
-        F.count("doc_a").alias("n_triangles"),
-    )
+    return triangle_census(edges)
 
 
 # ---------------------------------------------------------------------------

@@ -48,3 +48,55 @@ def test_superseded_checkpoints_released(spark):
     n_after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     # only the FINAL labels checkpoint (backing the returned DF) may remain
     assert n_after - n_before <= 1
+
+
+# --- triangle_census ------------------------------------------------------
+
+from itertools import combinations
+
+from pagopa_ecommerce_cdc_service_spark.operators.graph import triangle_census
+
+
+def _census_brute(edges):
+    """Pure-Python reference: per-node degree / wedges / triangles."""
+    es = {tuple(sorted(e)) for e in edges}
+    nodes = sorted({n for e in es for n in e})
+    nbrs = {n: {b for a, b in es if a == n} | {a for a, b in es if b == n}
+            for n in nodes}
+    tri = {n: 0 for n in nodes}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in es and (a, c) in es and (b, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    return {
+        n: (len(nbrs[n]), len(nbrs[n]) * (len(nbrs[n]) - 1) // 2, tri[n])
+        for n in nodes
+    }
+
+
+def _census_spark(spark, edges):
+    df = spark.createDataFrame(
+        [tuple(sorted(e)) for e in edges], ["doc_a", "doc_b"]
+    ).distinct()
+    rows = triangle_census(df).collect()
+    return {r["doc_id"]: (r["degree"], r["n_wedges"], r["n_triangles"])
+            for r in rows}
+
+
+def test_triangle_census_clique_and_chain(spark):
+    # K4 (every node: deg 3, 3 wedges, 3 triangles) plus a pendant chain
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    assert _census_spark(spark, edges) == _census_brute(edges)
+
+
+def test_triangle_census_random_graphs(spark):
+    # deterministic pseudo-random edge sets across densities; Spark result
+    # must equal the brute-force census exactly
+    import random
+
+    rng = random.Random(20260814)
+    for n_nodes, n_edges in ((6, 5), (8, 12), (10, 25), (12, 40)):
+        pool = list(combinations(range(n_nodes), 2))
+        edges = rng.sample(pool, min(n_edges, len(pool)))
+        assert _census_spark(spark, edges) == _census_brute(edges), edges
