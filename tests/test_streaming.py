@@ -783,3 +783,79 @@ def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
         if n.startswith("_staging-") or n.startswith(".saved-")
     ]
     assert leftovers == []
+
+
+def test_stream_stream_join_state_survives_restart(spark, tmp_path):
+    """Stream-stream interval-join state must recover from the checkpoint:
+    purchases arriving in a SECOND run (same checkpoint, new sink) must
+    match clicks buffered by the FIRST run — the reference's
+    resume-without-loss guarantee (S2/ST2) applied to join state, and the
+    property the w_stream_join_click_purchase gate exercises within one
+    run. Synthetic rows pin the expected matches exactly."""
+    from pyspark.sql import Row
+
+    clicks_dir = str(tmp_path / "clicks")
+    purch_dir = str(tmp_path / "purch")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    os.makedirs(clicks_dir)
+    os.makedirs(purch_dir)
+
+    def write_file(rows, schema, dest):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(dest)
+
+    def ts(minute):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 10, minute)
+
+    c_schema = "user_id bigint, ts timestamp"
+    p_schema = "user_id bigint, ts timestamp, value double"
+    # run 1: two clicks, one immediate match (u1), one still unmatched (u2)
+    write_file([Row(user_id=1, ts=ts(0)), Row(user_id=2, ts=ts(5))],
+               c_schema, clicks_dir)
+    write_file([Row(user_id=1, ts=ts(10), value=5.0)], p_schema, purch_dir)
+
+    def run_once():
+        c = (
+            spark.readStream.schema(c_schema).parquet(clicks_dir)
+            .withWatermark("ts", "365 days")
+            .selectExpr("user_id AS c_user", "ts AS c_ts")
+        )
+        p = (
+            spark.readStream.schema(p_schema).parquet(purch_dir)
+            .withWatermark("ts", "365 days")
+            .selectExpr("user_id AS p_user", "ts AS p_ts", "value AS p_value")
+        )
+        joined = c.join(
+            p,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append").option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        assert q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    out1 = run_once()
+    assert {(r.c_user, r.p_value) for r in out1} == {(1, 5.0)}
+
+    # run 2: purchases for u2 (click held ONLY in recovered join state) and
+    # a second u1 purchase still inside u1's click window
+    write_file(
+        [Row(user_id=2, ts=ts(20), value=7.0),
+         Row(user_id=1, ts=ts(25), value=9.0)],
+        p_schema, purch_dir,
+    )
+    out2 = run_once()
+    # parquet sink output is cumulative across runs
+    assert {(r.c_user, r.p_value) for r in out2} == {
+        (1, 5.0), (2, 7.0), (1, 9.0)
+    }
