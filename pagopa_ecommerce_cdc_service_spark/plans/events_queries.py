@@ -228,11 +228,10 @@ def w_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import time as _time
     import uuid
 
-    from .helpers import gate_workdir, write_single_file
+    from .helpers import gate_workdir, write_staged_file
 
     ev = read(spark, sf_dir, "events").select("ts", "event_type", "value")
 
@@ -240,9 +239,7 @@ def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{workdir}/src"
 
     def dump(df, label: str, mtime: float) -> None:
-        dest = f"{src}/{label}.parquet"
-        write_single_file(df, dest, fmt="parquet")
-        os.utime(dest, (mtime, mtime))
+        write_staged_file(df, f"{src}/{label}.parquet", mtime)
 
     now = _time.time()
     dump(ev, "real", now - 20)
@@ -312,11 +309,10 @@ def w_stream_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import time as _time
     import uuid
 
-    from .helpers import gate_workdir, write_single_file
+    from .helpers import gate_workdir, write_staged_file
 
     ev = read(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
 
@@ -324,9 +320,7 @@ def w_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     src = f"{workdir}/src"
 
     def dump(df, label: str, mtime: float) -> None:
-        dest = f"{src}/{label}.parquet"
-        write_single_file(df, dest, fmt="parquet")
-        os.utime(dest, (mtime, mtime))
+        write_staged_file(df, f"{src}/{label}.parquet", mtime)
 
     now = _time.time()
     dump(ev, "original", now - 20)
@@ -394,11 +388,10 @@ def w_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def w_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import time as _time
     import uuid
 
-    from .helpers import gate_workdir, write_single_file
+    from .helpers import gate_workdir, write_staged_file
 
     ev = read(spark, sf_dir, "events").select("user_id", "event_type", "value")
     dim = (
@@ -418,9 +411,7 @@ def w_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{workdir}/src"
 
     def dump(df, label: str, mtime: float) -> None:
-        dest = f"{src}/{label}.parquet"
-        write_single_file(df, dest, fmt="parquet")
-        os.utime(dest, (mtime, mtime))
+        write_staged_file(df, f"{src}/{label}.parquet", mtime)
 
     now = _time.time()
     dump(ev.filter(F.col("user_id") % 2 == 0), "even", now - 20)
@@ -1485,26 +1476,23 @@ def w_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import time as _time
     import uuid
 
-    from .helpers import gate_workdir, write_single_file
+    from .helpers import gate_workdir, write_staged_file
 
-    ev = read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
-    clicks = read(spark, sf_dir, "events").filter(
-        F.col("event_type") == "click"
-    ).select("event_id", "ts", "user_id")
-    purchases = read(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    ).select("event_id", "ts", "user_id", "value")
+    ev = read(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "ts", "user_id", "value"
+    )
 
     workdir = gate_workdir("stream-join-gate-")
 
     def dump(df, sub: str, label: str, mtime: float) -> None:
-        dest = f"{workdir}/{sub}/{label}.parquet"
-        write_single_file(df, dest, fmt="parquet")
-        os.utime(dest, (mtime, mtime))
+        write_staged_file(df, f"{workdir}/{sub}/{label}.parquet", mtime)
 
     now = _time.time()
     # hash-split each side: a pair's click and purchase land in the same
@@ -1610,11 +1598,10 @@ def w_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import time as _time
     import uuid
 
-    from .helpers import gate_workdir, write_single_file
+    from .helpers import gate_workdir, write_staged_file
 
     ev = read(spark, sf_dir, "events").select("event_id", "ts", "user_id", "value")
 
@@ -1622,9 +1609,7 @@ def w_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = f"{workdir}/src"
 
     def dump(df, label: str, mtime: float) -> None:
-        dest = f"{src}/{label}.parquet"
-        write_single_file(df, dest, fmt="parquet")
-        os.utime(dest, (mtime, mtime))
+        write_staged_file(df, f"{src}/{label}.parquet", mtime)
 
     now = _time.time()
     dump(ev.filter(F.col("event_id") % 2 == 0), "half0", now - 30)
@@ -1715,11 +1700,10 @@ def w_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def w_stream_left_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
     import time as _time
     import uuid
 
-    from .helpers import gate_workdir, write_single_file
+    from .helpers import gate_workdir, write_staged_file
 
     ev = read(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -1732,14 +1716,15 @@ def w_stream_left_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     workdir = gate_workdir("stream-ljoin-gate-")
 
     def dump(df, sub: str, label: str, mtime: float) -> None:
-        dest = f"{workdir}/{sub}/{label}.parquet"
-        write_single_file(df, dest, fmt="parquet")
-        os.utime(dest, (mtime, mtime))
+        write_staged_file(df, f"{workdir}/{sub}/{label}.parquet", mtime)
 
     def flush(df, uid: int):
         # one watermark-advancing row per SOURCE (global watermark = min
-        # across sources), far past every click's match-window end
-        return df.agg(
+        # across sources), far past every click's match-window end; derived
+        # from the side's own projected slice (a ts-only aggregate scan),
+        # not a second pass over the full events table — the 200-day
+        # margin dwarfs any skew between the two sides' max timestamps
+        return df.select("ts").agg(
             F.lit(-1).cast("long").alias("event_id"),
             (F.max("ts") + F.expr("INTERVAL 200 DAYS")).alias("ts"),
             F.lit(uid).cast("long").alias("user_id"),
@@ -1750,8 +1735,8 @@ def w_stream_left_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     dump(clicks.filter(F.col("event_id") % 2 == 1), "clicks", "half1", now - 30)
     dump(purchases.filter(F.col("event_id") % 2 == 0), "purch", "half0", now - 40)
     dump(purchases.filter(F.col("event_id") % 2 == 1), "purch", "half1", now - 30)
-    dump(flush(ev, -1), "clicks", "flush", now - 10)
-    dump(flush(ev, -2), "purch", "flush", now - 10)
+    dump(flush(clicks, -1), "clicks", "flush", now - 10)
+    dump(flush(purchases, -2), "purch", "flush", now - 10)
 
     schema = "event_id bigint, ts timestamp, user_id bigint"
     c = (

@@ -194,3 +194,14 @@ SQL_CHARGE = (
     f"({SQL_DISC_PRICE}) * "
     "(CAST(1 AS DECIMAL(1,0)) + CAST(l_tax AS DECIMAL(3,2)))"
 )
+
+
+def write_staged_file(df: DataFrame, dest: str, mtime: float, fmt: str = "parquet") -> None:
+    """Stage one gate input file with a pinned mtime.
+
+    The file stream source orders micro-batches by modification time, so
+    every gate that splits its input across batches writes each slice with
+    ``write_single_file`` and then pins ``mtime`` — centralized here so the
+    mtime-ordering trick lives in exactly one place."""
+    write_single_file(df, dest, fmt=fmt)
+    os.utime(dest, (mtime, mtime))

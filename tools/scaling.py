@@ -59,7 +59,9 @@ def build_sf1(spark, src: str, dest: str) -> None:
 
     def replicate(name: str, keys: dict[str, str]) -> None:
         out = f"{dest}/{name}.parquet"
-        if os.path.exists(out):
+        # require the commit marker: a bare exists() would silently reuse a
+        # truncated dataset left by a killed earlier run
+        if os.path.exists(f"{out}/_SUCCESS"):
             return
         df = read(spark, src, name)
         k = F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("_r")
@@ -75,7 +77,7 @@ def build_sf1(spark, src: str, dest: str) -> None:
     for name in ("orders", "customer", "part", "supplier", "nation", "region",
                  "documents"):
         out = f"{dest}/{name}.parquet"
-        if not os.path.exists(out):
+        if not os.path.exists(f"{out}/_SUCCESS"):
             read(spark, src, name).write.mode("overwrite").parquet(out)
 
 
@@ -103,8 +105,12 @@ def main() -> None:
         for name in QUERIES:
             best = None
             for _ in range(args.runs):
+                # noop sink = full computation (count() would let Catalyst
+                # prune the aggregate/measure expressions under a count(1))
                 t0 = time.time()
-                qs[name](spark, sf_dir).count()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
                 dt = time.time() - t0
                 best = dt if best is None else min(best, dt)
             results.setdefault(name, {})[sf_label] = round(best, 3)
