@@ -1,0 +1,117 @@
+"""Command-line surface: run any suite query, its DuckDB oracle, or both.
+
+A user of the reference service interacts with a running daemon; a user of
+this engine interacts with queries. This CLI makes every registered query
+runnable without writing a driver script:
+
+    python -m pagopa_ecommerce_cdc_service_spark list
+    python -m pagopa_ecommerce_cdc_service_spark run cdc_transactions_view \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+    python -m pagopa_ecommerce_cdc_service_spark check t_minhash_lsh_pairs \
+        --sf-dir /root/testdata/sf0.01
+
+``run`` executes the Spark plan and prints rows; ``check`` also runs the
+query's DuckDB oracle over the same parquet tables and reports whether the
+(sorted-column, order-insensitive) results match — the same comparison the
+correctness gate performs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+_REPO = Path(__file__).resolve().parents[1]
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def _suite():
+    import __spark_entry__ as entry
+
+    return entry.queries(), entry.oracle_sql()
+
+
+def _session(cpus: int):
+    from .session import build_session
+
+    return build_session(
+        app_name="cdc-spark-cli", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+
+
+def cmd_list() -> int:
+    queries, oracles = _suite()
+    for name in queries:
+        tag = "oracle" if name in oracles else "rows-only"
+        print(f"{name}\t{tag}")
+    return 0
+
+
+def cmd_run(name: str, sf_dir: str, cpus: int, limit: int) -> int:
+    queries, _ = _suite()
+    if name not in queries:
+        print(f"unknown query {name!r} — see `list`", file=sys.stderr)
+        return 2
+    spark = _session(cpus)
+    df = queries[name](spark, sf_dir)
+    df.show(limit, truncate=False)
+    return 0
+
+
+def cmd_check(name: str, sf_dir: str, cpus: int) -> int:
+    import duckdb
+
+    queries, oracles = _suite()
+    if name not in queries:
+        print(f"unknown query {name!r} — see `list`", file=sys.stderr)
+        return 2
+    if name not in oracles:
+        print(f"{name} has no oracle (rows-only query)", file=sys.stderr)
+        return 2
+    spark = _session(cpus)
+    got = queries[name](spark, sf_dir).toPandas()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    want = con.execute(oracles[name]).df()
+    cols = sorted(got.columns)
+    if cols != sorted(want.columns):
+        print(f"MISMATCH: columns {cols} != {sorted(want.columns)}")
+        return 1
+    a = got[cols].astype(str).sort_values(by=cols, ignore_index=True)
+    b = want[cols].astype(str).sort_values(by=cols, ignore_index=True)
+    if a.shape != b.shape or not (a.values == b.values).all():
+        print(f"MISMATCH: spark {a.shape} vs oracle {b.shape}")
+        return 1
+    print(f"OK: {name} matches oracle ({len(a)} rows) at {sf_dir}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pagopa_ecommerce_cdc_service_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    sub.add_parser("list", help="list registered queries")
+    for verb in ("run", "check"):
+        p = sub.add_parser(verb)
+        p.add_argument("name")
+        p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+        p.add_argument("--cpus", type=int, default=4)
+        if verb == "run":
+            p.add_argument("--limit", type=int, default=20)
+    args = ap.parse_args(argv)
+    if args.cmd == "list":
+        return cmd_list()
+    if args.cmd == "run":
+        return cmd_run(args.name, args.sf_dir, args.cpus, args.limit)
+    return cmd_check(args.name, args.sf_dir, args.cpus)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
