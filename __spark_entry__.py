@@ -134,6 +134,10 @@ _CERTIFIED_TAIL = (
     # rotated out for w_interval_overlap_sessions (first cert this round);
     # r03-green, fingerprint-equal
     "t_quality_funnel",
+    # rotated out for the runtime-pinned w_stream_hist_merge gate;
+    # r03-green, fingerprint-equal (its batch twin w_hist_quantiles stays
+    # prefix-certified)
+    "e_semantic_search",
     "w_lag_delta",
     "w_tumbling_hourly",
     "w_sliding_hourly",

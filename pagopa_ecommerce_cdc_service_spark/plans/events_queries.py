@@ -1900,3 +1900,115 @@ def w_interval_overlap_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_overlap_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING histogram-grid accumulation under the hard gate — the quantile
+# member of the mergeable-summary family (HLL and Count-Min streaming
+# gates already run): the bounded (event_type, bin) count grid maintained
+# by a complete-mode streaming aggregation across two hash-split
+# micro-batches must equal the single-pass batch histogram counter for
+# counter — counts merge by addition under any arrival order, which is
+# what lets a 1000-executor stream serve live p50/p90/p99 with
+# O(types × bins) state. The interpolation and the exact rank-window
+# audit run batch-side on the streamed grid / the same corpus, and the
+# output (and oracle) is exactly w_hist_quantiles', so the gate hash
+# certifies the streamed grid bit-for-bit.
+# ---------------------------------------------------------------------------
+@query("w_stream_hist_merge", _hist_quantiles_oracle())
+def w_stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events")
+    src_rows = ev.select("event_id", "event_type", "value")
+
+    workdir = gate_workdir("stream-hist-gate-")
+    src = f"{workdir}/src"
+    now = _time.time()
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 0), f"{src}/half0.parquet", now - 20
+    )
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 1), f"{src}/half1.parquet", now - 10
+    )
+
+    name = f"shg_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(_HIST_W)).cast("long").alias("bin"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_hist_merge: availableNow run did not complete in 240s"
+        )
+    hist = spark.table(name)
+
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum_hist = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def est(qf: float, alias: str):
+        t = F.ceil(F.lit(qf) * F.col("n")).cast("long")
+        cond = ((F.col("cum") - F.col("cnt")) < t) & (t <= F.col("cum"))
+        frac = (t - (F.col("cum") - F.col("cnt"))).cast("double") / F.col(
+            "cnt"
+        ).cast("double")
+        e = (F.col("bin").cast("double") * F.lit(_HIST_W)) + (F.lit(_HIST_W) * frac)
+        return F.max(F.when(cond, e)).alias(alias)
+
+    sketch = cum_hist.groupBy("event_type").agg(
+        est(0.50, "p50_est"),
+        est(0.90, "p90_est"),
+        est(0.99, "p99_est"),
+        F.count("*").alias("n_bins"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count("*").over(w_all)
+    )
+
+    def pct(qf: float, alias: str):
+        at = F.ceil(F.lit(qf) * F.col("n")).cast("long")
+        return F.max(F.when(F.col("rn") == at, F.col("value"))).alias(alias)
+
+    exact = ranked.groupBy("event_type").agg(
+        pct(0.50, "p50_exact"),
+        pct(0.90, "p90_exact"),
+        pct(0.99, "p99_exact"),
+        F.count("*").alias("n_events"),
+    )
+    return sketch.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_events",
+        "n_bins",
+        "p50_est",
+        "p90_est",
+        "p99_est",
+        "p50_exact",
+        "p90_exact",
+        "p99_exact",
+    )
