@@ -26,10 +26,7 @@ _REPO = Path(__file__).resolve().parents[1]
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+from .plans.helpers import TABLES
 
 
 def _suite():
@@ -65,6 +62,25 @@ def cmd_run(name: str, sf_dir: str, cpus: int, limit: int) -> int:
     return 0
 
 
+def _normalize(df_pandas):
+    """The correctness gate's comparison (tests/test_oracle_parity.py):
+    typed values under sorted column names, NaN normalized — NOT a string
+    compare, which would diverge on -0.0 vs 0.0 or Decimal scale."""
+    import math
+
+    def cell(v):
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return v
+
+    cols = sorted(df_pandas.columns)
+    rows = [
+        tuple(cell(v) for v in row)
+        for row in df_pandas[cols].itertuples(index=False, name=None)
+    ]
+    return cols, sorted(rows, key=repr)
+
+
 def cmd_check(name: str, sf_dir: str, cpus: int) -> int:
     import duckdb
 
@@ -81,16 +97,15 @@ def cmd_check(name: str, sf_dir: str, cpus: int) -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     want = con.execute(oracles[name]).df()
-    cols = sorted(got.columns)
-    if cols != sorted(want.columns):
-        print(f"MISMATCH: columns {cols} != {sorted(want.columns)}")
+    a_cols, a_rows = _normalize(got)
+    b_cols, b_rows = _normalize(want)
+    if a_cols != b_cols:
+        print(f"MISMATCH: columns {a_cols} != {b_cols}")
         return 1
-    a = got[cols].astype(str).sort_values(by=cols, ignore_index=True)
-    b = want[cols].astype(str).sort_values(by=cols, ignore_index=True)
-    if a.shape != b.shape or not (a.values == b.values).all():
-        print(f"MISMATCH: spark {a.shape} vs oracle {b.shape}")
+    if a_rows != b_rows:
+        print(f"MISMATCH: spark {len(a_rows)} rows vs oracle {len(b_rows)}")
         return 1
-    print(f"OK: {name} matches oracle ({len(a)} rows) at {sf_dir}")
+    print(f"OK: {name} matches oracle ({len(a_rows)} rows) at {sf_dir}")
     return 0
 
 

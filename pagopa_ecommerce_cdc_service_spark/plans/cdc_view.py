@@ -618,14 +618,23 @@ def _cf_rowhash(df: DataFrame) -> DataFrame:
     )
 
 
-def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    env = synthesize_envelope(spark, sf_dir)
+
+def _v0_envelope(env: DataFrame) -> DataFrame:
+    """The v0 snapshot slice of the envelope log (first ~4% by seq) — the
+    Spark-side twin of ``_CF_CUT_SQL``, shared by the change feed and the
+    incremental-aggregate maintenance so the cutoff definition lives in
+    one place on each engine."""
     cut = env.agg(
         F.floor((F.max("seq") * F.lit(2.0)) / F.lit(50.0)).cast("long").alias("cut")
     )
-    env0 = env.crossJoin(F.broadcast(cut)).filter(F.col("seq") <= F.col("cut")).drop(
+    return env.crossJoin(F.broadcast(cut)).filter(F.col("seq") <= F.col("cut")).drop(
         "cut"
     )
+
+
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthesize_envelope(spark, sf_dir)
+    env0 = _v0_envelope(env)
 
     def view(e):
         v = fold_transactions_view(prepare_events(e))
@@ -738,12 +747,7 @@ FULL OUTER JOIN agg_delta ad ON ad.status = COALESCE(r.status, b.status)
 
 def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     env = synthesize_envelope(spark, sf_dir)
-    cut = env.agg(
-        F.floor((F.max("seq") * F.lit(2.0)) / F.lit(50.0)).cast("long").alias("cut")
-    )
-    env0 = env.crossJoin(F.broadcast(cut)).filter(F.col("seq") <= F.col("cut")).drop(
-        "cut"
-    )
+    env0 = _v0_envelope(env)
 
     def statuses(e: DataFrame) -> DataFrame:
         # sentinel for the pre-first-status NULL group (mirrors the oracle):

@@ -1027,13 +1027,12 @@ def _hist_quantiles_oracle() -> str:
     """
 
 
-@query("w_hist_quantiles", _hist_quantiles_oracle())
-def w_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read(spark, sf_dir, "events")
-    hist = ev.groupBy(
-        "event_type",
-        F.floor(F.col("value") / F.lit(_HIST_W)).cast("long").alias("bin"),
-    ).agg(F.count("*").alias("cnt"))
+
+def _hist_quantile_report(hist: DataFrame, ev: DataFrame) -> DataFrame:
+    """Interpolated p50/p90/p99 from a (event_type, bin, cnt) grid beside
+    the exact rank-window audit over ``ev`` — shared by the batch histogram
+    query and the streaming grid-merge gate so the estimator algebra (and
+    its oracle, ``_hist_quantiles_oracle``) lives in exactly one place."""
     w_cum = (
         Window.partitionBy("event_type")
         .orderBy("bin")
@@ -1047,9 +1046,9 @@ def w_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     def est(q: float, alias: str):
         t = F.ceil(F.lit(q) * F.col("n")).cast("long")
         cond = ((F.col("cum") - F.col("cnt")) < t) & (t <= F.col("cum"))
-        frac = (t - (F.col("cum") - F.col("cnt"))).cast("double") / F.col("cnt").cast(
-            "double"
-        )
+        frac = (t - (F.col("cum") - F.col("cnt"))).cast("double") / F.col(
+            "cnt"
+        ).cast("double")
         e = (F.col("bin").cast("double") * F.lit(_HIST_W)) + (F.lit(_HIST_W) * frac)
         return F.max(F.when(cond, e)).alias(alias)
 
@@ -1085,6 +1084,16 @@ def w_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p90_exact",
         "p99_exact",
     )
+
+
+@query("w_hist_quantiles", _hist_quantiles_oracle())
+def w_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / F.lit(_HIST_W)).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    return _hist_quantile_report(hist, ev)
 
 
 # ---------------------------------------------------------------------------
@@ -1440,10 +1449,13 @@ def w_dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Structured Streaming join class the suite lacked (stream-static enrich
 # and stateful dedup/aggregation gates already run). Clicks and purchases
 # arrive as two INDEPENDENT file streams, each split into two micro-batch
-# files by event-id hash, so join matches must form ACROSS source/batch
-# boundaries purely from the join state store — nothing matches within a
-# single trigger's slice by construction of the split. Both sides are
-# watermarked and the join carries the event-time constraint
+# files by USER-id parity in OPPOSITE phase (trigger 1 = even-user clicks
+# + odd-user purchases; trigger 2 swaps): a pair always shares its
+# user_id, so a click and its matching purchase NEVER co-arrive — every
+# single match must form across the batch boundary from the join state
+# store, in both directions (trigger-2 purchases against trigger-1 click
+# state, and trigger-2 clicks against trigger-1 purchase state). Both
+# sides are watermarked and the join carries the event-time constraint
 # purchase.ts ∈ [click.ts, click.ts + 30 min]; the delay is sized past the
 # corpus span so no row is late-dropped and the append stream provably
 # contains EXACTLY the batch join's matches (the oracle), aggregated
@@ -1495,12 +1507,13 @@ def w_stream_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_staged_file(df, f"{workdir}/{sub}/{label}.parquet", mtime)
 
     now = _time.time()
-    # hash-split each side: a pair's click and purchase land in the same
-    # micro-batch only by coincidence — matches must come from join state
-    dump(clicks.filter(F.col("event_id") % 2 == 0), "clicks", "half0", now - 20)
-    dump(clicks.filter(F.col("event_id") % 2 == 1), "clicks", "half1", now - 10)
-    dump(purchases.filter(F.col("event_id") % 2 == 0), "purch", "half0", now - 20)
-    dump(purchases.filter(F.col("event_id") % 2 == 1), "purch", "half1", now - 10)
+    # opposite-phase user-parity split: each trigger holds clicks and
+    # purchases of DISJOINT user sets, so no match can form inside a
+    # trigger — every emitted pair is the join state store's doing
+    dump(clicks.filter(F.col("user_id") % 2 == 0), "clicks", "half0", now - 20)
+    dump(clicks.filter(F.col("user_id") % 2 == 1), "clicks", "half1", now - 10)
+    dump(purchases.filter(F.col("user_id") % 2 == 1), "purch", "half0", now - 20)
+    dump(purchases.filter(F.col("user_id") % 2 == 0), "purch", "half1", now - 10)
 
     c = (
         spark.readStream.schema("event_id bigint, ts timestamp, user_id bigint")
@@ -1731,10 +1744,13 @@ def w_stream_left_join_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     now = _time.time()
-    dump(clicks.filter(F.col("event_id") % 2 == 0), "clicks", "half0", now - 40)
-    dump(clicks.filter(F.col("event_id") % 2 == 1), "clicks", "half1", now - 30)
-    dump(purchases.filter(F.col("event_id") % 2 == 0), "purch", "half0", now - 40)
-    dump(purchases.filter(F.col("event_id") % 2 == 1), "purch", "half1", now - 30)
+    # opposite-phase user-parity split (as in the inner-join gate): every
+    # MATCHED pair forms from the join state store across the batch
+    # boundary; unmatched clicks additionally exercise eviction emission
+    dump(clicks.filter(F.col("user_id") % 2 == 0), "clicks", "half0", now - 40)
+    dump(clicks.filter(F.col("user_id") % 2 == 1), "clicks", "half1", now - 30)
+    dump(purchases.filter(F.col("user_id") % 2 == 1), "purch", "half0", now - 40)
+    dump(purchases.filter(F.col("user_id") % 2 == 0), "purch", "half1", now - 30)
     dump(flush(clicks, -1), "clicks", "flush", now - 10)
     dump(flush(purchases, -2), "purch", "flush", now - 10)
 
@@ -1960,55 +1976,4 @@ def w_stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w_stream_hist_merge: availableNow run did not complete in 240s"
         )
     hist = spark.table(name)
-
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("event_type")
-    cum_hist = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
-        "n", F.sum("cnt").over(w_all)
-    )
-
-    def est(qf: float, alias: str):
-        t = F.ceil(F.lit(qf) * F.col("n")).cast("long")
-        cond = ((F.col("cum") - F.col("cnt")) < t) & (t <= F.col("cum"))
-        frac = (t - (F.col("cum") - F.col("cnt"))).cast("double") / F.col(
-            "cnt"
-        ).cast("double")
-        e = (F.col("bin").cast("double") * F.lit(_HIST_W)) + (F.lit(_HIST_W) * frac)
-        return F.max(F.when(cond, e)).alias(alias)
-
-    sketch = cum_hist.groupBy("event_type").agg(
-        est(0.50, "p50_est"),
-        est(0.90, "p90_est"),
-        est(0.99, "p99_est"),
-        F.count("*").alias("n_bins"),
-    )
-    w_rank = Window.partitionBy("event_type").orderBy("value", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w_rank)).withColumn(
-        "n", F.count("*").over(w_all)
-    )
-
-    def pct(qf: float, alias: str):
-        at = F.ceil(F.lit(qf) * F.col("n")).cast("long")
-        return F.max(F.when(F.col("rn") == at, F.col("value"))).alias(alias)
-
-    exact = ranked.groupBy("event_type").agg(
-        pct(0.50, "p50_exact"),
-        pct(0.90, "p90_exact"),
-        pct(0.99, "p99_exact"),
-        F.count("*").alias("n_events"),
-    )
-    return sketch.join(F.broadcast(exact), "event_type").select(
-        "event_type",
-        "n_events",
-        "n_bins",
-        "p50_est",
-        "p90_est",
-        "p99_est",
-        "p50_exact",
-        "p90_exact",
-        "p99_exact",
-    )
+    return _hist_quantile_report(hist, ev)

@@ -63,7 +63,14 @@ def read_table(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
     )
     if f == "csv":
-        reader = reader.option("header", "true").option("timestampFormat", _TS_FMT)
+        # enforceSchema=false validates the header NAMES against the schema
+        # instead of binding columns by position — a reordered-column CSV
+        # fails loudly rather than silently swapping same-typed columns
+        reader = (
+            reader.option("header", "true")
+            .option("enforceSchema", "false")
+            .option("timestampFormat", _TS_FMT)
+        )
         return reader.csv(path)
     return reader.option("timestampFormat", _TS_FMT).json(path)
 

@@ -56,3 +56,17 @@ def test_csv_malformed_rows_quarantine_not_abort(spark, tmp_path):
 def test_unknown_format_rejected(spark):
     with pytest.raises(ValueError, match="unsupported format"):
         read_table(spark, "/nowhere", SCHEMA, fmt="avro")
+
+
+def test_csv_reordered_header_fails_loudly(spark, tmp_path):
+    # enforceSchema=false: a header whose column order disagrees with the
+    # declared schema must error, not silently bind by position
+    p = tmp_path / "swapped"
+    p.mkdir()
+    (p / "part.csv").write_text(
+        "user_id,event_id,ts,event_type,value\n"
+        "7,1,2024-01-01 10:00:00.000000,click,1.5\n"
+    )
+    df = read_table(spark, str(p), SCHEMA, fmt="csv")
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        df.collect()

@@ -84,7 +84,13 @@ def build_sf1(spark, src: str, dest: str) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
-    ap.add_argument("--runs", type=int, default=2)
+    def positive(v):
+        n = int(v)
+        if n < 1:
+            raise argparse.ArgumentTypeError("--runs must be >= 1")
+        return n
+
+    ap.add_argument("--runs", type=positive, default=2)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     args = ap.parse_args()
 
