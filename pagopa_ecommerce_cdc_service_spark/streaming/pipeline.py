@@ -122,6 +122,9 @@ def stream_transactions_view(
 
 
 VIEW_BUCKET_COL = "_bucket"
+_COMMITS_DIR = "_commits"
+_DATA_DIR = "data"
+_MANIFEST_VERSION = 1
 
 
 def view_bucket(key_col: str, n_buckets: int):
@@ -129,156 +132,288 @@ def view_bucket(key_col: str, n_buckets: int):
     return F.pmod(F.hash(key_col), F.lit(n_buckets))
 
 
+# ---------------------------------------------------------------------------
+# Manifest-pointer commit protocol (object-store-atomic, rename-free).
+#
+# Layout:
+#   <view_dir>/data/g-<epoch>-<nonce>/_bucket=<b>/part-*.parquet
+#       immutable generation dirs — written once, never renamed or mutated
+#   <view_dir>/_commits/c-<seq 10 digits>.json
+#       immutable commit manifests; the LIVE table state is defined by the
+#       highest-sequence manifest whose embedded checksum validates
+#
+# A commit is ONE small-file write (create-new, never overwrite, no rename
+# anywhere in the protocol) — atomic on any store where a closed object is
+# all-or-nothing visible (PUT semantics on S3/GCS/ABFS; close() on HDFS).
+# A torn/partial manifest fails its checksum and readers fall back to the
+# previous sequence, so even a store that exposes in-progress writes can
+# never yield a corrupt table. This replaces the round-4 staged-rename
+# chain, whose save→move→drop bucket renames were atomic on file:/HDFS but
+# copy+delete (non-atomic, crash-windowed) on object stores — the reference
+# guarantee being twinned is Mongo's per-document atomic upsert
+# (TransactionViewUpsertService.kt:160-189).
+#
+# Single writer (the streaming query's foreachBatch), many readers:
+# readers resolve the manifest and get snapshot isolation for the dirs it
+# names; the writer garbage-collects generations unreferenced by the
+# current manifest at the top of each merge (a reader holding a resolved
+# manifest across a concurrent commit+GC may need to retry — the usual
+# log-structured-table caveat; production would add a retention window).
+# ---------------------------------------------------------------------------
+
+
+def _fs_write_new_file(fs, path, text: str) -> None:
+    """Create-new (never overwrite) small-file write through the Hadoop FS
+    API — the protocol's only publish primitive. No rename: visibility of
+    the closed file IS the commit."""
+    out = fs.create(path, False)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, fs, path) -> str:
+    stream = fs.open(path)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _manifest_digest(payload: dict) -> str:
+    import hashlib
+    import json
+
+    return hashlib.sha256(
+        json.dumps(payload, sort_keys=True).encode("utf-8")
+    ).hexdigest()
+
+
+def _list_commit_files(spark: SparkSession, view_dir: str):
+    """[(seq, Path)] descending by seq; tolerates a missing commits dir."""
+    fs, _ = _hadoop_fs(spark, view_dir)
+    jvm = spark._jvm
+    commits = jvm.org.apache.hadoop.fs.Path(view_dir, _COMMITS_DIR)
+    if not fs.exists(commits):
+        return fs, []
+    found = []
+    for status in fs.listStatus(commits):
+        name = status.getPath().getName()
+        if name.startswith("c-") and name.endswith(".json"):
+            try:
+                found.append((int(name[2:-5]), status.getPath()))
+            except ValueError:
+                continue
+    found.sort(key=lambda t: t[0], reverse=True)
+    return fs, found
+
+
+def current_commit(spark: SparkSession, view_dir: str):
+    """Resolve the live manifest: highest sequence that parses AND whose
+    checksum validates. A torn manifest (partial write surfaced by a
+    non-atomic store) is skipped, falling back to the previous commit —
+    the property that makes the single-file commit safe everywhere.
+    Returns (seq, payload) or (None, None) for an empty/absent view."""
+    import json
+
+    fs, found = _list_commit_files(spark, view_dir)
+    for seq, path in found:
+        try:
+            doc = json.loads(_fs_read_text(spark, fs, path))
+            payload = doc["payload"]
+            if doc.get("sha") == _manifest_digest(payload) and payload.get(
+                "version"
+            ) == _MANIFEST_VERSION:
+                return seq, payload
+        except Exception:
+            continue  # torn or foreign file: fall back to previous seq
+    return None, None
+
+
+def _write_commit(spark: SparkSession, view_dir: str, seq: int, payload: dict):
+    import json
+
+    fs, _ = _hadoop_fs(spark, view_dir)
+    jvm = spark._jvm
+    commits = jvm.org.apache.hadoop.fs.Path(view_dir, _COMMITS_DIR)
+    fs.mkdirs(commits)
+    path = jvm.org.apache.hadoop.fs.Path(commits, f"c-{seq:010d}.json")
+    _fs_write_new_file(
+        fs, path, json.dumps({"payload": payload, "sha": _manifest_digest(payload)})
+    )
+
+
 def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
-    """Read the maintained view, hiding the internal bucket column.
+    """Read the maintained view via the current manifest.
 
-    Deliberately does NOT run :func:`recover_view`: recovery mutates the
-    directory (restores ``.saved-`` generations, drops staging), which is
-    only safe under the sink's single-writer assumption — a reader racing a
-    LIVE commit could otherwise restore a bucket the writer just saved and
-    corrupt the commit. Recovery belongs to the writer, which runs it at
-    the top of every merge; until the stream restarts after a crash, a
-    reader may observe a touched bucket's pre-crash generation as absent
-    (bounded staleness, never corruption)."""
-    return spark.read.parquet(view_dir).drop(VIEW_BUCKET_COL)
-
-
-def _bucket_dir(bucket: int) -> str:
-    return f"{VIEW_BUCKET_COL}={bucket}"
-
-
-def _saved_dir(bucket: int) -> str:
-    # leading "." ⇒ invisible to Spark's file listing even though the name
-    # contains "=" (shouldFilterOutPathName drops any dot-prefixed name)
-    return f".saved-{VIEW_BUCKET_COL}={bucket}"
+    Pure resolution, no mutation: a reader lists ``_commits/``, picks the
+    highest checksum-valid manifest, and scans exactly the generation dirs
+    it names — snapshot isolation against a live writer (the old rename
+    protocol could expose a bucket as absent mid-commit; a manifest can
+    only be seen whole or not at all)."""
+    _, payload = current_commit(spark, view_dir)
+    if payload is None or not payload["buckets"]:
+        raise FileNotFoundError(f"no committed view at {view_dir}")
+    dirs = [f"{view_dir}/{rel}" for rel in payload["buckets"].values()]
+    return spark.read.parquet(*dirs)
 
 
 def recover_view(spark: SparkSession, view_dir: str) -> None:
-    """Roll the view forward/back after a crash mid-commit (idempotent).
+    """Garbage-collect after a crash (idempotent, writer-scope).
 
-    The sink commits a bucket in three renames (save old → move staged in →
-    drop saved); a kill can land between any two. Recovery restores the
-    invariant "every bucket directory holds exactly one complete
-    generation": a ``.saved-`` dir with NO live bucket dir means the crash
-    hit between save and move-in — the old generation is renamed back
-    (no rows lost; the replayed batch re-applies the updates); a ``.saved-``
-    dir WITH a live bucket dir means the new generation committed — the
-    saved copy is dropped. Stale ``_staging-`` dirs are always dropped
-    (never referenced by a committed bucket)."""
+    With the manifest protocol nothing is ever half-renamed, so recovery is
+    pure GC: drop generation dirs not referenced by the current manifest
+    (staged output of a crashed batch — the checkpoint replays it) and drop
+    every commit file except the resolved current one (torn higher-sequence
+    manifests and superseded history). A crash at ANY point loses no rows:
+    the live manifest always names complete, immutable generations."""
     fs, root = _hadoop_fs(spark, view_dir)
     if not fs.exists(root):
         return
     jvm = spark._jvm
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if name.startswith("_staging-"):
-            fs.delete(status.getPath(), True)
-        elif name.startswith(f".saved-{VIEW_BUCKET_COL}="):
-            live = jvm.org.apache.hadoop.fs.Path(root, name[len(".saved-"):])
-            if fs.exists(live):
+    seq, payload = current_commit(spark, view_dir)
+    referenced = set()  # relative "data/<gen>/_bucket=N" paths still live
+    if payload is not None:
+        referenced = set(payload["buckets"].values())
+    gens_referenced = {rel.split("/")[1] for rel in referenced}
+    data_root = jvm.org.apache.hadoop.fs.Path(root, _DATA_DIR)
+    if fs.exists(data_root):
+        for status in fs.listStatus(data_root):
+            gen = status.getPath().getName()
+            if gen not in gens_referenced:
                 fs.delete(status.getPath(), True)
-            elif not fs.rename(status.getPath(), live):
-                # a silent restore failure would leave the bucket's rows
-                # invisible — surface it instead of proceeding to a merge
-                # that would treat the bucket as empty
-                raise IOError(f"recovery: could not restore {name} -> {live}")
+                continue
+            # a later commit may have superseded SOME of this generation's
+            # buckets: drop exactly the unreferenced bucket subdirs so disk
+            # usage tracks the live table, not merge history
+            for child in fs.listStatus(status.getPath()):
+                name = child.getPath().getName()
+                if (
+                    name.startswith(f"{VIEW_BUCKET_COL}=")
+                    and f"{_DATA_DIR}/{gen}/{name}" not in referenced
+                ):
+                    fs.delete(child.getPath(), True)
+    _, found = _list_commit_files(spark, view_dir)
+    for s, path in found:
+        if seq is None or s != seq:
+            fs.delete(path, False)
+
+
+def _write_generation(
+    merged: DataFrame, view_dir: str, epoch_id, n_buckets: int
+) -> dict:
+    """Write one immutable generation dir holding the full new state of the
+    touched buckets; returns {bucket: relative dir} for the manifest. The
+    nonce keeps a replayed epoch from colliding with a generation the
+    previous attempt may already have committed."""
+    import uuid
+
+    gen = f"g-{epoch_id}-{uuid.uuid4().hex[:8]}"
+    (
+        merged.write.mode("overwrite")
+        .partitionBy(VIEW_BUCKET_COL)
+        .parquet(f"{view_dir}/{_DATA_DIR}/{gen}")
+    )
+    spark = merged.sparkSession
+    fs, _ = _hadoop_fs(spark, view_dir)
+    gen_path = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{view_dir}/{_DATA_DIR}/{gen}"
+    )
+    out = {}
+    for status in fs.listStatus(gen_path):
+        name = status.getPath().getName()
+        if name.startswith(f"{VIEW_BUCKET_COL}="):
+            bucket = int(name.split("=", 1)[1])
+            out[bucket] = f"{_DATA_DIR}/{gen}/{name}"
+    return out
+
+
+def _publish(spark, view_dir, seq, payload, new_entries, failpoint, n_buckets):
+    """Fold ``new_entries`` into the manifest and publish seq+1 (ONE small
+    create-new file write — the commit point), then GC superseded state."""
+    buckets = dict(payload["buckets"]) if payload else {}
+    buckets.update({str(b): rel for b, rel in new_entries.items()})
+    if failpoint is not None:
+        failpoint("staged")
+    _write_commit(
+        spark,
+        view_dir,
+        (seq or 0) + 1,
+        {
+            "version": _MANIFEST_VERSION,
+            "n_buckets": n_buckets,
+            "buckets": buckets,
+        },
+    )
+    if failpoint is not None:
+        failpoint("committed")
+    # deferred cleanup — crash here just leaves garbage for the next GC
+    recover_view(spark, view_dir)
 
 
 def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
     """foreachBatch merge: upsert batch view-updates into a keyed parquet
-    table partitioned by ``hash(transactionId) % n_buckets``.
+    table bucketed by ``hash(transactionId) % n_buckets``.
 
-    Only the buckets actually touched by the batch are rewritten: the old
-    rows are read with a partition-pruned filter on the bucket column, so
-    untouched buckets' files are never listed, read, or replaced. Per-batch
-    cost is O(touched buckets), not O(view size). Local stand-in for
-    ``MERGE INTO`` on a Delta/Iceberg table (jars not in this image); at
-    cluster scale the same layout maps onto the table's clustering and
-    MERGE prunes identically.
+    Only the buckets actually touched by the batch are rewritten, and the
+    old rows are read from exactly the manifest entries of those buckets —
+    pruning by construction (untouched buckets' files are never listed,
+    read, or replaced). Per-batch cost is O(touched buckets), not O(view
+    size). Local stand-in for ``MERGE INTO`` on a Delta/Iceberg table
+    (jars not in this image); the manifest commit is the same idea as
+    their log-structured commit, scoped to this one table.
 
-    CRASH GUARANTEE: the merged generation of each touched bucket is staged
-    to a hidden ``_staging-<epoch>`` dir first, then committed per bucket by
-    rename: (1) current bucket dir → hidden ``.saved-`` dir, (2) staged
-    dir → bucket dir, (3) drop ``.saved-``. Every step preserves a complete
-    copy of the pre-batch generation until the new one is in place, so a
-    kill at ANY point loses no rows: :func:`recover_view` (run at the top
-    of every merge) rolls a half-committed bucket back to its saved
-    generation, and the checkpoint replays the batch, whose re-merge is
-    idempotent (delete-by-key ∪ upsert). Renames are atomic on file:/HDFS;
-    on S3 they are copies — production uses transactional MERGE INTO there
-    (reference guarantee: TransactionViewUpsertService.kt:160-189).
+    CRASH GUARANTEE: new generations are immutable dirs invisible to
+    readers until the single manifest write publishes them; a kill before
+    the manifest write leaves the previous commit live (replay re-merges),
+    a kill after it leaves the new commit live (replay's re-merge is
+    idempotent: delete-by-key ∪ upsert). No rename anywhere — atomic on
+    file:, HDFS, AND object stores (reference guarantee:
+    TransactionViewUpsertService.kt:160-189).
 
-    ``failpoint(step, bucket)`` is a test-only seam called between commit
-    steps to simulate a crash (raise to abort mid-commit).
+    ``failpoint(step)`` (steps: "staged", "committed") is a test-only seam
+    to simulate a crash around the commit point.
     """
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         recover_view(spark, view_dir)
+        seq, payload = current_commit(spark, view_dir)
         updates = batch_df.withColumn(
             VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets)
         ).cache()
-        staging = f"{view_dir}/_staging-{epoch_id}"
         try:
-            fs, root = _hadoop_fs(spark, view_dir)
             # metadata-sized collect: at most n_buckets ints
             touched = sorted(
                 r[0] for r in updates.select(VIEW_BUCKET_COL).distinct().collect()
             )
-            if fs.exists(root) and fs.globStatus(
-                spark._jvm.org.apache.hadoop.fs.Path(
-                    root, f"{VIEW_BUCKET_COL}=*"
-                )
-            ):
-                old = spark.read.parquet(view_dir).filter(
-                    F.col(VIEW_BUCKET_COL).isin(touched)
+            old_dirs = (
+                [
+                    f"{view_dir}/{payload['buckets'][str(b)]}"
+                    for b in touched
+                    if str(b) in payload["buckets"]
+                ]
+                if payload
+                else []
+            )
+            if old_dirs:
+                old = spark.read.parquet(*old_dirs).withColumn(
+                    VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets)
                 )
                 merged = old.join(
                     updates.select("transactionId"), "transactionId", "left_anti"
                 ).unionByName(updates)
             else:
                 merged = updates
-            merged.write.mode("overwrite").partitionBy(VIEW_BUCKET_COL).parquet(
-                staging
+            new_entries = _write_generation(merged, view_dir, epoch_id, n_buckets)
+            _publish(
+                spark, view_dir, seq, payload, new_entries, failpoint, n_buckets
             )
-            _commit_staged_buckets(spark, fs, root, staging, touched, failpoint)
         finally:
             updates.unpersist()
 
     return merge
-
-
-def _commit_staged_buckets(spark, fs, root, staging, buckets, failpoint=None):
-    """Publish staged bucket generations by per-bucket save→move→drop
-    renames (the crash-safe commit both the upsert sink and the compactor
-    use). A complete copy of each pre-commit generation survives until its
-    replacement is in place; :func:`recover_view` + replay handles any
-    interruption."""
-    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-
-    def rename_or_die(src, dst, what):
-        # Hadoop rename reports failure by RETURN VALUE; swallowing it
-        # would silently drop a bucket generation (e.g. under an unexpected
-        # concurrent writer) — fail instead so the caller's replay runs
-        if not fs.rename(src, dst):
-            raise IOError(f"bucket commit: rename failed ({what}): {src} -> {dst}")
-
-    for bucket in buckets:
-        live = jvm_path(root, _bucket_dir(bucket))
-        saved = jvm_path(root, _saved_dir(bucket))
-        staged = jvm_path(jvm_path(staging), _bucket_dir(bucket))
-        if not fs.exists(staged):
-            continue  # defensive: no staged output for this bucket
-        if fs.exists(live):
-            rename_or_die(live, saved, "save old generation")
-        if failpoint is not None:
-            failpoint("saved", bucket)
-        rename_or_die(staged, live, "publish new generation")
-        if failpoint is not None:
-            failpoint("moved", bucket)
-        if fs.exists(saved):
-            fs.delete(saved, True)
-    fs.delete(jvm_path(staging), True)
 
 
 def compact_view(
@@ -294,44 +429,45 @@ def compact_view(
 
     WRITER-SCOPE operation (same single-writer assumption as the sink; run
     it from the maintenance window or the foreachBatch callback, not beside
-    a live stream). Only buckets holding more than ``max_files_per_bucket``
-    data files are rewritten — listed via one FileSystem pass, no Spark job
-    for the untouched ones — and the rewrite publishes through the same
-    staged-rename commit as the sink, so a crash mid-compact plus a re-run
-    loses nothing (the data is unchanged by construction; compaction is
-    idempotent). Returns the bucket ids compacted."""
+    a live stream). Only buckets whose manifest dir holds more than
+    ``max_files_per_bucket`` data files are rewritten — one FileSystem
+    listing pass, no Spark job for the untouched ones — and the rewrite
+    publishes through the same single-manifest-write commit as the sink, so
+    a crash mid-compact plus a re-run loses nothing (compaction changes
+    layout, never data; it is idempotent). Returns the bucket ids
+    compacted."""
     recover_view(spark, view_dir)
-    fs, root = _hadoop_fs(spark, view_dir)
-    if not fs.exists(root):
+    seq, payload = current_commit(spark, view_dir)
+    if payload is None:
         return []
+    fs, _ = _hadoop_fs(spark, view_dir)
+    jvm = spark._jvm
     touched = []
-    for status in fs.listStatus(root):
-        name = status.getPath().getName()
-        if not name.startswith(f"{VIEW_BUCKET_COL}="):
-            continue
+    for bucket_str, rel in payload["buckets"].items():
+        bdir = jvm.org.apache.hadoop.fs.Path(f"{view_dir}/{rel}")
         n_files = sum(
             1
-            for f in fs.listStatus(status.getPath())
+            for f in fs.listStatus(bdir)
             if f.getPath().getName().endswith(".parquet")
         )
         if n_files > max_files_per_bucket:
-            touched.append(int(name.split("=", 1)[1]))
+            touched.append(int(bucket_str))
     if not touched:
         return []
     touched.sort()
-    staging = f"{view_dir}/_staging-compact"
-    rows = spark.read.parquet(view_dir).filter(
-        F.col(VIEW_BUCKET_COL).isin(touched)
-    )
+    n_buckets = payload["n_buckets"]
+    rows = spark.read.parquet(
+        *[f"{view_dir}/{payload['buckets'][str(b)]}" for b in touched]
+    ).withColumn(VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets))
     # repartition BY the bucket column: each bucket lands in exactly one
     # task → exactly one output file per bucket directory
-    (
-        rows.repartition(len(touched), VIEW_BUCKET_COL)
-        .write.mode("overwrite")
-        .partitionBy(VIEW_BUCKET_COL)
-        .parquet(staging)
+    new_entries = _write_generation(
+        rows.repartition(len(touched), VIEW_BUCKET_COL),
+        view_dir,
+        "compact",
+        n_buckets,
     )
-    _commit_staged_buckets(spark, fs, root, staging, touched, failpoint)
+    _publish(spark, view_dir, seq, payload, new_entries, failpoint, n_buckets)
     return touched
 
 

@@ -198,7 +198,7 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     leave every other bucket's parquet files untouched on disk (same paths,
     same bytes, same mtimes) — per-batch cost O(touched buckets)."""
     from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
-        VIEW_BUCKET_COL,
+        current_commit,
         parquet_upsert_sink,
         view_bucket,
     )
@@ -222,6 +222,12 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
                     out[p] = (st.st_size, st.st_mtime_ns)
         return out
 
+    touched_bucket = spark.range(1).select(
+        view_bucket(F.lit(events[0]["transactionId"]), 8).alias("b")
+    ).collect()[0]["b"]
+    _, payload1 = current_commit(spark, view_dir)
+    old_touched_dir = os.path.join(view_dir, payload1["buckets"][str(touched_bucket)])
+
     before = bucket_files()
     # second batch: update exactly one existing transaction
     one_tx = events[0]["transactionId"]
@@ -233,22 +239,23 @@ def test_upsert_sink_rewrites_only_touched_buckets(spark, tmp_path):
     )
     sink(batch2, epoch_id=1)
     after = bucket_files()
+    _, payload2 = current_commit(spark, view_dir)
+    new_touched_dir = os.path.join(view_dir, payload2["buckets"][str(touched_bucket)])
 
-    touched_bucket = spark.range(1).select(
-        view_bucket(F.lit(one_tx), 8).alias("b")
-    ).collect()[0]["b"]
-    touched_prefix = os.path.join(view_dir, f"{VIEW_BUCKET_COL}={touched_bucket}")
-
-    untouched_before = {p: v for p, v in before.items() if not p.startswith(touched_prefix)}
-    untouched_after = {p: v for p, v in after.items() if not p.startswith(touched_prefix)}
+    # the manifest moved exactly the touched bucket to a new generation dir;
+    # every other bucket's entry — and its on-disk files — is untouched
+    assert new_touched_dir != old_touched_dir
+    assert {
+        b: rel for b, rel in payload1["buckets"].items() if b != str(touched_bucket)
+    } == {b: rel for b, rel in payload2["buckets"].items() if b != str(touched_bucket)}
+    untouched_before = {
+        p: v for p, v in before.items() if not p.startswith(old_touched_dir)
+    }
+    untouched_after = {
+        p: v for p, v in after.items() if not p.startswith(new_touched_dir)
+    }
     assert untouched_before, "expected data outside the touched bucket"
     assert untouched_before == untouched_after
-    # and the touched bucket did get rewritten
-    assert {p for p in before if p.startswith(touched_prefix)} != {
-        p for p in after if p.startswith(touched_prefix)
-    } or any(
-        before[p] != after[p] for p in after if p.startswith(touched_prefix)
-    )
     # merged result is still the full fold
     merged = read_view(spark, view_dir)
     assert merged.count() == batch1.count()
@@ -443,6 +450,92 @@ def test_upsert_sink_idempotent_under_batch_replay(spark, tmp_path):
     assert replayed == first
 
 
+def test_upsert_sink_commit_protocol_is_rename_free(spark, tmp_path, monkeypatch):
+    """Object-store atomicity by construction: the sink's commit protocol
+    must never call FileSystem.rename — on S3-likes rename is a non-atomic
+    copy+delete, the exact crash window the manifest protocol exists to
+    close. Simulated by a proxy FS that fails hard on any rename while
+    merge, compaction, and recovery all run."""
+    from pagopa_ecommerce_cdc_service_spark.streaming import pipeline
+
+    class NoRenameFs:
+        def __init__(self, fs):
+            self._fs = fs
+
+        def rename(self, *a, **k):
+            raise AssertionError("commit protocol called rename on a no-rename store")
+
+        def __getattr__(self, name):
+            return getattr(self._fs, name)
+
+    real = pipeline._hadoop_fs
+    monkeypatch.setattr(
+        pipeline, "_hadoop_fs", lambda s, p: (lambda fs, pt: (NoRenameFs(fs), pt))(*real(s, p))
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=23, n_transactions=16)
+    tx_ids = sorted({e["transactionId"] for e in events})
+    sink = pipeline.parquet_upsert_sink(view_dir, n_buckets=4)
+    for i, tx in enumerate(tx_ids[:6]):
+        sink(
+            transactions_view_from_log(
+                spark.createDataFrame(
+                    [e for e in events if e["transactionId"] == tx],
+                    schema=EVENT_ENVELOPE_TYPE,
+                )
+            ),
+            epoch_id=i,
+        )
+    pipeline.compact_view(spark, view_dir, max_files_per_bucket=1)
+    pipeline.recover_view(spark, view_dir)
+    assert read_view(spark, view_dir).count() == 6
+
+
+def test_torn_manifest_falls_back_to_previous_commit(spark, tmp_path):
+    """A store that exposes in-progress writes can surface a PARTIAL commit
+    file; its checksum fails, so readers must fall back to the previous
+    manifest (never a corrupt or half-visible table), and the writer's GC
+    must clear the torn file so the sequence is reusable."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+        recover_view,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=29, n_transactions=12)
+    sink = parquet_upsert_sink(view_dir, n_buckets=4)
+    sink(
+        transactions_view_from_log(
+            spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+        ),
+        epoch_id=0,
+    )
+    before = _view_state(spark, view_dir)
+
+    torn = os.path.join(view_dir, "_commits", "c-0000000002.json")
+    with open(torn, "w") as f:
+        f.write('{"payload": {"version": 1, "buckets": {"0": "data/g-lost')
+
+    assert _view_state(spark, view_dir) == before  # reader falls back
+    recover_view(spark, view_dir)
+    assert not os.path.exists(torn)
+    # the writer proceeds normally on the recovered sequence
+    one_tx = events[0]["transactionId"]
+    sink(
+        transactions_view_from_log(
+            spark.createDataFrame(
+                [e for e in events if e["transactionId"] == one_tx],
+                schema=EVENT_ENVELOPE_TYPE,
+            )
+        ),
+        epoch_id=1,
+    )
+    after = _view_state(spark, view_dir)
+    assert set(after) == set(before)
+    _assert_no_orphans(spark, view_dir)
+
+
 def test_streaming_windowed_agg_matches_batch(spark, tmp_path):
     """Watermarked tumbling-window aggregation in streaming mode produces
     exactly the batch answer once the watermark passes every real window
@@ -607,14 +700,40 @@ def _view_state(spark, view_dir):
     }
 
 
-@pytest.mark.parametrize("kill_step", ["saved", "moved"])
+def _assert_no_orphans(spark, view_dir):
+    """The directory holds exactly the live commit's state: one commit file,
+    and every on-disk bucket dir referenced by it (GC left no garbage)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        VIEW_BUCKET_COL,
+        current_commit,
+    )
+
+    _, payload = current_commit(spark, view_dir)
+    referenced = set(payload["buckets"].values())
+    base = view_dir[len("file:"):] if view_dir.startswith("file:") else view_dir
+    commits = [
+        f
+        for f in os.listdir(os.path.join(base, "_commits"))
+        if f.startswith("c-") and f.endswith(".json")
+    ]
+    assert len(commits) == 1, commits
+    on_disk = set()
+    data_root = os.path.join(base, "data")
+    for gen in os.listdir(data_root):
+        for child in os.listdir(os.path.join(data_root, gen)):
+            if child.startswith(f"{VIEW_BUCKET_COL}="):
+                on_disk.add(f"data/{gen}/{child}")
+    assert on_disk == referenced
+
+
+@pytest.mark.parametrize("kill_step", ["staged", "committed"])
 def test_upsert_sink_kill_mid_commit_loses_no_rows(spark, tmp_path, kill_step):
     """Crash atomicity (reference guarantee: Mongo's per-document atomic
-    upsert, TransactionViewUpsertService.kt:160-189): kill the sink between
-    any two commit renames, then replay the batch — the view must equal the
-    no-crash outcome, INCLUDING rows of the touched bucket that were not in
-    the in-flight batch (the exact rows the old delete-then-rewrite sink
-    could drop)."""
+    upsert, TransactionViewUpsertService.kt:160-189): kill the sink right
+    before or right after the single manifest-commit write, then replay the
+    batch — the view must equal the no-crash outcome, INCLUDING rows of the
+    touched bucket that were not in the in-flight batch (the exact rows a
+    delete-then-rewrite sink could drop)."""
     from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
         parquet_upsert_sink,
     )
@@ -641,9 +760,9 @@ def test_upsert_sink_kill_mid_commit_loses_no_rows(spark, tmp_path, kill_step):
     class Kill(RuntimeError):
         pass
 
-    def failpoint(step, bucket):
+    def failpoint(step):
         if step == kill_step:
-            raise Kill(f"simulated kill after {step} of bucket {bucket}")
+            raise Kill(f"simulated kill at {step}")
 
     with pytest.raises(Kill):
         parquet_upsert_sink(view_dir, n_buckets=4, failpoint=failpoint)(
@@ -656,13 +775,7 @@ def test_upsert_sink_kill_mid_commit_loses_no_rows(spark, tmp_path, kill_step):
 
     assert set(recovered) == set(baseline), "rows lost or invented by crash"
     assert recovered == {**baseline, one_tx: recovered[one_tx]}
-    # no litter: staging and saved dirs all cleaned up
-    leftovers = [
-        n
-        for n in os.listdir(view_dir)
-        if n.startswith("_staging-") or n.startswith(".saved-")
-    ]
-    assert leftovers == []
+    _assert_no_orphans(spark, view_dir)
 
 
 def test_upsert_sink_and_recovery_honor_path_uris(spark, tmp_path):
@@ -729,7 +842,9 @@ def test_compact_view_single_file_per_bucket_same_rows(spark, tmp_path):
         for root, _dirs, files in os.walk(view_dir):
             base = os.path.basename(root)
             if base.startswith(f"{VIEW_BUCKET_COL}="):
-                out[base] = sum(1 for f in files if f.endswith(".parquet"))
+                out[base] = out.get(base, 0) + sum(
+                    1 for f in files if f.endswith(".parquet")
+                )
         return out
 
     assert max(files_per_bucket().values()) > 4, "fixture not fragmented"
@@ -741,10 +856,11 @@ def test_compact_view_single_file_per_bucket_same_rows(spark, tmp_path):
     assert compact_view(spark, view_dir, max_files_per_bucket=4) == []
 
 
-@pytest.mark.parametrize("kill_step", ["saved", "moved"])
+@pytest.mark.parametrize("kill_step", ["staged", "committed"])
 def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
-    """A kill between compaction's commit renames plus a re-run must leave
-    exactly the original rows (compaction changes layout, never data)."""
+    """A kill around compaction's single manifest write plus a re-run must
+    leave exactly the original rows (compaction changes layout, never
+    data)."""
     from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
         compact_view,
         parquet_upsert_sink,
@@ -769,7 +885,7 @@ def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
     class Kill(RuntimeError):
         pass
 
-    def failpoint(step, bucket):
+    def failpoint(step):
         if step == kill_step:
             raise Kill(step)
 
@@ -777,12 +893,7 @@ def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
         compact_view(spark, view_dir, max_files_per_bucket=1, failpoint=failpoint)
     compact_view(spark, view_dir, max_files_per_bucket=1)
     assert _view_state(spark, view_dir) == before
-    leftovers = [
-        n
-        for n in os.listdir(view_dir)
-        if n.startswith("_staging-") or n.startswith(".saved-")
-    ]
-    assert leftovers == []
+    _assert_no_orphans(spark, view_dir)
 
 
 def test_stream_stream_join_state_survives_restart(spark, tmp_path):
