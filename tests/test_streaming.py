@@ -896,6 +896,74 @@ def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
     _assert_no_orphans(spark, view_dir)
 
 
+def test_upsert_sink_soak_many_batches_with_crashes_and_compaction(
+    spark, tmp_path
+):
+    """Soak the sink: 50 micro-batches of per-key view versions interleaved
+    with compaction and two injected crashes (one before the manifest
+    write, one after), each followed by the checkpoint-replay the engine
+    would perform. The final maintained view must equal the batch fold of
+    the whole log — the long-haul twin of the single-batch kill tests,
+    hardening the commit + GC + recovery interplay.
+
+    Per-batch updates are the reference replay of each key's events seen so
+    far — exactly the rows the stateful fold emits for that micro-batch —
+    so the soak exercises the sink against the true update stream without
+    50 Spark fold jobs."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        compact_view,
+        parquet_upsert_sink,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = sorted(
+        generate_event_log(seed=31, n_transactions=60), key=lambda e: e["seq"]
+    )
+    view_schema = transactions_view_from_log(
+        spark.createDataFrame(events[:4], schema=EVENT_ENVELOPE_TYPE)
+    ).schema
+
+    n_batches = 50
+    chunk = (len(events) + n_batches - 1) // n_batches
+    sink = parquet_upsert_sink(view_dir, n_buckets=4)
+
+    class Kill(RuntimeError):
+        pass
+
+    def killer(step_to_kill):
+        def failpoint(step):
+            if step == step_to_kill:
+                raise Kill(step)
+
+        return failpoint
+
+    crash_at = {15: "staged", 35: "committed"}
+    seen = 0
+    for i in range(n_batches):
+        batch_events = events[i * chunk : (i + 1) * chunk]
+        if not batch_events:
+            continue
+        seen += len(batch_events)
+        touched = {e["transactionId"] for e in batch_events}
+        state = replay_reference(events[:seen])
+        rows = [state[k] for k in sorted(touched) if k in state]
+        if not rows:
+            continue
+        batch_df = spark.createDataFrame(rows, view_schema)
+        if i in crash_at:
+            with pytest.raises(Kill):
+                parquet_upsert_sink(
+                    view_dir, n_buckets=4, failpoint=killer(crash_at[i])
+                )(batch_df, epoch_id=i)
+        sink(batch_df, epoch_id=i)  # normal run / checkpoint replay
+        if i % 7 == 6:
+            compact_view(spark, view_dir, max_files_per_bucket=3)
+
+    final = _view_state(spark, view_dir)
+    assert_views_equal(final, replay_reference(events))
+    _assert_no_orphans(spark, view_dir)
+
+
 def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     """Stream-stream interval-join state must recover from the checkpoint:
     purchases arriving in a SECOND run (same checkpoint, new sink) must
