@@ -127,3 +127,119 @@ def test_fold_metrics_listener_counts_folded_skipped_per_code(spark, tmp_path):
         "TRANSACTION_ACTIVATED_EVENT": 2,
         "TRANSACTION_CLOSURE_REQUESTED_EVENT": 1,
     }
+
+
+# ---------------------------------------------------------------------------
+# ST8 span twin (streaming/tracing.py): attribute parity, field for field,
+# with ViewUpdateTracingUtils.kt:12-37 and its unit test's expectations
+# (ViewUpdateTracingUtilsTest.kt: span name + 4 attributes, outcome OK),
+# plus the ON_ERROR branch (EcommerceCDCEventDispatcherService.kt:89).
+# ---------------------------------------------------------------------------
+
+
+def test_event_spans_attribute_parity_field_for_field(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import prepare_events
+    from pagopa_ecommerce_cdc_service_spark.schemas import EVENT_ENVELOPE_TYPE
+    from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+    from pagopa_ecommerce_cdc_service_spark.streaming import tracing
+
+    # the Kotlin constants, verbatim (ViewUpdateTracingUtils.kt:12-21)
+    assert tracing.SPAN_NAME == "eventstoreCDCEvent"
+    assert tracing.ATTR_EVENT_CODE == "ecommerce.cdc.processedEvent.eventCode"
+    assert (
+        tracing.ATTR_TRANSACTION_ID == "ecommerce.cdc.processedEvent.transactionId"
+    )
+    assert (
+        tracing.ATTR_CREATION_DATE
+        == "ecommerce.cdc.processedEvent.eventCreationDate"
+    )
+    assert tracing.ATTR_OUTCOME == "ecommerce.cdc.processedEvent.outcome"
+
+    events = generate_event_log(seed=41, n_transactions=6)
+    prepared = prepare_events(
+        spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    )
+    spans = tracing.event_spans(prepared)
+    assert spans.columns == tracing.SPAN_COLUMNS  # exact names, exact order
+    rows = spans.collect()
+    assert len(rows) == prepared.count()  # one span per processed event
+    by_attrs = {
+        (
+            r[tracing.ATTR_EVENT_CODE],
+            r[tracing.ATTR_TRANSACTION_ID],
+            r[tracing.ATTR_CREATION_DATE],
+        )
+        for r in rows
+    }
+    expected = {
+        (e["eventCode"], e["transactionId"], e["creationDate"])
+        for e in events
+        if (e["id"], e["transactionId"]) != (None, None)
+    }
+    # prepared may drop some raw events (filters); every span must trace
+    # back to a real event, and every outcome is OK on the happy path
+    assert by_attrs <= expected
+    assert {r["span_name"] for r in rows} == {tracing.SPAN_NAME}
+    assert {r[tracing.ATTR_OUTCOME] for r in rows} == {tracing.OUTCOME_OK}
+
+
+def test_event_spans_error_outcome_for_poisoned_ids(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import prepare_events
+    from pagopa_ecommerce_cdc_service_spark.schemas import EVENT_ENVELOPE_TYPE
+    from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+    from pagopa_ecommerce_cdc_service_spark.streaming import tracing
+
+    events = generate_event_log(seed=43, n_transactions=5)
+    prepared = prepare_events(
+        spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    )
+    bad_ids = [r["id"] for r in prepared.select("id").limit(2).collect()]
+    err_df = spark.createDataFrame([(i,) for i in bad_ids], "id string")
+    spans = tracing.event_spans(prepared, error_ids=err_df)
+    assert spans.columns == tracing.SPAN_COLUMNS
+    outcome_by_code = {
+        (r[tracing.ATTR_TRANSACTION_ID], r[tracing.ATTR_CREATION_DATE]): r[
+            tracing.ATTR_OUTCOME
+        ]
+        for r in spans.collect()
+    }
+    got_err = sum(1 for v in outcome_by_code.values() if v == tracing.OUTCOME_ERROR)
+    assert got_err == len(bad_ids)
+
+
+def test_span_stream_side_output_writes_span_table(spark, tmp_path):
+    import json as _json
+
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import prepare_events
+    from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+    from pagopa_ecommerce_cdc_service_spark.streaming import tracing
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        read_event_stream,
+    )
+
+    events = generate_event_log(seed=47, n_transactions=8)
+    log_dir = tmp_path / "log"
+    log_dir.mkdir()
+    (log_dir / "a.json").write_text("\n".join(_json.dumps(e) for e in events))
+
+    q = tracing.start_span_stream(
+        prepare_events(read_event_stream(spark, str(log_dir))),
+        str(tmp_path / "spans"),
+        str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    table = spark.read.parquet(str(tmp_path / "spans"))
+    assert table.columns == tracing.SPAN_COLUMNS
+    assert table.count() > 0
+    from pyspark.sql import functions as F
+
+    assert (
+        table.filter(
+            F.col(f"`{tracing.ATTR_OUTCOME}`") != tracing.OUTCOME_OK
+        ).count()
+        == 0
+    )
