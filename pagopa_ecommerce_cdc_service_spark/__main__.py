@@ -104,6 +104,18 @@ def cmd_check(name: str, sf_dir: str, cpus: int) -> int:
         return 1
     if a_rows != b_rows:
         print(f"MISMATCH: spark {len(a_rows)} rows vs oracle {len(b_rows)}")
+        # equal cardinality ≠ equal content: show the first differing rows
+        # from each side so the user has something to debug with
+        # repr keys: cells may be unhashable (array/struct columns)
+        b_set = {repr(r) for r in b_rows}
+        a_set = {repr(r) for r in a_rows}
+        only_spark = [r for r in a_rows if repr(r) not in b_set]
+        only_oracle = [r for r in b_rows if repr(r) not in a_set]
+        for label, rows in (("spark", only_spark), ("oracle", only_oracle)):
+            for r in rows[:5]:
+                print(f"  only-in-{label}: {dict(zip(a_cols, r))}")
+            if len(rows) > 5:
+                print(f"  ... and {len(rows) - 5} more only-in-{label} rows")
         return 1
     print(f"OK: {name} matches oracle ({len(a_rows)} rows) at {sf_dir}")
     return 0

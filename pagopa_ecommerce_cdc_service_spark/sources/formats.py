@@ -25,6 +25,15 @@ from pyspark.sql import types as T
 
 _FORMATS = ("parquet", "orc", "csv", "json")
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+# CSV NULL sentinel, pinned symmetrically on read and write: Spark's
+# defaults render both NULL and '' as an empty field, so a round-trip
+# silently turns empty strings into NULLs. With the classic \N sentinel
+# NULL ↔ \N and '' ↔ "" stay distinct. Residual (documented) limitation:
+# a DATA value equal to the literal two characters \N reads back as NULL —
+# the univocity parser applies nullValue after unquoting, so no quoting
+# scheme can protect it; data that may legitimately contain \N belongs in
+# a columnar format.
+_CSV_NULL = "\\N"
 
 
 def _check(fmt: str) -> str:
@@ -70,6 +79,8 @@ def read_table(
             reader.option("header", "true")
             .option("enforceSchema", "false")
             .option("timestampFormat", _TS_FMT)
+            .option("nullValue", _CSV_NULL)
+            .option("emptyValue", "")
         )
         return reader.csv(path)
     return reader.option("timestampFormat", _TS_FMT).json(path)
@@ -79,7 +90,12 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet", mode: str = "ove
     f = _check(fmt)
     writer = df.write.mode(mode)
     if f == "csv":
-        writer = writer.option("header", "true").option("timestampFormat", _TS_FMT)
+        writer = (
+            writer.option("header", "true")
+            .option("timestampFormat", _TS_FMT)
+            .option("nullValue", _CSV_NULL)
+            .option("emptyValue", '""')
+        )
     elif f == "json":
         # default JSON timestamp rendering truncates to milliseconds —
         # pin the micro format so a round-trip is value-stable

@@ -25,3 +25,21 @@ def test_run_prints_rows(spark, sf_dir, capsys):
 
 def test_unknown_query_is_an_error(spark, capsys):
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_check_mismatch_prints_differing_rows(spark, sf_dir, capsys, monkeypatch):
+    """Equal-cardinality value mismatches must print the offending rows,
+    not just 'N rows vs N rows'."""
+    import pagopa_ecommerce_cdc_service_spark.__main__ as cli
+
+    def fake_suite():
+        q = {"demo": lambda s, d: s.sql("SELECT 1 AS a UNION ALL SELECT 2 AS a")}
+        o = {"demo": "SELECT 1 AS a UNION ALL SELECT 3 AS a"}
+        return q, o
+
+    monkeypatch.setattr(cli, "_suite", fake_suite)
+    assert cli.main(["check", "demo", "--sf-dir", sf_dir]) == 1
+    out = capsys.readouterr().out
+    assert "MISMATCH: spark 2 rows vs oracle 2" in out
+    assert "only-in-spark" in out and "{'a': 2}" in out
+    assert "only-in-oracle" in out and "{'a': 3}" in out

@@ -70,3 +70,22 @@ def test_csv_reordered_header_fails_loudly(spark, tmp_path):
     df = read_table(spark, str(p), SCHEMA, fmt="csv")
     with pytest.raises(Exception, match="(?i)header|schema"):
         df.collect()
+
+
+def test_csv_round_trip_distinguishes_null_from_empty_string(spark, tmp_path):
+    """Spark's CSV defaults conflate NULL and '' (both write as an empty
+    field); the pinned \\N sentinel keeps them distinct through a
+    write+read round-trip."""
+    from pagopa_ecommerce_cdc_service_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "id int, s string"
+    )
+    dest = str(tmp_path / "t")
+    write_table(df, dest, fmt="csv")
+    back = read_table(spark, dest, "id int, s string", fmt="csv")
+    got = {r["id"]: r["s"] for r in back.collect()}
+    assert got == {1: None, 2: "", 3: "x"}

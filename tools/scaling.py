@@ -15,10 +15,24 @@ Replication choices:
 - lineitem: l_orderkey offset (q1 never joins; the scan/agg is the subject).
 - embeddings: vec_id offset; vectors repeat, which leaves top-k scan cost
   intact (scoring dominates; duplicate scores are fine for timing).
-- documents are NOT replicated: copying text verbatim would make every
-  replica an exact near-dup cluster and quadratically inflate the LSH pair
-  graph — a different workload, not a scale-up of the same one. The dedup
-  family's scale evidence stays plan-shape-based (banded candidates only).
+- documents are replicated PERTURBED, not verbatim: every second token of
+  each replica gets a replica-specific suffix (deterministic, ~50% token
+  churn → Jaccard vs the original ≈ 1/3, far below the LSH threshold), so
+  replicas do NOT register as near-dups of each other. The 10x corpus then
+  carries 10x copies of the original's near-dup structure — pair output
+  scales linearly, the true scale-up shape — instead of a quadratic
+  verbatim-clone pair graph, which would be a different workload.
+- skew stress: a second sf1 events variant reassigns replica 0's rows
+  (~10% of all events) to ONE hot user — under the envelope synthesis
+  (plans/cdc_view.py:127, transactionId = user-eventid%3) that lands ~10%
+  of the log on 3 hot transactionIds. The CDC fold is re-timed on the
+  skewed decade; staying within ~2x of the uniform decade shows the
+  single-exchange fold + AQE absorbs a 10%-hot key without salting.
+
+A `_build_manifest.json` in the output dir records (replicas, offset,
+scheme, per-table source mtimes); any disagreement wipes and rebuilds the
+dataset, so a config or source-data change can never silently reuse a
+stale replica (the per-table _SUCCESS marker only guards truncation).
 
 Usage:
     python tools/scaling.py --out /tmp/spark_graft_sf1 [--runs 2]
@@ -40,6 +54,8 @@ if str(_REPO) not in sys.path:
 
 REPLICAS = 10
 OFFSET = 10_000_000  # beyond every real key in sf0.1
+SCHEME = 3  # bump when the replication recipe changes (forces rebuild)
+HOT_USER = 99_999_999  # skew variant: replica 0's rows all land here
 
 QUERIES = (
     "cdc_transactions_view",   # CDC fold: window + 20-field groupBy, 1 shuffle
@@ -47,38 +63,123 @@ QUERIES = (
     "w_session_windows",       # native session_window groupBy
     "w_hist_quantiles",        # bounded-grid quantile sketch
     "e_mips_topk",             # map-only scoring + TakeOrderedAndProject
+    "t_minhash_lsh_pairs",     # banded near-dup join over the 10x corpus
 )
 
 
+def _source_mtimes(src: str, tables) -> dict[str, int]:
+    out = {}
+    for name in tables:
+        p = Path(src) / f"{name}.parquet"
+        out[name] = max(
+            (f.stat().st_mtime_ns for f in p.rglob("*") if f.is_file()),
+            default=0,
+        ) if p.is_dir() else p.stat().st_mtime_ns
+    return out
+
+
+_ALL_TABLES = ("events", "lineitem", "embeddings", "documents", "orders",
+               "customer", "part", "supplier", "nation", "region")
+
+
+def _expected_manifest(src: str) -> dict:
+    return {
+        "replicas": REPLICAS,
+        "offset": OFFSET,
+        "scheme": SCHEME,
+        "hot_user": HOT_USER,
+        "tables": _source_mtimes(src, _ALL_TABLES),
+    }
+
+
 def build_sf1(spark, src: str, dest: str) -> None:
+    import shutil
+
     from pyspark.sql import functions as F
 
     from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
 
     os.makedirs(dest, exist_ok=True)
+    # stale-reuse guard (see module docstring): wipe on any config/source
+    # disagreement — the _SUCCESS markers below only guard truncation
+    manifest_path = Path(dest) / "_build_manifest.json"
+    expected = _expected_manifest(src)
+    current = None
+    if manifest_path.exists():
+        try:
+            current = json.loads(manifest_path.read_text())
+        except Exception:
+            current = None
+    if current != expected:
+        for child in Path(dest).iterdir():
+            shutil.rmtree(child) if child.is_dir() else child.unlink()
 
-    def replicate(name: str, keys: dict[str, str]) -> None:
+    def replicated(df: "DataFrame", keys) -> "DataFrame":
+        k = F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("_r")
+        rep = df.select("*", k)
+        for col in keys:
+            rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(OFFSET))
+        return rep
+
+    def write_if_absent(name: str, builder) -> None:
         out = f"{dest}/{name}.parquet"
         # require the commit marker: a bare exists() would silently reuse a
         # truncated dataset left by a killed earlier run
         if os.path.exists(f"{out}/_SUCCESS"):
             return
-        df = read(spark, src, name)
-        k = F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("_r")
-        rep = df.select("*", k)
-        for col in keys.values():
-            rep = rep.withColumn(col, F.col(col) + F.col("_r") * F.lit(OFFSET))
-        rep.drop("_r").write.mode("overwrite").parquet(out)
+        builder().write.mode("overwrite").parquet(out)
 
-    replicate("events", {"e": "event_id", "u": "user_id"})
-    replicate("lineitem", {"o": "l_orderkey"})
-    replicate("embeddings", {"v": "vec_id"})
+    write_if_absent(
+        "events",
+        lambda: replicated(read(spark, src, "events"), ["event_id", "user_id"]).drop("_r"),
+    )
+    write_if_absent(
+        "lineitem",
+        lambda: replicated(read(spark, src, "lineitem"), ["l_orderkey"]).drop("_r"),
+    )
+    write_if_absent(
+        "embeddings",
+        lambda: replicated(read(spark, src, "embeddings"), ["vec_id"]).drop("_r"),
+    )
+
+    def perturbed_documents():
+        # replica-specific token suffix on every 2nd token: deterministic,
+        # heavy enough (~50% churn) that replicas are NOT near-dups of each
+        # other, so the near-dup pair structure replicates linearly
+        rep = replicated(read(spark, src, "documents"), ["doc_id"])
+        toks = F.split(F.col("text"), " ")
+        # replica 0 stays verbatim — the decade CONTAINS the original corpus
+        noised = F.transform(
+            toks,
+            lambda t, i: F.when(
+                (F.col("_r") > 0) & ((i + F.col("_r")) % 2 == 0),
+                F.concat(t, F.lit("~"), F.col("_r")),
+            ).otherwise(t),
+        )
+        return rep.withColumn("text", F.array_join(noised, " ")).drop("_r")
+
+    write_if_absent("documents", perturbed_documents)
+
+    # skew twin of the events decade: replica 0 (~10% of all rows) lands on
+    # one hot user → 3 hot transactionIds under the envelope synthesis
+    def skewed_events():
+        rep = replicated(read(spark, src, "events"), ["event_id"])
+        return rep.withColumn(
+            "user_id",
+            F.when(F.col("_r") == 0, F.lit(HOT_USER)).otherwise(
+                F.col("user_id") + F.col("_r") * F.lit(OFFSET)
+            ),
+        ).drop("_r")
+
+    os.makedirs(f"{dest}/skew", exist_ok=True)
+    out_skew = f"{dest}/skew/events.parquet"
+    if not os.path.exists(f"{out_skew}/_SUCCESS"):
+        skewed_events().write.mode("overwrite").parquet(out_skew)
+
     # small dims used by some queries: plain copies
-    for name in ("orders", "customer", "part", "supplier", "nation", "region",
-                 "documents"):
-        out = f"{dest}/{name}.parquet"
-        if not os.path.exists(f"{out}/_SUCCESS"):
-            read(spark, src, name).write.mode("overwrite").parquet(out)
+    for name in ("orders", "customer", "part", "supplier", "nation", "region"):
+        write_if_absent(name, lambda name=name: read(spark, src, name))
+    manifest_path.write_text(json.dumps(expected))
 
 
 def main() -> None:
@@ -122,6 +223,21 @@ def main() -> None:
             results.setdefault(name, {})[sf_label] = round(best, 3)
             print(json.dumps({"query": name, "sf": sf_label, "sec": round(best, 3)}),
                   flush=True)
+
+    # skew study: the CDC fold on the skewed decade (3 hot transactionIds
+    # holding ~10% of the log) vs the uniform decade timed above
+    name = "cdc_transactions_view"
+    best = None
+    for _ in range(args.runs):
+        t0 = time.time()
+        qs[name](spark, f"{args.out}/skew").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    results.setdefault(name, {})["sf1-skew"] = round(best, 3)
+    print(json.dumps({"query": name, "sf": "sf1-skew", "sec": round(best, 3)}),
+          flush=True)
     print(json.dumps({"summary": results}), flush=True)
 
 
