@@ -799,3 +799,47 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_incremental_agg"] = cdc_incremental_agg
 ORACLES["cdc_incremental_agg"] = CDC_INCR_AGG_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# ST8 under the hard gate: the per-event span table
+# (streaming/tracing.py, twin of ViewUpdateTracingUtils.kt:23-37). One span
+# row per processed event of the synthesized envelope, column names = the
+# reference's OTel attribute keys; the oracle reproduces the intake filter
+# (operationType/ttl/known-code — the same `valid` CTE as the fold oracle)
+# and the attribute projection. Map-only on the Spark side: no shuffle at
+# any scale.
+# ---------------------------------------------------------------------------
+
+
+def cdc_event_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc_fold import prepare_events
+    from ..streaming.tracing import event_spans
+
+    env = synthesize_envelope(spark, sf_dir)
+    return event_spans(prepare_events(env))
+
+
+CDC_EVENT_SPANS_ORACLE_SQL = f"""
+WITH env AS (
+  SELECT
+    event_id AS seq,
+    CAST(user_id AS VARCHAR) || '-' || CAST(event_id % 3 AS VARCHAR) AS tx,
+    strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%dT%H:%M:%S.%f') || 'Z' AS creation_iso,
+    {_CODE_CASE} AS code,
+    CASE WHEN event_id % 41 = 0 THEN 1 END AS ttl,
+    CASE WHEN event_id % 23 = 0 THEN 'delete' ELSE 'insert' END AS op
+  FROM events
+)
+SELECT
+  'eventstoreCDCEvent' AS span_name,
+  code AS "ecommerce.cdc.processedEvent.eventCode",
+  tx AS "ecommerce.cdc.processedEvent.transactionId",
+  creation_iso AS "ecommerce.cdc.processedEvent.eventCreationDate",
+  'OK' AS "ecommerce.cdc.processedEvent.outcome"
+FROM env
+WHERE op = 'insert' AND ttl IS NULL AND code IN ({_KNOWN_LIST})
+"""
+
+QUERIES["cdc_event_spans"] = cdc_event_spans
+ORACLES["cdc_event_spans"] = CDC_EVENT_SPANS_ORACLE_SQL

@@ -1538,3 +1538,45 @@ def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("edit_dist") >= 0) & (F.col("edit_dist") <= _ED_MAX))
     )
+
+
+# ---------------------------------------------------------------------------
+# rare-token ratio (quality signal): share of a doc's tokens whose corpus
+# document-frequency is under 10% of the corpus — the "unusual vocabulary"
+# axis of LLM-data quality scoring. Scale shape: the df table is
+# VOCABULARY-sized (≪ corpus), so it broadcasts to the token-level probe
+# join; the only corpus-sized shuffles are the df groupBy and the final
+# per-doc groupBy, both map-side combined. (At a 100 TB corpus whose
+# vocabulary outgrows broadcast, the probe join falls back to a shuffle
+# join on the token key — same plan minus the hint.)
+# ---------------------------------------------------------------------------
+@query(
+    "t_rare_token_ratio",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(c="text")}) AS tok FROM documents
+    ),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN d.df * 10 < n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rare,
+           CAST(SUM(CASE WHEN d.df * 10 < n.n_docs THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS rare_ratio
+    FROM toks t JOIN df d USING (tok) CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+)
+def t_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    df_tab = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    probe = toks.join(F.broadcast(df_tab), "tok").crossJoin(F.broadcast(n_docs))
+    rare = F.when(F.col("df") * 10 < F.col("n_docs"), 1).otherwise(0)
+    return probe.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(rare).cast("long").alias("n_rare"),
+        (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
+    )
