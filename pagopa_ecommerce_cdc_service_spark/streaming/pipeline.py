@@ -154,11 +154,13 @@ def view_bucket(key_col: str, n_buckets: int):
 # (TransactionViewUpsertService.kt:160-189).
 #
 # Single writer (the streaming query's foreachBatch), many readers:
-# readers resolve the manifest and get snapshot isolation for the dirs it
-# names; the writer garbage-collects generations unreferenced by the
-# current manifest at the top of each merge (a reader holding a resolved
-# manifest across a concurrent commit+GC may need to retry — the usual
-# log-structured-table caveat; production would add a retention window).
+# readers resolve a manifest and get snapshot isolation for the dirs it
+# names; the writer garbage-collects state unreferenced by the RETAINED
+# manifests at the top of each merge. ``retain_commits`` (default 1) keeps
+# the last N commits live — with N ≥ 2 a reader that resolved the current
+# manifest has at least a full commit window before its dirs can be GC'd
+# (the log-structured-table retention idiom), and ``read_view(version=)``
+# time-travels to any retained commit.
 # ---------------------------------------------------------------------------
 
 
@@ -209,15 +211,14 @@ def _list_commit_files(spark: SparkSession, view_dir: str):
     return fs, found
 
 
-def current_commit(spark: SparkSession, view_dir: str):
-    """Resolve the live manifest: highest sequence that parses AND whose
-    checksum validates. A torn manifest (partial write surfaced by a
-    non-atomic store) is skipped, falling back to the previous commit —
-    the property that makes the single-file commit safe everywhere.
-    Returns (seq, payload) or (None, None) for an empty/absent view."""
+def valid_commits(spark: SparkSession, view_dir: str):
+    """All checksum-valid commits, newest first: [(seq, payload)]. Torn
+    manifests (partial writes surfaced by a non-atomic store) are skipped —
+    the property that makes the single-file commit safe everywhere."""
     import json
 
     fs, found = _list_commit_files(spark, view_dir)
+    out = []
     for seq, path in found:
         try:
             doc = json.loads(_fs_read_text(spark, fs, path))
@@ -225,10 +226,17 @@ def current_commit(spark: SparkSession, view_dir: str):
             if doc.get("sha") == _manifest_digest(payload) and payload.get(
                 "version"
             ) == _MANIFEST_VERSION:
-                return seq, payload
+                out.append((seq, payload))
         except Exception:
             continue  # torn or foreign file: fall back to previous seq
-    return None, None
+    return out
+
+
+def current_commit(spark: SparkSession, view_dir: str):
+    """Resolve the live manifest: highest valid sequence.
+    Returns (seq, payload) or (None, None) for an empty/absent view."""
+    commits = valid_commits(spark, view_dir)
+    return commits[0] if commits else (None, None)
 
 
 def _write_commit(spark: SparkSession, view_dir: str, seq: int, payload: dict):
@@ -244,38 +252,55 @@ def _write_commit(spark: SparkSession, view_dir: str, seq: int, payload: dict):
     )
 
 
-def read_view(spark: SparkSession, view_dir: str) -> DataFrame:
-    """Read the maintained view via the current manifest.
+def read_view(
+    spark: SparkSession, view_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read the maintained view via a manifest.
 
     Pure resolution, no mutation: a reader lists ``_commits/``, picks the
-    highest checksum-valid manifest, and scans exactly the generation dirs
-    it names — snapshot isolation against a live writer (the old rename
+    highest checksum-valid manifest (or the retained commit named by
+    ``version`` — time travel), and scans exactly the generation dirs it
+    names — snapshot isolation against a live writer (the old rename
     protocol could expose a bucket as absent mid-commit; a manifest can
     only be seen whole or not at all)."""
-    _, payload = current_commit(spark, view_dir)
+    if version is None:
+        _, payload = current_commit(spark, view_dir)
+    else:
+        payload = next(
+            (p for s, p in valid_commits(spark, view_dir) if s == version), None
+        )
+        if payload is None:
+            raise FileNotFoundError(
+                f"no retained commit {version} at {view_dir} — raise the "
+                "sink's retain_commits to keep history"
+            )
     if payload is None or not payload["buckets"]:
         raise FileNotFoundError(f"no committed view at {view_dir}")
     dirs = [f"{view_dir}/{rel}" for rel in payload["buckets"].values()]
     return spark.read.parquet(*dirs)
 
 
-def recover_view(spark: SparkSession, view_dir: str) -> None:
+def recover_view(
+    spark: SparkSession, view_dir: str, retain_commits: int = 1
+) -> None:
     """Garbage-collect after a crash (idempotent, writer-scope).
 
     With the manifest protocol nothing is ever half-renamed, so recovery is
-    pure GC: drop generation dirs not referenced by the current manifest
-    (staged output of a crashed batch — the checkpoint replays it) and drop
-    every commit file except the resolved current one (torn higher-sequence
-    manifests and superseded history). A crash at ANY point loses no rows:
-    the live manifest always names complete, immutable generations."""
+    pure GC: drop generation dirs referenced by NO retained manifest
+    (staged output of a crashed batch — the checkpoint replays it — or
+    history beyond the retention window) and drop commit files outside the
+    newest ``retain_commits`` valid ones (torn higher-sequence manifests
+    and expired history). A crash at ANY point loses no rows: every
+    retained manifest names complete, immutable generations."""
     fs, root = _hadoop_fs(spark, view_dir)
     if not fs.exists(root):
         return
     jvm = spark._jvm
-    seq, payload = current_commit(spark, view_dir)
+    kept = valid_commits(spark, view_dir)[: max(1, retain_commits)]
+    kept_seqs = {s for s, _ in kept}
     referenced = set()  # relative "data/<gen>/_bucket=N" paths still live
-    if payload is not None:
-        referenced = set(payload["buckets"].values())
+    for _, payload in kept:
+        referenced |= set(payload["buckets"].values())
     gens_referenced = {rel.split("/")[1] for rel in referenced}
     data_root = jvm.org.apache.hadoop.fs.Path(root, _DATA_DIR)
     if fs.exists(data_root):
@@ -285,8 +310,8 @@ def recover_view(spark: SparkSession, view_dir: str) -> None:
                 fs.delete(status.getPath(), True)
                 continue
             # a later commit may have superseded SOME of this generation's
-            # buckets: drop exactly the unreferenced bucket subdirs so disk
-            # usage tracks the live table, not merge history
+            # buckets: drop exactly the bucket subdirs no retained commit
+            # references, so disk usage tracks the retained window
             for child in fs.listStatus(status.getPath()):
                 name = child.getPath().getName()
                 if (
@@ -296,7 +321,7 @@ def recover_view(spark: SparkSession, view_dir: str) -> None:
                     fs.delete(child.getPath(), True)
     _, found = _list_commit_files(spark, view_dir)
     for s, path in found:
-        if seq is None or s != seq:
+        if not kept_seqs or s not in kept_seqs:
             fs.delete(path, False)
 
 
@@ -329,7 +354,10 @@ def _write_generation(
     return out
 
 
-def _publish(spark, view_dir, seq, payload, new_entries, failpoint, n_buckets):
+def _publish(
+    spark, view_dir, seq, payload, new_entries, failpoint, n_buckets,
+    retain_commits=1,
+):
     """Fold ``new_entries`` into the manifest and publish seq+1 (ONE small
     create-new file write — the commit point), then GC superseded state."""
     buckets = dict(payload["buckets"]) if payload else {}
@@ -349,10 +377,12 @@ def _publish(spark, view_dir, seq, payload, new_entries, failpoint, n_buckets):
     if failpoint is not None:
         failpoint("committed")
     # deferred cleanup — crash here just leaves garbage for the next GC
-    recover_view(spark, view_dir)
+    recover_view(spark, view_dir, retain_commits)
 
 
-def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
+def parquet_upsert_sink(
+    view_dir: str, n_buckets: int = 64, failpoint=None, retain_commits: int = 1
+):
     """foreachBatch merge: upsert batch view-updates into a keyed parquet
     table bucketed by ``hash(transactionId) % n_buckets``.
 
@@ -373,12 +403,15 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
     TransactionViewUpsertService.kt:160-189).
 
     ``failpoint(step)`` (steps: "staged", "committed") is a test-only seam
-    to simulate a crash around the commit point.
+    to simulate a crash around the commit point. ``retain_commits`` keeps
+    the last N manifests (and the generations they reference) live for
+    time travel (``read_view(version=)``) and to give concurrent readers a
+    GC grace window of N−1 commits.
     """
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        recover_view(spark, view_dir)
+        recover_view(spark, view_dir, retain_commits)
         seq, payload = current_commit(spark, view_dir)
         updates = batch_df.withColumn(
             VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets)
@@ -408,7 +441,8 @@ def parquet_upsert_sink(view_dir: str, n_buckets: int = 64, failpoint=None):
                 merged = updates
             new_entries = _write_generation(merged, view_dir, epoch_id, n_buckets)
             _publish(
-                spark, view_dir, seq, payload, new_entries, failpoint, n_buckets
+                spark, view_dir, seq, payload, new_entries, failpoint,
+                n_buckets, retain_commits,
             )
         finally:
             updates.unpersist()
@@ -421,6 +455,7 @@ def compact_view(
     view_dir: str,
     max_files_per_bucket: int = 4,
     failpoint=None,
+    retain_commits: int = 1,
 ) -> list[int]:
     """Compact fragmented view buckets back to one file each (small-file
     maintenance — the operational cost of per-batch bucket rewrites at
@@ -436,7 +471,7 @@ def compact_view(
     a crash mid-compact plus a re-run loses nothing (compaction changes
     layout, never data; it is idempotent). Returns the bucket ids
     compacted."""
-    recover_view(spark, view_dir)
+    recover_view(spark, view_dir, retain_commits)
     seq, payload = current_commit(spark, view_dir)
     if payload is None:
         return []
@@ -467,7 +502,10 @@ def compact_view(
         "compact",
         n_buckets,
     )
-    _publish(spark, view_dir, seq, payload, new_entries, failpoint, n_buckets)
+    _publish(
+        spark, view_dir, seq, payload, new_entries, failpoint, n_buckets,
+        retain_commits,
+    )
     return touched
 
 

@@ -896,6 +896,58 @@ def test_compact_view_kill_mid_commit_then_rerun(spark, tmp_path, kill_step):
     _assert_no_orphans(spark, view_dir)
 
 
+def test_manifest_retention_enables_time_travel(spark, tmp_path):
+    """retain_commits keeps the last N manifests and their generations:
+    read_view(version=seq) reproduces each retained snapshot exactly, and
+    commits beyond the window expire (their versions unreadable, their
+    exclusive generations GC'd)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+        read_view,
+        valid_commits,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=37, n_transactions=18)
+    tx_ids = sorted({e["transactionId"] for e in events})
+    sink = parquet_upsert_sink(view_dir, n_buckets=4, retain_commits=3)
+
+    snapshots = {}
+    for i, upto in enumerate((6, 12, 18)):
+        keys = set(tx_ids[:upto])
+        batch = transactions_view_from_log(
+            spark.createDataFrame(
+                [e for e in events if e["transactionId"] in keys],
+                schema=EVENT_ENVELOPE_TYPE,
+            )
+        )
+        sink(batch, epoch_id=i)
+        seq, _ = valid_commits(spark, view_dir)[0]
+        snapshots[seq] = upto
+
+    assert len(valid_commits(spark, view_dir)) == 3
+    for seq, upto in snapshots.items():
+        assert read_view(spark, view_dir, version=seq).count() == upto
+
+    # a fourth commit expires the oldest retained one
+    oldest = min(snapshots)
+    sink(
+        transactions_view_from_log(
+            spark.createDataFrame(
+                [e for e in events if e["transactionId"] == tx_ids[0]],
+                schema=EVENT_ENVELOPE_TYPE,
+            )
+        ),
+        epoch_id=3,
+    )
+    kept = {s for s, _ in valid_commits(spark, view_dir)}
+    assert len(kept) == 3 and oldest not in kept
+    with pytest.raises(FileNotFoundError):
+        read_view(spark, view_dir, version=oldest)
+    # current view unaffected by history expiry
+    assert read_view(spark, view_dir).count() == 18
+
+
 def test_upsert_sink_soak_many_batches_with_crashes_and_compaction(
     spark, tmp_path
 ):
