@@ -332,3 +332,21 @@ def test_interval_overlap_blocking_equi_join(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_event_spans_map_only(spark, sf_dir, queries):
+    """The ST8 span projection must never shuffle: one span row per event is
+    a map-only side output at any scale."""
+    plan = _plan(queries["cdc_event_spans"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rare_token_ratio_broadcasts_vocab(spark, sf_dir, queries):
+    """The df table is vocabulary-sized: the token-level probe join must be
+    a broadcast, leaving the df groupBy and the per-doc groupBy as the only
+    corpus-sized exchanges."""
+    plan = _plan(queries["t_rare_token_ratio"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # the one-row n_docs scalar
