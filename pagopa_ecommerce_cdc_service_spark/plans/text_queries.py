@@ -1557,7 +1557,7 @@ def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest({TOKENS_SQL.format(c="text")}) AS tok FROM documents
     ),
     df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
-    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
     SELECT t.doc_id,
            COUNT(*) AS n_tokens,
            CAST(SUM(CASE WHEN d.df * 10 < n.n_docs THEN 1 ELSE 0 END) AS BIGINT)
@@ -1572,7 +1572,9 @@ def t_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(read(spark, sf_dir, "documents"), spark)
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     df_tab = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.agg(F.countDistinct("doc_id").alias("n_docs"))
+    # doc_id is unique per documents row: corpus size is a plain count —
+    # a doc_id-only scan + one partial-agg, no distinct exchange
+    n_docs = d.agg(F.count("*").alias("n_docs"))
     probe = toks.join(F.broadcast(df_tab), "tok").crossJoin(F.broadcast(n_docs))
     rare = F.when(F.col("df") * 10 < F.col("n_docs"), 1).otherwise(0)
     return probe.groupBy("doc_id").agg(
