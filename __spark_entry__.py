@@ -176,13 +176,15 @@ _CERTIFIED_TAIL = (
     # still executed every round as the entry() smoke query, and its
     # fold semantics stay prefix-certified via cdc_stream_incremental_view
     "cdc_transactions_view",
-    # rotated out round 5 for the two queries ADDED this round
-    # (cdc_event_spans — ST8 under the hard gate — and
-    # t_rare_token_ratio); both rotated-out queries are r04-green and
-    # their plans are append-only-untouched this round (fingerprint-equal
-    # vs FINGERPRINTS_r04, guard-tested)
+    # rotated out round 5 for the three queries ADDED this round
+    # (cdc_event_spans — ST8 under the hard gate —, t_rare_token_ratio,
+    # and the runtime-pinned t_stream_lsh_pairs incremental-dedup gate);
+    # all rotated-out queries are r04-green and their plans are
+    # append-only-untouched this round (fingerprint-equal vs
+    # FINGERPRINTS_r04, guard-tested)
     "t_pii_scrub",
     "t_global_shuffle_shards",
+    "t_bpe_apply",
 )
 
 

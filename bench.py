@@ -54,6 +54,9 @@ HEADLINE = [
     "t_similarity_triangles",
     "cdc_incremental_agg",
     "e_mips_topk",
+    # round-5 additions: ST8 span projection + corpus-df quality signal
+    "cdc_event_spans",
+    "t_rare_token_ratio",
 ]
 
 

@@ -1582,3 +1582,97 @@ def t_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rare).cast("long").alias("n_rare"),
         (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup maintenance on a document STREAM: each micro-batch
+# computes its docs' MinHash band keys, appends them (and the shingle sets)
+# to a band store, probes the store for candidate pairs touching the batch,
+# verifies exact Jaccard, and appends confirmed pairs. A pair is emitted
+# exactly when its LATER document arrives — so after the stream drains, the
+# accumulated pair table must equal the one-shot batch LSH, and the gate
+# reuses t_minhash_lsh_pairs' oracle verbatim. This is the LLM-pipeline
+# "dedup-on-ingest" shape: per batch, work is (batch bands) ⋈ (store bands)
+# on narrow (band_idx, bkey) keys — O(batch × collision density), never a
+# rescan of the corpus; the band/shingle stores only append.
+# ---------------------------------------------------------------------------
+def t_stream_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import gate_workdir, write_single_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-lsh-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("lshsplit:"), F.col("doc_id").cast("string"))) % 3
+    )
+    for i in range(3):
+        write_single_file(
+            docs.filter(third == i), f"{src}/part{i}.parquet", fmt="parquet"
+        )
+
+    bands_dir = f"{workdir}/bands"
+    sh_dir = f"{workdir}/shingles"
+    pairs_dir = f"{workdir}/pairs"
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        d = batch_df.select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        sigs = d.withColumn("sig", minhash_signature(F.col("sh"), _K))
+        bands = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[band_key(F.col("sig"), bi, _R) for bi in range(_B)])
+            ).alias("band_idx", "bkey"),
+        )
+        # append this batch's state FIRST so within-batch pairs form too
+        d.write.mode("append").parquet(sh_dir)
+        bands.write.mode("append").parquet(bands_dir)
+        store = s.read.parquet(bands_dir)
+        cand = (
+            bands.alias("a")
+            .join(
+                store.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        shs = s.read.parquet(sh_dir)
+        x = shs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        y = shs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        ver = cand.join(x, "doc_a").join(y, "doc_b")
+        inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+        jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+        (
+            ver.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .filter(F.col("jaccard") >= _LSH_THRESH)
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "t_stream_lsh_pairs: availableNow run did not complete in 240s"
+        )
+    # a pair forms exactly once (its later doc's batch); distinct guards the
+    # value hash against any at-least-once replay of a batch
+    return spark.read.parquet(pairs_dir).distinct()
+
+
+QUERIES["t_stream_lsh_pairs"] = t_stream_lsh_pairs
+ORACLES["t_stream_lsh_pairs"] = ORACLES["t_minhash_lsh_pairs"]
