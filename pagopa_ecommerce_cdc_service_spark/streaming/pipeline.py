@@ -356,7 +356,7 @@ def _write_generation(
 
 def _publish(
     spark, view_dir, seq, payload, new_entries, failpoint, n_buckets,
-    retain_commits=1,
+    retain_commits=1, key_col="transactionId",
 ):
     """Fold ``new_entries`` into the manifest and publish seq+1 (ONE small
     create-new file write — the commit point), then GC superseded state."""
@@ -371,6 +371,7 @@ def _publish(
         {
             "version": _MANIFEST_VERSION,
             "n_buckets": n_buckets,
+            "key_col": key_col,
             "buckets": buckets,
         },
     )
@@ -381,10 +382,16 @@ def _publish(
 
 
 def parquet_upsert_sink(
-    view_dir: str, n_buckets: int = 64, failpoint=None, retain_commits: int = 1
+    view_dir: str,
+    n_buckets: int = 64,
+    failpoint=None,
+    retain_commits: int = 1,
+    key_col: str = "transactionId",
 ):
     """foreachBatch merge: upsert batch view-updates into a keyed parquet
-    table bucketed by ``hash(transactionId) % n_buckets``.
+    table bucketed by ``hash(key_col) % n_buckets`` (key defaults to the
+    CDC view's transactionId; any unique key column works — the sink is a
+    generic keyed-upsert engine component).
 
     Only the buckets actually touched by the batch are rewritten, and the
     old rows are read from exactly the manifest entries of those buckets —
@@ -414,7 +421,7 @@ def parquet_upsert_sink(
         recover_view(spark, view_dir, retain_commits)
         seq, payload = current_commit(spark, view_dir)
         updates = batch_df.withColumn(
-            VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets)
+            VIEW_BUCKET_COL, view_bucket(key_col, n_buckets)
         ).cache()
         try:
             # metadata-sized collect: at most n_buckets ints
@@ -432,17 +439,17 @@ def parquet_upsert_sink(
             )
             if old_dirs:
                 old = spark.read.parquet(*old_dirs).withColumn(
-                    VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets)
+                    VIEW_BUCKET_COL, view_bucket(key_col, n_buckets)
                 )
                 merged = old.join(
-                    updates.select("transactionId"), "transactionId", "left_anti"
+                    updates.select(key_col), key_col, "left_anti"
                 ).unionByName(updates)
             else:
                 merged = updates
             new_entries = _write_generation(merged, view_dir, epoch_id, n_buckets)
             _publish(
                 spark, view_dir, seq, payload, new_entries, failpoint,
-                n_buckets, retain_commits,
+                n_buckets, retain_commits, key_col,
             )
         finally:
             updates.unpersist()
@@ -491,9 +498,10 @@ def compact_view(
         return []
     touched.sort()
     n_buckets = payload["n_buckets"]
+    key_col = payload.get("key_col", "transactionId")
     rows = spark.read.parquet(
         *[f"{view_dir}/{payload['buckets'][str(b)]}" for b in touched]
-    ).withColumn(VIEW_BUCKET_COL, view_bucket("transactionId", n_buckets))
+    ).withColumn(VIEW_BUCKET_COL, view_bucket(key_col, n_buckets))
     # repartition BY the bucket column: each bucket lands in exactly one
     # task → exactly one output file per bucket directory
     new_entries = _write_generation(
@@ -504,7 +512,7 @@ def compact_view(
     )
     _publish(
         spark, view_dir, seq, payload, new_entries, failpoint, n_buckets,
-        retain_commits,
+        retain_commits, key_col,
     )
     return touched
 

@@ -1090,3 +1090,33 @@ def test_stream_stream_join_state_survives_restart(spark, tmp_path):
     assert {(r.c_user, r.p_value) for r in out2} == {
         (1, 5.0), (2, 7.0), (1, 9.0)
     }
+
+
+def test_upsert_sink_generic_key_column(spark, tmp_path):
+    """The sink is a generic keyed-upsert component: maintain a documents
+    table keyed by doc_id, update one doc, compact — merge semantics and
+    bucket pruning identical to the transactionId view."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        compact_view,
+        parquet_upsert_sink,
+        read_view,
+    )
+
+    view_dir = str(tmp_path / "docs_view")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text", "lang"
+    ).limit(40)
+    sink = parquet_upsert_sink(view_dir, n_buckets=4, key_col="doc_id")
+    sink(docs, epoch_id=0)
+    assert read_view(spark, view_dir).count() == 40
+
+    from pyspark.sql import functions as F
+
+    one = docs.orderBy("doc_id").limit(1).withColumn("lang", F.lit("xx"))
+    sink(one, epoch_id=1)
+    merged = read_view(spark, view_dir)
+    assert merged.count() == 40
+    target = one.collect()[0]["doc_id"]
+    assert merged.filter(F.col("doc_id") == target).collect()[0]["lang"] == "xx"
+    compact_view(spark, view_dir, max_files_per_bucket=1)
+    assert read_view(spark, view_dir).count() == 40
