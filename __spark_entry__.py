@@ -185,6 +185,9 @@ _CERTIFIED_TAIL = (
     "t_pii_scrub",
     "t_global_shuffle_shards",
     "t_bpe_apply",
+    # rotated out round 5 for mm_audio_frame_energy (first cert this
+    # round); r04-green, fingerprint-equal
+    "t_near_dup_sample_pairs",
 )
 
 

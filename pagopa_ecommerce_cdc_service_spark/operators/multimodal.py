@@ -547,3 +547,49 @@ def resize_bmp_media(
             yield pd.DataFrame(rows, columns=cols)
 
     return media_df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_start", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+FRAME_LEN = 32  # samples per analysis frame (non-overlapping)
+
+
+def audio_frame_energy(media_df: DataFrame, frame_len: int = FRAME_LEN) -> DataFrame:
+    """Decode WAV payloads and emit one row per fixed-length analysis frame
+    with integer energy (Σ sᵢ²) and peak — the windowed feature-extraction
+    stage of an audio training pipeline (VAD/loudness filtering), kept
+    integer-exact so the gate can hash it against the waveform formula.
+    Map-only fan-out: each payload yields ⌈n/frame_len⌉ rows, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in FRAME_ENERGY_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples, _rate = decode_wav_pcm16(bytes(payload))
+                s = samples.astype(np.int64)
+                for f_idx in range(0, (s.size + frame_len - 1) // frame_len):
+                    start = f_idx * frame_len
+                    frame = s[start : start + frame_len]
+                    rows["media_id"].append(int(mid))
+                    rows["frame_idx"].append(f_idx)
+                    rows["frame_start"].append(start)
+                    rows["frame_len"].append(int(frame.size))
+                    rows["energy"].append(int((frame * frame).sum()))
+                    rows["peak_abs"].append(
+                        int(np.abs(frame).max()) if frame.size else 0
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media_df.mapInPandas(run, schema=FRAME_ENERGY_SCHEMA)

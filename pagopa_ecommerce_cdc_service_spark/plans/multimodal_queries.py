@@ -167,3 +167,47 @@ SELECT doc_id AS media_id,
             i -> (i + 1) * s[i + 1])) AS BIGINT) AS pos_checksum
 FROM sm
 """
+
+
+def mm_audio_frame_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed audio feature extraction under the gate: encode the
+    deterministic PCM16 waveform per document as a real WAV, decode it,
+    and emit per-32-sample-frame integer energy/peak rows; the oracle
+    recomputes every frame from the waveform formula alone. Same map-only
+    Arrow shape as the decode-stats gate (no shuffles at scale)."""
+    from ..operators.multimodal import audio_frame_energy
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    return audio_frame_energy(synthesize_wav_media(docs))
+
+
+QUERIES["mm_audio_frame_energy"] = mm_audio_frame_energy
+
+# first-principles frame twin: n = 64 + id%129, s_i = ((id*17+3i²)%4001)-2000,
+# frames of 32 samples, last frame ragged
+ORACLES["mm_audio_frame_energy"] = """
+WITH g AS (
+  SELECT doc_id, 64 + doc_id % 129 AS n FROM documents
+),
+f AS (
+  SELECT doc_id, n,
+         unnest(range(CAST((n + 31) // 32 AS INTEGER))) AS frame_idx
+  FROM g
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 32 AS BIGINT) AS frame_start,
+       CAST(least(n - frame_idx * 32, 32) AS BIGINT) AS frame_len,
+       CAST(list_sum(list_transform(
+            range(CAST(frame_idx * 32 AS INTEGER),
+                  CAST(least(n, frame_idx * 32 + 32) AS INTEGER)),
+            i -> ((doc_id * 17 + 3 * i * i) % 4001 - 2000)
+               * ((doc_id * 17 + 3 * i * i) % 4001 - 2000))) AS BIGINT)
+         AS energy,
+       CAST(list_max(list_transform(
+            range(CAST(frame_idx * 32 AS INTEGER),
+                  CAST(least(n, frame_idx * 32 + 32) AS INTEGER)),
+            i -> abs((doc_id * 17 + 3 * i * i) % 4001 - 2000))) AS BIGINT)
+         AS peak_abs
+FROM f
+"""
