@@ -185,9 +185,10 @@ _CERTIFIED_TAIL = (
     "t_pii_scrub",
     "t_global_shuffle_shards",
     "t_bpe_apply",
-    # rotated out round 5 for mm_audio_frame_energy (first cert this
-    # round); r04-green, fingerprint-equal
+    # rotated out round 5 for mm_audio_frame_energy and mm_image_patches
+    # (first cert this round); both r04-green, fingerprint-equal
     "t_near_dup_sample_pairs",
+    "w_dq_audit",
 )
 
 

@@ -593,3 +593,61 @@ def audio_frame_energy(media_df: DataFrame, frame_len: int = FRAME_LEN) -> DataF
             yield pd.DataFrame(rows, columns=cols)
 
     return media_df.mapInPandas(run, schema=FRAME_ENERGY_SCHEMA)
+
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("patch_row", T.LongType()),
+        T.StructField("patch_col", T.LongType()),
+        T.StructField("patch_h", T.LongType()),
+        T.StructField("patch_w", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("pos_checksum", T.LongType()),
+    ]
+)
+
+PATCH_SIZE = 4  # pixels per patch side (non-overlapping grid, ragged edges)
+
+
+def image_patches(media_df: DataFrame, patch: int = PATCH_SIZE) -> DataFrame:
+    """Decode images and emit one row per non-overlapping patch with integer
+    pixel stats — the ViT-style patchification stage of an image training
+    pipeline, kept integer-exact (per-patch position-weighted checksum over
+    the patch's row-major order catches orientation/stride bugs inside the
+    patch extraction, not just the decode). Ragged border patches keep
+    their true patch_h/patch_w. Map-only fan-out, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in PATCH_SCHEMA.fields]
+        for pdf in batches:
+            rows = {c: [] for c in cols}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_image(bytes(payload)).astype(np.int64)
+                h, w = px.shape
+                for pr in range(0, (h + patch - 1) // patch):
+                    for pc in range(0, (w + patch - 1) // patch):
+                        tile = px[
+                            pr * patch : (pr + 1) * patch,
+                            pc * patch : (pc + 1) * patch,
+                        ]
+                        flat = tile.ravel()
+                        rows["media_id"].append(int(mid))
+                        rows["patch_row"].append(pr)
+                        rows["patch_col"].append(pc)
+                        rows["patch_h"].append(tile.shape[0])
+                        rows["patch_w"].append(tile.shape[1])
+                        rows["pixel_sum"].append(int(flat.sum()))
+                        rows["pos_checksum"].append(
+                            int(
+                                (
+                                    (np.arange(flat.size, dtype=np.int64) + 1)
+                                    * flat
+                                ).sum()
+                            )
+                        )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media_df.mapInPandas(run, schema=PATCH_SCHEMA)

@@ -211,3 +211,53 @@ SELECT doc_id AS media_id,
          AS peak_abs
 FROM f
 """
+
+
+def mm_image_patches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patchification under the gate: encode the deterministic
+    test card per document as a real BMP, decode it, and emit per-4x4-patch
+    integer pixel stats; the oracle recomputes every patch from the pixel
+    formula, mapping each within-patch position back to the global
+    row-major index — a patch extractor with a transposed tile or a wrong
+    stride cannot hash-match."""
+    from ..operators.multimodal import image_patches
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    return image_patches(synthesize_bmp_media(docs))
+
+
+QUERIES["mm_image_patches"] = mm_image_patches
+
+ORACLES["mm_image_patches"] = """
+WITH g AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h FROM documents
+),
+pr AS (
+  SELECT doc_id, w, h, unnest(range(CAST((h + 3) // 4 AS INTEGER))) AS pr
+  FROM g
+),
+pc AS (
+  SELECT doc_id, w, h, pr, unnest(range(CAST((w + 3) // 4 AS INTEGER))) AS pc
+  FROM pr
+),
+dims AS (
+  SELECT doc_id, w, h, pr, pc,
+         least(4, h - pr * 4) AS ph,
+         least(4, w - pc * 4) AS pw
+  FROM pc
+)
+SELECT doc_id AS media_id,
+       CAST(pr AS BIGINT) AS patch_row,
+       CAST(pc AS BIGINT) AS patch_col,
+       CAST(ph AS BIGINT) AS patch_h,
+       CAST(pw AS BIGINT) AS patch_w,
+       CAST(list_sum(list_transform(range(CAST(ph * pw AS INTEGER)),
+            j -> (doc_id * 31
+                  + 7 * ((pr * 4 + j // pw) * w + pc * 4 + j % pw)) % 256))
+         AS BIGINT) AS pixel_sum,
+       CAST(list_sum(list_transform(range(CAST(ph * pw AS INTEGER)),
+            j -> (j + 1) * ((doc_id * 31
+                  + 7 * ((pr * 4 + j // pw) * w + pc * 4 + j % pw)) % 256)))
+         AS BIGINT) AS pos_checksum
+FROM dims
+"""
