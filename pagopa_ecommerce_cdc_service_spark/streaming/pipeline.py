@@ -153,6 +153,13 @@ def view_bucket(key_col: str, n_buckets: int):
 # guarantee being twinned is Mongo's per-document atomic upsert
 # (TransactionViewUpsertService.kt:160-189).
 #
+# Concurrency: the create-NEW commit write doubles as optimistic
+# concurrency control — two writers racing one sequence cannot both win;
+# the loser's create throws (its batch retries against the new head),
+# never a silent overwrite (test_commit_seq_collision_fails_loudly...).
+# On stores without atomic create-if-absent, swap that one primitive for a
+# conditional PUT (If-None-Match) — the rest of the protocol is unchanged.
+#
 # Single writer (the streaming query's foreachBatch), many readers:
 # readers resolve a manifest and get snapshot isolation for the dirs it
 # names; the writer garbage-collects state unreferenced by the RETAINED

@@ -1120,3 +1120,41 @@ def test_upsert_sink_generic_key_column(spark, tmp_path):
     assert merged.filter(F.col("doc_id") == target).collect()[0]["lang"] == "xx"
     compact_view(spark, view_dir, max_files_per_bucket=1)
     assert read_view(spark, view_dir).count() == 40
+
+
+def test_commit_seq_collision_fails_loudly_not_corrupts(spark, tmp_path):
+    """Optimistic concurrency for free: the commit is a create-NEW file, so
+    two writers racing the same sequence cannot both win — the loser gets
+    an exception (its batch retries and re-reads the new head), never a
+    silent overwrite of the winner's manifest. This is the zombie-driver
+    guard a real cluster needs (an old foreachBatch attempt racing the
+    restarted query)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        _write_commit,
+        current_commit,
+        parquet_upsert_sink,
+        read_view,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=61, n_transactions=8)
+    sink = parquet_upsert_sink(view_dir, n_buckets=2)
+    sink(
+        transactions_view_from_log(
+            spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+        ),
+        epoch_id=0,
+    )
+    seq, payload = current_commit(spark, view_dir)
+
+    # a zombie writes the NEXT sequence first; the live writer must fail
+    # its own commit of that sequence, leaving the zombie's manifest intact
+    zombie_payload = dict(payload)
+    _write_commit(spark, view_dir, seq + 1, zombie_payload)
+    with pytest.raises(Exception):
+        _write_commit(spark, view_dir, seq + 1, {"version": 1, "buckets": {}})
+    got_seq, got_payload = current_commit(spark, view_dir)
+    assert got_seq == seq + 1 and got_payload == zombie_payload
+    assert read_view(spark, view_dir).count() == len(
+        {e["transactionId"] for e in events}
+    )
