@@ -1569,18 +1569,30 @@ def t_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_rare_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single corpus scan: explode once, collapse to (doc_id, tok, cnt)
+    # [one keyed shuffle], then derive BOTH the per-token df table and the
+    # per-doc stats from that much smaller relation — no second explode.
     d = spread(read(spark, sf_dir, "documents"), spark)
-    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
-    df_tab = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    per_doc_tok = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # one row per (doc, tok) ⇒ df = plain count per tok (no distinct)
+    df_tab = per_doc_tok.groupBy("tok").agg(F.count("*").alias("df"))
     # doc_id is unique per documents row: corpus size is a plain count —
     # a doc_id-only scan + one partial-agg, no distinct exchange
     n_docs = d.agg(F.count("*").alias("n_docs"))
-    probe = toks.join(F.broadcast(df_tab), "tok").crossJoin(F.broadcast(n_docs))
-    rare = F.when(F.col("df") * 10 < F.col("n_docs"), 1).otherwise(0)
+    probe = per_doc_tok.join(F.broadcast(df_tab), "tok").crossJoin(
+        F.broadcast(n_docs)
+    )
+    rare = F.when(F.col("df") * 10 < F.col("n_docs"), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
     return probe.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
+        F.sum("cnt").cast("long").alias("n_tokens"),
         F.sum(rare).cast("long").alias("n_rare"),
-        (F.sum(rare).cast("double") / F.count("*")).alias("rare_ratio"),
+        (F.sum(rare).cast("double") / F.sum("cnt")).alias("rare_ratio"),
     )
 
 
