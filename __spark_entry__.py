@@ -185,10 +185,12 @@ _CERTIFIED_TAIL = (
     "t_pii_scrub",
     "t_global_shuffle_shards",
     "t_bpe_apply",
-    # rotated out round 5 for mm_audio_frame_energy and mm_image_patches
-    # (first cert this round); both r04-green, fingerprint-equal
+    # rotated out round 5 for mm_audio_frame_energy, mm_image_patches and
+    # t_hll_set_ops (first cert this round); all r04-green,
+    # fingerprint-equal
     "t_near_dup_sample_pairs",
     "w_dq_audit",
+    "w_cohort_retention",
 )
 
 

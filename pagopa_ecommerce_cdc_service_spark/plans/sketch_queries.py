@@ -487,3 +487,182 @@ def w_stream_cms_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra across language pairs: union by register-wise max — the
+# EXACT merge a 1000-executor rollup performs on persisted sketches — and
+# intersection by inclusion–exclusion over the three estimates. The union
+# sketch never touches the raw tokens again: it merges the per-language
+# register tables (≤ m rows each). Exact union/intersection counts ride
+# along as audit columns (their (lang, tok)-wide shuffles are what the
+# sketch path avoids at scale).
+# ---------------------------------------------------------------------------
+_EST_A = hll_final_sql("pa.occ", "pa.used")[1]
+_EST_B = hll_final_sql("pb.occ", "pb.used")[1]
+_EST_U = hll_final_sql("u.occ_union", "u.used_union")[1]
+
+
+@query(
+    "t_hll_set_ops",
+    f"""
+    WITH toks AS (
+      SELECT lang, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashed AS (
+      SELECT lang, tok, {md5_long_sql("tok")} AS h FROM toks
+    ), regs AS (
+      SELECT lang, {hll_bucket_sql("h")} AS bucket,
+             MAX({hll_rho_sql("h")}) AS m_rho
+      FROM hashed GROUP BY 1, 2
+    ), per AS (
+      SELECT lang, COUNT(*) AS used,
+             CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT) AS occ
+      FROM regs GROUP BY lang
+    ), langs AS (
+      SELECT DISTINCT lang FROM regs
+    ), pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM langs a JOIN langs b ON a.lang < b.lang
+    ), merged AS (
+      SELECT lang_a, lang_b, bucket, MAX(m_rho) AS m_rho FROM (
+        SELECT p.lang_a, p.lang_b, r.bucket, r.m_rho
+        FROM pairs p JOIN regs r ON r.lang = p.lang_a
+        UNION ALL
+        SELECT p.lang_a, p.lang_b, r.bucket, r.m_rho
+        FROM pairs p JOIN regs r ON r.lang = p.lang_b
+      ) GROUP BY 1, 2, 3
+    ), uagg AS (
+      SELECT lang_a, lang_b, COUNT(*) AS used_union,
+             CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT) AS occ_union
+      FROM merged GROUP BY 1, 2
+    ), dl AS (
+      SELECT DISTINCT lang, tok FROM toks
+    ), eu AS (
+      SELECT lang_a, lang_b, COUNT(DISTINCT tok) AS exact_union FROM (
+        SELECT p.lang_a, p.lang_b, d.tok
+        FROM pairs p JOIN dl d ON d.lang = p.lang_a
+        UNION
+        SELECT p.lang_a, p.lang_b, d.tok
+        FROM pairs p JOIN dl d ON d.lang = p.lang_b
+      ) GROUP BY 1, 2
+    ), ei AS (
+      SELECT x.pl_a AS lang_a, x.pl_b AS lang_b, COUNT(*) AS exact_intersection
+      FROM (SELECT p.lang_a AS pl_a, p.lang_b AS pl_b, d.tok
+            FROM pairs p JOIN dl d ON d.lang = p.lang_a) x
+      JOIN dl y ON y.lang = x.pl_b AND y.tok = x.tok
+      GROUP BY 1, 2
+    )
+    SELECT u.lang_a, u.lang_b,
+           pa.used AS used_a, pb.used AS used_b, u.used_union,
+           {_EST_A} AS est_a, {_EST_B} AS est_b, {_EST_U} AS est_union,
+           {_EST_A} + {_EST_B} - {_EST_U} AS est_intersection,
+           eu.exact_union,
+           COALESCE(ei.exact_intersection, 0) AS exact_intersection
+    FROM uagg u
+    JOIN per pa ON pa.lang = u.lang_a
+    JOIN per pb ON pb.lang = u.lang_b
+    JOIN eu ON eu.lang_a = u.lang_a AND eu.lang_b = u.lang_b
+    LEFT JOIN ei ON ei.lang_a = u.lang_a AND ei.lang_b = u.lang_b
+    """,
+)
+def t_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    )
+    hashed = toks.withColumn("h", md5_long(F.col("tok")))
+    regs = hashed.groupBy(
+        "lang", hll_bucket(F.col("h")).alias("bucket")
+    ).agg(F.max(hll_rho(F.col("h"))).alias("m_rho"))
+    per = regs.groupBy("lang").agg(
+        F.count("*").alias("used"),
+        F.sum(hll_register_term(F.col("m_rho"))).alias("occ"),
+    )
+    langs = regs.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("lang_a"))
+        .crossJoin(langs.select(F.col("lang").alias("lang_b")))
+        .filter(F.col("lang_a") < F.col("lang_b"))
+    )
+    # sketch MERGE: register-wise max of the two languages' register tables
+    ra = F.broadcast(pairs).join(
+        regs.withColumnRenamed("lang", "lang_a"), "lang_a"
+    )
+    rb = F.broadcast(pairs).join(
+        regs.withColumnRenamed("lang", "lang_b"), "lang_b"
+    )
+    merged = (
+        ra.select("lang_a", "lang_b", "bucket", "m_rho")
+        .unionByName(rb.select("lang_a", "lang_b", "bucket", "m_rho"))
+        .groupBy("lang_a", "lang_b", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+    )
+    uagg = merged.groupBy("lang_a", "lang_b").agg(
+        F.count("*").alias("used_union"),
+        F.sum(hll_register_term(F.col("m_rho"))).alias("occ_union"),
+    )
+    # audit columns (exact set algebra — the shuffles the sketch avoids)
+    dl = toks.distinct()
+    da = F.broadcast(pairs).join(dl.withColumnRenamed("lang", "lang_a"), "lang_a")
+    db = F.broadcast(pairs).join(dl.withColumnRenamed("lang", "lang_b"), "lang_b")
+    eu = (
+        da.select("lang_a", "lang_b", "tok")
+        .unionByName(db.select("lang_a", "lang_b", "tok"))
+        .distinct()
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_union"))
+    )
+    # join the DISTINCT (lang, tok) relation (unique keys), not db — db has
+    # one row per (lang_a, lang_b, tok), which would multiply matches
+    ei = (
+        da.select("lang_a", "lang_b", "tok")
+        .join(dl.withColumnRenamed("lang", "lang_b"), ["lang_b", "tok"])
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count("*").alias("exact_intersection"))
+    )
+
+    def final(occ, used, name):
+        return hll_final_cols(F.col(occ), F.col(used))[1].alias(name)
+
+    out = (
+        uagg.join(
+            F.broadcast(per.select(
+                F.col("lang").alias("lang_a"),
+                F.col("used").alias("used_a"),
+                F.col("occ").alias("occ_a"),
+            )),
+            "lang_a",
+        )
+        .join(
+            F.broadcast(per.select(
+                F.col("lang").alias("lang_b"),
+                F.col("used").alias("used_b"),
+                F.col("occ").alias("occ_b"),
+            )),
+            "lang_b",
+        )
+        .join(F.broadcast(eu), ["lang_a", "lang_b"])
+        .join(F.broadcast(ei), ["lang_a", "lang_b"], "left")
+    )
+    est_a = final("occ_a", "used_a", "est_a")
+    est_b = final("occ_b", "used_b", "est_b")
+    est_u = final("occ_union", "used_union", "est_union")
+    return out.select(
+        "lang_a",
+        "lang_b",
+        "used_a",
+        "used_b",
+        "used_union",
+        est_a,
+        est_b,
+        est_u,
+        (
+            hll_final_cols(F.col("occ_a"), F.col("used_a"))[1]
+            + hll_final_cols(F.col("occ_b"), F.col("used_b"))[1]
+            - hll_final_cols(F.col("occ_union"), F.col("used_union"))[1]
+        ).alias("est_intersection"),
+        "exact_union",
+        F.coalesce(F.col("exact_intersection"), F.lit(0)).alias(
+            "exact_intersection"
+        ),
+    )
