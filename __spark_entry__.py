@@ -191,6 +191,9 @@ _CERTIFIED_TAIL = (
     "t_near_dup_sample_pairs",
     "w_dq_audit",
     "w_cohort_retention",
+    # rotated out round 5 for t_ngram_jaccard_pairs (first cert this
+    # round); r04-green, fingerprint-equal
+    "w_funnel_signup_click_purchase",
 )
 
 

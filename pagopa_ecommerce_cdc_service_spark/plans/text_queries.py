@@ -1688,3 +1688,89 @@ def t_stream_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_stream_lsh_pairs"] = t_stream_lsh_pairs
 ORACLES["t_stream_lsh_pairs"] = ORACLES["t_minhash_lsh_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram Jaccard near-dup join with PREFIX FILTERING (PPJoin-style):
+# order every doc's distinct 3-grams rarest-first (global df, gram as
+# tiebreak) and emit only the first |G| − ⌈θ·|G|⌉ + 1 grams as join keys —
+# provably LOSSLESS for Jaccard ≥ θ (if no prefix gram were shared, the
+# intersection would fit inside the ⌈θ|G|⌉−1 suffix, contradicting
+# |A∩B| ≥ θ·|A|). The oracle is the QUADRATIC all-pairs Jaccard, so the
+# gate certifies the blocking loses nothing. Scale shape: candidates come
+# from an equi-join on prefix grams (rarest grams ⇒ smallest fan-out);
+# the df table and the prefix window are one gram-keyed and one doc-keyed
+# exchange; nothing is all-pairs.
+# ---------------------------------------------------------------------------
+_NGJ_N = 3
+_NGJ_THRESH = 0.6
+
+
+@query(
+    "t_ngram_jaccard_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({word_ngrams_sql("text", _NGJ_N)}) AS g
+      FROM documents
+    ), dn AS (
+      SELECT doc_id, g FROM d WHERE len(g) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+             / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+             AS jaccard
+    FROM dn a JOIN dn b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+            / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+          >= {_NGJ_THRESH}
+    """,
+)
+def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(F.col("text"), _NGJ_N)).alias("g"),
+        )
+        .filter(F.size("g") > 0)
+    )
+    ex = d.select("doc_id", F.explode("g").alias("gram"))
+    # g is distinct per doc ⇒ df = plain count per gram (no distinct agg)
+    dfr = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    # rarest-first total order (df, gram); prefix length |G|−⌈θ|G|⌉+1.
+    # The df join shuffles on gram (the 3-gram vocabulary outgrows any
+    # broadcast at corpus scale); the window is one doc_id exchange.
+    ranked = ex.join(dfr, "gram")
+    w = Window.partitionBy("doc_id")
+    ranked = ranked.select(
+        "doc_id",
+        "gram",
+        F.row_number().over(w.orderBy("df", "gram")).alias("rn"),
+        F.count("*").over(w).alias("sz"),
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.col("sz") * F.lit(_NGJ_THRESH)) + 1
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    ver = cand.join(x, "doc_a").join(y, "doc_b")
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
+    jac = inter.cast("double") / (F.size("g_a") + F.size("g_b") - inter)
+    return ver.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= _NGJ_THRESH
+    )
