@@ -350,3 +350,24 @@ def test_rare_token_ratio_broadcasts_vocab(spark, sf_dir, queries):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan  # the one-row n_docs scalar
+
+
+def test_ngram_jaccard_no_cartesian_and_gram_equijoin(spark, sf_dir, queries):
+    """Prefix filtering must reach the plan as an EQUI-join on the gram key
+    — never a cartesian / nested-loop pair enumeration; the df join keys on
+    gram too (the 3-gram vocabulary outgrows broadcast at corpus scale)."""
+    plan = _plan(queries["t_ngram_jaccard_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines()
+             if "SortMergeJoin" in l or "BroadcastHashJoin" in l or "ShuffledHashJoin" in l]
+    assert any("gram" in l for l in joins), joins
+
+
+def test_hll_set_ops_register_sized_merge(spark, sf_dir, queries):
+    """The union sketch merges REGISTER tables, not token streams: after
+    the per-language register aggregation, every downstream exchange
+    carries (lang, bucket)-grained rows (≤ m per language), and the pair
+    fan-out joins broadcast the tiny pair/per-language tables."""
+    plan = _plan(queries["t_hll_set_ops"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3
