@@ -54,9 +54,12 @@ HEADLINE = [
     "t_similarity_triangles",
     "cdc_incremental_agg",
     "e_mips_topk",
-    # round-5 additions: ST8 span projection + corpus-df quality signal
+    # round-5 additions: ST8 span projection + corpus-df quality signal,
+    # prefix-filtered n-gram Jaccard dedup, HLL set algebra
     "cdc_event_spans",
     "t_rare_token_ratio",
+    "t_ngram_jaccard_pairs",
+    "t_hll_set_ops",
 ]
 
 

@@ -1728,6 +1728,10 @@ _NGJ_THRESH = 0.6
 def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    # the plan references the gram-array relation three times (explode leg
+    # + both verify sides): pin ONE hash exchange under it so ReuseExchange
+    # collapses the subtrees and the tokenize+ngram pass runs once — the
+    # same scale pivot as the MinHash LSH shingle exchange above
     d = (
         spread(read(spark, sf_dir, "documents"), spark)
         .select(
@@ -1735,6 +1739,7 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(word_ngrams(F.col("text"), _NGJ_N)).alias("g"),
         )
         .filter(F.size("g") > 0)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     ex = d.select("doc_id", F.explode("g").alias("gram"))
     # g is distinct per doc ⇒ df = plain count per gram (no distinct agg)
@@ -1754,12 +1759,17 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn")
         <= F.col("sz") - F.ceil(F.col("sz") * F.lit(_NGJ_THRESH)) + 1
     )
+    # size filter rides the same join (lossless too: J ≥ θ ⇒ θ·|A| ≤ |B|
+    # ≤ |A|/θ) — on low-entropy corpora where rarest-gram df is still
+    # large, the length band is what keeps the candidate set near-linear
     cand = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
             (F.col("a.gram") == F.col("b.gram"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b.sz") * F.lit(1.0) >= F.col("a.sz") * F.lit(_NGJ_THRESH))
+            & (F.col("a.sz") * F.lit(1.0) >= F.col("b.sz") * F.lit(_NGJ_THRESH)),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -1768,6 +1778,11 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = d.select(F.col("doc_id").alias("doc_a"), F.col("g").alias("g_a"))
     y = d.select(F.col("doc_id").alias("doc_b"), F.col("g").alias("g_b"))
+    # explicit fan-out for the verification stage: its array_intersect work
+    # is CPU-dense but byte-light, so AQE's size-based coalescing would
+    # serialize it locally; a fixed-width repartition keeps every core on
+    # it (at cluster scale the candidate volume makes this a no-op choice)
+    cand = cand.repartition(spark.sparkContext.defaultParallelism, "doc_a")
     ver = cand.join(x, "doc_a").join(y, "doc_b")
     inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b")))
     jac = inter.cast("double") / (F.size("g_a") + F.size("g_b") - inter)
