@@ -435,6 +435,8 @@ def parquet_upsert_sink(
             touched = sorted(
                 r[0] for r in updates.select(VIEW_BUCKET_COL).distinct().collect()
             )
+            if not touched:
+                return  # empty micro-batch: no generation, no commit churn
             old_dirs = (
                 [
                     f"{view_dir}/{payload['buckets'][str(b)]}"

@@ -1158,3 +1158,27 @@ def test_commit_seq_collision_fails_loudly_not_corrupts(spark, tmp_path):
     assert read_view(spark, view_dir).count() == len(
         {e["transactionId"] for e in events}
     )
+
+
+def test_empty_micro_batch_is_a_no_op_commit(spark, tmp_path):
+    """An empty micro-batch must not advance the commit sequence or touch
+    the data layout (idle streams would otherwise churn a manifest per
+    trigger)."""
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+        valid_commits,
+    )
+
+    view_dir = str(tmp_path / "view")
+    events = generate_event_log(seed=67, n_transactions=6)
+    batch = transactions_view_from_log(
+        spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    )
+    sink = parquet_upsert_sink(view_dir, n_buckets=2)
+    sink(batch, epoch_id=0)
+    before = valid_commits(spark, view_dir)
+    sink(batch.limit(0), epoch_id=1)
+    assert valid_commits(spark, view_dir) == before
+    assert _view_state(spark, view_dir).keys() == {
+        e["transactionId"] for e in events
+    }
