@@ -194,6 +194,17 @@ _CERTIFIED_TAIL = (
     # rotated out round 5 for t_ngram_jaccard_pairs (first cert this
     # round); r04-green, fingerprint-equal
     "w_funnel_signup_click_purchase",
+    # rotated out late round 5 for the five queries added in this session's
+    # second pass (t_tfidf_topterms, t_boilerplate_ngrams,
+    # t_link_prediction, e_matryoshka_topk, cdc_asof_snapshot — all first
+    # cert this round); the five rotated-out TPC-H queries are r04-green
+    # and plans/tpch.py is untouched since (fingerprint-equal vs
+    # FINGERPRINTS_r04, guard-tested)
+    "q11_important_parts",
+    "q12_late_shipments",
+    "q15_top_supplier",
+    "q16_part_supplier_count",
+    "q17_small_qty_revenue",
 )
 
 

@@ -843,3 +843,65 @@ WHERE op = 'insert' AND ttl IS NULL AND code IN ({_KNOWN_LIST})
 
 QUERIES["cdc_event_spans"] = cdc_event_spans
 ORACLES["cdc_event_spans"] = CDC_EVENT_SPANS_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) snapshot of the transactions view: the SAME 19-way
+# fold applied to only the envelope events with creationDate ≤ a fixed
+# cutoff — "what did the view hold at T?" (the batch twin of the sink's
+# manifest time travel, which replays generations instead of events).
+# Transactions whose first event arrives after the cutoff are absent, and
+# every fold field (status guard, last-effective-write enrich, _class
+# upsert-if-absent) is computed as if the log ended at T. Scale shape is
+# identical to cdc_transactions_view: the time filter is a pushdown-able
+# predicate on the prepared envelope, then ONE transactionId exchange
+# carries dedup + guard + 20-field fold.
+# Reference: the event-sourced fold this twins is
+# TransactionViewUpsertService.kt:69-189; as-of is the natural analytic
+# extension of its last-processed-event bookkeeping.
+# ---------------------------------------------------------------------------
+_ASOF_MS = 1705363200000  # 2024-01-16T00:00:00Z — mid-range at every SF
+
+
+def cdc_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthesize_envelope(spark, sf_dir)
+    prepared = prepare_events(env).filter(F.col("_ts_millis") <= _ASOF_MS)
+    view = fold_transactions_view(prepared)
+    return view.select(
+        "transactionId",
+        "email",
+        *_payment_notice_proj(),
+        "clientId",
+        "creationDate",
+        "userId",
+        "status",
+        "lastProcessedEventAt",
+        "paymentGateway",
+        "paymentTypeCode",
+        "pspId",
+        "feeTotal",
+        "authorizationRequestId",
+        "authorizationCode",
+        "rrn",
+        "gatewayAuthorizationStatus",
+        "endToEndId",
+        "authorizationErrorCode",
+        "sendPaymentResultOutcome",
+        F.col("closureErrorData.httpErrorCode").alias("closureHttpErrorCode"),
+        "_class",
+    )
+
+
+# oracle: the batch-fold oracle with the cutoff added to the `valid` CTE —
+# the single semantic delta between snapshot-at-T and the full fold. The
+# anchor must appear exactly once; the assert keeps the splice honest if
+# ORACLE_SQL is ever reworked.
+_ASOF_ANCHOR = "WHERE op = 'insert' AND ttl IS NULL AND code IN"
+assert ORACLE_SQL.count(_ASOF_ANCHOR) == 1
+ASOF_ORACLE_SQL = ORACLE_SQL.replace(
+    _ASOF_ANCHOR,
+    f"WHERE ts_ms <= {_ASOF_MS} AND op = 'insert' AND ttl IS NULL AND code IN",
+)
+
+QUERIES["cdc_asof_snapshot"] = cdc_asof_snapshot
+ORACLES["cdc_asof_snapshot"] = ASOF_ORACLE_SQL

@@ -1789,3 +1789,281 @@ def t_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ver.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
         F.col("jaccard") >= _NGJ_THRESH
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document — the classic relevance/keyword-extraction
+# signal a corpus pipeline derives before retrieval or topic bucketing.
+# Determinism discipline: idf is kept RATIONAL (tf·N/df) and surfaced as a
+# 1e6-scaled bigint via integer floor division — identical in Spark (`div`)
+# and DuckDB (`//`), no log()/double whose last ulp could differ across
+# engines. Scale shape: explode → map-side-combined (doc,term) count →
+# term-df count (second partial agg) → shuffle join co-partitioned on term
+# (the vocabulary outgrows any broadcast at corpus scale) → ONE doc_id
+# window for the top-k. N rides a broadcast one-row aggregate, never a
+# driver collect.
+# ---------------------------------------------------------------------------
+_TFIDF_TOP = 3
+
+
+@query(
+    "t_tfidf_topterms",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(c="text")}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             (t.tf * n.n_docs * 1000000) // d.df AS tfidf_micro
+      FROM tf t JOIN dfr d ON d.term = t.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df, tfidf_micro, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+                 PARTITION BY doc_id ORDER BY tfidf_micro DESC, term) AS BIGINT) AS rk
+      FROM scored)
+    WHERE rk <= {_TFIDF_TOP}
+    """,
+)
+def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = read(spark, sf_dir, "documents")
+    toks = spread(docs, spark).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfr, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf_micro", F.expr("(tf * n_docs * 1000000) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf_micro").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOP)
+        .select("doc_id", "term", "tf", "df", "tfidf_micro", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-derived boilerplate n-gram filter (C4/RefinedWeb-style): a 3-gram
+# that recurs across ≥ max(⌈N/200⌉, 2) DISTINCT documents is boilerplate
+# (site chrome, license blurbs, navigation text); each doc reports how much
+# of its distinct-gram mass that set covers. The threshold is RELATIVE to
+# corpus size (integer ceiling division — identical in both engines) so the
+# operator is meaningful at every scale factor. Scale shape: the boilerplate
+# set is small BY CONSTRUCTION (grams above a corpus-wide df floor), so the
+# probe-back is a broadcast hash join — the same shape as decontamination,
+# but with the probe set derived from the corpus itself (one extra partial
+# agg) instead of an external benchmark. Density is a 1e6-scaled bigint
+# (floor division), never a float ratio.
+# ---------------------------------------------------------------------------
+_BOIL_N = 3
+
+
+@query(
+    "t_boilerplate_ngrams",
+    f"""
+    WITH d AS (
+      SELECT doc_id, list_distinct({word_ngrams_sql("text", _BOIL_N)}) AS g
+      FROM documents
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM d WHERE len(g) > 0),
+    dfr AS (SELECT gram, count(*) AS df FROM ex GROUP BY gram),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    boiler AS (
+      SELECT gram FROM dfr CROSS JOIN n
+      WHERE df >= greatest((n_docs + 199) // 200, 2)
+    )
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_boiler,
+           (CAST(sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             * 1000000) // count(*) AS density_micro
+    FROM ex e LEFT JOIN boiler b ON b.gram = e.gram
+    GROUP BY e.doc_id
+    """,
+)
+def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read(spark, sf_dir, "documents")
+    d = (
+        spread(docs, spark)
+        .select(
+            "doc_id",
+            F.array_distinct(word_ngrams(F.col("text"), _BOIL_N)).alias("g"),
+        )
+        .filter(F.size("g") > 0)
+    )
+    ex = d.select("doc_id", F.explode("g").alias("gram"))
+    dfr = ex.groupBy("gram").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    boiler = (
+        dfr.crossJoin(F.broadcast(n))
+        .filter(F.col("df") >= F.greatest(
+            F.expr("(n_docs + 199) div 200"), F.lit(2)))
+        .select("gram", F.lit(1).alias("is_b"))
+    )
+    marked = ex.join(F.broadcast(boiler), "gram", "left")
+    n_boiler = F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            n_boiler.alias("n_boiler"),
+        )
+        .withColumn("density_micro", F.expr("(n_boiler * 1000000) div n_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction over the near-dup similarity graph: for every NON-edge
+# pair with at least one common neighbor, common-neighbor count and the
+# resource-allocation index Σ_z 1/deg(z) (1e6-scaled integer floor per
+# term — exact in both engines; Adamic-Adar's 1/log deg is irrational and
+# would never hash-match cross-engine). The graph is the SimHash band graph
+# at hamming ≤ 8 — looser than t_simhash_pairs' ≤ 6 so duplicate
+# neighborhoods are NOT already closed into cliques and prediction has
+# candidates. Scale shape (standard distributed wedge enumeration, same
+# family as t_similarity_triangles): pairs → per-row explode into both
+# directed edges (ONE pass — no self-union that would recompute the
+# simhash pipeline per branch) → one hash exchange on the wedge center
+# feeds BOTH wedge-join sides and the degree aggregate (ReuseExchange) →
+# groupBy(a,b) → anti-join against the edge set. Wedge volume is Σ deg²,
+# bounded by the hamming band — never all-pairs.
+# ---------------------------------------------------------------------------
+_LP_HAM = 8
+_LP_TOP = 20
+
+
+def _lp_pair_sql() -> str:
+    return f"""
+    sh AS (SELECT doc_id, {simhash_sql("text")} AS h FROM documents),
+    chunks AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, h, {c} AS chunk_idx, "
+        f"(h >> {c * _CHUNK_BITS}) & {(1 << _CHUNK_BITS) - 1} AS ckey FROM sh"
+        for c in range(_N_CHUNKS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.ckey = b.ckey
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.h, b.h)) <= {_LP_HAM}
+    )"""
+
+
+@query(
+    "t_link_prediction",
+    f"""
+    WITH {_lp_pair_sql()},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u AS z, count(*) AS d FROM edges GROUP BY u),
+    wedge AS (
+      SELECT e1.v AS a, e2.v AS b, e1.u AS z
+      FROM edges e1 JOIN edges e2 ON e1.u = e2.u AND e1.v < e2.v
+    ),
+    agg AS (
+      SELECT w.a, w.b,
+             count(*) AS cn,
+             CAST(sum(1000000 // g.d) AS BIGINT) AS ra_micro
+      FROM wedge w JOIN deg g ON g.z = w.z
+      GROUP BY w.a, w.b
+    )
+    SELECT agg.a AS doc_a, agg.b AS doc_b, agg.cn, agg.ra_micro
+    FROM agg LEFT JOIN pairs p ON p.doc_a = agg.a AND p.doc_b = agg.b
+    WHERE p.doc_a IS NULL
+    ORDER BY ra_micro DESC, cn DESC, doc_a, doc_b
+    LIMIT {_LP_TOP}
+    """,
+)
+def t_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
+    mask = (1 << _CHUNK_BITS) - 1
+    chunks = d.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
+                for c in range(_N_CHUNKS)
+            ])
+        ).alias("chunk_idx", "ckey"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming60(F.col("a.h"), F.col("b.h")) <= _LP_HAM)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # both directed edges from ONE pass over pairs (explode, not a
+    # self-union that would rebuild the simhash pipeline per branch), then
+    # ONE hash exchange on the wedge-center key u shared by the two wedge
+    # sides, the degree aggregate, and (as u<v) the anti-join probe side
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+    )
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    wedge = e1.join(
+        e2,
+        (F.col("e1.u") == F.col("e2.u")) & (F.col("e1.v") < F.col("e2.v")),
+    ).select(
+        F.col("e1.v").alias("a"), F.col("e2.v").alias("b"), F.col("e1.u").alias("z")
+    )
+    agg = (
+        wedge.join(deg.select(F.col("u").alias("z"), "d"), "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("cn"),
+            F.sum(F.expr("1000000 div d")).cast("long").alias("ra_micro"),
+        )
+    )
+    non_edges = agg.join(
+        edges.filter(F.col("u") < F.col("v")),
+        (F.col("a") == F.col("u")) & (F.col("b") == F.col("v")),
+        "left_anti",
+    )
+    return (
+        non_edges.select(
+            F.col("a").alias("doc_a"), F.col("b").alias("doc_b"), "cn", "ra_micro"
+        )
+        .orderBy(
+            F.col("ra_micro").desc(), F.col("cn").desc(), "doc_a", "doc_b"
+        )
+        .limit(_LP_TOP)
+    )

@@ -735,3 +735,73 @@ def e_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot_q"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (dim-prefix) retrieval: modern embedding models train nested
+# representations so the FIRST d' dims alone rank well — search scans a
+# d'-dim prefix (here 16 of 64: 4× less arithmetic and, with a stored
+# prefix column, 4× less I/O) for a candidate pool, then reranks only the
+# pool with full-dimension exact cosine. Coarse scores are exact integer
+# dots of the quantized prefix (orderable identically in both engines);
+# cosine goes double only at the final division of identical operands.
+# Scale shape: broadcast one-row query vector, map-only coarse scoring
+# (the prefix slice prunes the scan when the prefix is a stored column),
+# TakeOrdered top-C, rerank touches C=50 rows — the IVF/PQ "cheap scan →
+# exact rescore of a bounded pool" profile without any codebook state.
+# ---------------------------------------------------------------------------
+_MAT_DIMS = 16
+_MAT_POOL = 50
+_MAT_TOP = 10
+
+
+@query(
+    "e_matryoshka_topk",
+    f"""
+    WITH q AS (
+      SELECT {_QV} AS qv, ({_QV})[1:{_MAT_DIMS}] AS qp
+      FROM embeddings WHERE vec_id = 0
+    ),
+    coarse AS (
+      SELECT e.vec_id, e.label, {quantize_sql("e.embedding")} AS ev,
+             {dot_sql(f"({quantize_sql('e.embedding')})[1:{_MAT_DIMS}]", "q.qp")} AS coarse_dot
+      FROM embeddings e, q
+      WHERE e.vec_id <> 0
+      ORDER BY coarse_dot DESC, e.vec_id LIMIT {_MAT_POOL}
+    )
+    SELECT c.vec_id, c.label, c.coarse_dot,
+           {cosine_sql("c.ev", "q.qv")} AS cos_sim
+    FROM coarse c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_MAT_TOP}
+    """,
+)
+def e_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).withColumn(
+        "ev", quantize(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.slice(F.col("ev"), 1, _MAT_DIMS).alias("qp")
+    )
+    coarse = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "ev",
+            "qv",
+            dot(F.slice(F.col("ev"), 1, _MAT_DIMS), F.col("qp")).alias("coarse_dot"),
+        )
+        .orderBy(F.desc("coarse_dot"), F.asc("vec_id"))
+        .limit(_MAT_POOL)
+    )
+    return (
+        coarse.select(
+            "vec_id",
+            "label",
+            "coarse_dot",
+            cosine(F.col("ev"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_MAT_TOP)
+    )
