@@ -118,16 +118,16 @@ _CERTIFIED_TAIL = (
     # (t_hll_distinct's streaming twin w_stream_hll_merge stays
     # prefix-certified)
     "t_hll_distinct",
-    "t_decontaminate",
     "t_doc_chunks",
     "t_mixture_plan",
     # rotated out for the runtime-pinned w_stream_session_windows gate
     # (r03-green, fingerprint-equal; its batch twin w_session_windows was
     # r02-certified and stays fingerprint-guarded in the tail)
     "t_quality_weighted_sample",
-    # rotated out for e_mips_topk (first cert this round); r03-green,
-    # fingerprint-equal
-    "t_repetition_stats",
+    # (t_repetition_stats and t_decontaminate rotated BACK into the prefix
+    # late round 5: the word_ngrams operator they depend on was
+    # reformulated — shifted-slice zip_with instead of per-position
+    # transform — so their plans changed and they re-certify this round)
     # rotated out for the runtime-pinned w_stream_left_join_clicks gate;
     # r03-green, fingerprint-equal
     "t_bm25_topdocs",
@@ -205,6 +205,12 @@ _CERTIFIED_TAIL = (
     "q15_top_supplier",
     "q16_part_supplier_count",
     "q17_small_qty_revenue",
+    # rotated out late round 5 to free the two prefix slots for the
+    # re-certifying t_repetition_stats / t_decontaminate (word_ngrams
+    # reformulation); both r04-green and untouched since
+    # (fingerprint-equal vs FINGERPRINTS_r04, guard-tested)
+    "w_scd2_tier_enrich",
+    "w_interval_overlap_sessions",
 )
 
 

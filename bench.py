@@ -60,6 +60,13 @@ HEADLINE = [
     "t_rare_token_ratio",
     "t_ngram_jaccard_pairs",
     "t_hll_set_ops",
+    # round-5 (second pass) additions: TF-IDF, boilerplate set, link
+    # prediction, Matryoshka prefix ANN, as-of CDC snapshot
+    "t_tfidf_topterms",
+    "t_boilerplate_ngrams",
+    "t_link_prediction",
+    "e_matryoshka_topk",
+    "cdc_asof_snapshot",
 ]
 
 

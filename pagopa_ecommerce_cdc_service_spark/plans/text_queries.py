@@ -1834,7 +1834,15 @@ def t_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = spread(docs, spark).select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # pin the tf relation's exchange on term: BOTH consumers (the df
+    # re-aggregate and the score join) need term partitioning, so
+    # ReuseExchange collapses them and the tokenize+explode+count pass
+    # runs ONCE — without the pin each consumer rebuilds the tf subtree
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .repartition(spark.sparkContext.defaultParallelism, "term")
+    )
     dfr = tf.groupBy("term").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
@@ -1900,22 +1908,31 @@ def t_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("g") > 0)
     )
-    ex = d.select("doc_id", F.explode("g").alias("gram"))
-    dfr = ex.groupBy("gram").agg(F.count("*").alias("df"))
-    n = docs.agg(F.count("*").alias("n_docs"))
-    boiler = (
-        dfr.crossJoin(F.broadcast(n))
-        .filter(F.col("df") >= F.greatest(
-            F.expr("(n_docs + 199) div 200"), F.lit(2)))
-        .select("gram", F.lit(1).alias("is_b"))
+    # SINGLE-PASS shape: df per gram comes from a count window over the
+    # gram partition of the one exploded stream, not from an aggregate
+    # joined back (that join formulation re-ran the tokenize → ngram →
+    # distinct pipeline per consumer — column pruning makes the two
+    # exchange subtrees non-canonical, so ReuseExchange can't merge them;
+    # measured 6.9 s vs 2.9 s at sf0.1). One gram exchange + one doc_id
+    # aggregate are the only shuffles at any scale.
+    from pyspark.sql import Window
+
+    ex = d.select("doc_id", F.explode("g").alias("gram")).repartition(
+        spark.sparkContext.defaultParallelism, "gram"
     )
-    marked = ex.join(F.broadcast(boiler), "gram", "left")
-    n_boiler = F.sum(F.coalesce(F.col("is_b"), F.lit(0))).cast("long")
+    n = docs.agg(F.count("*").alias("n_docs"))
+    marked = ex.withColumn(
+        "df", F.count("*").over(Window.partitionBy("gram"))
+    ).crossJoin(F.broadcast(n))
+    is_b = (
+        F.col("df")
+        >= F.greatest(F.expr("(n_docs + 199) div 200"), F.lit(2))
+    ).cast("long")
     return (
         marked.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_grams"),
-            n_boiler.alias("n_boiler"),
+            F.sum(is_b).cast("long").alias("n_boiler"),
         )
         .withColumn("density_micro", F.expr("(n_boiler * 1000000) div n_grams"))
     )

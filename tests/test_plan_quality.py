@@ -371,3 +371,87 @@ def test_hll_set_ops_register_sized_merge(spark, sf_dir, queries):
     plan = _plan(queries["t_hll_set_ops"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def _smj_regime(spark):
+    """Context helper: disable auto-broadcast so ReuseExchange asserts see
+    the cluster-scale SMJ shape (AQE's per-consumer broadcasts can't share
+    exchanges at toy scale)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def ctx():
+        key = "spark.sql.autoBroadcastJoinThreshold"
+        saved = spark.conf.get(key, None)
+        spark.conf.set(key, "-1")
+        try:
+            yield
+        finally:
+            if saved is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, saved)
+
+    return ctx()
+
+
+def test_tfidf_reuses_term_exchange(spark, sf_dir, queries):
+    """The tf relation is pinned on a term exchange consumed by BOTH the
+    df re-aggregate and the score join: in the SMJ regime the tokenize +
+    explode + count pass must run once (ReusedExchange), and the top-k
+    window must push a partial WindowGroupLimit below its exchange."""
+    with _smj_regime(spark):
+        df = queries["t_tfidf_topterms"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 1, final[:1500]
+    assert "WindowGroupLimit" in final
+    assert "CartesianProduct" not in final
+
+
+def test_boilerplate_single_pass_window(spark, sf_dir, queries):
+    """Single-pass shape: gram df comes from a count window over the ONE
+    exploded gram stream (an agg-and-join-back formulation re-ran the
+    tokenize → ngram → distinct pipeline per consumer — pruning makes the
+    exchanges non-canonical, so ReuseExchange can't merge them). The only
+    shuffles at any scale: the gram exchange and the per-doc aggregate;
+    the N scalar rides a one-row broadcast."""
+    plan = _plan(queries["t_boilerplate_ngrams"](spark, sf_dir))
+    assert plan.count("Generate") == 1          # ngram pipeline runs once
+    assert plan.count("Window") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_link_prediction_reuses_edge_exchange(spark, sf_dir, queries):
+    """Wedge sides, the degree aggregate and the anti-join probe must all
+    read the ONE pinned edge exchange instead of re-running the simhash
+    band pipeline; candidates always come from equi-joins."""
+    with _smj_regime(spark):
+        df = queries["t_link_prediction"](spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("ReusedExchange") >= 2, final[:1500]
+    assert "CartesianProduct" not in final
+    assert "BroadcastNestedLoopJoin" not in final
+
+
+def test_matryoshka_scan_is_shuffle_free(spark, sf_dir, queries):
+    """Dim-prefix retrieval is the cheap-scan → bounded-rescore profile:
+    one-row query broadcast, map-only coarse scoring, both stages top-k
+    via TakeOrderedAndProject — the corpus never shuffles."""
+    plan = _plan(queries["e_matryoshka_topk"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "Broadcast" in plan
+
+
+def test_asof_snapshot_single_shuffle(spark, sf_dir, queries):
+    """The as-of fold inherits the view fold's contract: dedup window,
+    guard window and the 20-field fold share ONE transactionId exchange;
+    the cutoff is a pre-shuffle predicate, not a post-fold filter."""
+    plan = _plan(queries["cdc_asof_snapshot"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
