@@ -211,6 +211,13 @@ _CERTIFIED_TAIL = (
     # (fingerprint-equal vs FINGERPRINTS_r04, guard-tested)
     "w_scd2_tier_enrich",
     "w_interval_overlap_sessions",
+    # rotated out late round 5 for mm_video_keyframes and
+    # t_minhash_estimate_audit (first cert this round); both rotated-out
+    # queries are r04-green, fingerprint-equal (t_cms_heavy_hitters'
+    # streaming twin w_stream_cms_merge stays runtime-pinned in the
+    # prefix)
+    "q20_volume_suppliers",
+    "t_cms_heavy_hitters",
 )
 
 

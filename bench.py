@@ -67,6 +67,9 @@ HEADLINE = [
     "t_link_prediction",
     "e_matryoshka_topk",
     "cdc_asof_snapshot",
+    # round-5 (third pass): video keyframe selection + sketch accuracy audit
+    "mm_video_keyframes",
+    "t_minhash_estimate_audit",
 ]
 
 

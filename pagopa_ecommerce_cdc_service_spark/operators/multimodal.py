@@ -651,3 +651,93 @@ def image_patches(media_df: DataFrame, patch: int = PATCH_SIZE) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return media_df.mapInPandas(run, schema=PATCH_SCHEMA)
+
+
+VIDEO_FRAME_ENERGY_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_start", T.LongType()),
+        T.StructField("frame_len", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def video_frame_energies(media_df: DataFrame, n_frames: int = 8) -> DataFrame:
+    """Per-frame byte energy for the video-style payload: the payload is
+    split into ``n_frames`` chunks at the same boundaries ``frame_sample``
+    emits (chunk = len // n, the LAST frame absorbs the remainder) and each
+    frame's energy is the sum of its bytes. Arrow ``mapInPandas``,
+    vectorized per batch with ONE ``np.add.reduceat`` over the concatenated
+    payload buffer — no per-byte Python loop; map-only at any scale. The
+    actual video codec is out of scope (no AV libs in the image); the frame
+    geometry, batch shape and downstream selection logic are the real
+    plumbing a keyframe sampler needs."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cols = [f.name for f in VIDEO_FRAME_ENERGY_SCHEMA.fields]
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(columns=cols)
+                continue
+            raw = [
+                (int(m), b"" if p is None else bytes(p))
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            mids, fidx, fstart, flen, energy = [], [], [], [], []
+            # empty payloads get their single zero frame directly — they
+            # must not enter the reduceat index math (a [0,0) bound at the
+            # buffer end is out of range for reduceat)
+            nonempty = []
+            for mid, p in raw:
+                if len(p) == 0:
+                    mids.append(mid)
+                    fidx.append(0)
+                    fstart.append(0)
+                    flen.append(0)
+                    energy.append(0)
+                else:
+                    nonempty.append((mid, p))
+            if nonempty:
+                lens = np.array([len(p) for _, p in nonempty], dtype=np.int64)
+                buf = np.frombuffer(
+                    b"".join(p for _, p in nonempty), dtype=np.uint8
+                ).astype(np.int64)
+                doc_starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                bounds, meta = [], []
+                for r, (mid, _) in enumerate(nonempty):
+                    ln = int(lens[r])
+                    chunk = ln // n_frames
+                    if chunk == 0:
+                        starts = [0]  # short payload: one frame holds it all
+                    else:
+                        starts = [i * chunk for i in range(n_frames)]
+                    ends = starts[1:] + [ln]
+                    for i, (s, e) in enumerate(zip(starts, ends)):
+                        meta.append((mid, i, s, e - s))
+                        bounds.append(int(doc_starts[r]) + s)
+                sums = np.add.reduceat(buf, np.array(bounds, dtype=np.int64))
+                for (mid, i, s, ln_f), en in zip(meta, sums):
+                    mids.append(mid)
+                    fidx.append(i)
+                    fstart.append(s)
+                    flen.append(ln_f)
+                    energy.append(int(en))
+            yield pd.DataFrame(
+                {
+                    "media_id": mids,
+                    "frame_idx": fidx,
+                    "frame_start": fstart,
+                    "frame_len": flen,
+                    "energy": energy,
+                },
+                columns=cols,
+            )
+
+    return media_df.select("media_id", "payload").mapInPandas(
+        run, schema=VIDEO_FRAME_ENERGY_SCHEMA
+    )

@@ -261,3 +261,85 @@ SELECT doc_id AS media_id,
          AS BIGINT) AS pos_checksum
 FROM dims
 """
+
+
+def mm_video_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video keyframe selection: split each (fake-video) payload into 8
+    frames at the ``frame_sample`` boundaries, compute per-frame byte
+    energy in ONE vectorized Arrow stage (np.add.reduceat over the
+    concatenated batch buffer), then pick frames whose energy is a STRICT
+    local maximum against both neighbors — the shot-boundary heuristic a
+    frame sampler feeds the expensive decoder. Python does only the byte
+    crunching; the selection logic is a Catalyst lag/lead window, so at
+    scale the plan is map-only + one media_id window exchange."""
+    from pyspark.sql import Window
+
+    from ..operators.multimodal import video_frame_energies
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    en = video_frame_energies(documents_as_media(docs), n_frames=8)
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    flagged = en.select(
+        "media_id",
+        "frame_idx",
+        "frame_start",
+        "energy",
+        F.lag("energy").over(w).alias("prev_e"),
+        F.lead("energy").over(w).alias("next_e"),
+    )
+    return (
+        flagged.filter(
+            (F.col("energy") > F.coalesce(F.col("prev_e"), F.lit(-1)))
+            & (F.col("energy") > F.coalesce(F.col("next_e"), F.lit(-1)))
+        )
+        .select("media_id", "frame_idx", "frame_start", "energy")
+    )
+
+
+QUERIES["mm_video_keyframes"] = mm_video_keyframes
+
+# first-principles twin: byte values from the hex expansion of the utf-8
+# payload, the same len//8 frame boundaries (last frame absorbs the
+# remainder), the same strict-local-max window
+ORACLES["mm_video_keyframes"] = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+e AS (
+  SELECT media_id, n_bytes,
+         list_transform(range(CAST(n_bytes AS INTEGER)),
+                        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT) AS bytes,
+         greatest(n_bytes // 8, 0) AS chunk
+  FROM b
+),
+f AS (
+  SELECT media_id, n_bytes, bytes, chunk,
+         unnest(range(CASE WHEN n_bytes = 0 OR chunk = 0 THEN 1 ELSE 8 END))
+           AS frame_idx
+  FROM e
+),
+fr AS (
+  SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(frame_idx * chunk AS BIGINT) AS frame_start,
+         CASE WHEN n_bytes = 0 THEN 0
+              ELSE CAST(coalesce(list_sum(bytes[
+                     CAST(frame_idx * chunk + 1 AS INTEGER) :
+                     CAST(CASE WHEN frame_idx = 7 OR chunk = 0
+                               THEN n_bytes
+                               ELSE (frame_idx + 1) * chunk END AS INTEGER)
+                   ]), 0) AS BIGINT) END AS energy
+  FROM f
+),
+flagged AS (
+  SELECT media_id, frame_idx, frame_start, energy,
+         lag(energy)  OVER (PARTITION BY media_id ORDER BY frame_idx) AS prev_e,
+         lead(energy) OVER (PARTITION BY media_id ORDER BY frame_idx) AS next_e
+  FROM fr
+)
+SELECT media_id, frame_idx, frame_start, energy
+FROM flagged
+WHERE energy > coalesce(prev_e, -1) AND energy > coalesce(next_e, -1)
+"""

@@ -2084,3 +2084,108 @@ def t_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(_LP_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator audit: for every LSH band-collision candidate pair,
+# the signature-based Jaccard ESTIMATE (matching positions / k) next to
+# the exact shingle Jaccard — the per-pair evidence that k=16 signatures
+# track true similarity, i.e. the measured error a user consults before
+# trusting banded dedup at 100 TB (the corpus-wide complement of the
+# fixed-K t_near_dup_sample_pairs density audit). No similarity threshold:
+# the full candidate range is the point. The estimate is exact integer
+# arithmetic (matches·1e6 div k); the plan is the LSH scale shape — ONE
+# posexplode for both bands, narrow (doc_id, band, bkey) self-join,
+# signature/shingle arrays joined back once per side over the one reused
+# doc_id exchange.
+# ---------------------------------------------------------------------------
+@query(
+    "t_minhash_estimate_audit",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {minhash_signature_sql("sh", _K)} AS sig FROM docs
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_key_sql('sig', b, _R)} AS bkey FROM sigs"
+        for b in range(_B)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(list_sum(list_transform(range({_K}),
+                i -> CASE WHEN x.sig[i + 1] = y.sig[i + 1] THEN 1 ELSE 0 END))
+             AS BIGINT) AS sig_matches,
+           (CAST(list_sum(list_transform(range({_K}),
+                i -> CASE WHEN x.sig[i + 1] = y.sig[i + 1] THEN 1 ELSE 0 END))
+             AS BIGINT) * 1000000) // {_K} AS est_micro,
+           CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+             AS jaccard
+    FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
+                JOIN sigs y ON c.doc_b = y.doc_id
+    """,
+)
+def t_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), b, _R) for b in range(_B)])
+        ).alias("band_idx", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("sig").alias("sig_a"),
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    ver = cand.join(x, "doc_a").join(y, "doc_b")
+    matches = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda p, q: p == q),
+                lambda v: v,
+            )
+        )
+        .cast("long")
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return ver.select(
+        "doc_a",
+        "doc_b",
+        matches.alias("sig_matches"),
+        F.expr(f"(sig_matches * 1000000) div {_K}").alias("est_micro"),
+        jac.alias("jaccard"),
+    )

@@ -455,3 +455,26 @@ def test_asof_snapshot_single_shuffle(spark, sf_dir, queries):
     the cutoff is a pre-shuffle predicate, not a post-fold filter."""
     plan = _plan(queries["cdc_asof_snapshot"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_video_keyframes_one_arrow_stage_one_window(spark, sf_dir, queries):
+    """Frame energies come from ONE Arrow mapInPandas stage (vectorized
+    reduceat, no per-byte Python); keyframe selection is a Catalyst
+    lag/lead window — the only exchange is the media_id window."""
+    plan = _plan(queries["mm_video_keyframes"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 1
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "Generate" not in plan
+
+
+def test_minhash_estimate_audit_banded_equijoin(spark, sf_dir, queries):
+    """The estimator audit inherits the LSH scale shape: candidates come
+    from the narrow (band, bkey) equi-join — never a cartesian — and the
+    signature/shingle arrays join back once per side."""
+    plan = _plan(queries["t_minhash_estimate_audit"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    joins = [l for l in plan.splitlines()
+             if "Join" in l and ("bkey" in l or "doc_" in l)]
+    assert any("bkey" in l for l in joins), joins
