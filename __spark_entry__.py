@@ -218,6 +218,14 @@ _CERTIFIED_TAIL = (
     # prefix)
     "q20_volume_suppliers",
     "t_cms_heavy_hitters",
+    # rotated out late round 5 for w_event_transitions, t_kcore_peel and
+    # e_ivf_build_stats (first cert this round); all three rotated-out
+    # queries are r04-green, fingerprint-equal (e_ann_recall's IVF layout
+    # stays certified via e_ivf_topk in the prefix family history, and the
+    # audio codec family keeps mm_audio_frame_energy in the prefix)
+    "t_bloom_prune_join",
+    "e_ann_recall",
+    "mm_audio_decode_stats",
 )
 
 

@@ -70,6 +70,10 @@ HEADLINE = [
     # round-5 (third pass): video keyframe selection + sketch accuracy audit
     "mm_video_keyframes",
     "t_minhash_estimate_audit",
+    # round-5 (fourth pass): journey Markov matrix, k-core peel, IVF health
+    "w_event_transitions",
+    "t_kcore_peel",
+    "e_ivf_build_stats",
 ]
 
 

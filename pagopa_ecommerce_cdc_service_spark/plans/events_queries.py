@@ -1977,3 +1977,54 @@ def w_stream_hist_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     hist = spark.table(name)
     return _hist_quantile_report(hist, ev)
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix (first-order Markov over per-user journeys): for
+# every consecutive event pair within a user's time-ordered stream, the
+# (prev_type → curr_type) count and the row-normalized transition
+# probability as a 1e6-scaled integer ((n·1e6) div row_total — exact in
+# both engines, no float division order anywhere). The funnel/journey
+# model product analytics derives before sequence mining. Scale shape: ONE
+# user_id window exchange builds the lagged pairs, then a map-side-combined
+# groupBy on the (prev, curr) key — 25 output rows regardless of corpus
+# size; the row total rides a window over the tiny transition table, not a
+# second pass over events.
+# ---------------------------------------------------------------------------
+@query(
+    "w_event_transitions",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM {EV}
+    ),
+    pairs AS (
+      SELECT prev_type, event_type AS curr_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, curr_type, n,
+           CAST((n * 1000000)
+                // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT)
+             AS BIGINT) AS p_micro
+    FROM pairs
+    """,
+)
+def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = (
+        seq.groupBy("prev_type", F.col("event_type").alias("curr_type"))
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn("row_total", F.sum("n").over(wt))
+        .withColumn("p_micro", F.expr("(n * 1000000) div row_total"))
+        .select("prev_type", "curr_type", "n", "p_micro")
+    )

@@ -2189,3 +2189,120 @@ def t_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(sig_matches * 1000000) div {_K}").alias("est_micro"),
         jac.alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling over the near-dup graph (3 unrolled rounds, k = 3): drop
+# nodes of degree < k, recompute degrees over the surviving subgraph,
+# repeat — the density filter that separates tight duplicate communities
+# (template families, mirror clusters) from incidental band collisions.
+# A convergence-driven peel is t_dup_clusters' iterative shape; here the
+# rounds are UNROLLED into one static plan (the pagerank discipline), so
+# the whole peel is a fingerprintable DAG: each round is edges ⋈ survivors
+# (semi, both endpoints) + one map-side-combined degree groupBy, all
+# reading the ONE pinned edge exchange; survivor sets only shrink, and at
+# cluster scale they broadcast.
+# ---------------------------------------------------------------------------
+_KCORE_K = 3
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"{_lp_pair_sql()}",
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs"
+        " UNION ALL SELECT doc_b, doc_a FROM pairs)",
+        "s0 AS (SELECT DISTINCT u AS node FROM edges)",
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f"d{i + 1} AS (SELECT e.u, count(*) AS c FROM edges e"
+            f" JOIN s{i} a ON e.u = a.node JOIN s{i} b ON e.v = b.node"
+            f" GROUP BY e.u)"
+        )
+        parts.append(
+            f"s{i + 1} AS (SELECT u AS node FROM d{i + 1} WHERE c >= {_KCORE_K})"
+        )
+    joined = ",\n".join(parts[1:])
+    return f"""
+    WITH {parts[0]},
+    {joined}
+    SELECT u AS doc_id, CAST(c AS BIGINT) AS deg
+    FROM d{_KCORE_ROUNDS} WHERE c >= {_KCORE_K}
+    """
+
+
+@query("t_kcore_peel", _kcore_oracle())
+def t_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
+    mask = (1 << _CHUNK_BITS) - 1
+    chunks = d.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
+                for c in range(_N_CHUNKS)
+            ])
+        ).alias("chunk_idx", "ckey"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming60(F.col("a.h"), F.col("b.h")) <= _LP_HAM)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+        # LAZY persist on the edge list and each survivor set: every
+        # unrolled round references its predecessor twice (both semi-join
+        # sides), so a pure-expression chain duplicates the simhash
+        # pipeline exponentially (measured: 75 Generate nodes, 8.8 s).
+        # Cache substitution happens at PHYSICAL planning, so the
+        # analyzed-plan fingerprint stays static and no job runs at build
+        # time (not a runtime query), while execution reads the band
+        # pipeline once and tiny cached survivor tables thereafter — the
+        # materialize-per-iteration posture of distributed graph
+        # processing, with bounded unrolling.
+        .persist()
+    )
+    surv = edges.select(F.col("u").alias("node")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        surv = surv.persist()
+        alive = (
+            edges.join(
+                F.broadcast(surv.select(F.col("node").alias("u"))), "u", "left_semi"
+            ).join(
+                F.broadcast(surv.select(F.col("node").alias("v"))), "v", "left_semi"
+            )
+        )
+        deg = alive.groupBy("u").agg(F.count("*").alias("c"))
+        surv = deg.filter(F.col("c") >= _KCORE_K).select(
+            F.col("u").alias("node")
+        )
+    return deg.filter(F.col("c") >= _KCORE_K).select(
+        F.col("u").alias("doc_id"), F.col("c").alias("deg")
+    )

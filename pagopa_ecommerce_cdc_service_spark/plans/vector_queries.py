@@ -805,3 +805,53 @@ def e_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_MAT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF index health: per-list occupancy and corpus share. List BALANCE is
+# the quantity that decides whether an IVF layout scales — a skewed list
+# turns nprobe pruning into a full scan of the hot list — so the build
+# pipeline surfaces it as a first-class table (8 rows at any corpus size:
+# per-list count + 1e6-scaled share, exact integer arithmetic). Scale
+# shape: the broadcast pivot-array assignment fold (zero corpus
+# exchanges), one map-side-combined groupBy(pid), and the corpus total as
+# a broadcast one-row aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "e_ivf_build_stats",
+    f"""
+    WITH e AS (SELECT vec_id, {_QV} AS qvec FROM embeddings),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+    n AS (SELECT count(*) AS total FROM embeddings)
+    SELECT l.pid AS list_id, count(*) AS n_vecs,
+           (count(*) * 1000000) // n.total AS share_micro
+    FROM lists l CROSS JOIN n
+    GROUP BY l.pid, n.total
+    """,
+)
+def e_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    lists = nearest_pivot(emb, piv).select("vec_id", "pid")
+    n = emb.agg(F.count("*").alias("total"))
+    return (
+        lists.groupBy("pid")
+        .agg(F.count("*").alias("n_vecs"))
+        .crossJoin(F.broadcast(n))
+        .withColumn("share_micro", F.expr("(n_vecs * 1000000) div total"))
+        .select(F.col("pid").alias("list_id"), "n_vecs", "share_micro")
+    )

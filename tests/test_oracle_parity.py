@@ -68,6 +68,25 @@ def test_query_matches_oracle(spark, duck, name):
     s_cols, s_rows = _normalize(spark_pd)
     o_cols, o_rows = _normalize(oracle_pd)
     assert s_cols == o_cols, f"{name}: columns {s_cols} != {o_cols}"
+    # dtype-KIND parity: Python's 1 == 1.0 makes the value compare blind to
+    # an int column coming back float from one engine (e.g. DuckDB window
+    # sums are HUGEINT → float64 in pandas); the driver's hash gate is not
+    def _kind(dt):
+        s = str(dt)
+        if "int" in s:
+            return "int"
+        if "float" in s or "double" in s:
+            return "float"
+        if "datetime" in s:
+            return "ts"
+        return "other"
+
+    kind_diff = {
+        c: (_kind(spark_pd[c].dtype), _kind(oracle_pd[c].dtype))
+        for c in spark_pd.columns
+        if _kind(spark_pd[c].dtype) != _kind(oracle_pd[c].dtype)
+    }
+    assert not kind_diff, f"{name}: dtype-kind mismatch {kind_diff}"
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]

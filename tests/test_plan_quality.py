@@ -478,3 +478,32 @@ def test_minhash_estimate_audit_banded_equijoin(spark, sf_dir, queries):
     joins = [l for l in plan.splitlines()
              if "Join" in l and ("bkey" in l or "doc_" in l)]
     assert any("bkey" in l for l in joins), joins
+
+
+def test_event_transitions_bounded_shuffles(spark, sf_dir, queries):
+    """Markov transition matrix: one user_id window exchange builds the
+    lagged pairs; everything after aggregates a 25-row table. No joins,
+    no Python stages, three exchanges total."""
+    plan = _plan(queries["w_event_transitions"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_kcore_peel_rounds_read_cached_edges(spark, sf_dir, queries):
+    """The unrolled peel must read the materialized edge/survivor caches
+    (InMemoryTableScan), not re-derive the simhash band pipeline per
+    semi-join reference — the exponential-duplication failure mode of
+    unrolled iteration."""
+    plan = _plan(queries["t_kcore_peel"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_build_stats_no_corpus_shuffle(spark, sf_dir, queries):
+    """List occupancy comes from the broadcast pivot-assignment fold plus
+    ONE map-side-combined groupBy(pid); the corpus never shuffles to rank
+    pivot distances."""
+    plan = _plan(queries["e_ivf_build_stats"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 1
+    assert "EvalPython" not in plan

@@ -64,6 +64,8 @@ QUERIES = (
     "w_hist_quantiles",        # bounded-grid quantile sketch
     "e_mips_topk",             # map-only scoring + TakeOrderedAndProject
     "t_minhash_lsh_pairs",     # banded near-dup join over the 10x corpus
+    "t_tfidf_topterms",        # explode + term-df join + doc window
+    "t_boilerplate_ngrams",    # single-pass gram window + doc agg
 )
 
 
