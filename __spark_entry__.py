@@ -226,6 +226,12 @@ _CERTIFIED_TAIL = (
     "t_bloom_prune_join",
     "e_ann_recall",
     "mm_audio_decode_stats",
+    # rotated out late round 5 for the runtime-pinned
+    # w_stream_event_transitions gate (stateful-lag streaming twin of
+    # w_event_transitions, first cert this round); r04-green,
+    # fingerprint-equal (the SQ8 scan family keeps e_pq_topk and
+    # e_ivf_topk in the prefix)
+    "e_sq8_topk",
 )
 
 

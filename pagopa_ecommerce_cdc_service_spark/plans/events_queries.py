@@ -2028,3 +2028,102 @@ def w_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("p_micro", F.expr("(n * 1000000) div row_total"))
         .select("prev_type", "curr_type", "n", "p_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING twin of the transition matrix under the hard gate: the events
+# table replays as a two-file stream split at a fixed timestamp, and the
+# per-user LAG becomes keyed state (``applyInPandasWithState``: state =
+# the user's last event_type; each micro-batch emits the (prev → curr)
+# pairs its rows induce, seeded from state, then stores its last row) —
+# the streaming form of a sequence feature: the pair crossing the
+# micro-batch boundary is exactly what a stateless per-batch lag would
+# lose, so the gate certifies the state handoff, not just windowing. The
+# final table must hash-match the SAME batch SQL oracle as
+# w_event_transitions. Scale: state is one tuple per user (bounded), pair
+# emission is append-only, and the closing aggregate is the 25-row
+# matrix.
+# ---------------------------------------------------------------------------
+_TRANS_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def w_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    workdir = gate_workdir("stream-transitions-gate-")
+    src = f"{workdir}/src"
+    now = _time.time()
+    cut = F.lit(_TRANS_SPLIT_TS).cast("timestamp")
+    write_staged_file(ev.filter(F.col("ts") < cut), f"{src}/a.parquet", now - 20)
+    write_staged_file(ev.filter(F.col("ts") >= cut), f"{src}/b.parquet", now - 10)
+
+    def lag_fn(key, pdf_iter, state):
+        parts = list(pdf_iter)
+        pdf = pd.concat(parts) if parts else pd.DataFrame(
+            columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        if len(pdf) == 0:
+            yield pd.DataFrame({"prev_type": [], "curr_type": []})
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prevs = pdf["event_type"].shift(1)
+        if state.exists:
+            prevs.iloc[0] = state.get[0]
+        out = pd.DataFrame(
+            {"prev_type": prevs, "curr_type": pdf["event_type"]}
+        )
+        state.update((str(pdf["event_type"].iloc[-1]),))
+        yield out[out["prev_type"].notna()]
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = stream.groupBy("user_id").applyInPandasWithState(
+        lag_fn,
+        outputStructType="prev_type string, curr_type string",
+        stateStructType=StructType([StructField("last_type", StringType())]),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    name = f"set_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_event_transitions: availableNow run did not complete in 240s"
+        )
+    agg = (
+        spark.table(name)
+        .groupBy("prev_type", "curr_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return (
+        agg.withColumn("row_total", F.sum("n").over(wt))
+        .withColumn("p_micro", F.expr("(n * 1000000) div row_total"))
+        .select("prev_type", "curr_type", "n", "p_micro")
+    )
+
+
+QUERIES["w_stream_event_transitions"] = w_stream_event_transitions
+ORACLES["w_stream_event_transitions"] = ORACLES["w_event_transitions"]
