@@ -232,6 +232,11 @@ _CERTIFIED_TAIL = (
     # fingerprint-equal (the SQ8 scan family keeps e_pq_topk and
     # e_ivf_topk in the prefix)
     "e_sq8_topk",
+    # rotated out late round 5 for w_hll_rollup (register re-aggregation
+    # across grouping levels, first cert this round); r04-green,
+    # fingerprint-equal (the quantile-grid family keeps its runtime-pinned
+    # w_stream_hist_merge twin in the prefix)
+    "w_hist_quantiles",
 )
 
 

@@ -74,6 +74,8 @@ HEADLINE = [
     "w_event_transitions",
     "t_kcore_peel",
     "e_ivf_build_stats",
+    # round-5 (fifth pass): HLL register rollup across grouping levels
+    "w_hll_rollup",
 ]
 
 

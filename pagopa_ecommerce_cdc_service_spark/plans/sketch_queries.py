@@ -666,3 +666,128 @@ def t_hll_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL ROLLUP: distinct-user estimates at three grouping levels — (day,
+# event_type), (day), and grand total — where the two coarser levels are
+# register-wise max-merges OF THE FINER REGISTER TABLE, never a second
+# scan of events. This is the re-aggregation property that makes sketches
+# the 1000-executor rollup path: a day's registers summarize ~m rows per
+# group no matter how many events the day held, and every coarser level
+# costs only a groupBy over register rows. The exact distinct per level
+# rides along as the audit column (its per-level (key, user) shuffles are
+# precisely the cost the register chain avoids at scale).
+# ---------------------------------------------------------------------------
+_ROLLUP_ALL = "ALL"
+
+
+def _hll_rollup_oracle() -> str:
+    day = "strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d')"
+    h = md5_long_sql("CAST(user_id AS VARCHAR)")
+    fin = hll_final_sql("a.occ_sum", "a.used_buckets")
+    lvl = []
+    for name, keys, grp in (
+        ("l2", f"{day} AS day, event_type", "1, 2"),
+        ("l1", f"{day} AS day, 'ALL' AS event_type", "1, 2"),
+        ("l0", "'ALL' AS day, 'ALL' AS event_type", "1, 2"),
+    ):
+        lvl.append(f"""
+    regs_{name} AS (
+      SELECT {keys}, {hll_bucket_sql("h")} AS bucket,
+             MAX({hll_rho_sql("h")}) AS m_rho
+      FROM hashed GROUP BY {grp}, 3
+    ),
+    agg_{name} AS (
+      SELECT day, event_type, COUNT(*) AS used_buckets,
+             CAST(SUM({hll_register_term_sql("m_rho")}) AS BIGINT) AS occ_sum
+      FROM regs_{name} GROUP BY 1, 2
+    ),
+    ex_{name} AS (
+      SELECT {keys}, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY {grp}
+    )""")
+    levels = ",".join(lvl)
+    sel = " UNION ALL ".join(
+        f"""SELECT a.day, a.event_type, a.used_buckets,
+               {fin[0]} AS denom_q, {fin[1]} AS hll_estimate,
+               e.exact_distinct
+        FROM agg_{n} a JOIN ex_{n} e ON a.day = e.day
+                                    AND a.event_type = e.event_type"""
+        for n in ("l2", "l1", "l0")
+    )
+    return f"""
+    WITH hashed AS (
+      SELECT ts, event_type, user_id, {h} AS h FROM events
+    ),{levels}
+    {sel}
+    """
+
+
+@query("w_hll_rollup", _hll_rollup_oracle())
+def w_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import read as read_events
+
+    ev = read_events(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "user_id",
+        md5_long(F.col("user_id").cast("string")).alias("h"),
+    )
+    # ONE events shuffle builds the finest register table; every coarser
+    # level is a register-wise max over the previous level's ≤ m rows per
+    # group. The register tables are LAZY-persisted (tiny: ≤ m rows per
+    # group) so each level's two consumers — its own finalization and the
+    # next coarser merge — read the cache instead of re-deriving the
+    # events scan: the sketch path touches events exactly once. (The
+    # exact-distinct audit columns still scan events per level; they are
+    # the certification cost the register chain exists to avoid at scale.)
+    regs2 = (
+        ev.groupBy("day", "event_type", hll_bucket(F.col("h")).alias("bucket"))
+        .agg(F.max(hll_rho(F.col("h"))).alias("m_rho"))
+        .persist()
+    )
+    regs1 = (
+        regs2.groupBy("day", "bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .withColumn("event_type", F.lit(_ROLLUP_ALL))
+        .persist()
+    )
+    regs0 = (
+        regs1.groupBy("bucket")
+        .agg(F.max("m_rho").alias("m_rho"))
+        .withColumn("day", F.lit(_ROLLUP_ALL))
+        .withColumn("event_type", F.lit(_ROLLUP_ALL))
+    )
+
+    def finalize(regs, exact):
+        agg = regs.groupBy("day", "event_type").agg(
+            F.count("*").alias("used_buckets"),
+            F.sum(hll_register_term(F.col("m_rho"))).alias("occ_sum"),
+        )
+        return agg.join(F.broadcast(exact), ["day", "event_type"]).select(
+            "day",
+            "event_type",
+            "used_buckets",
+            *hll_final_cols(F.col("occ_sum"), F.col("used_buckets")),
+            "exact_distinct",
+        )
+
+    ex2 = ev.groupBy("day", "event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    ex1 = (
+        ev.groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .withColumn("event_type", F.lit(_ROLLUP_ALL))
+    )
+    ex0 = (
+        ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+        .withColumn("day", F.lit(_ROLLUP_ALL))
+        .withColumn("event_type", F.lit(_ROLLUP_ALL))
+    )
+    return (
+        finalize(regs2, ex2)
+        .unionByName(finalize(regs1, ex1))
+        .unionByName(finalize(regs0, ex0))
+    )

@@ -507,3 +507,13 @@ def test_ivf_build_stats_no_corpus_shuffle(spark, sf_dir, queries):
     plan = _plan(queries["e_ivf_build_stats"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") <= 1
     assert "EvalPython" not in plan
+
+
+def test_hll_rollup_reads_register_caches(spark, sf_dir, queries):
+    """The coarser rollup levels must merge the persisted REGISTER tables
+    (InMemoryTableScan), not re-derive the events scan — the sketch path
+    touches events exactly once; only the exact-audit columns re-scan."""
+    plan = _plan(queries["w_hll_rollup"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
