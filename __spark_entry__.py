@@ -237,6 +237,11 @@ _CERTIFIED_TAIL = (
     # fingerprint-equal (the quantile-grid family keeps its runtime-pinned
     # w_stream_hist_merge twin in the prefix)
     "w_hist_quantiles",
+    # rotated out late round 5 for e_ivfpq_topk (the composed FAISS-shape
+    # index, first cert this round); r04-green, fingerprint-equal (the
+    # unrolled-Lloyd's plan family stays prefix-exercised through
+    # e_pq_topk's codebook training)
+    "e_kmeans_clusters",
 )
 
 

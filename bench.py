@@ -74,8 +74,10 @@ HEADLINE = [
     "w_event_transitions",
     "t_kcore_peel",
     "e_ivf_build_stats",
-    # round-5 (fifth pass): HLL register rollup across grouping levels
+    # round-5 (fifth pass): HLL register rollup across grouping levels,
+    # composed IVFPQ index
     "w_hll_rollup",
+    "e_ivfpq_topk",
 ]
 
 

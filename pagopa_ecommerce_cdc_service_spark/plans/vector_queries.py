@@ -855,3 +855,113 @@ def e_ivf_build_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("share_micro", F.expr("(n_vecs * 1000000) div total"))
         .select(F.col("pid").alias("list_id"), "n_vecs", "share_micro")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF×PQ composed index (the FAISS IVFPQ shape): coarse IVF pruning
+# restricts the ADC scan to the query's nprobe lists, then the PQ
+# lookup-table distance ranks only the surviving codes, then exact cosine
+# rescored on the bounded pool. At 100 TB this is THE serving layout:
+# assignment is the zero-shuffle broadcast pivot fold, the ADC join
+# touches nprobe/nlist of the code table (small ints + a broadcast
+# 128-entry LUT), and the full vectors are read back for just the final
+# candidates. The probed-id set rides a broadcast semi-join into the code
+# scan — at production it becomes a partition-pruning predicate when the
+# codes are laid out by list_id.
+# ---------------------------------------------------------------------------
+def _ivfpq_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {pq_oracle_ctes(_QV)},
+    piv AS (SELECT vec_id AS pid, q AS pv FROM pq_emb
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.q", "p.pv")}, p.pid) AS rn
+      FROM pq_emb e, piv p
+    ),
+    lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid FROM assign WHERE vec_id = 0 AND rn <= {_NPROBE}),
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM pq_subs s JOIN pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ), adc AS (
+      SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+      FROM pq_codes k
+           JOIN lists li ON li.vec_id = k.vec_id
+           JOIN qprobe USING (pid)
+           JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), cand AS (
+      SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {_PQ_CAND}
+    ), qq AS (
+      SELECT q AS qv FROM pq_emb WHERE vec_id = 0
+    )
+    SELECT c.vec_id, e.label, c.adc_q,
+           {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_PQ_OUT}
+    """
+
+
+@query("e_ivfpq_topk", _ivfpq_oracle())
+def e_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+    from ..operators.similarity import dist2, nearest_pivot
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    # IVF side: broadcast pivot fold assignment + the query's nprobe lists
+    piv = full.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pv")
+    )
+    lists = nearest_pivot(
+        full.select("vec_id", F.col("q").alias("qvec")), piv
+    ).select("vec_id", "pid")
+    wq = Window.orderBy("d2", "pid")
+    qprobe = (
+        full.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("pid")
+    )
+    probed = lists.join(F.broadcast(qprobe), "pid", "left_semi").select("vec_id")
+    # PQ side: train on the full corpus (FAISS trains codebooks globally),
+    # scan only the probed codes at query time
+    subs = pq_subvectors(full.select("vec_id", "q")).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), "vec_id", "left_semi")
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    )
+    cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    return (
+        full.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "adc_q",
+            cosine(F.col("q"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_PQ_OUT)
+    )

@@ -434,7 +434,13 @@ def test_link_prediction_reuses_edge_exchange(spark, sf_dir, queries):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
-    assert final.count("ReusedExchange") >= 2, final[:1500]
+    # t_kcore_peel lazily persists the SAME edge subtree; if its cache is
+    # live (full-suite order), Catalyst substitutes InMemoryRelation here
+    # and the exchanges disappear — cache reuse proves single computation
+    # even more directly than ReusedExchange, so accept either shape
+    assert (
+        final.count("ReusedExchange") >= 2 or "InMemoryTableScan" in final
+    ), final[:1500]
     assert "CartesianProduct" not in final
     assert "BroadcastNestedLoopJoin" not in final
 
@@ -517,3 +523,14 @@ def test_hll_rollup_reads_register_caches(spark, sf_dir, queries):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     assert "Union" in plan
+
+
+def test_ivfpq_semi_join_prunes_code_scan(spark, sf_dir, queries):
+    """The composed IVFPQ index must (a) never go cartesian, (b) prune the
+    ADC code scan with the probed-list semi-join (LeftSemi against the
+    broadcast probed-id set), and (c) take both top-k stages as
+    TakeOrderedAndProject — the cheap-scan → bounded-rescore profile."""
+    plan = _plan(queries["e_ivfpq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
