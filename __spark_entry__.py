@@ -242,6 +242,11 @@ _CERTIFIED_TAIL = (
     # unrolled-Lloyd's plan family stays prefix-exercised through
     # e_pq_topk's codebook training)
     "e_kmeans_clusters",
+    # rotated out late round 5 for t_dup_span_stats (longest duplicated
+    # span per near-dup pair, first cert this round); r04-green,
+    # fingerprint-equal (the dup-graph family keeps t_similarity_triangles,
+    # t_kcore_peel and t_link_prediction in the prefix)
+    "t_pagerank_similarity",
 )
 
 

@@ -78,6 +78,8 @@ HEADLINE = [
     # composed IVFPQ index
     "w_hll_rollup",
     "e_ivfpq_topk",
+    # round-5 (sixth pass): exact-substring dup-span evidence
+    "t_dup_span_stats",
 ]
 
 

@@ -2306,3 +2306,135 @@ def t_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.filter(F.col("c") >= _KCORE_K).select(
         F.col("u").alias("doc_id"), F.col("c").alias("deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# Longest duplicated span per near-dup pair ("Deduplicating Training Data
+# Makes Language Models Better" evidence): for every verified LSH pair,
+# align positional 5-grams on the diagonal (pos_a − pos_b) and measure the
+# longest CONSECUTIVE run of matching grams — a run of L grams certifies a
+# shared span of L+4 tokens, the quantity an exact-substring dedup pass
+# thresholds on. The classic suffix-array formulation is sequential; this
+# is its distributed twin: candidate pairs come from the banded LSH join
+# (never all-pairs), positional grams explode linearly, the alignment is
+# an equi-join on (pair, gram), and runs are gaps-and-islands — one
+# window per (pair, diagonal) — so every stage is a keyed shuffle.
+# ---------------------------------------------------------------------------
+_SPAN_N = 5
+
+
+@query(
+    "t_dup_span_stats",
+    f"""
+    WITH pairs AS ({_PAIR_SQL}),
+    d AS (
+      SELECT doc_id, {word_ngrams_sql("text", _SPAN_N)} AS g FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(range(len(g))) AS pos, g FROM d WHERE len(g) > 0
+    ),
+    ga AS (SELECT doc_id, pos, g[CAST(pos AS INTEGER) + 1] AS gram FROM ex),
+    m AS (
+      SELECT p.doc_a, p.doc_b, a.pos AS pos_a, b.pos AS pos_b,
+             a.pos - b.pos AS diag
+      FROM pairs p
+        JOIN ga a ON a.doc_id = p.doc_a
+        JOIN ga b ON b.doc_id = p.doc_b AND b.gram = a.gram
+    ),
+    isl AS (
+      SELECT doc_a, doc_b, diag, pos_a,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS island
+      FROM m
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, diag, island, COUNT(*) AS run_grams
+      FROM isl GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(SUM(run_grams) AS BIGINT) AS n_gram_matches,
+           CAST(MAX(run_grams) AS BIGINT) AS max_run_grams,
+           CAST(MAX(run_grams) + {_SPAN_N - 1} AS BIGINT) AS max_span_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def t_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), b, _R) for b in range(_B)])
+        ).alias("band_idx", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    pairs = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(jac >= _LSH_THRESH)
+        .select("doc_a", "doc_b")
+    )
+    ga = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", word_ngrams(F.col("text"), _SPAN_N).alias("g"))
+        .filter(F.size("g") > 0)
+        .select("doc_id", F.posexplode("g").alias("pos", "gram"))
+    )
+    m = (
+        pairs.join(
+            ga.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("pos").alias("pos_a"),
+                "gram",
+            ),
+            "doc_a",
+        )
+        .join(
+            ga.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("pos").alias("pos_b"),
+                F.col("gram").alias("gram_b"),
+            ),
+            "doc_b",
+        )
+        .filter(F.col("gram") == F.col("gram_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            "pos_b",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = m.withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        F.count("*").alias("run_grams")
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.sum("run_grams").cast("long").alias("n_gram_matches"),
+        F.max("run_grams").cast("long").alias("max_run_grams"),
+        (F.max("run_grams") + F.lit(_SPAN_N - 1)).cast("long").alias("max_span_tokens"),
+    )

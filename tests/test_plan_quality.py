@@ -534,3 +534,14 @@ def test_ivfpq_semi_join_prunes_code_scan(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_dup_span_alignment_is_keyed(spark, sf_dir, queries):
+    """Span alignment must stay keyed end to end: candidates from the
+    banded LSH join, positional grams joined on the (pair, gram) equi-key
+    (never a cartesian), and runs from ONE gaps-and-islands window per
+    (pair, diagonal)."""
+    plan = _plan(queries["t_dup_span_stats"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
+    assert "EvalPython" not in plan
