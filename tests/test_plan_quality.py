@@ -545,3 +545,9 @@ def test_dup_span_alignment_is_keyed(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
     assert "EvalPython" not in plan
+    # the gram equality must fold into the alignment join's EQUI-KEYS
+    # (Catalyst PushPredicateThroughJoin): keys [gram, doc_b] — a join on
+    # doc_b alone with gram as a post-condition would compare |A|·|B|
+    # gram pairs per candidate pair
+    join_lines = [l for l in plan.splitlines() if "Join [" in l or "Join " in l]
+    assert any("gram" in l and "doc_b" in l for l in join_lines), join_lines

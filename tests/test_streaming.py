@@ -663,7 +663,10 @@ def test_view_state_ttl_wiring_executes_end_to_end(spark, tmp_path):
         spark, log_dir, view_dir, ckpt_dir, config=cfg, max_files_per_trigger=1
     )
     try:
-        deadline = time.time() + 120
+        # same budget as the availableNow gates' awaitTermination(240): the
+        # TTL query interleaves timer-evaluation batches with the two file
+        # batches, and under full-suite load 120 s has proven flaky
+        deadline = time.time() + 240
         while time.time() < deadline:
             try:
                 keys = {
