@@ -247,6 +247,13 @@ _CERTIFIED_TAIL = (
     # fingerprint-equal (the dup-graph family keeps t_similarity_triangles,
     # t_kcore_peel and t_link_prediction in the prefix)
     "t_pagerank_similarity",
+    # rotated out late round 5 for the runtime-pinned
+    # cdc_pyds_envelope_feed gate (custom Python DataSource connector:
+    # tolerant parse + pushdown + offset-resume streaming, certified
+    # against the same oracle as cdc_envelope_quarantine); r04-green,
+    # fingerprint-equal (the BMP codec family keeps mm_image_patches in
+    # the prefix)
+    "mm_image_decode_stats",
 )
 
 

@@ -905,3 +905,83 @@ ASOF_ORACLE_SQL = ORACLE_SQL.replace(
 
 QUERIES["cdc_asof_snapshot"] = cdc_asof_snapshot
 ORACLES["cdc_asof_snapshot"] = ASOF_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Custom PYTHON DATA SOURCE under the hard gate: the same deterministic
+# envelope lines replay through `sources/pyds.py` — a Spark 4
+# `pyspark.sql.datasource` connector with tolerant per-record parse,
+# operationType/eventCode filter pushdown, and a file-index-offset
+# SimpleDataSourceStreamReader — as TWO availableNow runs sharing one
+# checkpoint (each run drains the reader's prefetched batch; the second
+# resumes from the committed offset, so the gate certifies initialOffset /
+# read / commit recovery, not just parsing). The drained parquet output
+# must aggregate to the SAME DuckDB oracle as cdc_envelope_quarantine:
+# connector parse ≡ from_json PERMISSIVE parse ≡ SQL.
+# Reference: the source this twins is the change-stream connector
+# (EcommerceTransactionsLogEventsStream.kt:74-94) with its per-record
+# drop-and-log tolerance (:122-135).
+# ---------------------------------------------------------------------------
+def cdc_pyds_envelope_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import gate_workdir, write_single_file
+    from ..sources import pyds
+
+    pyds.register(spark)
+    ev = read(spark, sf_dir, "events")
+    lines = ev.select(_envelope_line().alias("value"), F.col("event_id"))
+    workdir = gate_workdir("pyds-envelope-gate-")
+    src = f"{workdir}/src"
+    out = f"{workdir}/out"
+    ckpt = f"{workdir}/ckpt"
+    write_single_file(
+        lines.filter(F.col("event_id") % 2 == 0).select("value"),
+        f"{src}/half0.jsonl",
+        fmt="text",
+    )
+    write_single_file(
+        lines.filter(F.col("event_id") % 2 == 1).select("value"),
+        f"{src}/half1.jsonl",
+        fmt="text",
+    )
+
+    def drain_once() -> None:
+        q = (
+            spark.readStream.format(pyds.SOURCE_NAME)
+            .option("path", src)
+            .option("maxFilesPerBatch", "1")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "cdc_pyds_envelope_feed: availableNow run did not complete in 240s"
+            )
+
+    # run 1 drains the prefetched first file; run 2 RESUMES from the
+    # committed {"pos": 1} offset and drains the second — two files, two
+    # query incarnations, one checkpoint
+    drain_once()
+    drain_once()
+
+    rows = spark.read.parquet(out)
+    good = rows.filter(F.col("_corrupt").isNull())
+    quar = rows.filter(F.col("_corrupt").isNotNull())
+    g = good.agg(
+        F.count("*").alias("n_good"),
+        F.sum("seq").alias("good_seq_sum"),
+    )
+    q = quar.agg(
+        F.count("*").alias("n_quarantined"),
+        F.sum(F.length("_corrupt")).alias("quarantined_chars"),
+    )
+    return g.crossJoin(q)
+
+
+QUERIES["cdc_pyds_envelope_feed"] = cdc_pyds_envelope_feed
+ORACLES["cdc_pyds_envelope_feed"] = ORACLES["cdc_envelope_quarantine"]

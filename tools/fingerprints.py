@@ -58,6 +58,7 @@ RUNTIME_QUERIES = {
     "w_stream_hist_merge",          # stages parquet, runs a stream
     "t_stream_lsh_pairs",           # stages parquet, runs an incremental-LSH stream
     "w_stream_event_transitions",   # stages parquet, runs a stateful-lag stream
+    "cdc_pyds_envelope_feed",       # stages jsonl, runs the Python-datasource stream twice
     "q_bucketed_colocated_join",    # writes bucketed tables at build
     "w_partition_pruned_day",       # writes partitioned layout at build
     "q_zorder_box_scan",            # writes z-ordered layout at build
