@@ -254,6 +254,11 @@ _CERTIFIED_TAIL = (
     # fingerprint-equal (the BMP codec family keeps mm_image_patches in
     # the prefix)
     "mm_image_decode_stats",
+    # rotated out late round 5 for t_udtf_chunks (Python UDTF twin of the
+    # chunker, first cert this round); r04-green, fingerprint-equal (the
+    # time-band join family keeps w_skew_join_pairs and the tail-guarded
+    # w_asof_click_purchase / w_interval_overlap_sessions fingerprints)
+    "w_range_recent_clicks",
 )
 
 

@@ -2438,3 +2438,60 @@ def t_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_grams").cast("long").alias("max_run_grams"),
         (F.max("run_grams") + F.lit(_SPAN_N - 1)).cast("long").alias("max_span_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF twin of the chunker (Spark 4 `@udtf` API surface): the SAME
+# overlapping-window chunk table produced by a user-defined TABLE function
+# in a lateral join, certified against the SAME oracle as t_doc_chunks.
+# The Catalyst formulation (t_doc_chunks: sequence + posexplode + slice,
+# pure flatMap, zero Python) remains the scale path; this twin exists to
+# certify the UDTF plumbing end to end — argument binding, lateral row
+# explosion, Arrow transfer, and the portable hash (md5_long_py must
+# reproduce the engine-side md5_long bit for bit) — so a user who NEEDS a
+# UDTF (logic no built-in expresses) inherits a proven harness.
+# ---------------------------------------------------------------------------
+def t_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    from ..functions.hashing import md5_long_py
+
+    chunk_c, chunk_s = _CHUNK_C, _CHUNK_S
+
+    @udtf(
+        returnType=(
+            "chunk_idx bigint, start_tok bigint, n_chunk_toks bigint, "
+            "chunk_hash bigint"
+        )
+    )
+    class ChunkUDTF:
+        def eval(self, text: str):
+            toks = _re.split(r"\s+", (text or "").strip())
+            n = len(toks)
+            idx = 0
+            for start in range(0, n, chunk_s):
+                ln = min(chunk_c, n - start)
+                yield (
+                    idx,
+                    start,
+                    ln,
+                    md5_long_py(" ".join(toks[start : start + ln])),
+                )
+                idx += 1
+
+    spark.udtf.register("cdc_chunk_udtf", ChunkUDTF)
+    spread(read(spark, sf_dir, "documents"), spark).createOrReplaceTempView(
+        "_udtf_chunks_docs"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.n_chunk_toks, c.chunk_hash
+        FROM _udtf_chunks_docs d, LATERAL cdc_chunk_udtf(d.text) c
+        """
+    )
+
+
+QUERIES["t_udtf_chunks"] = t_udtf_chunks
+ORACLES["t_udtf_chunks"] = _chunks_oracle()
