@@ -259,6 +259,11 @@ _CERTIFIED_TAIL = (
     # time-band join family keeps w_skew_join_pairs and the tail-guarded
     # w_asof_click_purchase / w_interval_overlap_sessions fingerprints)
     "w_range_recent_clicks",
+    # rotated out late round 5 for e_semdedup_pairs (SemDeDup within-
+    # cluster semantic dedup, first cert this round); r04-green,
+    # fingerprint-equal (the CDC fold family keeps cdc_transactions_view's
+    # streaming/incremental/as-of/span certifications in the prefix)
+    "cdc_change_feed",
 )
 
 

@@ -80,6 +80,8 @@ HEADLINE = [
     "e_ivfpq_topk",
     # round-5 (sixth pass): exact-substring dup-span evidence
     "t_dup_span_stats",
+    # round-5 (seventh pass): SemDeDup within-cluster semantic dedup
+    "e_semdedup_pairs",
 ]
 
 

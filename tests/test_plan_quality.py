@@ -551,3 +551,18 @@ def test_dup_span_alignment_is_keyed(spark, sf_dir, queries):
     # gram pairs per candidate pair
     join_lines = [l for l in plan.splitlines() if "Join [" in l or "Join " in l]
     assert any("gram" in l and "doc_b" in l for l in join_lines), join_lines
+
+
+def test_semdedup_candidates_cluster_bucketed(spark, sf_dir, queries):
+    """SemDeDup pair generation must be the cid equi-self-join over the
+    narrow assignment rows (quadratic only within a cluster) — never a
+    corpus cartesian; vectors and their precomputed norms join back once
+    per side."""
+    plan = _plan(queries["e_semdedup_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # (kmeans seeding broadcasts its ONE-ROW centroid-array relation via a
+    # BroadcastNestedLoopJoin — the benign e_pq_topk pattern, not a
+    # cartesian hazard, so it is not asserted away here)
+    joins = [l for l in plan.splitlines()
+             if "SortMergeJoin" in l or "BroadcastHashJoin" in l or "ShuffledHashJoin" in l]
+    assert any("cid" in l for l in joins), joins
