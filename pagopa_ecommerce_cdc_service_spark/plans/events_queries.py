@@ -2081,7 +2081,12 @@ def w_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = pd.DataFrame(
             {"prev_type": prevs, "curr_type": pdf["event_type"]}
         )
-        state.update((str(pdf["event_type"].iloc[-1]),))
+        # store the raw value, NOT str(...): a NULL last event_type must
+        # stay a null in state (str(None) would seed the next batch with
+        # the literal "None" and diverge from the batch oracle's
+        # prev_type IS NOT NULL filter)
+        last = pdf["event_type"].iloc[-1]
+        state.update((None if pd.isna(last) else str(last),))
         yield out[out["prev_type"].notna()]
 
     stream = (

@@ -1977,6 +1977,65 @@ def _lp_pair_sql() -> str:
     )"""
 
 
+
+def _simhash_band_edges(spark: SparkSession, sf_dir: str):
+    """Shared (pairs, edges) builder for the hamming ≤ 8 SimHash graph.
+
+    t_link_prediction and t_kcore_peel MUST build byte-identical edge
+    subtrees: the kcore gate lazily persists ``edges`` and the
+    link-prediction gate relies on Spark's CacheManager substituting that
+    cache by canonical-plan equality — one shared constructor makes the
+    coupling structural instead of copy-paste discipline (the SQL side is
+    the shared _lp_pair_sql the same way)."""
+    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
+    mask = (1 << _CHUNK_BITS) - 1
+    chunks = d.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
+                for c in range(_N_CHUNKS)
+            ])
+        ).alias("chunk_idx", "ckey"),
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming60(F.col("a.h"), F.col("b.h")) <= _LP_HAM)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # both directed edges from ONE pass over pairs (explode, not a
+    # self-union that would rebuild the simhash pipeline per branch),
+    # pinned on the wedge-center key u
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .repartition(spark.sparkContext.defaultParallelism, "u")
+    )
+    return pairs, edges
+
+
 @query(
     "t_link_prediction",
     f"""
@@ -2005,54 +2064,10 @@ def _lp_pair_sql() -> str:
     """,
 )
 def t_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
-    mask = (1 << _CHUNK_BITS) - 1
-    chunks = d.select(
-        "doc_id",
-        "h",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
-                for c in range(_N_CHUNKS)
-            ])
-        ).alias("chunk_idx", "ckey"),
-    )
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(hamming60(F.col("a.h"), F.col("b.h")) <= _LP_HAM)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    # both directed edges from ONE pass over pairs (explode, not a
-    # self-union that would rebuild the simhash pipeline per branch), then
-    # ONE hash exchange on the wedge-center key u shared by the two wedge
-    # sides, the degree aggregate, and (as u<v) the anti-join probe side
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .repartition(spark.sparkContext.defaultParallelism, "u")
-    )
+    # shared edge construction: ONE hash exchange on the wedge-center key
+    # u feeds the two wedge sides, the degree aggregate, and (as u<v) the
+    # anti-join probe side
+    _, edges = _simhash_band_edges(spark, sf_dir)
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
@@ -2099,6 +2114,44 @@ def t_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature/shingle arrays joined back once per side over the one reused
 # doc_id exchange.
 # ---------------------------------------------------------------------------
+
+def _lsh_banded_candidates(spark: SparkSession, sf_dir: str):
+    """Shared (docs, sigs, cand) builder for the K=16/R=8/B=2 MinHash LSH
+    banding: the pinned doc_id exchange under the shingled relation, the
+    single posexplode over band keys, and the narrow (band, bkey)
+    candidate self-join. t_minhash_estimate_audit and t_dup_span_stats
+    derive from this one constructor so the banding constants and the
+    exchange discipline can never drift between the audit surfaces and
+    the certified pair query they audit (whose own body predates the
+    helper and is fingerprint-tail-guarded)."""
+    docs = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), b, _R) for b in range(_B)])
+        ).alias("band_idx", "bkey"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return docs, sigs, cand
+
+
 @query(
     "t_minhash_estimate_audit",
     f"""
@@ -2135,31 +2188,7 @@ def t_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        spread(read(spark, sf_dir, "documents"), spark)
-        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[band_key(F.col("sig"), b, _R) for b in range(_B)])
-        ).alias("band_idx", "bkey"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    _, sigs, cand = _lsh_banded_candidates(spark, sf_dir)
     x = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),
@@ -2234,60 +2263,20 @@ def _kcore_oracle() -> str:
 
 @query("t_kcore_peel", _kcore_oracle())
 def t_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
-    mask = (1 << _CHUNK_BITS) - 1
-    chunks = d.select(
-        "doc_id",
-        "h",
-        F.posexplode(
-            F.array(*[
-                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
-                for c in range(_N_CHUNKS)
-            ])
-        ).alias("chunk_idx", "ckey"),
-    )
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-            & (F.col("a.ckey") == F.col("b.ckey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(hamming60(F.col("a.h"), F.col("b.h")) <= _LP_HAM)
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(
-            F.explode(
-                F.array(
-                    F.struct(
-                        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-                    ),
-                    F.struct(
-                        F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-                    ),
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .repartition(spark.sparkContext.defaultParallelism, "u")
-        # LAZY persist on the edge list and each survivor set: every
-        # unrolled round references its predecessor twice (both semi-join
-        # sides), so a pure-expression chain duplicates the simhash
-        # pipeline exponentially (measured: 75 Generate nodes, 8.8 s).
-        # Cache substitution happens at PHYSICAL planning, so the
-        # analyzed-plan fingerprint stays static and no job runs at build
-        # time (not a runtime query), while execution reads the band
-        # pipeline once and tiny cached survivor tables thereafter — the
-        # materialize-per-iteration posture of distributed graph
-        # processing, with bounded unrolling.
-        .persist()
-    )
+    # LAZY persist on the shared edge list and each survivor set: every
+    # unrolled round references its predecessor twice (both semi-join
+    # sides), so a pure-expression chain duplicates the simhash pipeline
+    # exponentially (measured: 75 Generate nodes, 8.8 s). Cache
+    # substitution happens at PHYSICAL planning, so the analyzed-plan
+    # fingerprint stays static and no job runs at build time (not a
+    # runtime query), while execution reads the band pipeline once and
+    # tiny cached survivor tables thereafter — the
+    # materialize-per-iteration posture of distributed graph processing,
+    # with bounded unrolling. (The cache also substitutes into
+    # t_link_prediction's identical edge subtree — see
+    # _simhash_band_edges.)
+    _, edges = _simhash_band_edges(spark, sf_dir)
+    edges = edges.persist()
     surv = edges.select(F.col("u").alias("node")).distinct()
     deg = None
     for _ in range(_KCORE_ROUNDS):
@@ -2361,31 +2350,7 @@ _SPAN_N = 5
 def t_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs = (
-        spread(read(spark, sf_dir, "documents"), spark)
-        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
-    bands = sigs.select(
-        "doc_id",
-        F.posexplode(
-            F.array(*[band_key(F.col("sig"), b, _R) for b in range(_B)])
-        ).alias("band_idx", "bkey"),
-    )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
-    )
+    docs, _, cand = _lsh_banded_candidates(spark, sf_dir)
     x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))

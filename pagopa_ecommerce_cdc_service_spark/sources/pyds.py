@@ -30,7 +30,6 @@ from __future__ import annotations
 
 import json
 import os
-from dataclasses import dataclass
 from typing import TYPE_CHECKING, Iterator, Sequence, Tuple
 
 from pyspark.sql.datasource import (
@@ -78,31 +77,40 @@ def _list_files(path: str) -> list[str]:
 
 
 def _parse_line(line: str) -> Tuple:
-    """One envelope line → output tuple (good row or quarantine row)."""
+    """One envelope line → output tuple (good row or quarantine row).
+
+    EVERY malformation quarantines — invalid JSON, non-object payloads,
+    missing identity fields, and type surprises inside a valid object
+    (e.g. ``"seq": "oops"``). The tolerant-parse contract is that the scan
+    never fails; a bare ``int(seq)`` outside the guard would crash the
+    task (and wedge a restarting stream on the same file forever)."""
     try:
         obj = json.loads(line)
         if not isinstance(obj, dict):
             raise ValueError("not an object")
+        if (
+            obj.get("id") is None
+            or obj.get("transactionId") is None
+            or obj.get("eventCode") is None
+        ):
+            raise ValueError("missing identity")
+        data = obj.get("data") or {}
+        seq = obj.get("seq")
+        return (
+            str(obj["id"]),
+            str(obj["transactionId"]),
+            str(obj["eventCode"]),
+            None if obj.get("creationDate") is None else str(obj["creationDate"]),
+            int(seq) if seq is not None else None,
+            None if obj.get("operationType") is None else str(obj["operationType"]),
+            data.get("email") if isinstance(data, dict) else None,
+            None,
+        )
     except Exception:
         return (None, None, None, None, None, None, None, line)
-    if (
-        obj.get("id") is None
-        or obj.get("transactionId") is None
-        or obj.get("eventCode") is None
-    ):
-        return (None, None, None, None, None, None, None, line)
-    data = obj.get("data") or {}
-    seq = obj.get("seq")
-    return (
-        obj.get("id"),
-        obj.get("transactionId"),
-        obj.get("eventCode"),
-        obj.get("creationDate"),
-        int(seq) if seq is not None else None,
-        obj.get("operationType"),
-        data.get("email") if isinstance(data, dict) else None,
-        None,
-    )
+
+
+_FIELD_IDX = {name: i for i, name in enumerate(_FIELDS)}
 
 
 def _passes(row: Tuple, pushed: list[tuple[str, str, object]]) -> bool:
@@ -113,9 +121,8 @@ def _passes(row: Tuple, pushed: list[tuple[str, str, object]]) -> bool:
     (exactly as ``WHERE operationType = 'insert'`` drops them post-scan
     without pushdown). A pipeline that wants the quarantine stream reads
     the source unfiltered, as the gate query does."""
-    idx = {name: i for i, name in enumerate(_FIELDS)}
     for kind, col, value in pushed:
-        v = row[idx[col]]
+        v = row[_FIELD_IDX[col]]
         if kind == "eq" and (v is None or v != value):
             return False
         if kind == "notnull" and v is None:
@@ -123,10 +130,7 @@ def _passes(row: Tuple, pushed: list[tuple[str, str, object]]) -> bool:
     return True
 
 
-@dataclass
 class _FilePartition(InputPartition):
-    path: str
-
     def __init__(self, path: str):  # keep InputPartition.value populated
         super().__init__(path)
         self.path = path
@@ -154,13 +158,14 @@ class EnvelopeJsonlReader(DataSourceReader):
         path = partition.path
         if not path:
             return
+        pushed = self.pushed
         with open(path, encoding="utf-8") as fh:
             for line in fh:
                 line = line.rstrip("\n")
                 if not line:
                     continue
                 row = _parse_line(line)
-                if _passes(row, self.pushed):
+                if not pushed or _passes(row, pushed):
                     yield row
 
 

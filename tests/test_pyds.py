@@ -5,8 +5,6 @@ checkpoint vs the DuckDB oracle) is the cdc_pyds_envelope_feed gate."""
 
 from __future__ import annotations
 
-import uuid
-
 import pytest
 
 from pagopa_ecommerce_cdc_service_spark.sources import pyds
@@ -126,3 +124,23 @@ def test_read_between_offsets_replays_exact_range(src_dir):
 def test_missing_path_is_an_error(registered):
     with pytest.raises(Exception, match="path"):
         registered.read.format(pyds.SOURCE_NAME).load().collect()
+
+
+def test_type_surprises_quarantine_not_crash(registered, tmp_path):
+    """A valid-JSON object with a non-integer seq (or any in-object type
+    surprise) must quarantine, never fail the scan — the tolerant-parse
+    contract that keeps a restarting stream from wedging on one file."""
+    d = tmp_path / "bad"
+    d.mkdir()
+    bad_seq = '{"id":"a","transactionId":"b","eventCode":"C","seq":"oops"}'
+    bad_seq2 = '{"id":"a2","transactionId":"b2","eventCode":"C2","seq":[1]}'
+    (d / "x.jsonl").write_text(f"{bad_seq}\n{bad_seq2}\n{GOOD}\n")
+    df = (
+        registered.read.format(pyds.SOURCE_NAME)
+        .option("path", str(d))
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    corrupt = {r["_corrupt"] for r in rows if r["_corrupt"] is not None}
+    assert corrupt == {bad_seq, bad_seq2}
