@@ -264,6 +264,12 @@ _CERTIFIED_TAIL = (
     # fingerprint-equal (the CDC fold family keeps cdc_transactions_view's
     # streaming/incremental/as-of/span certifications in the prefix)
     "cdc_change_feed",
+    # rotated out late round 5 for mm_resize_geometry (the resize stage's
+    # first oracle gate: fit geometry + tiled-payload checksum); r04-green,
+    # fingerprint-equal (the incremental-agg family's fold exchange stays
+    # certified via cdc_transactions_view / cdc_asof_snapshot /
+    # cdc_stream_incremental_view in the prefix)
+    "cdc_incremental_agg",
 )
 
 

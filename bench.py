@@ -82,6 +82,8 @@ HEADLINE = [
     "t_dup_span_stats",
     # round-5 (seventh pass): SemDeDup within-cluster semantic dedup
     "e_semdedup_pairs",
+    # round-5 (eighth pass): resize-stage geometry + checksum gate
+    "mm_resize_geometry",
 ]
 
 

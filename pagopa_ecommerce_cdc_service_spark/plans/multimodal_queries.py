@@ -343,3 +343,90 @@ SELECT media_id, frame_idx, frame_start, energy
 FROM flagged
 WHERE energy > coalesce(prev_e, -1) AND energy > coalesce(next_e, -1)
 """
+
+
+def mm_resize_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage under the hard gate: aspect-preserving fit geometry
+    (scale = min(224/w, 224/h), truncated target dims, per-axis scale
+    factors) plus a CHECKSUM of the stubbed resized payload — the tiling
+    is (payload repeated)[:tw·th], so the oracle reproduces its byte sum
+    in closed form (full_tiles·Σbytes + prefix sum of the remainder)
+    without materializing the tiled list. The byte sum on the Spark side
+    reuses video_frame_energies with n_frames=1 (one vectorized reduceat
+    over the resized payloads). Two Arrow stages + one broadcast join —
+    map-only at any scale."""
+    from ..operators.multimodal import resize_media, video_frame_energies
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    rz = resize_media(documents_as_media(docs), target_w=224, target_h=224)
+    sums = video_frame_energies(
+        rz.select("media_id", F.col("resized_payload").alias("payload")),
+        n_frames=1,
+    ).select(
+        "media_id",
+        F.col("frame_len").alias("resized_len"),
+        F.col("energy").alias("resized_sum"),
+    )
+    geo = rz.select(
+        "media_id",
+        "orig_width",
+        "orig_height",
+        "target_width",
+        "target_height",
+        "scale_x",
+        "scale_y",
+    )
+    return geo.join(sums, "media_id")
+
+
+QUERIES["mm_resize_geometry"] = mm_resize_geometry
+
+# closed-form twin: geometry from the byte formula (first / middle byte),
+# numpy's (x*s).astype(int64) truncates -> FLOOR (DuckDB CAST rounds);
+# checksum = full_tiles * sum(bytes) + prefix-sum of the sz % L remainder
+ORACLES["mm_resize_geometry"] = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+  FROM documents
+),
+e AS (
+  SELECT media_id, n_bytes,
+         list_transform(range(CAST(n_bytes AS INTEGER)),
+                        i -> ('0x' || substr(hx, i*2 + 1, 2))::BIGINT) AS bytes
+  FROM b
+),
+g AS (
+  SELECT media_id, n_bytes, bytes,
+         16 + bytes[1] % 240 AS ow,
+         16 + bytes[CAST(n_bytes // 2 AS INTEGER) + 1] % 240 AS oh,
+         CAST(list_sum(bytes) AS BIGINT) AS byte_sum
+  FROM e
+),
+fit AS (
+  SELECT media_id, n_bytes, bytes, ow, oh, byte_sum,
+         least(224.0 / ow, 224.0 / oh) AS s
+  FROM g
+),
+t AS (
+  SELECT media_id, n_bytes, bytes, ow, oh, byte_sum,
+         greatest(1, CAST(FLOOR(ow * s) AS BIGINT)) AS tw,
+         greatest(1, CAST(FLOOR(oh * s) AS BIGINT)) AS th
+  FROM fit
+)
+SELECT media_id,
+       CAST(ow AS BIGINT) AS orig_width,
+       CAST(oh AS BIGINT) AS orig_height,
+       tw AS target_width,
+       th AS target_height,
+       CAST(tw AS DOUBLE) / ow AS scale_x,
+       CAST(th AS DOUBLE) / oh AS scale_y,
+       tw * th AS resized_len,
+       ((tw * th) // n_bytes) * byte_sum
+         + CASE WHEN (tw * th) % n_bytes = 0 THEN 0
+                ELSE CAST(coalesce(list_sum(
+                       bytes[1 : CAST((tw * th) % n_bytes AS INTEGER)]), 0)
+                     AS BIGINT) END AS resized_sum
+FROM t
+"""

@@ -566,3 +566,12 @@ def test_semdedup_candidates_cluster_bucketed(spark, sf_dir, queries):
     joins = [l for l in plan.splitlines()
              if "SortMergeJoin" in l or "BroadcastHashJoin" in l or "ShuffledHashJoin" in l]
     assert any("cid" in l for l in joins), joins
+
+
+def test_resize_geometry_map_only(spark, sf_dir, queries):
+    """The resize gate stays map-only: Arrow stages plus one broadcast
+    join on media_id — zero hash exchanges at any scale."""
+    plan = _plan(queries["mm_resize_geometry"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("MapInPandas") <= 3
