@@ -270,6 +270,12 @@ _CERTIFIED_TAIL = (
     # certified via cdc_transactions_view / cdc_asof_snapshot /
     # cdc_stream_incremental_view in the prefix)
     "cdc_incremental_agg",
+    # rotated out late round 5 for t_content_chunks (content-defined
+    # chunking: rolling-hash cut positions + per-chunk content hash,
+    # first cert this round); r04-green, fingerprint-equal (the dup-graph
+    # family keeps t_kcore_peel, t_link_prediction and t_dup_span_stats
+    # in the prefix)
+    "t_similarity_triangles",
 )
 
 

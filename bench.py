@@ -84,6 +84,9 @@ HEADLINE = [
     "e_semdedup_pairs",
     # round-5 (eighth pass): resize-stage geometry + checksum gate
     "mm_resize_geometry",
+    # round-5 (ninth pass): content-defined chunking (flatMap, zero
+    # exchanges)
+    "t_content_chunks",
 ]
 
 

@@ -204,3 +204,57 @@ def stopword_count(col: Column, lang: str) -> Column:
 
 def stopword_count_sql(c: str, lang: str) -> str:
     return f"len(regexp_extract_all(lower({c}), '{stopword_pattern(lang)}'))"
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-lite): cut positions from a rolling
+# W-char polynomial hash. A position p (1-based, p in [W, n-1]) is a cut
+# AFTER character p iff H(text[p-W+1 .. p]) % CDC_D == 0 with
+# H = sum_j cp[p-j] * B^j mod M. Boundaries are a pure function of the
+# LOCAL window, so chunking is shift-invariant — an insertion near the
+# start of a document re-chunks only the window it touches, where a
+# fixed-size chunker would shift every downstream chunk — and the scan is
+# embarrassingly parallel: no state crosses row or partition boundaries,
+# the 100 TB shape is a pure flatMap. Expected chunk length ~= CDC_D
+# chars. p >= W guarantees a full window exists before the first cut;
+# p <= n-1 guarantees the final chunk is never empty. No min/max chunk
+# clamp on purpose: a clamp makes boundary eligibility depend on the
+# PREVIOUS boundary (sequential scan), destroying the parallelism that
+# is the whole point of CDC at scale.
+# ---------------------------------------------------------------------------
+
+CDC_W = 8
+CDC_B = 257
+CDC_M = 1_000_000_007
+CDC_D = 64
+_CDC_POW = [pow(CDC_B, j, CDC_M) for j in range(CDC_W)]
+
+
+def content_cut_positions(col: Column) -> Column:
+    """Ascending 1-based cut positions for ``col`` (ASCII/BMP text; Spark
+    and DuckDB agree on per-character ``ascii``/``substr`` semantics)."""
+    n = F.length(col)
+
+    def h(p: Column) -> Column:
+        s = F.ascii(col.substr(p, F.lit(1))).cast("long") * F.lit(_CDC_POW[0])
+        for j in range(1, CDC_W):
+            s = s + F.ascii(col.substr(p - j, F.lit(1))).cast("long") * F.lit(
+                _CDC_POW[j]
+            )
+        return s % F.lit(CDC_M)
+
+    cuts = F.filter(F.sequence(F.lit(CDC_W), n - 1), lambda p: h(p) % CDC_D == 0)
+    return F.when(n - 1 >= CDC_W, cuts).otherwise(F.array().cast("array<int>"))
+
+
+def content_cut_positions_sql(c: str) -> str:
+    terms = " + ".join(
+        f"CAST(ascii(substr({c}, p - {j}, 1)) AS BIGINT) * {_CDC_POW[j]}"
+        for j in range(CDC_W)
+    )
+    return (
+        f"CASE WHEN len({c}) - 1 >= {CDC_W} THEN "
+        f"list_filter(range({CDC_W}, CAST(len({c}) AS BIGINT)), "
+        f"p -> ({terms}) % {CDC_M} % {CDC_D} = 0) "
+        f"ELSE CAST([] AS BIGINT[]) END"
+    )

@@ -28,6 +28,8 @@ from ..operators.text import (
     band_key_sql,
     char_shingles,
     char_shingles_sql,
+    content_cut_positions,
+    content_cut_positions_sql,
     hamming60,
     minhash_signature,
     minhash_signature_sql,
@@ -2460,3 +2462,75 @@ def t_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_udtf_chunks"] = t_udtf_chunks
 ORACLES["t_udtf_chunks"] = _chunks_oracle()
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (FastCDC-lite): rolling-hash cut positions →
+# per-chunk (start, length, content hash). This is the sub-document exact
+# dedup stage real 100 TB pipelines run BEFORE document-level near-dup:
+# because a boundary is a pure function of its local 8-char window, the
+# same passage embedded in two different documents (at different offsets)
+# yields the SAME interior chunks — a fixed-size chunker would misalign
+# them. Downstream dedup is then t_exact_dedup-shaped: hash-groupBy on
+# chunk_hash. The extraction itself is a pure flatMap — one Generate over
+# in-row arrays, ZERO exchanges at any corpus size (plan-asserted) — so
+# the 100 TB cost is one scan. Expected chunk length ~= CDC_D = 64 chars
+# (measured 60.9 on the corpus). Spark: sequence/filter builds the cut
+# array in-row, posexplode(arrays_zip(starts, ends)) emits chunks, substr
+# + md5 hash the exact span. Oracle: identical arithmetic in DuckDB list
+# functions (same polynomial constants, generated from one Python source
+# of truth in operators/text.py).
+# ---------------------------------------------------------------------------
+def _content_chunks_oracle() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, len(text) AS n,
+             {content_cut_positions_sql("text")} AS cuts
+      FROM documents
+    ),
+    se AS (
+      SELECT doc_id, text,
+             list_prepend(CAST(1 AS BIGINT), list_transform(cuts, c -> c + 1)) AS starts,
+             list_append(cuts, CAST(n AS BIGINT)) AS ends
+      FROM d
+    ),
+    ex AS (
+      SELECT doc_id, text, starts, ends, unnest(range(len(starts))) AS i
+      FROM se
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           starts[CAST(i + 1 AS INTEGER)] AS chunk_start,
+           ends[CAST(i + 1 AS INTEGER)] - starts[CAST(i + 1 AS INTEGER)] + 1 AS chunk_len,
+           {md5_long_sql("substr(text, CAST(starts[CAST(i + 1 AS INTEGER)] AS INTEGER), CAST(ends[CAST(i + 1 AS INTEGER)] - starts[CAST(i + 1 AS INTEGER)] + 1 AS INTEGER))")} AS chunk_hash
+    FROM ex
+    """
+
+
+@query("t_content_chunks", _content_chunks_oracle())
+def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", "text")
+        .withColumn("cuts", content_cut_positions(F.col("text")))
+        .withColumn(
+            "starts",
+            F.concat(F.array(F.lit(1)), F.transform("cuts", lambda c: c + 1)),
+        )
+        .withColumn("ends", F.concat(F.col("cuts"), F.array(F.length("text"))))
+    )
+    ex = d.select(
+        "doc_id",
+        "text",
+        F.posexplode(F.arrays_zip("starts", "ends")).alias("chunk_idx", "se"),
+    )
+    s = F.col("se.starts")
+    e = F.col("se.ends")
+    chunk_len = e - s + 1
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        s.cast("long").alias("chunk_start"),
+        chunk_len.cast("long").alias("chunk_len"),
+        md5_long(F.col("text").substr(s, chunk_len)).alias("chunk_hash"),
+    )

@@ -575,3 +575,16 @@ def test_resize_geometry_map_only(spark, sf_dir, queries):
     assert "Exchange hashpartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("MapInPandas") <= 3
+
+
+def test_content_chunks_map_only(spark, sf_dir, queries):
+    """Content-defined chunking is a pure flatMap: the cut-position array
+    is computed ONCE per row in its own Project (not re-inlined into the
+    starts/ends expressions), one Generate emits chunks, and there are
+    zero hash exchanges at any corpus size."""
+    plan = _plan(queries["t_content_chunks"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" in plan
+    # the rolling-hash filter appears exactly once: projection collapse
+    # must not duplicate the cuts computation into starts AND ends
+    assert plan.count("% 1000000007") == 1
