@@ -66,6 +66,7 @@ QUERIES = (
     "t_minhash_lsh_pairs",     # banded near-dup join over the 10x corpus
     "t_tfidf_topterms",        # explode + term-df join + doc window
     "t_boilerplate_ngrams",    # single-pass gram window + doc agg
+    "t_content_chunks",        # rolling-hash chunking, pure flatMap
 )
 
 
