@@ -276,6 +276,13 @@ _CERTIFIED_TAIL = (
     # family keeps t_kcore_peel, t_link_prediction and t_dup_span_stats
     # in the prefix)
     "t_similarity_triangles",
+    # rotated out late round 5 for t_chunk_dedup_stats (the dedup
+    # APPLICATION of the chunker: duplicated-chunk mass under the
+    # narrow-key two-phase count-distinct, first cert this round);
+    # r04-green, fingerprint-equal (the exact-scoring vector family
+    # keeps e_pq_topk, e_ivf_topk, e_ivfpq_topk and e_matryoshka_topk
+    # in the prefix)
+    "e_mips_topk",
 )
 
 

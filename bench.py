@@ -85,8 +85,9 @@ HEADLINE = [
     # round-5 (eighth pass): resize-stage geometry + checksum gate
     "mm_resize_geometry",
     # round-5 (ninth pass): content-defined chunking (flatMap, zero
-    # exchanges)
+    # exchanges) + its dedup application (narrow-key count-distinct)
     "t_content_chunks",
+    "t_chunk_dedup_stats",
 ]
 
 

@@ -2534,3 +2534,65 @@ def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_len.cast("long").alias("chunk_len"),
         md5_long(F.col("text").substr(s, chunk_len)).alias("chunk_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document dedup measurement over the content-defined chunks: group
+# identical (chunk_hash, chunk_len) spans, keep groups that occur >= 2
+# times with chunk_len >= 16 (a POST-filter — not a chunking clamp, so
+# boundary selection stays embarrassingly parallel; the floor just drops
+# short-string hash groups that aren't meaningful shared passages), and
+# report the mass a dedup pass would drop: (n_occ - 1) * chunk_len chars
+# per group, keeper = min doc_id (same keeper rule as t_exact_dedup).
+# This is the APPLICATION stage of t_content_chunks: because boundaries
+# are shift-invariant, a passage shared by two documents at different
+# offsets lands here as one group. 100 TB shape: the chunker is a pure
+# flatMap, then ONE narrow-key aggregation family on (chunk_hash,
+# chunk_len) — the count-distinct doc_id is Spark's standard two-phase
+# expand (partial aggregates ride map-side), nothing wide ever shuffles
+# (the chunk text itself never leaves the map stage — only 60-bit
+# hashes + lengths cross the wire).
+# ---------------------------------------------------------------------------
+_CHUNK_DEDUP_MIN_LEN = 16
+
+
+@query(
+    "t_chunk_dedup_stats",
+    f"""
+    WITH c AS ({{inner}})
+    SELECT chunk_hash, chunk_len,
+           count(*) AS n_occ,
+           count(DISTINCT doc_id) AS n_docs,
+           min(doc_id) AS keeper_doc,
+           (count(*) - 1) * chunk_len AS droppable_chars
+    FROM c
+    WHERE chunk_len >= {_CHUNK_DEDUP_MIN_LEN}
+    GROUP BY chunk_hash, chunk_len
+    HAVING count(*) >= 2
+    """.format(inner="{inner}"),
+)
+def t_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t_content_chunks(spark, sf_dir)
+    return (
+        c.filter(F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN)
+        .groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc"),
+        )
+        .filter(F.col("n_occ") >= 2)
+        .select(
+            "chunk_hash",
+            "chunk_len",
+            "n_occ",
+            "n_docs",
+            "keeper_doc",
+            ((F.col("n_occ") - 1) * F.col("chunk_len")).alias("droppable_chars"),
+        )
+    )
+
+
+ORACLES["t_chunk_dedup_stats"] = ORACLES["t_chunk_dedup_stats"].replace(
+    "{inner}", _content_chunks_oracle()
+)

@@ -588,3 +588,16 @@ def test_content_chunks_map_only(spark, sf_dir, queries):
     # the rolling-hash filter appears exactly once: projection collapse
     # must not duplicate the cuts computation into starts AND ends
     assert plan.count("% 1000000007") == 1
+
+
+def test_chunk_dedup_narrow_key_aggregation(spark, sf_dir, queries):
+    """Sub-document dedup stats shuffle ONLY 60-bit hashes + lengths +
+    doc ids: exactly the two narrow-key exchanges of Spark's two-phase
+    count-distinct ((hash, len, doc) partial-distinct, then (hash, len)),
+    and the chunk text never appears in an exchange."""
+    import re
+    plan = _plan(queries["t_chunk_dedup_stats"](spark, sf_dir))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, keys
+    assert all("chunk_hash" in k for k in keys), keys
+    assert not any("text" in k for k in keys), keys
