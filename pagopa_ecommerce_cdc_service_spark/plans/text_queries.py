@@ -2559,7 +2559,7 @@ _CHUNK_DEDUP_MIN_LEN = 16
 @query(
     "t_chunk_dedup_stats",
     f"""
-    WITH c AS ({{inner}})
+    WITH c AS ({_content_chunks_oracle()})
     SELECT chunk_hash, chunk_len,
            count(*) AS n_occ,
            count(DISTINCT doc_id) AS n_docs,
@@ -2569,7 +2569,7 @@ _CHUNK_DEDUP_MIN_LEN = 16
     WHERE chunk_len >= {_CHUNK_DEDUP_MIN_LEN}
     GROUP BY chunk_hash, chunk_len
     HAVING count(*) >= 2
-    """.format(inner="{inner}"),
+    """,
 )
 def t_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t_content_chunks(spark, sf_dir)
@@ -2593,6 +2593,3 @@ def t_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLES["t_chunk_dedup_stats"] = ORACLES["t_chunk_dedup_stats"].replace(
-    "{inner}", _content_chunks_oracle()
-)
