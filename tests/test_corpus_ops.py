@@ -220,3 +220,63 @@ def test_pii_scrub_redacts_known_patterns(spark, tmp_path):
     )
     assert r["scrubbed_len"] == len(scrubbed)
     assert r["scrubbed_hash"] == hashlib.md5(scrubbed.encode()).hexdigest()
+
+
+# --- content-defined chunking ---------------------------------------------
+
+def test_content_chunks_partition_each_document(spark):
+    """Chunks exactly tile [1..len(text)]: starts begin at 1, spans are
+    contiguous and non-overlapping, lengths sum to the doc length, and
+    re-concatenating the substrings reproduces the document byte-for-byte.
+    Also pins the window-edge law: no cut before position W or at the
+    last character, so every chunk is non-empty and the first is >= W
+    chars on any text of length > W."""
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        CDC_W,
+        content_cut_positions,
+    )
+
+    texts = [
+        "short",                      # below the window: single chunk
+        "exactly8",                   # == W: single chunk (cuts need p > W-1 AND p < n)
+        "The quick brown fox jumps over the lazy dog " * 20,
+        "abcdefgh" * 64,              # periodic content
+        "x",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    rows = df.withColumn("cuts", content_cut_positions(F.col("text"))).collect()
+    for r in rows:
+        text, cuts, n = r["text"], list(r["cuts"]), len(r["text"])
+        assert cuts == sorted(set(cuts))
+        assert all(CDC_W <= c <= n - 1 for c in cuts), (cuts, n)
+        starts = [1] + [c + 1 for c in cuts]
+        ends = cuts + [n]
+        spans = [text[s - 1 : e] for s, e in zip(starts, ends)]
+        assert all(spans), "empty chunk"
+        assert "".join(spans) == text
+        if n > CDC_W:
+            assert len(spans[0]) >= CDC_W
+
+
+def test_content_chunks_shift_invariant_interior(spark):
+    """The defining CDC property: a passage shared by two documents at
+    DIFFERENT offsets produces identical interior chunks (a fixed-size
+    chunker would misalign every one of them)."""
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        content_cut_positions,
+    )
+
+    shared = (
+        "the quick brown fox jumps over the lazy dog while content "
+        "defined chunking keeps interior boundaries aligned " * 3
+    )
+    docs = [("A" * 7 + " ") + shared, ("totally different and longer prefix!! " + shared)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(docs)], ["doc_id", "text"])
+    rows = df.withColumn("cuts", content_cut_positions(F.col("text"))).collect()
+    chunk_sets = []
+    for r in rows:
+        text, cuts, n = r["text"], list(r["cuts"]), len(r["text"])
+        starts = [1] + [c + 1 for c in cuts]
+        ends = cuts + [n]
+        chunk_sets.append({text[s - 1 : e] for s, e in zip(starts, ends)})
+    assert chunk_sets[0] & chunk_sets[1], "no shared interior chunk"
