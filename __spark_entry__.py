@@ -283,6 +283,13 @@ _CERTIFIED_TAIL = (
     # keeps e_pq_topk, e_ivf_topk, e_ivfpq_topk and e_matryoshka_topk
     # in the prefix)
     "e_mips_topk",
+    # rotated out late round 5 for t_chunk_dedup_apply (the apply stage
+    # of the chunking triad: per-doc kept/dropped mass, first cert this
+    # round); r04-green, fingerprint-equal (the IVF layout stays
+    # prefix-certified via e_ivfpq_topk — which composes the same
+    # nearest-pivot assignment and inverted lists — and
+    # e_ivf_build_stats)
+    "e_ivf_topk",
 )
 
 

@@ -88,6 +88,7 @@ HEADLINE = [
     # exchanges) + its dedup application (narrow-key count-distinct)
     "t_content_chunks",
     "t_chunk_dedup_stats",
+    "t_chunk_dedup_apply",
 ]
 
 

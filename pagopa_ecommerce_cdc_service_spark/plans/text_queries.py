@@ -2593,3 +2593,64 @@ def t_chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# sub-document dedup APPLY: per-document outcome of dropping every
+# non-first occurrence of a duplicated chunk (chunk_len >= the same
+# post-filter floor; keeper = globally first occurrence by (doc_id,
+# chunk_idx) — a total, deterministic order). Completes the chunking
+# triad: t_content_chunks detects boundaries, t_chunk_dedup_stats
+# measures duplicated mass, this query applies the drop and reports per
+# doc how many chunks/chars survive — the row a curation pipeline feeds
+# to its mixture/packing stages. 100 TB shape: the flatMap chunker feeds
+# ONE narrow-key window exchange on (chunk_hash, chunk_len) to rank
+# occurrences (rows carry only ids, lengths and 60-bit hashes — never
+# text), then the per-doc rollup exchanges on doc_id; both keys are
+# narrow and skew-free (chunk hashes are uniform; docs are bounded).
+# ---------------------------------------------------------------------------
+@query(
+    "t_chunk_dedup_apply",
+    f"""
+    WITH c AS ({_content_chunks_oracle()}),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk_len,
+             row_number() OVER (
+               PARTITION BY chunk_hash, chunk_len
+               ORDER BY doc_id, chunk_idx
+             ) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           count(*) AS n_chunks,
+           count(*) FILTER (WHERE chunk_len >= {_CHUNK_DEDUP_MIN_LEN} AND rn > 1) AS n_dropped,
+           CAST(sum(CASE WHEN chunk_len >= {_CHUNK_DEDUP_MIN_LEN} AND rn > 1 THEN 0 ELSE chunk_len END) AS BIGINT) AS kept_chars,
+           CAST(sum(CASE WHEN chunk_len >= {_CHUNK_DEDUP_MIN_LEN} AND rn > 1 THEN chunk_len ELSE 0 END) AS BIGINT) AS dropped_chars
+    FROM r
+    GROUP BY doc_id
+    """,
+)
+def t_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = t_content_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_hash", "chunk_len").orderBy("doc_id", "chunk_idx")
+    )
+    dropped = (F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN) & (F.col("rn") > 1)
+    return (
+        c.withColumn("rn", rn)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count_if(dropped).alias("n_dropped"),
+            F.sum(F.when(dropped, F.lit(0)).otherwise(F.col("chunk_len")))
+            .cast("long")
+            .alias("kept_chars"),
+            F.sum(F.when(dropped, F.col("chunk_len")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("dropped_chars"),
+        )
+    )

@@ -601,3 +601,16 @@ def test_chunk_dedup_narrow_key_aggregation(spark, sf_dir, queries):
     assert len(keys) == 2, keys
     assert all("chunk_hash" in k for k in keys), keys
     assert not any("text" in k for k in keys), keys
+
+
+def test_chunk_dedup_apply_narrow_exchanges(spark, sf_dir, queries):
+    """The apply stage adds exactly one occurrence-ranking window
+    exchange on (chunk_hash, chunk_len) plus the per-doc rollup on
+    doc_id — and no exchange ever carries the chunk text."""
+    import re
+    plan = _plan(queries["t_chunk_dedup_apply"](spark, sf_dir))
+    keys = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(keys) == 2, keys
+    assert any("chunk_hash" in k for k in keys), keys
+    assert any("doc_id" in k and "chunk_hash" not in k for k in keys), keys
+    assert not any("text" in k for k in keys), keys
