@@ -55,7 +55,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 # slot ONLY if it is provably unchanged since its last green gate row — its
 # normalized analyzed-plan hash AND oracle-SQL hash are byte-identical to the
 # committed snapshot of the code state that gate run certified
-# (FINGERPRINTS_r04.json as of round 5). Queries that execute Spark jobs at
+# (FINGERPRINTS_r05.json as of round 6). Queries that execute Spark jobs at
 # build time (streaming phases, iterative convergence) have no static plan
 # and are pinned inside the prefix every round. ALL registered queries
 # additionally run against the DuckDB oracle locally every round
