@@ -290,6 +290,25 @@ _CERTIFIED_TAIL = (
     # nearest-pivot assignment and inverted lists — and
     # e_ivf_build_stats)
     "e_ivf_topk",
+    # rotated out round 6 for the six queries ADDED this round
+    # (t_chunk_dedup_rewrite, the runtime-pinned t_stream_chunk_dedup,
+    # and the four index recall audits e_ivfpq_recall /
+    # e_matryoshka_recall / e_sq8_recall / e_semdedup_pair_recall) —
+    # their prefix slots must come from somewhere, and six runtime
+    # queries (w_stream_left_join_clicks, w_stream_hist_merge,
+    # w_stream_event_transitions, q_bucketed_colocated_join,
+    # q_zorder_box_scan) had been displaced into the tail, where the
+    # rotation guard forbids them. All seven rotated-out queries are
+    # r05-green and their plans are untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r05, guard-tested); none
+    # depends on the chunker or the vector-audit helpers that changed.
+    "t_repetition_stats",
+    "t_decontaminate",
+    "t_edit_distance_pairs",
+    "t_tfidf_topterms",
+    "t_boilerplate_ngrams",
+    "t_minhash_estimate_audit",
+    "w_event_transitions",
 )
 
 

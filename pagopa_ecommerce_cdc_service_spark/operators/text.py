@@ -229,10 +229,29 @@ CDC_M = 1_000_000_007
 CDC_D = 64
 _CDC_POW = [pow(CDC_B, j, CDC_M) for j in range(CDC_W)]
 
+# Candidate-position segmentation bound. The naive formulation materializes
+# ONE F.sequence(W, n-1) — an O(doc_length) transient int array per row in
+# expression evaluation, a multi-MB allocation per multi-MB document: an
+# executor-memory cliff at 100 TB even though the plan has zero exchanges.
+# Because a cut at position p depends only on the W chars ending at p
+# (window-local by design), the candidate range can be evaluated in
+# fixed-size position segments with NO overlap logic at all — the hash
+# still reads the original string via substr, so segmentation is exact,
+# not approximate. Peak per-row transient memory drops from O(n) to
+# O(n / CDC_SEG + CDC_SEG + cuts): for a 5 MB doc, ~1.3k segment ids plus
+# one 4096-int scratch array instead of a 5M-int array.
+CDC_SEG = 4096
+
 
 def content_cut_positions(col: Column) -> Column:
     """Ascending 1-based cut positions for ``col`` (ASCII/BMP text; Spark
-    and DuckDB agree on per-character ``ascii``/``substr`` semantics)."""
+    and DuckDB agree on per-character ``ascii``/``substr`` semantics).
+
+    Evaluated segment-by-segment (``CDC_SEG`` candidate positions at a
+    time) so per-row transient memory is bounded regardless of document
+    length; the result is position-for-position identical to a single
+    full-range scan because boundary eligibility is window-local.
+    """
     n = F.length(col)
 
     def h(p: Column) -> Column:
@@ -243,7 +262,21 @@ def content_cut_positions(col: Column) -> Column:
             )
         return s % F.lit(CDC_M)
 
-    cuts = F.filter(F.sequence(F.lit(CDC_W), n - 1), lambda p: h(p) % CDC_D == 0)
+    # candidate positions p in [W, n-1], tiled into segments of CDC_SEG:
+    # segment s covers [W + s*SEG, min(n-1, W + (s+1)*SEG - 1)]
+    last_seg = F.floor((n - F.lit(1 + CDC_W)) / F.lit(CDC_SEG)).cast("int")
+    cuts = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), last_seg),
+            lambda s: F.filter(
+                F.sequence(
+                    F.lit(CDC_W) + s * F.lit(CDC_SEG),
+                    F.least(n - 1, F.lit(CDC_W) + (s + 1) * F.lit(CDC_SEG) - 1),
+                ),
+                lambda p: h(p) % CDC_D == 0,
+            ),
+        )
+    )
     return F.when(n - 1 >= CDC_W, cuts).otherwise(F.array().cast("array<int>"))
 
 
@@ -258,3 +291,60 @@ def content_cut_positions_sql(c: str) -> str:
         f"p -> ({terms}) % {CDC_M} % {CDC_D} = 0) "
         f"ELSE CAST([] AS BIGINT[]) END"
     )
+
+
+# Documents longer than this route through the Arrow (mapInPandas) chunker.
+# The Catalyst path's per-position substr is a char-offset walk on the JVM
+# string — O(p) per probe, O(n²/2) per document — which is invisible on
+# KB-scale web documents but a CPU cliff on multi-MB ones; the Arrow kernel
+# is a vectorized O(n·W) numpy scan over the same polynomial law, so the
+# two paths are cut-for-cut identical and a pipeline can route by length
+# without changing results.
+CDC_LONG_DOC = 8192
+
+CHUNK_ROW_SCHEMA = (
+    "doc_id bigint, chunk_idx bigint, chunk_start bigint, "
+    "chunk_len bigint, chunk_hash bigint"
+)
+
+
+def cut_positions_py(text: str) -> list[int]:
+    """Numpy kernel of the Arrow chunker: the same cut law as
+    ``content_cut_positions``, evaluated as W shifted-slice multiply-adds
+    over the codepoint array (int64 — products stay below 128·1e9·8 ≪ 2⁶³,
+    exact)."""
+    import numpy as np
+
+    n = len(text)
+    if n - 1 < CDC_W:
+        return []
+    cp = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    h = np.zeros(n - CDC_W, dtype=np.int64)
+    for j in range(CDC_W):
+        h += cp[CDC_W - 1 - j : n - 1 - j] * _CDC_POW[j]
+    h %= CDC_M
+    return (np.nonzero(h % CDC_D == 0)[0] + CDC_W).tolist()
+
+
+def chunk_long_doc_batches(frames):
+    """``mapInPandas`` body: (doc_id, text) batches → CHUNK_ROW_SCHEMA
+    rows, one row per content-defined chunk. Map-only — no state crosses
+    batch or partition boundaries."""
+    import pandas as pd
+
+    from ..functions.hashing import md5_long_py
+
+    for pdf in frames:
+        out = {k: [] for k in ("doc_id", "chunk_idx", "chunk_start", "chunk_len", "chunk_hash")}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            cuts = cut_positions_py(text)
+            starts = [1] + [c + 1 for c in cuts]
+            ends = cuts + [n]
+            for i, (s, e) in enumerate(zip(starts, ends)):
+                out["doc_id"].append(doc_id)
+                out["chunk_idx"].append(i)
+                out["chunk_start"].append(s)
+                out["chunk_len"].append(e - s + 1)
+                out["chunk_hash"].append(md5_long_py(text[s - 1 : e]))
+        yield pd.DataFrame(out)

@@ -2507,11 +2507,25 @@ def _content_chunks_oracle() -> str:
     """
 
 
-@query("t_content_chunks", _content_chunks_oracle())
-def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _chunk_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → content-defined chunk rows (doc_id, chunk_idx,
+    chunk_start, chunk_len, chunk_hash). Map-only either way — zero
+    exchanges at any corpus size: documents up to CDC_LONG_DOC run the
+    pure-Catalyst flatMap (in-row cut arrays, one Generate); longer
+    documents route through the Arrow ``mapInPandas`` kernel, because the
+    Catalyst per-position substr is a char-offset walk (O(n²/2) per doc —
+    fine at web-doc KBs, a CPU cliff at multi-MB). Both paths evaluate the
+    identical cut law, so the union is cut-for-cut deterministic."""
+    from ..operators.text import CDC_LONG_DOC, CHUNK_ROW_SCHEMA, chunk_long_doc_batches
+
+    long_part = (
+        docs.select("doc_id", "text")
+        .filter(F.length("text") > CDC_LONG_DOC)
+        .mapInPandas(chunk_long_doc_batches, CHUNK_ROW_SCHEMA)
+    )
     d = (
-        spread(read(spark, sf_dir, "documents"), spark)
-        .select("doc_id", "text")
+        docs.select("doc_id", "text")
+        .filter(F.length("text") <= CDC_LONG_DOC)
         .withColumn("cuts", content_cut_positions(F.col("text")))
         .withColumn(
             "starts",
@@ -2527,13 +2541,19 @@ def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.col("se.starts")
     e = F.col("se.ends")
     chunk_len = e - s + 1
-    return ex.select(
+    short_part = ex.select(
         "doc_id",
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         s.cast("long").alias("chunk_start"),
         chunk_len.cast("long").alias("chunk_len"),
         md5_long(F.col("text").substr(s, chunk_len)).alias("chunk_hash"),
     )
+    return short_part.unionByName(long_part)
+
+
+@query("t_content_chunks", _content_chunks_oracle())
+def t_content_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chunk_rows(spread(read(spark, sf_dir, "documents"), spark))
 
 
 # ---------------------------------------------------------------------------
@@ -2654,3 +2674,214 @@ def t_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dropped_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# sub-document dedup REWRITE: the shipped artifact. Where
+# t_chunk_dedup_apply reports per-doc kept/dropped mass, this stage emits
+# the actual deduplicated document TEXT — every non-first occurrence of a
+# duplicated chunk removed, surviving chunks re-concatenated in order —
+# i.e. the row a curation pipeline hands to packing. Keeper rule is
+# identical to the apply stage: global first occurrence by (doc_id,
+# chunk_idx) within each (chunk_hash, chunk_len) group.
+#
+# 100 TB shape — chunk text NEVER crosses the wire: occurrence ranking
+# runs on narrow (doc_id, chunk_idx, chunk_len, hash) rows through the
+# same single (chunk_hash, chunk_len) window exchange as the apply stage;
+# the dropped chunk indices then fold to ONE small array per affected doc
+# (groupBy doc_id, narrow), and that array joins back to the original
+# document row, where the text already lives, for an in-row rebuild
+# (recompute cuts — window-local, segment-bounded — filter kept indices,
+# concat_ws over in-row substrings; linear, not quadratic, in doc
+# length). The only stage that moves text is the doc⋈drops join itself —
+# the same cost class as materializing the output — and AQE broadcasts
+# the drops side whenever the affected-doc set is small.
+# ---------------------------------------------------------------------------
+@query(
+    "t_chunk_dedup_rewrite",
+    f"""
+    WITH c AS ({_content_chunks_oracle()}),
+    r AS (
+      SELECT doc_id, chunk_idx, chunk_start, chunk_len,
+             NOT (chunk_len >= {_CHUNK_DEDUP_MIN_LEN}
+                  AND row_number() OVER (
+                        PARTITION BY chunk_hash, chunk_len
+                        ORDER BY doc_id, chunk_idx
+                      ) > 1) AS kept
+      FROM c
+    ),
+    g AS (
+      SELECT r.doc_id,
+             CAST(count(*) FILTER (WHERE r.kept) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(
+               CASE WHEN r.kept THEN substr(
+                 d.text,
+                 CAST(r.chunk_start AS INTEGER),
+                 CAST(r.chunk_len AS INTEGER)) END,
+               '' ORDER BY r.chunk_idx), '') AS rebuilt_text
+      FROM r JOIN documents d ON r.doc_id = d.doc_id
+      GROUP BY r.doc_id
+    )
+    SELECT doc_id, n_kept,
+           CAST(len(rebuilt_text) AS BIGINT) AS rebuilt_len,
+           rebuilt_text
+    FROM g
+    """,
+)
+def t_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = t_content_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_hash", "chunk_len").orderBy("doc_id", "chunk_idx")
+    )
+    drops = (
+        c.withColumn("rn", rn)
+        .filter((F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN) & (F.col("rn") > 1))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
+    )
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", "text")
+        .withColumn("cuts", content_cut_positions(F.col("text")))
+        .withColumn(
+            "starts",
+            F.concat(F.array(F.lit(1)), F.transform("cuts", lambda col: col + 1)),
+        )
+        .withColumn("ends", F.concat(F.col("cuts"), F.array(F.length("text"))))
+        .join(drops, "doc_id", "left")
+        .withColumn(
+            "dropped_idx",
+            F.coalesce(F.col("dropped_idx"), F.array().cast("array<bigint>")),
+        )
+    )
+    kept = F.filter(
+        F.sequence(F.lit(0).cast("bigint"), (F.size("starts") - 1).cast("bigint")),
+        lambda i: ~F.array_contains(F.col("dropped_idx"), i),
+    )
+
+    def chunk_text(i):
+        s = F.element_at(F.col("starts"), (i + 1).cast("int")).cast("int")
+        e = F.element_at(F.col("ends"), (i + 1).cast("int")).cast("int")
+        return F.col("text").substr(s, e - s + 1)
+
+    rebuilt = F.concat_ws("", F.transform(kept, chunk_text))
+    return d.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.length(rebuilt).cast("long").alias("rebuilt_len"),
+        rebuilt.alias("rebuilt_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming chunk-dedup twin: dedup-on-ingest at CHUNK granularity — the
+# sub-document analog of t_stream_lsh_pairs. Each micro-batch chunks its
+# documents (the same zero-exchange flatMap), probes a persistent
+# (chunk_hash, chunk_len) first-seen store, marks every occurrence that
+# is not the global first as dropped, appends per-chunk outcomes, and
+# appends the batch's newly-seen keys to the store. Batches are staged in
+# ascending doc_id ranges (mtime-pinned), so first-ARRIVAL == the batch
+# oracle's keeper rule (global first occurrence by (doc_id, chunk_idx)):
+# after the stream drains, the accumulated outcome table folds to exactly
+# t_chunk_dedup_apply, and the gate reuses that oracle verbatim. 100 TB
+# shape: per batch the work is (batch chunk keys) ⋈ (store keys) on
+# narrow 60-bit-hash keys — O(batch), never a corpus rescan; chunk text
+# never leaves the batch's map stage; the store only appends and holds
+# one row per distinct duplicated-eligible chunk.
+# ---------------------------------------------------------------------------
+def t_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-chunk-gate-")
+    src = f"{workdir}/src"
+    # three ascending doc_id ranges → arrival order == (doc_id, chunk_idx)
+    # order, so on-ingest keeper == the batch oracle's global-first keeper
+    b1, b2 = docs.selectExpr(
+        "percentile(doc_id, 0.34) AS b1", "percentile(doc_id, 0.67) AS b2"
+    ).first()
+    slices = (
+        docs.filter(F.col("doc_id") <= b1),
+        docs.filter((F.col("doc_id") > b1) & (F.col("doc_id") <= b2)),
+        docs.filter(F.col("doc_id") > b2),
+    )
+    for i, sl in enumerate(slices):
+        write_staged_file(sl, f"{src}/part{i}.parquet", mtime=1000.0 * (i + 1))
+
+    store_dir = f"{workdir}/store"
+    outcome_dir = f"{workdir}/outcomes"
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        ch = _chunk_rows(batch_df).withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("chunk_hash", "chunk_len").orderBy(
+                    "doc_id", "chunk_idx"
+                )
+            ),
+        )
+        if _os.path.isdir(store_dir):
+            hits = s.read.parquet(store_dir).withColumn("_hit", F.lit(True))
+        else:
+            hits = s.createDataFrame(
+                [], "chunk_hash bigint, chunk_len bigint, _hit boolean"
+            )
+        j = ch.join(hits, ["chunk_hash", "chunk_len"], "left")
+        eligible = F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN
+        dropped = eligible & (
+            F.coalesce(F.col("_hit"), F.lit(False)) | (F.col("rn") > 1)
+        )
+        j.select(
+            "doc_id", "chunk_idx", "chunk_len", dropped.alias("dropped")
+        ).write.mode("append").parquet(outcome_dir)
+        # newly-seen eligible keys enter the store (first in-batch occurrence
+        # of a key the store has never held)
+        (
+            ch.filter(eligible & (F.col("rn") == 1))
+            .join(hits, ["chunk_hash", "chunk_len"], "left_anti")
+            .select("chunk_hash", "chunk_len")
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "t_stream_chunk_dedup: availableNow run did not complete in 240s"
+        )
+    # outcome rows are unique per (doc_id, chunk_idx); distinct guards the
+    # fold against any at-least-once replay of a batch
+    oc = spark.read.parquet(outcome_dir).distinct()
+    d = F.col("dropped")
+    return oc.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.count_if(d).alias("n_dropped"),
+        F.sum(F.when(d, F.lit(0)).otherwise(F.col("chunk_len")))
+        .cast("long")
+        .alias("kept_chars"),
+        F.sum(F.when(d, F.col("chunk_len")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("dropped_chars"),
+    )
+
+
+QUERIES["t_stream_chunk_dedup"] = t_stream_chunk_dedup
+ORACLES["t_stream_chunk_dedup"] = ORACLES["t_chunk_dedup_apply"]

@@ -1051,3 +1051,158 @@ def e_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cluster_id", "vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= _SEMDEDUP_COS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Recall audits for the composed indexes: every approximate layout in the
+# suite gets a measured-quality row against brute-force ground truth, the
+# evidence a user needs to trade candidate-pool size / nprobe / prefix
+# dims against quality at 100 TB (the vector-side analog of the MinHash
+# estimator audit). Each audit is O(N) — ONE exact scan for the ground
+# truth (broadcast one-row query, TakeOrderedAndProject top-k) — plus the
+# index's own bounded search; never all-pairs. The semdedup audit is the
+# exception by design: its ground truth is the exact above-threshold pair
+# set, quadratic like every dedup-losslessness oracle in the suite —
+# audit-grade work on a bounded panel, not the serving path.
+# ---------------------------------------------------------------------------
+def _exact_topk_gt(spark: SparkSession, sf_dir: str, query_vec_id: int, k: int):
+    """Brute-force exact-cosine top-k vec_ids for the fixed query vector."""
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    q = emb.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("qvec").alias("qv")
+    )
+    return (
+        emb.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id")
+    )
+
+
+def _gt_sql(query_vec_id: int, k: int) -> str:
+    return f"""
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {cosine_sql(quantize_sql("e.embedding"), "gq.qv")} DESC,
+                          e.vec_id
+               ) AS rn
+        FROM embeddings e,
+             (SELECT {_QV} AS qv FROM embeddings
+              WHERE vec_id = {query_vec_id}) gq
+        WHERE e.vec_id <> {query_vec_id}
+      ) WHERE rn <= {k}
+    """
+
+
+def _recall_row(approx: DataFrame, gt: DataFrame, k: int) -> DataFrame:
+    return approx.join(gt, "vec_id").agg(
+        F.lit(k).cast("long").alias("k"),
+        F.count("*").alias("n_hits"),
+        (F.count("*") / k).alias(f"recall_at_{k}"),
+    )
+
+
+def _recall_sql(approx_sql: str, query_vec_id: int, k: int) -> str:
+    return f"""
+    WITH approx AS ({approx_sql}),
+    gt AS ({_gt_sql(query_vec_id, k)})
+    SELECT CAST({k} AS BIGINT) AS k,
+           count(*) AS n_hits,
+           count(*) / {k} AS recall_at_{k}
+    FROM approx JOIN gt USING (vec_id)
+    """
+
+
+@query("e_ivfpq_recall", _recall_sql(_ivfpq_oracle(), 0, _PQ_OUT))
+def e_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_ivfpq_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
+        _PQ_OUT,
+    )
+
+
+@query(
+    "e_matryoshka_recall",
+    _recall_sql(ORACLES["e_matryoshka_topk"], 0, _MAT_TOP),
+)
+def e_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_matryoshka_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _MAT_TOP),
+        _MAT_TOP,
+    )
+
+
+@query("e_sq8_recall", _recall_sql(_sq8_oracle(), 0, _SQ8_K))
+def e_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_sq8_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _SQ8_K),
+        _SQ8_K,
+    )
+
+
+# pair-recall of the cluster-bucketed SemDeDup prune vs the EXACT
+# above-threshold pair set: what fraction of true semantic near-dup pairs
+# does the within-cluster restriction recover? (A pair is missed exactly
+# when Lloyd's separates its endpoints.) Norms are precomputed per vector;
+# the exact side is the audit's quadratic ground truth.
+@query(
+    "e_semdedup_pair_recall",
+    f"""
+    WITH approx AS ({_semdedup_oracle()}),
+    embn AS (SELECT vec_id, {_QV} AS q,
+                    {dot_sql(_QV, _QV)} AS n2
+             FROM embeddings),
+    exact AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM embn a JOIN embn b ON a.vec_id < b.vec_id
+      WHERE CAST({dot_sql("a.q", "b.q")} AS DOUBLE)
+              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(b.n2 AS DOUBLE)))
+            >= {_SEMDEDUP_COS}
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           count(*) AS n_found,
+           count(*) / (SELECT count(*) FROM exact) AS pair_recall
+    FROM approx a JOIN exact e
+      ON a.vec_a = e.vec_a AND a.vec_b = e.vec_b
+    """,
+)
+def e_semdedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embn = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .withColumn("n2", dot(F.col("q"), F.col("q")))
+    )
+    a = embn.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    b = embn.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    cos = dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    exact = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .filter(cos >= _SEMDEDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+    approx = e_semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        approx.join(exact, ["vec_a", "vec_b"])
+        .agg(F.count("*").alias("n_found"))
+        .crossJoin(F.broadcast(n_exact))
+        .select(
+            "n_exact",
+            "n_found",
+            (F.col("n_found") / F.col("n_exact")).alias("pair_recall"),
+        )
+    )

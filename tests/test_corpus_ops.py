@@ -280,3 +280,142 @@ def test_content_chunks_shift_invariant_interior(spark):
         ends = cuts + [n]
         chunk_sets.append({text[s - 1 : e] for s, e in zip(starts, ends)})
     assert chunk_sets[0] & chunk_sets[1], "no shared interior chunk"
+
+
+def _py_cut_positions(text: str) -> list[int]:
+    """Independent reference for the chunker's cut law: a sequential
+    ROLLING-hash scan (H(p+1) derived from H(p)), deliberately a different
+    evaluation strategy from BOTH production paths (the segmented Catalyst
+    expression and the shifted-slice numpy kernel), so agreement is
+    three-way evidence, not self-confirmation."""
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        CDC_B,
+        CDC_D,
+        CDC_M,
+        CDC_W,
+    )
+
+    n = len(text)
+    if n - 1 < CDC_W:
+        return []
+    bw = pow(CDC_B, CDC_W, CDC_M)
+    # H(p) = sum_j ord(text[p-1-j]) * B^j  (1-based p); seed at p = W
+    h = 0
+    for j in range(CDC_W):
+        h = (h + ord(text[CDC_W - 1 - j]) * pow(CDC_B, j, CDC_M)) % CDC_M
+    cuts = [CDC_W] if h % CDC_D == 0 else []
+    for p in range(CDC_W, n - 1):  # roll to p+1
+        h = (h * CDC_B + ord(text[p]) - ord(text[p - CDC_W]) * bw) % CDC_M
+        if h % CDC_D == 0:
+            cuts.append(p + 1)
+    return cuts
+
+
+def test_content_chunks_segmented_equals_linear_scan(spark):
+    """The segmented evaluation (CDC_SEG position tiles) must be
+    position-for-position identical to a full linear scan, including at
+    every segment-boundary alignment: lengths straddling, exactly on, and
+    one off a CDC_SEG multiple."""
+    import random
+
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        CDC_SEG,
+        CDC_W,
+        content_cut_positions,
+    )
+
+    rng = random.Random(20260814)
+    alphabet = "abcdefgh ijklmnop"
+    lengths = [
+        CDC_W,
+        CDC_W + 1,
+        CDC_SEG - 1,
+        CDC_SEG,
+        CDC_SEG + 1,
+        CDC_SEG + CDC_W,
+        2 * CDC_SEG - 1,
+        2 * CDC_SEG,
+        2 * CDC_SEG + 7,
+        3 * CDC_SEG + 123,
+    ]
+    texts = ["".join(rng.choice(alphabet) for _ in range(n)) for n in lengths]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = (
+        df.withColumn("cuts", content_cut_positions(F.col("text")))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for r, text in zip(rows, texts):
+        assert list(r["cuts"]) == _py_cut_positions(text), len(text)
+
+
+def test_chunk_rows_arrow_equals_catalyst_at_threshold(spark):
+    """The hybrid router's two paths are cut-for-cut identical: the same
+    documents chunked with the threshold forced to 0 (everything Arrow)
+    and forced high (everything Catalyst) yield identical chunk rows,
+    on lengths straddling the CDC_LONG_DOC boundary."""
+    import random
+
+    from pagopa_ecommerce_cdc_service_spark.operators import text as text_ops
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import _chunk_rows
+
+    rng = random.Random(7)
+    alphabet = "content defined chunking ABC 012 "
+    lengths = [
+        200,
+        text_ops.CDC_LONG_DOC - 1,
+        text_ops.CDC_LONG_DOC,
+        text_ops.CDC_LONG_DOC + 1,
+        text_ops.CDC_LONG_DOC + 500,
+    ]
+    docs = spark.createDataFrame(
+        [
+            (i, "".join(rng.choice(alphabet) for _ in range(n)))
+            for i, n in enumerate(lengths)
+        ],
+        ["doc_id", "text"],
+    )
+    mixed = sorted(map(tuple, _chunk_rows(docs).collect()))
+    orig = text_ops.CDC_LONG_DOC
+    try:
+        text_ops.CDC_LONG_DOC = 0
+        all_arrow = sorted(map(tuple, _chunk_rows(docs).collect()))
+        text_ops.CDC_LONG_DOC = 1 << 40
+        all_catalyst = sorted(map(tuple, _chunk_rows(docs).collect()))
+    finally:
+        text_ops.CDC_LONG_DOC = orig
+    assert mixed == all_arrow == all_catalyst
+    assert len(mixed) > len(lengths)  # every doc actually split
+
+
+def test_content_chunks_multi_megabyte_document(spark):
+    """A 5 MB document chunks in bounded time and memory (routed through
+    the Arrow kernel by the hybrid), and its chunk rows match spans
+    derived from the independent rolling-scan reference exactly."""
+    import random
+    import time
+
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import _chunk_rows
+
+    rng = random.Random(99)
+    big = "".join(
+        rng.choice("the quick brown fox 0123456789 ") for _ in range(5_000_000)
+    )
+    df = spark.createDataFrame([(7, big)], ["doc_id", "text"]).repartition(1)
+    t0 = time.monotonic()
+    rows = sorted(map(tuple, _chunk_rows(df).collect()))
+    wall = time.monotonic() - t0
+    cuts = _py_cut_positions(big)
+    starts = [1] + [c + 1 for c in cuts]
+    ends = cuts + [len(big)]
+    expected = sorted(
+        (7, i, s, e - s + 1, md5_long_py(big[s - 1 : e]))
+        for i, (s, e) in enumerate(zip(starts, ends))
+    )
+    assert rows == expected
+    # ~5M candidates / 64 expected-cut density
+    assert 40_000 < len(cuts) < 120_000
+    assert wall < 120, f"5 MB chunking took {wall:.1f}s"
