@@ -123,46 +123,115 @@ def _field_op(view_field: str) -> Column:
     return op
 
 
+def _salted_applied(df: DataFrame, key: str, s: int) -> DataFrame:
+    """Skew-resilient id-dedup + strict-newer guard (see
+    ``fold_transactions_view(salt_segments=...)``).
+
+    Segments are RANGES of the global arrival counter ``seq`` (not hashes —
+    the prefix-max scan needs ordered segments), sized from a broadcast
+    one-row (min, max) aggregate so no driver collect happens."""
+    # id-dedup as a (key, id) aggregation: first delivery (min seq) wins.
+    # min_by keeps the whole winning row; the exchange key carries id, so a
+    # hot transactionId spreads across its (distinct) event ids.
+    cols = df.columns
+    df = (
+        df.groupBy(key, "id")
+        .agg(F.min_by(F.struct(*[c for c in cols if c not in (key, "id")]), F.col("seq")).alias("_row"))
+        .select(key, "id", "_row.*")
+    )
+    # ordered segmentation of seq into s ranges
+    bounds = df.agg(
+        F.min("seq").alias("_lo"), F.max("seq").alias("_hi")
+    )
+    df = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_seg",
+        F.floor(
+            ((F.col("seq") - F.col("_lo")) * s) / (F.col("_hi") - F.col("_lo") + 1)
+        ).cast("int"),
+    )
+    # level 1: per-(key, seg) maxima — partial-aggregable, skew spreads
+    seg_max = df.groupBy(key, "_seg").agg(F.max(_TS).alias("_segmax"))
+    # level 2: prefix max over SEGMENTS (≤ s rows per key — tiny)
+    w_seg = (
+        Window.partitionBy(key)
+        .orderBy("_seg")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev = seg_max.withColumn("_prevmax", F.max("_segmax").over(w_seg)).select(
+        key, "_seg", "_prevmax"
+    )
+    # level 3: within-segment prefix max — window bounded by the segment
+    w_in = (
+        Window.partitionBy(key, "_seg")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    df = df.join(prev, [key, "_seg"])
+    in_seg = F.max(F.col(_TS)).over(w_in)
+    prefix_max = F.greatest(F.col("_prevmax"), in_seg)  # greatest skips nulls
+    return df.withColumn(
+        _APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max)
+    ).drop("_lo", "_hi", "_seg", "_prevmax")
+
+
 def fold_transactions_view(
     prepared: DataFrame,
     key: str = "transactionId",
     seq: str = "seq",
+    salt_segments: int | None = None,
 ) -> DataFrame:
     """Fold a prepared event log into the transactions view (batch mode).
 
     ``prepared`` must be the output of :func:`prepare_events` (or carry a
     ``_ts_millis`` column) and a monotone arrival-order ``seq`` column.
+
+    ``salt_segments``: skew fallback. The default plan is ONE exchange on
+    ``key``, whose two per-key windows serialize every hot key's rows into
+    one task — fine up to the measured hotness threshold recorded in
+    SCALING.md, a straggler beyond it. With ``salt_segments=S`` the fold
+    switches to a skew-resilient formulation in which NO stage is keyed on
+    ``key`` alone at event grain: id-dedup becomes a (key, id) min-by
+    aggregation (ids are distinct within a hot key, so the exchange
+    spreads), and the prefix-max guard becomes a two-level segmented scan —
+    per-(key, seg) partial maxima, a key-grain prefix pass over the tiny
+    S-row-per-key segment table, then within-segment windows bounded by the
+    segment width. The final per-field folds are partial-aggregable maxes,
+    which absorb skew map-side in either formulation. Costs two extra
+    narrow exchanges; results are row-identical (property-tested).
     """
     df = prepared
     if seq != "seq":
         df = df.withColumn("seq", F.col(seq))
 
-    # ONE explicit shuffle by the fold key. hash(transactionId) satisfies the
-    # clustered-distribution requirements of the (key, id) dedup window, the
-    # key-only guard window AND the final groupBy, so Catalyst plans no
-    # further Exchange (left to EnsureRequirements it would shuffle twice:
-    # once on (key, id), once on key).
-    df = df.repartition(key)
+    if salt_segments is None:
+        # ONE explicit shuffle by the fold key. hash(transactionId) satisfies
+        # the clustered-distribution requirements of the (key, id) dedup
+        # window, the key-only guard window AND the final groupBy, so
+        # Catalyst plans a single Exchange (left to EnsureRequirements it
+        # would shuffle twice: once on (key, id), once on key).
+        df = df.repartition(key)
 
-    # exclusive-lock dedup by event id (CdcLockService.kt:40-50): first
-    # delivery wins.
-    w_dedup = Window.partitionBy(key, "id").orderBy("seq")
-    df = (
-        df.withColumn("_rn_id", F.row_number().over(w_dedup))
-        .filter(F.col("_rn_id") == 1)
-        .drop("_rn_id")
-    )
+        # exclusive-lock dedup by event id (CdcLockService.kt:40-50): first
+        # delivery wins.
+        w_dedup = Window.partitionBy(key, "id").orderBy("seq")
+        df = (
+            df.withColumn("_rn_id", F.row_number().over(w_dedup))
+            .filter(F.col("_rn_id") == 1)
+            .drop("_rn_id")
+        )
 
-    # guard: applies iff strictly newer than every earlier valid event
-    w_prefix = (
-        Window.partitionBy(key)
-        .orderBy("seq")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix_max = F.max(F.col(_TS)).over(w_prefix)
-    df = df.withColumn(
-        _APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max)
-    )
+        # guard: applies iff strictly newer than every earlier valid event
+        w_prefix = (
+            Window.partitionBy(key)
+            .orderBy("seq")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prefix_max = F.max(F.col(_TS)).over(w_prefix)
+        df = df.withColumn(
+            _APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max)
+        )
+    else:
+        df = _salted_applied(df, key, max(2, int(salt_segments)))
 
     aggs: list[Column] = []
     aggs.append(F.max(_status_op())["v"].alias("status"))

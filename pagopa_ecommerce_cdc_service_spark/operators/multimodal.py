@@ -741,3 +741,32 @@ def video_frame_energies(media_df: DataFrame, n_frames: int = 8) -> DataFrame:
     return media_df.select("media_id", "payload").mapInPandas(
         run, schema=VIDEO_FRAME_ENERGY_SCHEMA
     )
+
+
+def synthesize_bmp_media_twins(docs: DataFrame, twin_mod: int = 5) -> DataFrame:
+    """documents → BMP corpus with NEAR-DUP twins: every document yields its
+    base test card (media_id = 2·doc_id) and every ``twin_mod``-th document
+    additionally yields a perturbed twin (media_id = 2·doc_id + 1) — the
+    same card with its LAST pixel bumped by one (mod 256), i.e. one changed
+    patch out of 4–16. The pairs an image near-dup stage must recover are
+    therefore known by construction. Arrow-batched producer, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = _synth_pixels(d)
+                ids.append(2 * d)
+                payloads.append(encode_bmp_gray8(px))
+                if d % twin_mod == 0:
+                    tw = px.copy().ravel()
+                    tw[-1] = (int(tw[-1]) + 1) % 256
+                    ids.append(2 * d + 1)
+                    payloads.append(encode_bmp_gray8(tw.reshape(px.shape)))
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads},
+                columns=["media_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BMP_MEDIA_SCHEMA)

@@ -430,3 +430,166 @@ SELECT media_id,
                      AS BIGINT) END AS resized_sum
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: the multimodal columns composed with the dedup stack.
+# The corpus is the BMP test cards plus synthesized near-dup TWINS (every
+# 5th card re-emitted with one pixel bumped — one changed patch), so the
+# pairs to recover are known by construction. Per image, the ViT
+# patchification's per-patch pixel sums (ordered row-major) form an
+# integer perceptual signature; candidate pairs come from PIGEONHOLE
+# BANDING — the signature split into 2 halves, pairs must agree exactly
+# on one half — which is provably lossless for pairs differing in ≤1
+# patch (the twin perturbation), the LSH-banding idea with exact-match
+# bands. Verification counts matching patches and keeps pairs with ≥70%
+# agreement. 100 TB shape: decode+patchify is Arrow map-only; signatures
+# are one media_id aggregation; candidates come from a band equi-join
+# (never all-pairs); the quadratic is bounded to band-colliding pairs.
+# Oracle: the entire pipeline from the pixel formula in pure SQL, same
+# banding — both engines express the same blocked operator.
+# ---------------------------------------------------------------------------
+_IMG_SIM = 0.7
+
+
+def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_patches, synthesize_bmp_media_twins
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    patches = image_patches(synthesize_bmp_media_twins(docs))
+    sig = (
+        patches.groupBy("media_id")
+        .agg(
+            (F.max("patch_row") + 1).alias("n_pr"),
+            (F.max("patch_col") + 1).alias("n_pc"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("patch_row", "patch_col", "pixel_sum")
+                    )
+                ),
+                lambda x: x["pixel_sum"],
+            ).alias("sig"),
+        )
+        .withColumn("n", F.size("sig"))
+        .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
+    )
+    bands = sig.select(
+        "media_id",
+        "n_pr",
+        "n_pc",
+        "n",
+        "sig",
+        F.posexplode(
+            F.array(
+                F.slice("sig", F.lit(1), F.col("half")),
+                F.slice("sig", F.col("half") + 1, F.col("n") - F.col("half")),
+            )
+        ).alias("band_idx", "band"),
+    ).withColumn(
+        "band_key", F.concat_ws(",", F.transform("band", lambda x: x.cast("string")))
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.n_pr") == F.col("b.n_pr"))
+            & (F.col("a.n_pc") == F.col("b.n_pc"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+            F.col("a.n").alias("n_patches"),
+        )
+        .distinct()
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.withColumn("n_match", n_match.cast("long"))
+        .withColumn(
+            "sim", F.col("n_match") / F.col("n_patches")
+        )
+        .filter(F.col("sim") >= _IMG_SIM)
+        .select("media_a", "media_b", F.col("n_patches").cast("long").alias("n_patches"), "n_match", "sim")
+    )
+
+
+QUERIES["mm_image_near_dup"] = mm_image_near_dup
+
+# first-principles twin: cards + twins from the pixel formula, patch sums
+# via the same grid mapping as the mm_image_patches oracle, identical
+# pigeonhole banding and verification
+ORACLES["mm_image_near_dup"] = f"""
+WITH cards AS (
+  SELECT doc_id, doc_id * 2 AS media_id, 0 AS delta FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1, 1 FROM documents WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT media_id, doc_id, delta,
+         8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+  FROM cards
+),
+pr AS (
+  SELECT *, unnest(range(CAST((h + 3) // 4 AS INTEGER))) AS pr FROM g
+),
+pc AS (
+  SELECT *, unnest(range(CAST((w + 3) // 4 AS INTEGER))) AS pc FROM pr
+),
+dims AS (
+  SELECT *, least(4, h - pr * 4) AS ph, least(4, w - pc * 4) AS pw FROM pc
+),
+psum AS (
+  SELECT media_id, pr, pc,
+         CAST(list_sum(list_transform(range(CAST(ph * pw AS INTEGER)),
+           j -> ((doc_id * 31
+                  + 7 * ((pr * 4 + j // pw) * w + pc * 4 + j % pw)) % 256
+                 + CASE WHEN delta = 1
+                         AND (pr * 4 + j // pw) * w + pc * 4 + j % pw = w * h - 1
+                        THEN 1 ELSE 0 END) % 256))
+           AS BIGINT) AS s
+  FROM dims
+),
+sig AS (
+  SELECT media_id,
+         max(pr) + 1 AS n_pr, max(pc) + 1 AS n_pc,
+         list(s ORDER BY pr, pc) AS sig,
+         count(*) AS n,
+         CAST(ceil(count(*) / 2.0) AS INTEGER) AS half
+  FROM psum GROUP BY media_id
+),
+bands AS (
+  SELECT media_id, n_pr, n_pc, n, sig, 0 AS band_idx,
+         array_to_string(sig[1:half], ',') AS band_key
+  FROM sig
+  UNION ALL
+  SELECT media_id, n_pr, n_pc, n, sig, 1,
+         array_to_string(sig[half + 1:CAST(n AS INTEGER)], ',')
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.sig AS sa, b.sig AS sb, a.n AS n_patches
+  FROM bands a JOIN bands b
+    ON a.n_pr = b.n_pr AND a.n_pc = b.n_pc
+   AND a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.media_id < b.media_id
+),
+v AS (
+  SELECT media_a, media_b, n_patches,
+         CAST(len(list_filter(range(CAST(n_patches AS INTEGER)),
+                i -> sa[i + 1] = sb[i + 1])) AS BIGINT) AS n_match
+  FROM cand
+)
+SELECT media_a, media_b, CAST(n_patches AS BIGINT) AS n_patches, n_match,
+       CAST(n_match AS DOUBLE) / n_patches AS sim
+FROM v WHERE CAST(n_match AS DOUBLE) / n_patches >= {_IMG_SIM}
+"""

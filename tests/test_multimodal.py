@@ -233,3 +233,32 @@ def test_audio_decode_stats_matches_waveform_formula(spark, sf_dir):
         assert got["sample_sum"] == int(s.sum())
         assert got["peak_abs"] == int(np.abs(s).max())
         assert got["pos_checksum"] == int(((np.arange(s.size) + 1) * s).sum())
+
+
+def test_image_near_dup_recovers_every_twin_pair(spark):
+    """Pigeonhole guarantee: a twin differs from its base card in exactly
+    one patch, so with 2 exact-match bands every (2d, 2d+1) pair MUST
+    surface — recall 1.0 on the synthesized near-dups by construction, at
+    similarity (n-1)/n ≥ 0.75."""
+    from pagopa_ecommerce_cdc_service_spark.plans.multimodal_queries import (
+        mm_image_near_dup,
+    )
+
+    pairs = {
+        (r["media_a"], r["media_b"]): r["sim"]
+        for r in mm_image_near_dup(spark, "/root/testdata/sf0.001").collect()
+    }
+    import duckdb
+
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet' "
+            "WHERE doc_id % 5 = 0"
+        ).fetchall()
+    ]
+    assert doc_ids
+    for d in doc_ids:
+        key = (2 * d, 2 * d + 1)
+        assert key in pairs, f"twin pair for doc {d} missed"
+        assert pairs[key] >= 0.75

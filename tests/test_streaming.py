@@ -1185,3 +1185,102 @@ def test_empty_micro_batch_is_a_no_op_commit(spark, tmp_path):
     assert _view_state(spark, view_dir).keys() == {
         e["transactionId"] for e in events
     }
+
+
+def test_manifest_gc_with_concurrent_readers(spark, tmp_path):
+    """GC under live readers: with retain_commits=3 a reader that resolved
+    a manifest has a ≥2-commit grace window before its generation dirs can
+    be deleted. Two reader threads hammer the view while the writer
+    commits 25 batches with per-commit retention GC — one resolves HEAD
+    then reads its dirs after a delay, one time-travels to the
+    SECOND-newest retained commit (grace window of one full commit; the
+    oldest retained commit has no grace by construction — it is eligible
+    for GC at the very next publish) — and every read must (a) never
+    observe a missing generation dir and (b) return exactly the row count
+    the writer recorded for that sequence (snapshot isolation, not just
+    liveness)."""
+    import threading
+    import time
+
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        current_commit,
+        parquet_upsert_sink,
+        valid_commits,
+    )
+
+    view_dir = str(tmp_path / "view")
+    sink = parquet_upsert_sink(
+        view_dir, n_buckets=4, retain_commits=3, key_col="k"
+    )
+
+    counts_by_seq: dict[int, int] = {}
+    lock = threading.Lock()
+    done = threading.Event()
+    errors: list[str] = []
+    reads = {"head": 0, "travel": 0}
+
+    def head_reader():
+        while not done.is_set():
+            try:
+                seq, payload = current_commit(spark, view_dir)
+                if seq is None:
+                    time.sleep(0.02)
+                    continue
+                dirs = [f"{view_dir}/{rel}" for rel in payload["buckets"].values()]
+                time.sleep(0.05)  # linger inside the grace window
+                n = spark.read.parquet(*dirs).count()
+                with lock:
+                    expected = counts_by_seq.get(seq)
+                if expected is not None and n != expected:
+                    errors.append(f"head seq {seq}: {n} rows != {expected}")
+                reads["head"] += 1
+            except Exception as exc:  # a vanished dir surfaces here
+                errors.append(f"head reader: {exc!r}")
+                return
+
+    def travel_reader():
+        while not done.is_set():
+            try:
+                retained = valid_commits(spark, view_dir)[:3]
+                if len(retained) < 3:
+                    time.sleep(0.02)
+                    continue
+                seq, payload = retained[1]  # second-newest retained commit
+                dirs = [f"{view_dir}/{rel}" for rel in payload["buckets"].values()]
+                time.sleep(0.05)
+                n = spark.read.parquet(*dirs).count()
+                with lock:
+                    expected = counts_by_seq.get(seq)
+                if expected is not None and n != expected:
+                    errors.append(f"travel seq {seq}: {n} rows != {expected}")
+                reads["travel"] += 1
+            except Exception as exc:
+                errors.append(f"travel reader: {exc!r}")
+                return
+
+    threads = [
+        threading.Thread(target=head_reader, daemon=True),
+        threading.Thread(target=travel_reader, daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    try:
+        keys = 0
+        for i in range(25):
+            batch = spark.createDataFrame(
+                [(k, i) for k in range(max(0, keys - 2), keys + 4)], "k bigint, v bigint"
+            )
+            keys += 4
+            sink(batch, epoch_id=i)
+            seq, _ = current_commit(spark, view_dir)
+            # batch i upserts keys [4i-2, 4i+4) → distinct keys = 4(i+1)
+            with lock:
+                counts_by_seq[seq] = keys
+            if errors:
+                break
+    finally:
+        done.set()
+        for t in threads:
+            t.join(timeout=30)
+    assert not errors, errors[:5]
+    assert reads["head"] >= 5 and reads["travel"] >= 5, reads

@@ -185,6 +185,80 @@ def build_sf1(spark, src: str, dest: str) -> None:
     manifest_path.write_text(json.dumps(expected))
 
 
+def build_skew_variant(spark, src: str, dest: str, hot_replicas: int) -> str:
+    """Events decade with replicas 0..hot_replicas-1 (hot_replicas × 10% of
+    all rows) routed to ONE hot user → 3 hot transactionIds under the
+    envelope synthesis. Returns the variant dir."""
+    from pyspark.sql import functions as F
+
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    vdir = f"{dest}/skew{hot_replicas}"
+    out = f"{vdir}/events.parquet"
+    if os.path.exists(f"{out}/_SUCCESS"):
+        return vdir
+    os.makedirs(vdir, exist_ok=True)
+    k = F.explode(F.array(*[F.lit(i) for i in range(REPLICAS)])).alias("_r")
+    rep = read(spark, src, "events").select("*", k).withColumn(
+        "event_id", F.col("event_id") + F.col("_r") * F.lit(OFFSET)
+    )
+    rep.withColumn(
+        "user_id",
+        F.when(F.col("_r") < hot_replicas, F.lit(HOT_USER)).otherwise(
+            F.col("user_id") + F.col("_r") * F.lit(OFFSET)
+        ),
+    ).drop("_r").write.mode("overwrite").parquet(out)
+    return vdir
+
+
+def skew_sweep(spark, src: str, dest: str, runs: int) -> None:
+    """Measure where the single-exchange CDC fold's hot-key straggler bites
+    (the salting threshold), and what the salted fallback costs/buys.
+
+    For hotness ratios 10..70% (of the decade's rows on 3 transactionIds),
+    time the default fold and the salted fold on the same skewed decade;
+    the uniform decade anchors the comparison."""
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import (
+        fold_transactions_view,
+        prepare_events,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.cdc_view import (
+        synthesize_envelope,
+    )
+
+    def time_fold(sf_dir: str, salt):
+        best = None
+        for _ in range(runs):
+            t0 = time.time()
+            fold_transactions_view(
+                prepare_events(synthesize_envelope(spark, sf_dir)),
+                salt_segments=salt,
+            ).write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    uniform = build_skew_variant(spark, src, dest, 0)
+    base = time_fold(uniform, None)
+    print(json.dumps({"skew_sweep": "uniform", "sec": base}), flush=True)
+    for hot in (1, 3, 5, 7):
+        vdir = build_skew_variant(spark, src, dest, hot)
+        plain = time_fold(vdir, None)
+        salted = time_fold(vdir, 32)
+        print(
+            json.dumps(
+                {
+                    "skew_sweep": f"{hot * 10}%-hot",
+                    "sec_unsalted": plain,
+                    "sec_salted": salted,
+                    "vs_uniform_unsalted": round(plain / base, 2),
+                    "vs_uniform_salted": round(salted / base, 2),
+                }
+            ),
+            flush=True,
+        )
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/spark_graft_sf1")
@@ -196,12 +270,21 @@ def main() -> None:
 
     ap.add_argument("--runs", type=positive, default=2)
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--skew-sweep",
+        action="store_true",
+        help="only run the fold salting-threshold sweep (hotness 10..70%%)",
+    )
     args = ap.parse_args()
 
     from pagopa_ecommerce_cdc_service_spark.session import build_session
 
     spark = build_session(master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
     import __spark_entry__ as entry
+
+    if args.skew_sweep:
+        skew_sweep(spark, "/root/testdata/sf0.1", args.out, args.runs)
+        return
 
     build_sf1(spark, "/root/testdata/sf0.1", args.out)
 
