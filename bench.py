@@ -89,6 +89,14 @@ HEADLINE = [
     "t_content_chunks",
     "t_chunk_dedup_stats",
     "t_chunk_dedup_apply",
+    # round-6 additions: chunk-dedup rewrite (the shipped artifact),
+    # image near-dup composition, and the composed-index recall audits
+    "t_chunk_dedup_rewrite",
+    "mm_image_near_dup",
+    "e_sq8_recall",
+    "e_matryoshka_recall",
+    "e_semdedup_pair_recall",
+    "e_ivfpq_recall",
 ]
 
 
