@@ -489,6 +489,10 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "band_key", F.concat_ws(",", F.transform("band", lambda x: x.cast("string")))
     )
+    # lazy persist: both sides of the band self-join reference this subtree —
+    # without the pin the Arrow decode+patchify pipeline runs twice (the
+    # t_kcore_peel cache-substitution discipline; ~600 narrow rows)
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
