@@ -309,6 +309,18 @@ _CERTIFIED_TAIL = (
     "t_boilerplate_ngrams",
     "t_minhash_estimate_audit",
     "w_event_transitions",
+    # rotated out round 6 (second pass) for the four queries added in this
+    # session's breadth pass (e_filtered_topk — metadata-filtered IVF —,
+    # e_gram_matrix, t_inverted_index, e_hybrid_rrf), which displaced four
+    # runtime queries into the tail; all four rotated-out queries are
+    # r05-green and untouched this round (fingerprint-equal vs
+    # FINGERPRINTS_r05, guard-tested). The LSH pair family keeps
+    # t_stream_lsh_pairs + t_ngram_jaccard_pairs in the prefix; the span
+    # family keeps cdc_event_spans.
+    "t_minhash_lsh_pairs",
+    "t_dup_span_stats",
+    "t_kcore_peel",
+    "t_link_prediction",
 )
 
 

@@ -97,6 +97,12 @@ HEADLINE = [
     "e_matryoshka_recall",
     "e_semdedup_pair_recall",
     "e_ivfpq_recall",
+    # round-6 (second pass): filtered ANN, gram matrix (PCA prep),
+    # inverted-index construction, hybrid BM25+ANN RRF fusion
+    "e_filtered_topk",
+    "e_gram_matrix",
+    "t_inverted_index",
+    "e_hybrid_rrf",
 ]
 
 

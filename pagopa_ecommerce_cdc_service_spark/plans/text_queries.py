@@ -2885,3 +2885,44 @@ def t_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_stream_chunk_dedup"] = t_stream_chunk_dedup
 ORACLES["t_stream_chunk_dedup"] = ORACLES["t_chunk_dedup_apply"]
+
+
+# ---------------------------------------------------------------------------
+# inverted index construction (postings with positions): one row per
+# (term, doc) holding tf and the ascending position list — the structure
+# BM25/df statistics read, and positions enable phrase/proximity search.
+# 100 TB shape: ONE explode (token, position) then ONE partial-aggregable
+# (term, doc_id) exchange; positions are bounded by document length and
+# stay inside their row (csv string — the driver's value hash covers
+# ordering). Term-sharded layout at scale = partitionBy(term) on write.
+# ---------------------------------------------------------------------------
+@query(
+    "t_inverted_index",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_transform({TOKENS_SQL.format(c="text")},
+                    (x, i) -> struct_pack(tok := x, pos := i - 1))) AS t
+      FROM documents
+    )
+    SELECT t.tok AS term, doc_id,
+           count(*) AS tf,
+           array_to_string(list(t.pos ORDER BY t.pos), ',') AS positions
+    FROM toks
+    GROUP BY t.tok, doc_id
+    """,
+)
+def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark)
+    ex = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "term")
+    )
+    return ex.groupBy("term", "doc_id").agg(
+        F.count("*").alias("tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("pos")), lambda p: p.cast("string")
+            ),
+        ).alias("positions"),
+    )

@@ -1206,3 +1206,229 @@ def e_semdedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_found") / F.col("n_exact")).alias("pair_recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# metadata-FILTERED ANN (the FAISS/vector-DB "filtered search" serving
+# shape): top-k under a label predicate, composed with the IVF layout —
+# the predicate is applied INSIDE the probed-list scan (pre-filter
+# semantics), so selectivity multiplies with the nprobe/nlist prune
+# instead of post-filtering a top-k that may then under-fill. At 100 TB
+# the label predicate is a parquet pushdown on the list-partitioned code
+# table — the scan reads only matching row groups of the probed lists.
+# Known property of pre-filter IVF (documented, same in FAISS): a very
+# selective filter can leave < k results in the probed lists; raising
+# nprobe is the quality knob, and the recall audits quantify it.
+# ---------------------------------------------------------------------------
+_FILTER_LABELS = (2, 5)
+_FILTERED_K = 10
+
+
+@query(
+    "e_filtered_topk",
+    f"""
+    WITH e AS (SELECT vec_id, label, {_QV} AS qvec FROM embeddings),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, e.label, e.qvec, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, label, qvec, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid FROM assign WHERE vec_id = 0 AND rn <= {_NPROBE}),
+    q AS (SELECT qvec AS qv FROM e WHERE vec_id = 0)
+    SELECT c.vec_id, c.label, c.pid AS list_id,
+           {cosine_sql("c.qvec", "q.qv")} AS cos_sim
+    FROM lists c JOIN qprobe USING (pid), q
+    WHERE c.vec_id <> 0 AND c.label IN {_FILTER_LABELS}
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_FILTERED_K}
+    """,
+)
+def e_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dist2, nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    lists = nearest_pivot(emb, piv).select("vec_id", "label", "qvec", "pid")
+    wq = Window.orderBy("d2", "pid")
+    qprobe = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("qvec"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("pid")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    return (
+        lists.join(F.broadcast(qprobe), "pid", "left_semi")
+        .filter((F.col("vec_id") != 0) & F.col("label").isin(*_FILTER_LABELS))
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", F.col("pid").alias("list_id"),
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_FILTERED_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gram (scatter) matrix of the embedding corpus — the aggregation a PCA /
+# whitening / low-rank-projection stage runs first: G[i,j] = Σ_rows
+# v[i]·v[j] over the quantized domain, exact BIGINT (64·64 dims × values
+# ≤ ~1e3·corpus — far under 2⁶³). 100 TB shape: explode the row index i
+# (64 rows per vector), elementwise-multiply the in-row array, then ONE
+# groupBy(i) whose per-dimension array sums are partial-aggregable — the
+# corpus crosses the wire as at most 64 × n_partitions partial rows, and
+# the result is a fixed 64×64 table at any corpus size (the mergeable-
+# summary property, same as the label-centroid fold). The eigensolve on
+# the 64×64 result is driver-side math by design — it is O(dims³), not
+# O(corpus).
+# ---------------------------------------------------------------------------
+@query(
+    "e_gram_matrix",
+    f"""
+    WITH e AS (SELECT {_QV} AS q FROM embeddings),
+    rows_i AS (
+      SELECT q, unnest(range(1, {64 + 1})) AS i FROM e
+    ),
+    cells AS (
+      SELECT i, unnest(list_transform(q, (x, j) -> struct_pack(
+               j := j, v := q[CAST(i AS INTEGER)] * x))) AS c
+      FROM rows_i
+    )
+    SELECT CAST(i AS BIGINT) AS dim_i, CAST(c.j AS BIGINT) AS dim_j,
+           CAST(SUM(c.v) AS BIGINT) AS gram
+    FROM cells
+    GROUP BY i, c.j
+    """,
+)
+def e_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        quantize(F.col("embedding")).alias("q")
+    )
+    # one Generate (64×): row i + the full array; scaled = v_i * v stays
+    # in-row, then the groupBy(i) partial-aggregates 64 sums map-side
+    ex = emb.select(
+        F.posexplode(F.col("q")).alias("i0", "vi"), F.col("q")
+    ).select(
+        (F.col("i0") + 1).alias("dim_i"),
+        F.transform(F.col("q"), lambda x: F.col("vi") * x).alias("scaled"),
+    )
+    sums = ex.groupBy("dim_i").agg(
+        *[
+            F.sum(F.element_at("scaled", j + 1)).alias(f"g{j}")
+            for j in range(64)
+        ]
+    )
+    return sums.select(
+        F.col("dim_i").cast("long").alias("dim_i"),
+        F.posexplode(F.array(*[F.col(f"g{j}") for j in range(64)])).alias(
+            "j0", "gram"
+        ),
+    ).select(
+        "dim_i",
+        (F.col("j0") + 1).cast("long").alias("dim_j"),
+        F.col("gram").cast("long").alias("gram"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval (BM25 ∪ ANN with reciprocal-rank fusion): the standard
+# two-tower serving composition — a lexical ranked list over `documents`
+# and a vector ranked list over `embeddings`, fused by RRF
+# (score = Σ 1/(60 + rank), Cormack et al.'s k=60). Ranks come from two
+# bounded top-k lists (10 rows each), so the fusion is a full-outer join
+# of two tiny relations + one deterministic double per side (IEEE
+# division of identical small integers — bit-identical cross-engine).
+# 100 TB shape: each side keeps its own scale path (BM25: one corpus
+# scan + broadcast stats; ANN: map-only scoring + TakeOrderedAndProject);
+# the fusion itself is O(k). Docs and vectors share the id space by
+# corpus construction (embedding i embeds document i).
+# ---------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 10
+
+
+def _hybrid_oracle() -> str:
+    from .text_queries import ORACLES as TEXT_ORACLES
+
+    cos_topk = f"""
+      SELECT e.vec_id AS doc_id,
+             {cosine_sql(quantize_sql("e.embedding"), "q.qv")} AS cos_sim
+      FROM embeddings e, (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY cos_sim DESC, e.vec_id LIMIT {_RRF_TOP}
+    """
+    return f"""
+    WITH bm AS ({TEXT_ORACLES["t_bm25_topdocs"]}),
+    bmr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS r
+      FROM bm
+    ),
+    ann AS ({cos_topk}),
+    annr AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS r
+      FROM ann
+    ),
+    f AS (
+      SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id, b.r AS br, a.r AS ar
+      FROM bmr b FULL OUTER JOIN annr a ON b.doc_id = a.doc_id
+    )
+    SELECT doc_id,
+           CAST(COALESCE(br, 0) AS BIGINT) AS bm25_rank,
+           CAST(COALESCE(ar, 0) AS BIGINT) AS ann_rank,
+           COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + br), 0)
+             + COALESCE(CAST(1 AS DOUBLE) / ({_RRF_K} + ar), 0) AS rrf_score
+    FROM f
+    ORDER BY rrf_score DESC, doc_id LIMIT {_RRF_TOP}
+    """
+
+
+@query("e_hybrid_rrf", _hybrid_oracle())
+def e_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text_queries import t_bm25_topdocs
+
+    bm = t_bm25_topdocs(spark, sf_dir)  # 10 rows: doc_id, bm25_score
+    wb = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    bmr = bm.select("doc_id", F.row_number().over(wb).alias("br"))
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).withColumn(
+        "qvec", quantize(F.col("embedding"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    ann = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
+    wa = Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))
+    annr = ann.select("doc_id", F.row_number().over(wa).alias("ar"))
+
+    rrf = F.coalesce(F.lit(1.0) / (_RRF_K + F.col("br")), F.lit(0.0)) + F.coalesce(
+        F.lit(1.0) / (_RRF_K + F.col("ar")), F.lit(0.0)
+    )
+    return (
+        bmr.join(annr, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("br", F.lit(0)).cast("long").alias("bm25_rank"),
+            F.coalesce("ar", F.lit(0)).cast("long").alias("ann_rank"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
