@@ -321,6 +321,18 @@ _CERTIFIED_TAIL = (
     "t_dup_span_stats",
     "t_kcore_peel",
     "t_link_prediction",
+    # rotated out round 6 (third pass) for e_jl_topk + e_jl_recall (the
+    # data-independent JL sketch index and its recall audit) and
+    # e_pca_projection (unrolled power iteration), which displaced three
+    # runtime queries into the tail; all three rotated-out queries are
+    # r05-green and untouched this round (fingerprint-equal vs
+    # FINGERPRINTS_r05, guard-tested — runtime queries cannot take tail
+    # slots, so the swaps come from the static prefix members). The
+    # near-dup family keeps t_ngram_jaccard_pairs under oracle parity
+    # every pytest run and its prefix history in r05.
+    "t_rare_token_ratio",
+    "t_ngram_jaccard_pairs",
+    "t_udtf_chunks",
 )
 
 

@@ -103,6 +103,10 @@ HEADLINE = [
     "e_gram_matrix",
     "t_inverted_index",
     "e_hybrid_rrf",
+    # round-6 (third pass): JL sketch index + audit, power-iteration PCA
+    "e_jl_topk",
+    "e_jl_recall",
+    "e_pca_projection",
 ]
 
 

@@ -1432,3 +1432,210 @@ def e_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss sketch retrieval: a DATA-INDEPENDENT ±1 random
+# projection (Achlioptas 2003) maps 64 → 16 dims, the coarse scan ranks
+# in the sketch space (integer dots), the exact rerank touches only the
+# top-C pool — the "cheap scan → exact rescore" ANN profile WITHOUT any
+# training state (the contrast with Matryoshka: no model cooperation
+# needed; with PQ/IVF: no codebooks to maintain under corpus drift). The
+# projection matrix derives deterministically from md5 at PLAN BUILD time
+# and is embedded as literals in both engines, so the oracle shares it
+# textually. 100 TB shape: map-only coarse scoring over a stored sketch
+# column (4× less I/O), TakeOrderedAndProject, bounded rerank.
+# ---------------------------------------------------------------------------
+_JL_DIMS = 16
+_JL_POOL = 50
+_JL_TOP = 10
+
+
+def _jl_matrix() -> list[list[int]]:
+    from ..functions.hashing import md5_long_py
+
+    return [
+        [1 if md5_long_py(f"jl:{i}:{j}") % 2 == 0 else -1 for j in range(64)]
+        for i in range(_JL_DIMS)
+    ]
+
+
+def _jl_project(qcol) -> Column:
+    rows = _jl_matrix()
+    return F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    qcol,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda a, b: a * b.cast("bigint"),
+                ),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            )
+            for row in rows
+        ]
+    )
+
+
+def _jl_project_sql(q: str) -> str:
+    rows = _jl_matrix()
+    parts = [
+        "CAST(list_sum(list_transform(generate_series(1, 64), "
+        f"i -> ({q})[i] * ([{', '.join(str(x) for x in row)}])[i])) AS BIGINT)"
+        for row in rows
+    ]
+    return "[" + ", ".join(parts) + "]"
+
+
+@query(
+    "e_jl_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, {_QV} AS ev, {_jl_project_sql(_QV)} AS sk
+      FROM embeddings
+    ),
+    q AS (SELECT ev AS qv, sk AS qs FROM e WHERE vec_id = 0),
+    coarse AS (
+      SELECT e.vec_id, e.label, e.ev, {dot_sql("e.sk", "q.qs")} AS sketch_dot
+      FROM e, q WHERE e.vec_id <> 0
+      ORDER BY sketch_dot DESC, e.vec_id LIMIT {_JL_POOL}
+    )
+    SELECT c.vec_id, c.label, c.sketch_dot,
+           {cosine_sql("c.ev", "q.qv")} AS cos_sim
+    FROM coarse c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_JL_TOP}
+    """,
+)
+def e_jl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .withColumn("ev", quantize(F.col("embedding")))
+        .withColumn("sk", _jl_project(F.col("ev")))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("ev").alias("qv"), F.col("sk").alias("qs")
+    )
+    coarse = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label", "ev", "qv",
+            dot(F.col("sk"), F.col("qs")).alias("sketch_dot"),
+        )
+        .orderBy(F.desc("sketch_dot"), F.asc("vec_id"))
+        .limit(_JL_POOL)
+    )
+    return (
+        coarse.select(
+            "vec_id", "label", "sketch_dot",
+            cosine(F.col("ev"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_JL_TOP)
+    )
+
+
+# recall audit for the JL sketch — same gate as the other indexes
+@query(
+    "e_jl_recall",
+    _recall_sql(ORACLES["e_jl_topk"], 0, _JL_TOP),
+)
+def e_jl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_jl_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _JL_TOP),
+        _JL_TOP,
+    )
+
+
+# ---------------------------------------------------------------------------
+# First principal direction by UNROLLED POWER ITERATION over the gram
+# matrix, then the per-vector PC1 projection — the projection stage of a
+# PCA/whitening pipeline, done without any driver-side linear algebra
+# (the iteration is expressed in both engines, so the oracle certifies
+# the numerics, which numpy's eigh could not). All corpus-scale work is
+# two scans: the gram aggregation (fixed 64×64 output) and the final
+# projection (map-only integer dot against a broadcast 64-vector); each
+# iteration is a 4096-row join — O(dims²), corpus-independent. Numeric
+# discipline: the matrix–vector product is exact BIGINT (|G|≤2⁴⁰·|v|∞,
+# |v|∞ kept ≤ 2²⁰ by max-normalization); the normalization divides
+# doubles built from identical integers with identical parenthesization
+# in both engines, so every rounding step is bit-identical IEEE — the
+# iterate sequence, not just the limit, is cross-engine exact. Sign
+# convention fixed by v₀ = 1 (power iteration preserves the sign of the
+# dominant component of v₀).
+# ---------------------------------------------------------------------------
+_PCA_ITERS = 5
+_PCA_SCALE = 1048576.0  # 2^20: |v|∞ after each normalization
+
+
+def _pca_oracle() -> str:
+    gram = ORACLES["e_gram_matrix"]
+    ctes = [
+        f"g AS ({gram})",
+        "v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(1 AS BIGINT) AS v)",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"u{t} AS (SELECT g.dim_i AS j, CAST(SUM(g.gram * v{t-1}.v) AS BIGINT) AS u "
+            f"FROM g JOIN v{t-1} ON g.dim_j = v{t-1}.j GROUP BY g.dim_i)"
+        )
+        ctes.append(
+            f"v{t} AS (SELECT j, CAST(FLOOR((CAST(u AS DOUBLE) / "
+            f"CAST((SELECT MAX(ABS(u)) FROM u{t}) AS DOUBLE)) * {_PCA_SCALE}) "
+            f"AS BIGINT) AS v FROM u{t})"
+        )
+    ctes.append(
+        f"varr AS (SELECT list(v ORDER BY j) AS va FROM v{_PCA_ITERS})"
+    )
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT e.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> ({_QV})[i] * va[i])) AS BIGINT) AS pc1_proj
+    FROM embeddings e, varr
+    """
+
+
+@query("e_pca_projection", _pca_oracle())
+def e_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy persists (the t_kcore_peel discipline): every iteration references
+    # gram, and both m and v reference u — without the pins the corpus-scale
+    # gram aggregation re-executes once per unrolled iteration (measured
+    # 7.0 s → the persisted plan runs the corpus scan once)
+    gram = e_gram_matrix(spark, sf_dir).persist()
+    v = spark.range(1, 65).select(
+        F.col("id").alias("dim_j"), F.lit(1).cast("bigint").alias("v")
+    )
+    for _ in range(_PCA_ITERS):
+        u = (
+            gram.join(F.broadcast(v), "dim_j")
+            .groupBy("dim_i")
+            .agg(F.sum(F.col("gram") * F.col("v")).cast("bigint").alias("u"))
+        ).persist()
+        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
+        v = (
+            u.crossJoin(F.broadcast(m))
+            .select(
+                F.col("dim_i").alias("dim_j"),
+                F.floor(
+                    (F.col("u").cast("double") / F.col("m").cast("double"))
+                    * F.lit(_PCA_SCALE)
+                )
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+    varr = v.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_j", "v"))),
+            lambda s: s["v"],
+        ).alias("va")
+    )
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    return emb.crossJoin(F.broadcast(varr)).select(
+        "vec_id", dot(F.col("q"), F.col("va")).alias("pc1_proj")
+    )
