@@ -614,3 +614,52 @@ def test_chunk_dedup_apply_narrow_exchanges(spark, sf_dir, queries):
     assert any("chunk_hash" in k for k in keys), keys
     assert any("doc_id" in k and "chunk_hash" not in k for k in keys), keys
     assert not any("text" in k for k in keys), keys
+
+
+def test_filtered_topk_label_pushdown_and_topk(spark, sf_dir, queries):
+    plan = _plan(queries["e_filtered_topk"](spark, sf_dir))
+    # the metadata predicate reaches a parquet scan (pre-filter semantics —
+    # at scale it prunes row groups of the list-partitioned layout)
+    assert any(
+        "FileScan parquet" in l and "In(label, [2,5])" in l
+        for l in plan.splitlines()
+    ), "label IN predicate not pushed to any scan"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gram_matrix_single_exchange(spark, sf_dir, queries):
+    plan = _plan(queries["e_gram_matrix"](spark, sf_dir))
+    # one Generate + one partial-aggregable groupBy(dim_i): exactly one
+    # hash exchange, and partial aggregation rides map-side
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_sum" in plan
+
+
+def test_jl_topk_zero_hash_exchanges(spark, sf_dir, queries):
+    plan = _plan(queries["e_jl_topk"](spark, sf_dir))
+    # broadcast query row + map-only sketch scoring + TakeOrderedAndProject:
+    # the corpus never hash-shuffles
+    assert plan.count("Exchange hashpartitioning") == 0
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastExchange") >= 1
+
+
+def test_inverted_index_single_exchange(spark, sf_dir, queries):
+    plan = _plan(queries["t_inverted_index"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Generate posexplode" in plan
+
+
+def test_chunk_rewrite_text_never_shuffles(spark, sf_dir, queries):
+    plan = _plan(queries["t_chunk_dedup_rewrite"](spark, sf_dir))
+    # the ranking window + drops fold run on narrow post-shuffle rows only:
+    # the operators ABOVE the hash exchanges (Sort/Window on the chunk keys,
+    # the collect_list aggregate) must not carry the text column in their
+    # schemas — text is consumed map-side (md5/substr before the exchange)
+    # and meets the drops array again only via the broadcast join onto the
+    # original document rows
+    for l in plan.splitlines():
+        if ("Window [row_number()" in l
+                or "ObjectHashAggregate" in l
+                or ("Sort [chunk_hash" in l)):
+            assert "text#" not in l, f"chunk text in a post-shuffle operator:\n{l}"
