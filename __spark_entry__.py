@@ -333,6 +333,18 @@ _CERTIFIED_TAIL = (
     "t_rare_token_ratio",
     "t_ngram_jaccard_pairs",
     "t_udtf_chunks",
+    # rotated out round 6 (fourth pass) for cdc_view_diff (two-timestamp
+    # snapshot diff), t_collocations (PMI lift) and w_anomaly_days
+    # (median/MAD volume flags); all three rotated-out queries are
+    # r05-green and untouched this round (fingerprint-equal vs
+    # FINGERPRINTS_r05, guard-tested). The Matryoshka family stays
+    # prefix-exercised through e_matryoshka_recall (which composes the
+    # topk plan), the IVF layout through e_ivfpq_topk/e_ivfpq_recall,
+    # and the video/audio codec families keep mm_audio_frame_energy and
+    # mm_resize_geometry in the prefix.
+    "e_matryoshka_topk",
+    "e_ivf_build_stats",
+    "mm_video_keyframes",
 )
 
 

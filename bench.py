@@ -107,6 +107,10 @@ HEADLINE = [
     "e_jl_topk",
     "e_jl_recall",
     "e_pca_projection",
+    # round-6 (fourth pass): snapshot diff, collocations, anomaly flags
+    "cdc_view_diff",
+    "t_collocations",
+    "w_anomaly_days",
 ]
 
 

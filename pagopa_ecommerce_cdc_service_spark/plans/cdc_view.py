@@ -985,3 +985,103 @@ def cdc_pyds_envelope_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_pyds_envelope_feed"] = cdc_pyds_envelope_feed
 ORACLES["cdc_pyds_envelope_feed"] = ORACLES["cdc_envelope_quarantine"]
+
+
+# ---------------------------------------------------------------------------
+# snapshot DIFF between two as-of timestamps: which transactions appeared
+# and which changed (status / lastProcessedEventAt / feeTotal) between T1
+# and T2 — the audit table a migration or reconciliation job produces.
+# 'removed' cannot occur (the fold is append-only); 'changed' uses
+# null-safe comparison so a field transitioning to/from NULL counts. Both
+# snapshots are the same single-exchange fold over one shared scan with
+# only the cutoff differing; at production scale the INCREMENTAL path for
+# this table is cdc_change_feed — this query is its batch audit twin, and
+# the pair certifies the same semantics from two directions. Oracle: the
+# batch-fold oracle spliced at the valid-CTE cutoff, twice.
+# ---------------------------------------------------------------------------
+_DIFF_T2_MS = 1705968000000  # 2024-01-23T00:00:00Z
+
+
+def cdc_view_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    env = synthesize_envelope(spark, sf_dir)
+
+    def snap(ms: int) -> DataFrame:
+        return fold_transactions_view(
+            prepare_events(env).filter(F.col("_ts_millis") <= ms)
+        ).select("transactionId", "status", "lastProcessedEventAt", "feeTotal")
+
+    o = snap(_ASOF_MS).select(
+        "transactionId",
+        F.col("status").alias("old_status"),
+        F.col("lastProcessedEventAt").alias("old_last_ms"),
+        F.col("feeTotal").alias("old_fee"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = snap(_DIFF_T2_MS).select(
+        "transactionId",
+        F.col("status").alias("new_status"),
+        F.col("lastProcessedEventAt").alias("new_last_ms"),
+        F.col("feeTotal").alias("new_fee"),
+    )
+    j = n.join(o, "transactionId", "left").withColumn(
+        "_in_old", F.coalesce(F.col("_in_old"), F.lit(False))
+    )
+    changed = (
+        ~F.col("old_status").eqNullSafe(F.col("new_status"))
+        | ~F.col("old_last_ms").eqNullSafe(F.col("new_last_ms"))
+        | ~F.col("old_fee").eqNullSafe(F.col("new_fee"))
+    )
+    return (
+        j.filter(~F.col("_in_old") | changed)
+        .select(
+            "transactionId",
+            F.when(~F.col("_in_old"), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            "old_status",
+            "new_status",
+            "old_last_ms",
+            "new_last_ms",
+            "old_fee",
+            "new_fee",
+        )
+    )
+
+
+def _asof_spliced(ms: int) -> str:
+    assert ORACLE_SQL.count(_ASOF_ANCHOR) == 1
+    return ORACLE_SQL.replace(
+        _ASOF_ANCHOR,
+        f"WHERE ts_ms <= {ms} AND op = 'insert' AND ttl IS NULL AND code IN",
+    )
+
+
+VIEW_DIFF_ORACLE_SQL = f"""
+WITH o AS (
+  SELECT transactionId, status AS old_status,
+         lastProcessedEventAt AS old_last_ms, feeTotal AS old_fee
+  FROM ({_asof_spliced(_ASOF_MS)}) s1
+),
+n AS (
+  SELECT transactionId, status AS new_status,
+         lastProcessedEventAt AS new_last_ms, feeTotal AS new_fee
+  FROM ({_asof_spliced(_DIFF_T2_MS)}) s2
+),
+j AS (
+  SELECT n.transactionId, n.new_status, n.new_last_ms, n.new_fee,
+         o.old_status, o.old_last_ms, o.old_fee,
+         o.transactionId IS NOT NULL AS in_old
+  FROM n LEFT JOIN o ON n.transactionId = o.transactionId
+)
+SELECT transactionId,
+       CASE WHEN NOT in_old THEN 'added' ELSE 'changed' END AS change_type,
+       old_status, new_status, old_last_ms, new_last_ms, old_fee, new_fee
+FROM j
+WHERE NOT in_old
+   OR old_status  IS DISTINCT FROM new_status
+   OR old_last_ms IS DISTINCT FROM new_last_ms
+   OR old_fee     IS DISTINCT FROM new_fee
+"""
+
+QUERIES["cdc_view_diff"] = cdc_view_diff
+ORACLES["cdc_view_diff"] = VIEW_DIFF_ORACLE_SQL

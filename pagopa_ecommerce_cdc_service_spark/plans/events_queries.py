@@ -2132,3 +2132,91 @@ def w_stream_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["w_stream_event_transitions"] = w_stream_event_transitions
 ORACLES["w_stream_event_transitions"] = ORACLES["w_event_transitions"]
+
+
+# ---------------------------------------------------------------------------
+# robust daily-volume anomaly flags (median / MAD): per event type, a day
+# is anomalous when its event count deviates from the type's median by
+# more than 3× the median absolute deviation — the data-quality monitor a
+# pipeline runs on ingest volumes, robust where mean/stddev would let one
+# outlier day mask itself. Uses the suite's nearest-rank percentile
+# discipline (ceil(0.5·n)-th order statistic, deterministic day
+# tiebreak), so median and MAD are actual integer data values and the
+# whole flag computation is integer-exact. 100 TB shape: ONE corpus scan
+# folds to the (type, day) grid (partial-aggregable); every later stage
+# operates on that bounded grid (days × types rows at any corpus size).
+# ---------------------------------------------------------------------------
+@query(
+    "w_anomaly_days",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             COUNT(*) AS cnt
+      FROM {EV}
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    med AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN cnt END) AS med
+      FROM (
+        SELECT event_type, cnt,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cnt, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+      )
+      GROUP BY event_type
+    ),
+    dev AS (
+      SELECT d.event_type, d.day, d.cnt, m.med,
+             ABS(d.cnt - m.med) AS dv
+      FROM daily d JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN dv END) AS mad
+      FROM (
+        SELECT event_type, dv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dv, day) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+      )
+      GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.cnt, d.med, a.mad,
+           d.dv > 3 * a.mad AS is_anomaly
+    FROM dev d JOIN mad a USING (event_type)
+    """,
+)
+def w_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+
+    def nearest_rank(df: DataFrame, col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        wn = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(wn)
+        )
+        at = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+        return ranked.groupBy("event_type").agg(
+            F.max(F.when(F.col("rn") == at, F.col(col))).alias(alias)
+        )
+
+    med = nearest_rank(daily, "cnt", "med")
+    dev = daily.join(med, "event_type").withColumn(
+        "dv", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = nearest_rank(dev, "dv", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            "med",
+            "mad",
+            (F.col("dv") > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )

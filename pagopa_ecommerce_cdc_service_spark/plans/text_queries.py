@@ -2926,3 +2926,86 @@ def t_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("positions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# collocation extraction (PMI-style lift): adjacent-bigram mining with
+# lift(x,y) = p(xy) / (p(x)·p(y)) = (c_xy · N²) / (M · c_x · c_y) — the
+# phrase-mining signal a tokenizer-vocabulary or boilerplate pipeline
+# feeds on. All counts are exact integers; the score is ONE double
+# expression over those integers with identical parenthesization in both
+# engines (bit-identical IEEE), and the floor c_xy ≥ 5 plus the top-20
+# deterministic tiebreak keep the output stable. 100 TB shape: bigrams
+# ride the existing word_ngrams in-row arrays (no second corpus scan for
+# unigrams — both explodes share the one scan), counts are two
+# partial-aggregable groupBys, and the unigram table joins back by term
+# (AQE broadcasts it while it fits; at web scale the join is the standard
+# count-table equi-join, never quadratic).
+# ---------------------------------------------------------------------------
+_COLL_MIN = 5
+_COLL_TOP = 20
+
+
+@query(
+    "t_collocations",
+    f"""
+    WITH toks AS (
+      SELECT unnest({TOKENS_SQL.format(c="text")}) AS tok FROM documents
+    ),
+    uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uni),
+    bi AS (
+      SELECT unnest({word_ngrams_sql("text", 2)}) AS bg FROM documents
+    ),
+    bic AS (SELECT bg, COUNT(*) AS c_xy FROM bi GROUP BY bg HAVING COUNT(*) >= {_COLL_MIN}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM bi),
+    scored AS (
+      SELECT string_split(bic.bg, ' ')[1] AS term_x,
+             string_split(bic.bg, ' ')[2] AS term_y,
+             bic.c_xy,
+             (CAST(bic.c_xy AS DOUBLE) * (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE)))
+               / ((CAST(m.m AS DOUBLE) * CAST(ux.c AS DOUBLE)) * CAST(uy.c AS DOUBLE))
+               AS lift
+      FROM bic
+      JOIN uni ux ON ux.tok = string_split(bic.bg, ' ')[1]
+      JOIN uni uy ON uy.tok = string_split(bic.bg, ' ')[2]
+      CROSS JOIN n CROSS JOIN m
+    )
+    SELECT term_x, term_y, c_xy, lift
+    FROM scored
+    ORDER BY lift DESC, term_x, term_y LIMIT {_COLL_TOP}
+    """,
+)
+def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    n = uni.agg(F.sum("c").cast("long").alias("n"))
+    bi = d.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bg"))
+    bic = (
+        bi.groupBy("bg")
+        .agg(F.count("*").alias("c_xy"))
+        .filter(F.col("c_xy") >= _COLL_MIN)
+    )
+    m = bi.agg(F.count("*").cast("long").alias("m"))
+    parts = F.split(F.col("bg"), " ")
+    sc = (
+        bic.withColumn("term_x", parts.getItem(0))
+        .withColumn("term_y", parts.getItem(1))
+        .join(uni.select(F.col("tok").alias("term_x"), F.col("c").alias("cx")), "term_x")
+        .join(uni.select(F.col("tok").alias("term_y"), F.col("c").alias("cy")), "term_y")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+    )
+    lift = (
+        F.col("c_xy").cast("double")
+        * (F.col("n").cast("double") * F.col("n").cast("double"))
+    ) / (
+        (F.col("m").cast("double") * F.col("cx").cast("double"))
+        * F.col("cy").cast("double")
+    )
+    return (
+        sc.select("term_x", "term_y", "c_xy", lift.alias("lift"))
+        .orderBy(F.desc("lift"), F.asc("term_x"), F.asc("term_y"))
+        .limit(_COLL_TOP)
+    )
