@@ -345,6 +345,13 @@ _CERTIFIED_TAIL = (
     "e_matryoshka_topk",
     "e_ivf_build_stats",
     "mm_video_keyframes",
+    # rotated out round 6 (fifth pass) for the runtime-pinned
+    # cdc_bootstrap_handoff gate (batch bootstrap → seeded-state stream
+    # on one view, certified against the whole-log batch oracle);
+    # r05-green, fingerprint-equal (the IVFPQ composition keeps the PQ
+    # training and probed-list pruning prefix-certified via
+    # e_ivfpq_topk + e_ivfpq_recall).
+    "e_pq_topk",
 )
 
 

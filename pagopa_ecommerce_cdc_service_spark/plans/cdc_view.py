@@ -1085,3 +1085,107 @@ WHERE NOT in_old
 
 QUERIES["cdc_view_diff"] = cdc_view_diff
 ORACLES["cdc_view_diff"] = VIEW_DIFF_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# BOOTSTRAP HANDOFF under the hard gate (the lambda→kappa migration path):
+# the first half of the log is folded in BATCH and lands in the view via
+# the upsert sink; the stream then starts with its per-key state SEEDED
+# from those batch rows (transformWithStateInPandas initialState →
+# CdcFoldProcessor.handleInitialState) and folds only the second half.
+# The final maintained view must hash-match the one-shot batch oracle of
+# the WHOLE log — proving a deployment can backfill history with the
+# batch engine and hand off to the stream mid-log without replaying it
+# (the reference's S2 resume generalized to a cold-start bootstrap).
+# Cross-boundary guard correctness carries entirely in the seeded
+# lastProcessedEventAt; the seen-id dedup horizon restarts empty (ids are
+# unique in this log; for at-least-once sources the horizon re-covers
+# duplicates arriving after the handoff).
+# ---------------------------------------------------------------------------
+def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import (
+        parquet_upsert_sink,
+        read_event_stream,
+        read_view,
+    )
+    from ..streaming.state_fold import (
+        POISONED_COL,
+        STREAM_VIEW_TYPE,
+        incremental_view_tws,
+    )
+    from .helpers import gate_workdir, write_single_file
+
+    env = synthesize_envelope(spark, sf_dir).filter(F.col("seq") < _STREAM_LIMIT)
+    cut = _STREAM_LIMIT // 2
+    workdir = gate_workdir("cdc-bootstrap-gate-")
+    src, view_dir, ckpt = f"{workdir}/events", f"{workdir}/view", f"{workdir}/ckpt"
+
+    # phase 1: BATCH bootstrap of the first half → upsert sink (epoch 0)
+    poisoned_t = STREAM_VIEW_TYPE[POISONED_COL].dataType
+    bootstrap = fold_transactions_view(
+        prepare_events(env.filter(F.col("seq") < cut))
+    )
+    sink = parquet_upsert_sink(view_dir, n_buckets=8)
+    sink(
+        bootstrap.withColumn(POISONED_COL, F.lit(None).cast(poisoned_t)),
+        epoch_id="bootstrap",
+    )
+
+    # phase 2: the second half "arrives" as a stream; state seeded from the
+    # batch rows, fold continues where the bootstrap stopped
+    write_single_file(env.filter(F.col("seq") >= cut), f"{src}/tail.json")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = incremental_view_tws(
+            prepare_events(read_event_stream(spark, src)),
+            initial_state=bootstrap,
+        )
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "cdc_bootstrap_handoff: availableNow run did not finish in 240s"
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    view = read_view(spark, view_dir).drop(POISONED_COL)
+    return view.select(
+        "transactionId",
+        "email",
+        *_payment_notice_proj(),
+        "clientId",
+        "creationDate",
+        "userId",
+        "status",
+        "lastProcessedEventAt",
+        "paymentGateway",
+        "paymentTypeCode",
+        "pspId",
+        "feeTotal",
+        "authorizationRequestId",
+        "authorizationCode",
+        "rrn",
+        "gatewayAuthorizationStatus",
+        "endToEndId",
+        "authorizationErrorCode",
+        "sendPaymentResultOutcome",
+        F.col("closureErrorData.httpErrorCode").alias("closureHttpErrorCode"),
+        "_class",
+    )
+
+
+QUERIES["cdc_bootstrap_handoff"] = cdc_bootstrap_handoff
+ORACLES["cdc_bootstrap_handoff"] = _STREAM_ORACLE_SQL

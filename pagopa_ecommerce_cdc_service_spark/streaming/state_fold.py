@@ -243,19 +243,49 @@ try:  # pragma: no cover - import guard for older runtimes
             self._state.update((_pack(view, seen_list, self._seen_ids_cap),))
             yield pd.DataFrame([{**view_as_row(view), POISONED_COL: poisoned or None}])
 
+        def handleInitialState(self, key, initialState, timer_values) -> None:
+            # BOOTSTRAP HANDOFF: the initial state is a relational view row
+            # from the batch fold (the lambda→kappa migration path: batch
+            # bootstrap up to T, stream from T on one view). The per-key
+            # state IS the view dict, so seeding is a row→dict conversion;
+            # the seen-id list starts empty — the batch fold already deduped
+            # its half, and the guard semantics carry entirely in
+            # lastProcessedEventAt. Absent-vs-null collapse is safe: the
+            # fold never reads a view FIELD to decide a merge (only
+            # lastProcessedEventAt), and output maps absent → null anyway.
+            row = {
+                k: _clean(v) for k, v in initialState.iloc[0].to_dict().items()
+            }
+            view = {k: v for k, v in row.items() if v is not None}
+            view["transactionId"] = key[0]
+            view.setdefault("lastProcessedEventAt", None)
+            self._state.update((_pack(view, []),))
+
         def close(self) -> None:
             pass
 
-    def incremental_view_tws(prepared_stream, seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY):
+    def incremental_view_tws(
+        prepared_stream,
+        seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+        initial_state=None,
+    ):
         """transformWithStateInPandas flavor of :func:`incremental_view`.
 
         Requires the RocksDB state store provider
-        (``spark.sql.streaming.stateStore.providerClass``)."""
+        (``spark.sql.streaming.stateStore.providerClass``).
+        ``initial_state``: optional DataFrame of batch-folded view rows
+        (one per transactionId) to seed the per-key state — the bootstrap
+        handoff (see :meth:`CdcFoldProcessor.handleInitialState`)."""
         return prepared_stream.groupBy("transactionId").transformWithStateInPandas(
             statefulProcessor=CdcFoldProcessor(seen_ids_cap),
             outputStructType=STREAM_VIEW_TYPE,
             outputMode="Update",
             timeMode="None",
+            initialState=(
+                None
+                if initial_state is None
+                else initial_state.groupBy("transactionId")
+            ),
         )
 
 except ImportError:  # pragma: no cover

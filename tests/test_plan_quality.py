@@ -628,6 +628,10 @@ def test_filtered_topk_label_pushdown_and_topk(spark, sf_dir, queries):
 
 
 def test_gram_matrix_single_exchange(spark, sf_dir, queries):
+    # e_pca_projection lazy-persists this exact subtree; if its parity test
+    # ran first in this session, cache substitution would replace the
+    # aggregation with an InMemoryTableScan — assert the UNCACHED shape
+    spark.catalog.clearCache()
     plan = _plan(queries["e_gram_matrix"](spark, sf_dir))
     # one Generate + one partial-aggregable groupBy(dim_i): exactly one
     # hash exchange, and partial aggregation rides map-side

@@ -1284,3 +1284,89 @@ def test_manifest_gc_with_concurrent_readers(spark, tmp_path):
             t.join(timeout=30)
     assert not errors, errors[:5]
     assert reads["head"] >= 5 and reads["travel"] >= 5, reads
+
+
+def test_bootstrap_initial_state_guards_stale_stream_events(spark, tmp_path):
+    """A guarded event arriving AFTER the bootstrap handoff with an event
+    time OLDER than the bootstrapped lastProcessedEventAt must not apply —
+    the seeded state must carry the guard across the batch→stream boundary
+    (an unseeded stream would see empty state and wrongly apply it). The
+    final view must equal the reference replay of the WHOLE log."""
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import (
+        fold_transactions_view,
+        prepare_events,
+    )
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        read_event_stream,
+    )
+    from pagopa_ecommerce_cdc_service_spark.streaming.state_fold import (
+        POISONED_COL,
+        incremental_view_tws,
+    )
+
+    if incremental_view_tws is None:
+        pytest.skip("transformWithStateInPandas not available")
+
+    events = sorted(
+        generate_event_log(seed=77, n_transactions=24), key=lambda e: e["seq"]
+    )
+    cut = len(events) // 2
+    batch_events, stream_events = events[:cut], events[cut:]
+    # the generator's shuffled timestamps guarantee cross-boundary
+    # out-of-order pairs; assert the scenario is actually present
+    batch_max = {}
+    for e in batch_events:
+        batch_max[e["transactionId"]] = max(
+            batch_max.get(e["transactionId"], ""), e["creationDate"]
+        )
+    assert any(
+        e["transactionId"] in batch_max
+        and e["creationDate"] < batch_max[e["transactionId"]]
+        for e in stream_events
+    ), "no stale cross-boundary event in this log; change the seed"
+
+    bootstrap = fold_transactions_view(
+        prepare_events(
+            spark.createDataFrame(batch_events, schema=EVENT_ENVELOPE_TYPE)
+        )
+    )
+    log_dir = str(tmp_path / "log")
+    _write_chunks(stream_events, log_dir, n_chunks=2)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            incremental_view_tws(
+                prepare_events(
+                    read_event_stream(spark, log_dir, max_files_per_trigger=1)
+                ),
+                initial_state=bootstrap,
+            )
+            .writeStream.format("memory")
+            .queryName("bootstrap_guard")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    streamed = {}
+    for r in spark.table("bootstrap_guard").collect():
+        streamed[r["transactionId"]] = r.asDict(recursive=True)
+    # keys never touched by the stream keep their bootstrap rows
+    final = {
+        r["transactionId"]: r.asDict(recursive=True)
+        for r in bootstrap.withColumn(POISONED_COL, F.lit(None)).collect()
+    }
+    final.update(streamed)
+    assert_views_equal(final, replay_reference(events))
