@@ -67,6 +67,9 @@ QUERIES = (
     "t_tfidf_topterms",        # explode + term-df join + doc window
     "t_boilerplate_ngrams",    # single-pass gram window + doc agg
     "t_content_chunks",        # rolling-hash chunking, pure flatMap
+    "t_inverted_index",        # one explode + one (term, doc) exchange
+    "e_gram_matrix",           # fixed 64x64 output at any corpus size
+    "t_chunk_dedup_rewrite",   # narrow-key ranking + broadcast rebuild
 )
 
 
