@@ -352,6 +352,13 @@ _CERTIFIED_TAIL = (
     # training and probed-list pruning prefix-certified via
     # e_ivfpq_topk + e_ivfpq_recall).
     "e_pq_topk",
+    # rotated out round 6 (sixth pass) for t_split_leakage (near-dup
+    # pairs straddling the train/val/test hash split — the
+    # eval-contamination audit); r05-green, fingerprint-equal (the
+    # patchification family stays prefix-exercised through
+    # mm_image_near_dup, which composes the same decode+patchify Arrow
+    # pipeline).
+    "mm_image_patches",
 )
 
 

@@ -111,6 +111,8 @@ HEADLINE = [
     "cdc_view_diff",
     "t_collocations",
     "w_anomaly_days",
+    # round-6 (sixth pass): eval-contamination audit across hash splits
+    "t_split_leakage",
 ]
 
 

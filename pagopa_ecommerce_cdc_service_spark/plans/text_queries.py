@@ -3009,3 +3009,60 @@ def t_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("term_x"), F.asc("term_y"))
         .limit(_COLL_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# split-leakage audit: near-duplicate pairs straddling the train/val/test
+# hash split — the eval-contamination a curation pipeline must measure
+# BEFORE shipping splits (a test document whose near-dup sits in train
+# leaks the answer). Composes two certified components verbatim: the LSH
+# near-dup pair set and the stratified hash-split assignment; the output
+# is the (split_a, split_b) pair matrix with a leaked flag, so the
+# diagonal is safe mass and everything else is leakage to fix (re-split
+# by dup-cluster representative — t_dup_clusters — instead of raw
+# doc_id). 100 TB shape: the pair table rides the banded LSH join, and
+# the split join ships only (doc_id, split) — two narrow probes.
+# ---------------------------------------------------------------------------
+def _split_leakage_oracle() -> str:
+    from ..operators.split import split_case_sql
+
+    return f"""
+    WITH p AS ({ORACLES["t_minhash_lsh_pairs"]}),
+    s AS (
+      SELECT doc_id,
+             {split_case_sql('doc_id', _SPLIT_FRACTIONS, 'source')} AS split
+      FROM documents
+    )
+    SELECT least(sa.split, sb.split) AS split_a,
+           greatest(sa.split, sb.split) AS split_b,
+           count(*) AS n_pairs,
+           least(sa.split, sb.split) <> greatest(sa.split, sb.split) AS leaked
+    FROM p JOIN s sa ON p.doc_a = sa.doc_id
+           JOIN s sb ON p.doc_b = sb.doc_id
+    GROUP BY 1, 2, 4
+    """
+
+
+@query("t_split_leakage", _split_leakage_oracle())
+def t_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import assign_split
+
+    pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    s = assign_split(
+        read(spark, sf_dir, "documents"),
+        key="doc_id",
+        fractions=_SPLIT_FRACTIONS,
+        stratum="source",
+    ).select("doc_id", "split")
+    j = (
+        pairs.join(s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("_sa")), "doc_a")
+        .join(s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("_sb")), "doc_b")
+    )
+    a = F.least("_sa", "_sb")
+    b = F.greatest("_sa", "_sb")
+    return (
+        j.select(a.alias("split_a"), b.alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .withColumn("leaked", F.col("split_a") != F.col("split_b"))
+    )
