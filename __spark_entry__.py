@@ -359,6 +359,14 @@ _CERTIFIED_TAIL = (
     # mm_image_near_dup, which composes the same decode+patchify Arrow
     # pipeline).
     "mm_image_patches",
+    # rotated out round 6 (seventh pass) for the runtime-pinned
+    # q_schema_evolution_merge gate (mergeSchema null-fill semantics on a
+    # two-generation parquet table); r05-green, fingerprint-equal — the
+    # resize stage's Arrow plumbing and tiled-checksum math are untouched
+    # since their r05 certification, and the multimodal Arrow families
+    # stay prefix-exercised through mm_image_near_dup and
+    # mm_audio_frame_energy.
+    "mm_resize_geometry",
 )
 
 

@@ -211,3 +211,46 @@ def t_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_corpus_pipeline"] = t_corpus_pipeline
 ORACLES["t_corpus_pipeline"] = _corpus_pipeline_oracle()
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution read under the hard gate: a table whose later files
+# carry MORE columns than its early files (the standard lakehouse
+# evolution — new telemetry lands, history stays), read back with
+# mergeSchema so old files surface the new columns as NULL. The gate
+# certifies the real staged read: generation 1 holds (doc_id, text,
+# n_chars), generation 2 adds (lang, source); the aggregation groups by
+# the EVOLVED column, so a reader that dropped or misaligned old-file
+# nulls cannot hash-match. The oracle never touches files — it derives
+# the expected null pattern from the registered table by the same parity
+# rule. 100 TB note: mergeSchema's footer-merge cost is why production
+# tables pin the merged schema in a catalog; the null-fill semantics
+# certified here are identical either way.
+# ---------------------------------------------------------------------------
+def q_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import gate_workdir
+
+    docs = read(spark, sf_dir, "documents")
+    workdir = gate_workdir("schema-evo-gate-")
+    tbl = f"{workdir}/docs"
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "n_chars"
+    ).write.mode("overwrite").parquet(tbl)
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "n_chars", "lang", "source"
+    ).write.mode("append").parquet(tbl)
+    merged = spark.read.option("mergeSchema", "true").parquet(tbl)
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+
+
+QUERIES["q_schema_evolution_merge"] = q_schema_evolution_merge
+ORACLES["q_schema_evolution_merge"] = """
+SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY 1
+"""
