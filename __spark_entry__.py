@@ -367,6 +367,12 @@ _CERTIFIED_TAIL = (
     # stay prefix-exercised through mm_image_near_dup and
     # mm_audio_frame_energy.
     "mm_resize_geometry",
+    # rotated out round 6 (eighth pass) for the runtime-pinned
+    # w_stream_anomaly_days gate (streaming count grid + median/MAD
+    # flags ≡ batch oracle); r05-green, fingerprint-equal (the HLL
+    # family keeps t_hll_set_ops and the runtime w_stream_hll_merge /
+    # w_stream_cms_merge gates in the prefix).
+    "w_hll_rollup",
 )
 
 

@@ -2146,6 +2146,40 @@ ORACLES["w_stream_event_transitions"] = ORACLES["w_event_transitions"]
 # folds to the (type, day) grid (partial-aggregable); every later stage
 # operates on that bounded grid (days × types rows at any corpus size).
 # ---------------------------------------------------------------------------
+def _anomaly_flags(daily: DataFrame) -> DataFrame:
+    """(event_type, day, cnt) grid → median/MAD anomaly flags (shared by
+    the batch query and its streaming twin — the grid is bounded, so this
+    post-processing is corpus-size-independent)."""
+
+    def nearest_rank(df: DataFrame, col: str, alias: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "day")
+        wn = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count("*").over(wn)
+        )
+        at = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
+        return ranked.groupBy("event_type").agg(
+            F.max(F.when(F.col("rn") == at, F.col(col))).alias(alias)
+        )
+
+    med = nearest_rank(daily, "cnt", "med")
+    dev = daily.join(med, "event_type").withColumn(
+        "dv", F.abs(F.col("cnt") - F.col("med"))
+    )
+    mad = nearest_rank(dev, "dv", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            "med",
+            "mad",
+            (F.col("dv") > 3 * F.col("mad")).alias("is_anomaly"),
+        )
+    )
+
+
 @query(
     "w_anomaly_days",
     f"""
@@ -2192,31 +2226,65 @@ def w_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count("*").alias("cnt"))
+    return _anomaly_flags(daily)
 
-    def nearest_rank(df: DataFrame, col: str, alias: str) -> DataFrame:
-        w = Window.partitionBy("event_type").orderBy(col, "day")
-        wn = Window.partitionBy("event_type")
-        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
-            "n", F.count("*").over(wn)
-        )
-        at = F.ceil(F.lit(0.5) * F.col("n")).cast("long")
-        return ranked.groupBy("event_type").agg(
-            F.max(F.when(F.col("rn") == at, F.col(col))).alias(alias)
-        )
 
-    med = nearest_rank(daily, "cnt", "med")
-    dev = daily.join(med, "event_type").withColumn(
-        "dv", F.abs(F.col("cnt") - F.col("med"))
+# ---------------------------------------------------------------------------
+# streaming twin of the anomaly audit: the (event_type, day) count grid is
+# maintained as a streaming aggregation across ordered micro-batches (the
+# mergeable-summary property — partial counts merge under any batch
+# split), then the SAME bounded-grid median/MAD post-processing flags the
+# anomalies; final table ≡ the batch oracle. The ingest-volume monitor as
+# it actually deploys: counts accrete on the stream, flags recompute on
+# the tiny grid each evaluation.
+# ---------------------------------------------------------------------------
+def w_stream_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events")
+    src_rows = ev.select("event_id", "event_type", "ts")
+
+    workdir = gate_workdir("stream-anomaly-gate-")
+    src = f"{workdir}/src"
+    now = _time.time()
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 0), f"{src}/half0.parquet", now - 20
     )
-    mad = nearest_rank(dev, "dv", "mad")
-    return (
-        dev.join(mad, "event_type")
-        .select(
-            "event_type",
-            "day",
-            "cnt",
-            "med",
-            "mad",
-            (F.col("dv") > 3 * F.col("mad")).alias("is_anomaly"),
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 1), f"{src}/half1.parquet", now - 10
+    )
+
+    name = f"sad_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_anomaly_days: availableNow run did not complete in 240s"
         )
-    )
+    # persist the bounded grid before the flag self-joins (a memory-table
+    # lineage joined against itself trips conflicting-reference resolution;
+    # a deployed monitor checkpoints its grid anyway)
+    grid_dir = f"{workdir}/grid"
+    spark.table(name).write.mode("overwrite").parquet(grid_dir)
+    return _anomaly_flags(spark.read.parquet(grid_dir))
+
+
+QUERIES["w_stream_anomaly_days"] = w_stream_anomaly_days
+ORACLES["w_stream_anomaly_days"] = ORACLES["w_anomaly_days"]

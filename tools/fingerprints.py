@@ -60,6 +60,7 @@ RUNTIME_QUERIES = {
     "t_stream_chunk_dedup",         # stages parquet, runs an incremental chunk-dedup stream
     "cdc_bootstrap_handoff",        # batch bootstrap + seeded-state stream on one view
     "q_schema_evolution_merge",     # stages two parquet generations at build
+    "w_stream_anomaly_days",        # stages parquet, runs a streaming count grid
     "w_stream_event_transitions",   # stages parquet, runs a stateful-lag stream
     "cdc_pyds_envelope_feed",       # stages jsonl, runs the Python-datasource stream twice
     "q_bucketed_colocated_join",    # writes bucketed tables at build
