@@ -1099,8 +1099,12 @@ ORACLES["cdc_view_diff"] = VIEW_DIFF_ORACLE_SQL
 # (the reference's S2 resume generalized to a cold-start bootstrap).
 # Cross-boundary guard correctness carries entirely in the seeded
 # lastProcessedEventAt; the seen-id dedup horizon restarts empty (ids are
-# unique in this log; for at-least-once sources the horizon re-covers
-# duplicates arriving after the handoff).
+# unique in this log; for at-least-once sources the horizon covers
+# duplicate pairs that arrive entirely after the handoff — a duplicate
+# STRADDLING the boundary, original in the batch half and redelivery in
+# the stream half, is out of scope: its unguarded dataUpdate writes would
+# re-apply. Sources that can redeliver across the cutover should seed the
+# horizon from the tail of the batch half instead of empty).
 # ---------------------------------------------------------------------------
 def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import (

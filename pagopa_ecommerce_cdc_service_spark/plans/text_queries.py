@@ -2794,10 +2794,9 @@ def t_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # one row per distinct duplicated-eligible chunk.
 # ---------------------------------------------------------------------------
 def t_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os as _os
-
     from pyspark.sql import Window
 
+    from ..streaming.pipeline import _hadoop_fs
     from .helpers import gate_workdir, write_staged_file
 
     docs = read(spark, sf_dir, "documents").select("doc_id", "text")
@@ -2829,7 +2828,12 @@ def t_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
-        if _os.path.isdir(store_dir):
+        # probe through the Hadoop FileSystem API (same discipline as the
+        # sink's file:-scheme handling) — an os.path probe is always false
+        # for non-local URIs, which would reset the store every batch on a
+        # real cluster and mark nothing as a duplicate
+        fs, store_path = _hadoop_fs(s, store_dir)
+        if fs.exists(store_path):
             hits = s.read.parquet(store_dir).withColumn("_hit", F.lit(True))
         else:
             hits = s.createDataFrame(
@@ -2867,9 +2871,20 @@ def t_stream_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "t_stream_chunk_dedup: availableNow run did not complete in 240s"
         )
-    # outcome rows are unique per (doc_id, chunk_idx); distinct guards the
-    # fold against any at-least-once replay of a batch
-    oc = spark.read.parquet(outcome_dir).distinct()
+    # fold outcomes first-writer-wins by (doc_id, chunk_idx): a replayed
+    # batch re-evaluates its own first occurrences as store hits (their keys
+    # were already appended), emitting a conflicting dropped=true row next
+    # to the original dropped=false one — distinct() would keep both and
+    # double-count the chunk, so take min(dropped) per chunk instead
+    # (false < true: the original verdict wins)
+    oc = (
+        spark.read.parquet(outcome_dir)
+        .groupBy("doc_id", "chunk_idx")
+        .agg(
+            F.first("chunk_len").alias("chunk_len"),
+            F.min("dropped").alias("dropped"),
+        )
+    )
     d = F.col("dropped")
     return oc.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"),

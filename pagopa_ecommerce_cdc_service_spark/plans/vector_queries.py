@@ -1598,44 +1598,209 @@ def _pca_oracle() -> str:
     """
 
 
+_V0 = "SELECT unnest(range(1, 65)) AS j, CAST(1 AS BIGINT) AS v"
+
+
+def _gram_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row DataFrame holding the 64×64 gram matrix as a nested-array
+    column ``G`` (G[i][j] = gram(i+1, j+1)). Re-aggregates e_gram_matrix's
+    cell rows — 4096 rows, one micro-exchange — so the whole power
+    iteration can run IN-ROW via higher-order array functions: a linear
+    chain of Projects over one row. The previous join-per-iteration
+    formulation duplicated the child plan at every reference (exponential
+    analyzer blowup once PC2's ortho steps doubled the depth) and needed
+    cache pins that leaked persisted blocks into the session (round-6
+    ADVICE); this shape has no joins, no pins, nothing cached."""
+    g = e_gram_matrix(spark, sf_dir)
+    rows = g.groupBy("dim_i").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_j", "gram"))),
+            lambda s: s["gram"],
+        ).alias("grow")
+    )
+    return rows.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim_i", "grow"))),
+            lambda s: s["grow"],
+        ).alias("G")
+    )
+
+
+def _matvec(G, v):
+    """u = G·v — exact BIGINT sums, in-row."""
+    return F.transform(
+        G,
+        lambda row: F.aggregate(
+            F.zip_with(row, v, lambda g, x: g * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
+def _vnorm(u, m, scale: float):
+    """v = floor(u / max|u| · scale) — one IEEE division + multiplication
+    per element with fixed parenthesization (bit-identical cross-engine)."""
+    return F.transform(
+        u,
+        lambda x: F.floor((x.cast("double") / m.cast("double")) * F.lit(scale))
+        .cast("long"),
+    )
+
+
+def _pc1_cols(df: DataFrame) -> DataFrame:
+    """Stack the unrolled PC1 power iteration as columns over the one-row
+    gram DataFrame; the converged direction lands in column ``va1``."""
+    df = df.withColumn("v", F.array_repeat(F.lit(1).cast("long"), 64))
+    for _ in range(_PCA_ITERS):
+        df = (
+            df.withColumn("u", _matvec(F.col("G"), F.col("v")))
+            .withColumn("m", F.array_max(F.transform("u", F.abs)))
+            .withColumn("v", _vnorm(F.col("u"), F.col("m"), _PCA_SCALE))
+        )
+    return df.select(F.col("G"), F.col("v").alias("va1"))
+
+
 @query("e_pca_projection", _pca_oracle())
 def e_pca_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lazy persists (the t_kcore_peel discipline): every iteration references
-    # gram, and both m and v reference u — without the pins the corpus-scale
-    # gram aggregation re-executes once per unrolled iteration (measured
-    # 7.0 s → the persisted plan runs the corpus scan once)
-    gram = e_gram_matrix(spark, sf_dir).persist()
-    v = spark.range(1, 65).select(
-        F.col("id").alias("dim_j"), F.lit(1).cast("bigint").alias("v")
-    )
-    for _ in range(_PCA_ITERS):
-        u = (
-            gram.join(F.broadcast(v), "dim_j")
-            .groupBy("dim_i")
-            .agg(F.sum(F.col("gram") * F.col("v")).cast("bigint").alias("u"))
-        ).persist()
-        m = u.agg(F.max(F.abs(F.col("u"))).alias("m"))
-        v = (
-            u.crossJoin(F.broadcast(m))
-            .select(
-                F.col("dim_i").alias("dim_j"),
-                F.floor(
-                    (F.col("u").cast("double") / F.col("m").cast("double"))
-                    * F.lit(_PCA_SCALE)
-                )
-                .cast("bigint")
-                .alias("v"),
-            )
-        )
-    varr = v.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim_j", "v"))),
-            lambda s: s["v"],
-        ).alias("va")
-    )
+    varr = _pc1_cols(_gram_row(spark, sf_dir)).select(F.col("va1").alias("va"))
     emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", quantize(F.col("embedding")).alias("q")
     )
     return emb.crossJoin(F.broadcast(varr)).select(
         "vec_id", dot(F.col("q"), F.col("va")).alias("pc1_proj")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-2 principal directions: PC1 by the same unrolled power iteration,
+# PC2 by PROJECTION-DEFLATED power iteration — after every normalization
+# the iterate is re-orthogonalized against the converged PC1 direction p
+# (w ← w − (pᵀw/pᵀp)·p), which deflates λ₁ without ever forming the
+# deflated matrix G − λ·ppᵀ (whose entries would overflow BIGINT at
+# corpus scale). Numeric discipline extends PC1's: every SUM (matvec,
+# pᵀw, pᵀp) is exact BIGINT; the ortho step is one IEEE division, one
+# multiplication and one subtraction with fixed parenthesization —
+# bit-identical cross-engine, so the oracle certifies the entire iterate
+# sequence. PC2 iterates normalize at 2¹⁷ (not 2²⁰) so the post-ortho
+# magnitude keeps the next matvec comfortably inside BIGINT. Corpus-scale
+# work is unchanged from e_pca_projection: ONE gram scan + ONE map-only
+# projection against two broadcast 64-vectors; every iteration is an
+# in-row array expression over the one-row gram (zero extra jobs/exchanges).
+# ---------------------------------------------------------------------------
+_PCA2_SCALE = 131072.0  # 2^17: PC2 iterate magnitude after normalization
+
+
+def _pca2_oracle() -> str:
+    # every CTE is MATERIALIZED: DuckDB inlines multi-referenced CTEs by
+    # default, which re-expands the gram scan per reference — ~12 copies
+    # here exhausts file handles and recomputes exponentially down the
+    # iterate chain
+    gram = ORACLES["e_gram_matrix"]
+    ctes = [f"g AS MATERIALIZED ({gram})", f"p0 AS MATERIALIZED ({_V0})"]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"pu{t} AS MATERIALIZED (SELECT g.dim_i AS j, CAST(SUM(g.gram * p{t-1}.v) AS BIGINT) AS u "
+            f"FROM g JOIN p{t-1} ON g.dim_j = p{t-1}.j GROUP BY g.dim_i)"
+        )
+        ctes.append(
+            f"p{t} AS MATERIALIZED (SELECT j, CAST(FLOOR((CAST(u AS DOUBLE) / "
+            f"CAST((SELECT MAX(ABS(u)) FROM pu{t}) AS DOUBLE)) * {_PCA_SCALE}) "
+            f"AS BIGINT) AS v FROM pu{t})"
+        )
+    P = f"p{_PCA_ITERS}"
+    ctes.append(
+        f"qq AS MATERIALIZED (SELECT CAST(SUM(v * v) AS BIGINT) AS q FROM {P})"
+    )
+
+    def ortho(src: str, out: str) -> str:
+        # out = floor(src.v − (pᵀsrc / pᵀp)·p) — fixed parenthesization
+        return (
+            f"{out} AS MATERIALIZED (SELECT a.j, CAST(FLOOR(CAST(a.v AS DOUBLE) - "
+            f"(CAST((SELECT SUM(x.v * y.v) FROM {src} x JOIN {P} y ON x.j = y.j) AS DOUBLE) / "
+            f"CAST((SELECT q FROM qq) AS DOUBLE)) * CAST(b.v AS DOUBLE)) AS BIGINT) AS v "
+            f"FROM {src} a JOIN {P} b ON a.j = b.j)"
+        )
+
+    ctes.append(
+        f"winit AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j, "
+        f"CAST({int(_PCA2_SCALE)} AS BIGINT) AS v)"
+    )
+    ctes.append(ortho("winit", "w0"))
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"wu{t} AS MATERIALIZED (SELECT g.dim_i AS j, CAST(SUM(g.gram * w{t-1}.v) AS BIGINT) AS u "
+            f"FROM g JOIN w{t-1} ON g.dim_j = w{t-1}.j GROUP BY g.dim_i)"
+        )
+        ctes.append(
+            f"wn{t} AS MATERIALIZED (SELECT j, CAST(FLOOR((CAST(u AS DOUBLE) / "
+            f"CAST((SELECT MAX(ABS(u)) FROM wu{t}) AS DOUBLE)) * {_PCA2_SCALE}) "
+            f"AS BIGINT) AS v FROM wu{t})"
+        )
+        ctes.append(ortho(f"wn{t}", f"w{t}"))
+    ctes.append(f"va1 AS (SELECT list(v ORDER BY j) AS va FROM {P})")
+    ctes.append(f"va2 AS (SELECT list(v ORDER BY j) AS va FROM w{_PCA_ITERS})")
+    return f"""
+    WITH {', '.join(ctes)}
+    SELECT e.vec_id,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> ({_QV})[i] * v1.va[i])) AS BIGINT) AS pc1_proj,
+           CAST(list_sum(list_transform(generate_series(1, 64),
+                i -> ({_QV})[i] * v2.va[i])) AS BIGINT) AS pc2_proj
+    FROM embeddings e, va1 v1, va2 v2
+    """
+
+
+def _ortho(w, p, q):
+    """w ← floor(w − (pᵀw/pᵀp)·p) in-row: the dot pᵀw is an exact BIGINT
+    fold; each element then takes one IEEE division, multiplication and
+    subtraction with fixed parenthesization (bit-identical cross-engine)."""
+    t = F.aggregate(
+        F.zip_with(p, w, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return F.zip_with(
+        w,
+        p,
+        lambda wi, pi: F.floor(
+            wi.cast("double")
+            - (t.cast("double") / q.cast("double")) * pi.cast("double")
+        ).cast("long"),
+    )
+
+
+@query("e_pca_top2", _pca2_oracle())
+def e_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _pc1_cols(_gram_row(spark, sf_dir)).withColumn(
+        "q",
+        F.aggregate(
+            F.zip_with("va1", "va1", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+    )
+    df = df.withColumn(
+        "w",
+        _ortho(
+            F.array_repeat(F.lit(int(_PCA2_SCALE)).cast("long"), 64),
+            F.col("va1"),
+            F.col("q"),
+        ),
+    )
+    for _ in range(_PCA_ITERS):
+        df = (
+            df.withColumn("u2", _matvec(F.col("G"), F.col("w")))
+            .withColumn("m2", F.array_max(F.transform("u2", F.abs)))
+            .withColumn("w", _vnorm(F.col("u2"), F.col("m2"), _PCA2_SCALE))
+            .withColumn("w", _ortho(F.col("w"), F.col("va1"), F.col("q")))
+        )
+    dirs = df.select(F.col("va1"), F.col("w").alias("va2"))
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    return emb.crossJoin(F.broadcast(dirs)).select(
+        "vec_id",
+        dot(F.col("q"), F.col("va1")).alias("pc1_proj"),
+        dot(F.col("q"), F.col("va2")).alias("pc2_proj"),
     )
