@@ -348,3 +348,41 @@ def chunk_long_doc_batches(frames):
                 out["chunk_len"].append(e - s + 1)
                 out["chunk_hash"].append(md5_long_py(text[s - 1 : e]))
         yield pd.DataFrame(out)
+
+
+REWRITE_ROW_SCHEMA = (
+    "doc_id bigint, n_kept bigint, rebuilt_len bigint, rebuilt_text string"
+)
+
+
+def rebuild_long_doc_batches(frames):
+    """``mapInPandas`` body for the chunk-dedup REWRITE of long documents:
+    (doc_id, text, dropped_idx) → the deduplicated text rebuilt from kept
+    chunks, same cut law as the chunker. Python slicing has O(1) offset
+    access + O(chunk_len) copy, so the rebuild is linear in document
+    length — the Catalyst in-row rebuild's per-position substr is a
+    char-offset walk, quadratic on multi-MB docs (the cliff CDC_LONG_DOC
+    routes around). Map-only."""
+    import pandas as pd
+
+    for pdf in frames:
+        out = {k: [] for k in ("doc_id", "n_kept", "rebuilt_len", "rebuilt_text")}
+        for doc_id, text, dropped in zip(
+            pdf["doc_id"], pdf["text"], pdf["dropped_idx"]
+        ):
+            n = len(text)
+            cuts = cut_positions_py(text)
+            starts = [1] + [c + 1 for c in cuts]
+            ends = cuts + [n]
+            drop = {int(i) for i in dropped}
+            parts = [
+                text[s - 1 : e]
+                for i, (s, e) in enumerate(zip(starts, ends))
+                if i not in drop
+            ]
+            rebuilt = "".join(parts)
+            out["doc_id"].append(doc_id)
+            out["n_kept"].append(len(parts))
+            out["rebuilt_len"].append(len(rebuilt))
+            out["rebuilt_text"].append(rebuilt)
+        yield pd.DataFrame(out)

@@ -2481,12 +2481,12 @@ ORACLES["t_udtf_chunks"] = _chunks_oracle()
 # functions (same polynomial constants, generated from one Python source
 # of truth in operators/text.py).
 # ---------------------------------------------------------------------------
-def _content_chunks_oracle() -> str:
+def _content_chunks_oracle(src: str = "documents") -> str:
     return f"""
     WITH d AS (
       SELECT doc_id, text, len(text) AS n,
              {content_cut_positions_sql("text")} AS cuts
-      FROM documents
+      FROM {src}
     ),
     se AS (
       SELECT doc_id, text,
@@ -2697,10 +2697,9 @@ def t_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same cost class as materializing the output — and AQE broadcasts
 # the drops side whenever the affected-doc set is small.
 # ---------------------------------------------------------------------------
-@query(
-    "t_chunk_dedup_rewrite",
-    f"""
-    WITH c AS ({_content_chunks_oracle()}),
+def _chunk_rewrite_oracle(src: str = "documents") -> str:
+    return f"""
+    WITH c AS ({_content_chunks_oracle(src)}),
     r AS (
       SELECT doc_id, chunk_idx, chunk_start, chunk_len,
              NOT (chunk_len >= {_CHUNK_DEDUP_MIN_LEN}
@@ -2719,19 +2718,27 @@ def t_chunk_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(r.chunk_start AS INTEGER),
                  CAST(r.chunk_len AS INTEGER)) END,
                '' ORDER BY r.chunk_idx), '') AS rebuilt_text
-      FROM r JOIN documents d ON r.doc_id = d.doc_id
+      FROM r JOIN {src} d ON r.doc_id = d.doc_id
       GROUP BY r.doc_id
     )
     SELECT doc_id, n_kept,
            CAST(len(rebuilt_text) AS BIGINT) AS rebuilt_len,
            rebuilt_text
     FROM g
-    """,
-)
-def t_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """
+
+
+def _chunk_rewrite(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → per-doc deduplicated text (the shipped artifact)."""
     from pyspark.sql import Window
 
-    c = t_content_chunks(spark, sf_dir).select(
+    from ..operators.text import (
+        CDC_LONG_DOC,
+        REWRITE_ROW_SCHEMA,
+        rebuild_long_doc_batches,
+    )
+
+    c = _chunk_rows(docs).select(
         "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
     )
     rn = F.row_number().over(
@@ -2743,20 +2750,31 @@ def t_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
     )
+    base = (
+        docs.select("doc_id", "text")
+        .join(drops, "doc_id", "left")
+        .withColumn(
+            "dropped_idx",
+            F.coalesce(F.col("dropped_idx"), F.array().cast("array<bigint>")),
+        )
+    )
+    # the rebuild routes by length exactly like the chunker (_chunk_rows):
+    # docs up to CDC_LONG_DOC rebuild in-row through Catalyst; longer docs
+    # go through the Arrow kernel, whose Python slicing is linear in doc
+    # length — the in-row per-chunk substr is a char-offset walk that turns
+    # quadratic on multi-MB documents (round-6 ADVICE)
+    long_part = (
+        base.filter(F.length("text") > CDC_LONG_DOC)
+        .mapInPandas(rebuild_long_doc_batches, REWRITE_ROW_SCHEMA)
+    )
     d = (
-        spread(read(spark, sf_dir, "documents"), spark)
-        .select("doc_id", "text")
+        base.filter(F.length("text") <= CDC_LONG_DOC)
         .withColumn("cuts", content_cut_positions(F.col("text")))
         .withColumn(
             "starts",
             F.concat(F.array(F.lit(1)), F.transform("cuts", lambda col: col + 1)),
         )
         .withColumn("ends", F.concat(F.col("cuts"), F.array(F.length("text"))))
-        .join(drops, "doc_id", "left")
-        .withColumn(
-            "dropped_idx",
-            F.coalesce(F.col("dropped_idx"), F.array().cast("array<bigint>")),
-        )
     )
     kept = F.filter(
         F.sequence(F.lit(0).cast("bigint"), (F.size("starts") - 1).cast("bigint")),
@@ -2769,12 +2787,73 @@ def t_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.col("text").substr(s, e - s + 1)
 
     rebuilt = F.concat_ws("", F.transform(kept, chunk_text))
-    return d.select(
+    short_part = d.select(
         "doc_id",
         F.size(kept).cast("long").alias("n_kept"),
         F.length(rebuilt).cast("long").alias("rebuilt_len"),
         rebuilt.alias("rebuilt_text"),
     )
+    return short_part.unionByName(long_part)
+
+
+@query("t_chunk_dedup_rewrite", _chunk_rewrite_oracle())
+def t_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chunk_rewrite(
+        spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    )
+
+
+# ---------------------------------------------------------------------------
+# LONG-document twins of the chunking family: every document in the gate
+# corpus is ≤ CDC_LONG_DOC, so the Arrow (mapInPandas) routes of the
+# chunker and the rewrite would never execute under a value hash without
+# them. The corpus is synthesized DETERMINISTICALLY inside the query (and
+# identically in the oracle): one subset of documents is inflated past
+# the 8 KiB threshold by whole-text repetition (repeat(text || ' ', k),
+# k = ceil(9000/(len+1)) — both engines compute the same IEEE division
+# and the same string), a disjoint subset stays as-is, so BOTH routes of
+# the length-hybrid carry rows and the union itself is certified. The
+# repetition also makes the long docs violently self-duplicated at chunk
+# granularity — a worst-case stress for the dedup window.
+# ---------------------------------------------------------------------------
+_LONG_MOD = 29
+_SHORT_MOD = 13
+_LONG_TARGET = 9000
+
+
+def _mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    longs = d.filter(F.col("doc_id") % _LONG_MOD == 0).select(
+        "doc_id",
+        F.expr(
+            f"repeat(text || ' ', CAST(ceil(CAST({_LONG_TARGET} AS DOUBLE) "
+            f"/ (length(text) + 1)) AS INT))"
+        ).alias("text"),
+    )
+    shorts = d.filter(
+        (F.col("doc_id") % _SHORT_MOD == 0) & (F.col("doc_id") % _LONG_MOD != 0)
+    ).select("doc_id", "text")
+    return longs.unionByName(shorts)
+
+
+def _mixed_corpus_sql() -> str:
+    return (
+        f"(SELECT doc_id, repeat(text || ' ', CAST(ceil(CAST({_LONG_TARGET} AS DOUBLE) "
+        f"/ (len(text) + 1)) AS INTEGER)) AS text "
+        f"FROM documents WHERE doc_id % {_LONG_MOD} = 0 "
+        f"UNION ALL SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % {_SHORT_MOD} = 0 AND doc_id % {_LONG_MOD} != 0)"
+    )
+
+
+@query("t_content_chunks_long", _content_chunks_oracle(_mixed_corpus_sql()))
+def t_content_chunks_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chunk_rows(_mixed_corpus(spark, sf_dir))
+
+
+@query("t_chunk_rewrite_long", _chunk_rewrite_oracle(_mixed_corpus_sql()))
+def t_chunk_rewrite_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _chunk_rewrite(_mixed_corpus(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

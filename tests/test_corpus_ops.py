@@ -419,3 +419,100 @@ def test_content_chunks_multi_megabyte_document(spark):
     # ~5M candidates / 64 expected-cut density
     assert 40_000 < len(cuts) < 120_000
     assert wall < 120, f"5 MB chunking took {wall:.1f}s"
+
+
+def _py_rewrite(docs: list[tuple[int, str]], min_len: int) -> list[tuple]:
+    """Sequential reference for the chunk-dedup REWRITE: global
+    first-occurrence keeper by (doc_id, chunk_idx) within each
+    (chunk_hash, chunk_len) group, kept chunks re-concatenated."""
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+
+    chunks = []  # (doc_id, idx, text)
+    for doc_id, text in docs:
+        cuts = _py_cut_positions(text)
+        starts = [1] + [c + 1 for c in cuts]
+        ends = cuts + [len(text)]
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            chunks.append((doc_id, i, text[s - 1 : e]))
+    seen = set()
+    kept = {}
+    for doc_id, i, ch in sorted(chunks, key=lambda c: (c[0], c[1])):
+        key = (md5_long_py(ch), len(ch))
+        dropped = len(ch) >= min_len and key in seen
+        seen.add(key)
+        kept.setdefault(doc_id, []).append((i, ch, dropped))
+    out = []
+    for doc_id, items in kept.items():
+        parts = [ch for _, ch, dropped in sorted(items) if not dropped]
+        rebuilt = "".join(parts)
+        out.append((doc_id, len(parts), len(rebuilt), rebuilt))
+    return sorted(out)
+
+
+def test_chunk_rewrite_arrow_equals_catalyst_at_threshold(spark):
+    """The rewrite's two rebuild routes are text-for-text identical on
+    lengths straddling CDC_LONG_DOC, including documents that share
+    duplicated passages (so the drop lists are non-empty), and both match
+    the sequential reference."""
+    import random
+
+    from pagopa_ecommerce_cdc_service_spark.operators import text as text_ops
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _CHUNK_DEDUP_MIN_LEN,
+        _chunk_rewrite,
+    )
+
+    rng = random.Random(11)
+    alphabet = "rewrite route parity XY 789 "
+    shared = "".join(rng.choice(alphabet) for _ in range(700))
+    lengths = [300, text_ops.CDC_LONG_DOC - 1, text_ops.CDC_LONG_DOC + 1, 12_000]
+    rows = []
+    for i, n in enumerate(lengths):
+        body = "".join(rng.choice(alphabet) for _ in range(n))
+        # splice the shared passage into every doc at an offset that varies
+        rows.append((i, body[: 50 * (i + 1)] + shared + body[50 * (i + 1) :]))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    mixed = sorted(map(tuple, _chunk_rewrite(docs).collect()))
+    orig = text_ops.CDC_LONG_DOC
+    try:
+        text_ops.CDC_LONG_DOC = 0
+        all_arrow = sorted(map(tuple, _chunk_rewrite(docs).collect()))
+        text_ops.CDC_LONG_DOC = 1 << 40
+        all_catalyst = sorted(map(tuple, _chunk_rewrite(docs).collect()))
+    finally:
+        text_ops.CDC_LONG_DOC = orig
+    assert mixed == all_arrow == all_catalyst
+    assert mixed == _py_rewrite(rows, _CHUNK_DEDUP_MIN_LEN)
+    originals = dict(rows)
+    assert any(r[2] < len(originals[r[0]]) for r in mixed), (
+        "no document actually lost duplicated mass"
+    )
+
+
+def test_chunk_rewrite_multi_megabyte_document(spark):
+    """A multi-MB document (with an internally duplicated passage) rewrites
+    in bounded time through the Arrow route — the Catalyst per-position
+    substr walk would be quadratic here (round-6 ADVICE scenario)."""
+    import random
+    import time
+
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _CHUNK_DEDUP_MIN_LEN,
+        _chunk_rewrite,
+    )
+
+    rng = random.Random(23)
+    passage = "".join(rng.choice("dup mass 456 ") for _ in range(10_000))
+    big = (
+        "".join(rng.choice("the quick brown fox 0123456789 ") for _ in range(2_000_000))
+        + passage
+        + "".join(rng.choice("lazy dog tail 77 ") for _ in range(2_000_000))
+        + passage
+    )
+    df = spark.createDataFrame([(3, big)], ["doc_id", "text"]).repartition(1)
+    t0 = time.monotonic()
+    rows = sorted(map(tuple, _chunk_rewrite(df).collect()))
+    wall = time.monotonic() - t0
+    assert rows == _py_rewrite([(3, big)], _CHUNK_DEDUP_MIN_LEN)
+    assert rows[0][2] < len(big), "duplicated passage not dropped"
+    assert wall < 120, f"multi-MB rewrite took {wall:.1f}s"

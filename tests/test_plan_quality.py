@@ -628,9 +628,9 @@ def test_filtered_topk_label_pushdown_and_topk(spark, sf_dir, queries):
 
 
 def test_gram_matrix_single_exchange(spark, sf_dir, queries):
-    # e_pca_projection lazy-persists this exact subtree; if its parity test
-    # ran first in this session, cache substitution would replace the
-    # aggregation with an InMemoryTableScan — assert the UNCACHED shape
+    # defensive: assert the UNCACHED shape even if an earlier test left a
+    # cached twin of this subtree (the PCA queries no longer persist
+    # anything, but cache substitution would silently change the plan)
     spark.catalog.clearCache()
     plan = _plan(queries["e_gram_matrix"](spark, sf_dir))
     # one Generate + one partial-aggregable groupBy(dim_i): exactly one
@@ -652,6 +652,27 @@ def test_inverted_index_single_exchange(spark, sf_dir, queries):
     plan = _plan(queries["t_inverted_index"](spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Generate posexplode" in plan
+
+
+def test_long_chunk_gates_exercise_arrow_route(spark, sf_dir, queries):
+    """The synthesized-corpus gates must actually run the Arrow kernels:
+    their plans contain MapInPandas stages on the long branch, the
+    Catalyst route still chunks the short docs, and the long documents
+    carry rows (nonzero chunk output through the Arrow route)."""
+    from pyspark.sql import functions as F
+
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import _LONG_MOD
+
+    df = queries["t_content_chunks_long"](spark, sf_dir)
+    plan = _plan(df)
+    assert "MapInPandas" in plan, "Arrow chunk route absent from the gate plan"
+    assert "% 1000000007" in plan, "Catalyst chunk route absent from the gate plan"
+    assert df.filter(F.col("doc_id") % _LONG_MOD == 0).count() > 0, (
+        "no chunk rows flowed through the Arrow route"
+    )
+    plan2 = _plan(queries["t_chunk_rewrite_long"](spark, sf_dir))
+    # chunker kernel (inside the drops subtree) + rebuild kernel
+    assert plan2.count("MapInPandas") >= 2, plan2[:800]
 
 
 def test_chunk_rewrite_text_never_shuffles(spark, sf_dir, queries):
