@@ -214,6 +214,79 @@ ORACLES["t_corpus_pipeline"] = _corpus_pipeline_oracle()
 
 
 # ---------------------------------------------------------------------------
+# SUB-DOCUMENT curation chain: chunk-dedup REWRITE → split → pack. Where
+# t_corpus_pipeline dedups at document granularity, this variant feeds the
+# REBUILT text (every non-first occurrence of a duplicated chunk removed —
+# t_chunk_dedup_rewrite's artifact) through split assignment and sequence
+# packing: the end-to-end shape of a pipeline that ships sub-document
+# dedup. Token weights are computed over the rebuilt text, so duplicated
+# mass vanishes from the packed bins, not just from a report. Scale shape:
+# the rewrite's own stages (documented at the operator) + one narrow
+# doc_id join to re-attach the split stratum + the pack's single shard-key
+# window — nothing quadratic, nothing new shuffles text except the
+# rewrite's documented doc⋈drops join.
+# ---------------------------------------------------------------------------
+def _corpus_pipeline_chunked_oracle() -> str:
+    from ..operators.packing import pack_concat_offsets_sql
+    from ..operators.split import split_case_sql
+    from .text_queries import _chunk_rewrite_oracle
+
+    split_case = split_case_sql("doc_id", _SPLIT_FRACTIONS, "source")
+    pack_sql = pack_concat_offsets_sql(
+        weight_expr="n_tokens",
+        capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
+        table="train",
+    )
+    return f"""
+    WITH rw AS ({_chunk_rewrite_oracle()}),
+    joined AS (
+      SELECT r.doc_id, d.source, r.rebuilt_text
+      FROM rw r JOIN documents d ON r.doc_id = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, {split_case} AS split,
+             len({TOKENS_SQL.format(c="rebuilt_text")}) AS n_tokens
+      FROM joined
+    ),
+    train AS (SELECT doc_id, n_tokens FROM assigned WHERE split = 'train'),
+    pack AS ({pack_sql})
+    SELECT a.doc_id, a.split, p.shard, p.bin_idx, p.tok_start, p.tok_len
+    FROM assigned a LEFT JOIN pack p ON a.doc_id = p.doc_id
+    """
+
+
+def t_corpus_pipeline_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_concat_offsets
+    from ..operators.split import assign_split
+    from .text_queries import _chunk_rewrite
+
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    rw = _chunk_rewrite(docs.select("doc_id", "text"))
+    rebuilt = rw.select("doc_id", "rebuilt_text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    assigned = assign_split(
+        rebuilt, key="doc_id", fractions=_SPLIT_FRACTIONS, stratum="source"
+    ).select(
+        "doc_id",
+        "split",
+        F.size(tokens(F.col("rebuilt_text"))).cast("long").alias("n_tokens"),
+    )
+    train = assigned.filter(F.col("split") == "train")
+    pack = pack_concat_offsets(
+        train, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    ).withColumnRenamed("doc_id", "p_doc_id")
+    return assigned.join(
+        pack, assigned["doc_id"] == pack["p_doc_id"], "left"
+    ).select("doc_id", "split", "shard", "bin_idx", "tok_start", "tok_len")
+
+
+QUERIES["t_corpus_pipeline_chunked"] = t_corpus_pipeline_chunked
+ORACLES["t_corpus_pipeline_chunked"] = _corpus_pipeline_chunked_oracle()
+
+
+# ---------------------------------------------------------------------------
 # schema-evolution read under the hard gate: a table whose later files
 # carry MORE columns than its early files (the standard lakehouse
 # evolution — new telemetry lands, history stays), read back with

@@ -1279,6 +1279,51 @@ def e_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# recall audit for the filtered search: ground truth = EXACT cosine top-k
+# over the label-filtered corpus (one O(N) scan — the same audit shape as
+# the other index audits). This quantifies precisely the pre-filter IVF
+# under-fill risk documented above: every hit lost to a selective filter
+# shrinking the probed lists shows up here as recall < 1.
+@query(
+    "e_filtered_recall",
+    f"""
+    WITH approx AS ({ORACLES["e_filtered_topk"]}),
+    gt AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {cosine_sql(quantize_sql("e.embedding"), "gq.qv")} DESC,
+                          e.vec_id
+               ) AS rn
+        FROM embeddings e,
+             (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0) gq
+        WHERE e.vec_id <> 0 AND e.label IN {_FILTER_LABELS}
+      ) WHERE rn <= {_FILTERED_K}
+    )
+    SELECT CAST({_FILTERED_K} AS BIGINT) AS k,
+           count(*) AS n_hits,
+           count(*) / {_FILTERED_K} AS recall_at_{_FILTERED_K}
+    FROM approx JOIN gt USING (vec_id)
+    """,
+)
+def e_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    gt = (
+        emb.filter((F.col("vec_id") != 0) & F.col("label").isin(*_FILTER_LABELS))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
+        .orderBy(F.desc("cs"), F.asc("vec_id"))
+        .limit(_FILTERED_K)
+        .select("vec_id")
+    )
+    return _recall_row(
+        e_filtered_topk(spark, sf_dir).select("vec_id"), gt, _FILTERED_K
+    )
+
+
 # ---------------------------------------------------------------------------
 # Gram (scatter) matrix of the embedding corpus — the aggregation a PCA /
 # whitening / low-rank-projection stage runs first: G[i,j] = Σ_rows
