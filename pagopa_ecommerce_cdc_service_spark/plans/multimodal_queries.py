@@ -528,6 +528,160 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mm_image_near_dup"] = mm_image_near_dup
 
+
+# ---------------------------------------------------------------------------
+# STREAMING twin of the image near-dup: dedup-on-ingest for the multimodal
+# column, the band-store probe pattern of t_stream_lsh_pairs applied to the
+# patch-signature bands. Per micro-batch: decode+patchify the batch's media
+# (the same Arrow pipeline), append its bands + signatures to persistent
+# stores FIRST (so within-batch pairs form), probe the band store for
+# collisions, verify candidates patch-by-patch against the signature store,
+# and append qualifying pairs. Media are sliced by media_id % 3, so a base
+# card (2d) and its twin (2d+1) land in DIFFERENT batches — cross-batch
+# pair formation is exercised by construction — and the run RESTARTS
+# mid-stream: the first incarnation drains two staged files, then a second
+# incarnation on the same checkpoint picks up a third file that appears
+# after the handoff. After the drain the accumulated pairs equal the batch
+# pigeonhole oracle exactly. 100 TB shape: per batch the work is (batch
+# bands) ⋈ (band store) on exact-match band keys — O(batch · collisions),
+# never a corpus rescan; payloads never leave their batch's Arrow stage
+# (only integer signatures persist).
+# ---------------------------------------------------------------------------
+def mm_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import image_patches, synthesize_bmp_media_twins
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    media = synthesize_bmp_media_twins(docs)
+    workdir = gate_workdir("stream-imgdup-gate-")
+    src = f"{workdir}/src"
+    for i in range(3):
+        write_staged_file(
+            media.filter(F.col("media_id") % 3 == i),
+            f"{src}/part{i}.parquet",
+            mtime=1000.0 * (i + 1),
+        )
+
+    bands_dir = f"{workdir}/bands"
+    sigs_dir = f"{workdir}/sigs"
+    pairs_dir = f"{workdir}/pairs"
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        patches = image_patches(batch_df)
+        sig = (
+            patches.groupBy("media_id")
+            .agg(
+                (F.max("patch_row") + 1).alias("n_pr"),
+                (F.max("patch_col") + 1).alias("n_pc"),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("patch_row", "patch_col", "pixel_sum")
+                        )
+                    ),
+                    lambda x: x["pixel_sum"],
+                ).alias("sig"),
+            )
+            .withColumn("n", F.size("sig"))
+            .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
+        )
+        bands = sig.select(
+            "media_id",
+            "n_pr",
+            "n_pc",
+            F.posexplode(
+                F.array(
+                    F.slice("sig", F.lit(1), F.col("half")),
+                    F.slice("sig", F.col("half") + 1, F.col("n") - F.col("half")),
+                )
+            ).alias("band_idx", "band"),
+        ).withColumn(
+            "band_key",
+            F.concat_ws(",", F.transform("band", lambda x: x.cast("string"))),
+        ).select("media_id", "n_pr", "n_pc", "band_idx", "band_key")
+        # append this batch's state FIRST so within-batch pairs form too
+        bands.write.mode("append").parquet(bands_dir)
+        sig.select("media_id", "n", "sig").write.mode("append").parquet(sigs_dir)
+        store = s.read.parquet(bands_dir)
+        cand = (
+            bands.alias("a")
+            .join(
+                store.alias("b"),
+                (F.col("a.n_pr") == F.col("b.n_pr"))
+                & (F.col("a.n_pc") == F.col("b.n_pc"))
+                & (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.media_id") != F.col("b.media_id")),
+            )
+            .select(
+                F.least("a.media_id", "b.media_id").alias("media_a"),
+                F.greatest("a.media_id", "b.media_id").alias("media_b"),
+            )
+            .distinct()
+        )
+        sigs = s.read.parquet(sigs_dir)
+        x = sigs.select(
+            F.col("media_id").alias("media_a"),
+            F.col("sig").alias("sa"),
+            F.col("n").alias("n_patches"),
+        )
+        y = sigs.select(F.col("media_id").alias("media_b"), F.col("sig").alias("sb"))
+        n_match = F.size(
+            F.filter(F.zip_with("sa", "sb", lambda p, q: p == q), lambda m: m)
+        )
+        (
+            cand.join(x, "media_a")
+            .join(y, "media_b")
+            .withColumn("n_match", n_match.cast("long"))
+            .withColumn("sim", F.col("n_match") / F.col("n_patches"))
+            .filter(F.col("sim") >= _IMG_SIM)
+            .select(
+                "media_a",
+                "media_b",
+                F.col("n_patches").cast("long").alias("n_patches"),
+                "n_match",
+                "sim",
+            )
+            .write.mode("append")
+            .parquet(pairs_dir)
+        )
+
+    def run_incarnation(n_files: int) -> None:
+        q = (
+            spark.readStream.schema("media_id bigint, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "mm_stream_image_near_dup: availableNow run did not "
+                f"complete in 240s ({n_files} files)"
+            )
+
+    # restart leg: incarnation 1 drains the two staged files; the third
+    # appears only after the handoff and is picked up from the checkpoint
+    import os as _os
+
+    third = f"{src}/part2.parquet"
+    staged_third = f"{workdir}/part2.staged"
+    _os.rename(third, staged_third)
+    run_incarnation(2)
+    _os.rename(staged_third, third)
+    _os.utime(third, (3000.0, 3000.0))
+    run_incarnation(3)
+    # a pair forms exactly once (its later media's batch); distinct guards
+    # the value hash against any at-least-once replay of a batch
+    return spark.read.parquet(pairs_dir).distinct()
+
+
+QUERIES["mm_stream_image_near_dup"] = mm_stream_image_near_dup
+
 # first-principles twin: cards + twins from the pixel formula, patch sums
 # via the same grid mapping as the mm_image_patches oracle, identical
 # pigeonhole banding and verification
@@ -597,3 +751,6 @@ SELECT media_a, media_b, CAST(n_patches AS BIGINT) AS n_patches, n_match,
        CAST(n_match AS DOUBLE) / n_patches AS sim
 FROM v WHERE CAST(n_match AS DOUBLE) / n_patches >= {_IMG_SIM}
 """
+
+# the streaming twin accumulates exactly the batch pipeline's pair set
+ORACLES["mm_stream_image_near_dup"] = ORACLES["mm_image_near_dup"]
