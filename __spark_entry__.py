@@ -373,6 +373,23 @@ _CERTIFIED_TAIL = (
     # family keeps t_hll_set_ops and the runtime w_stream_hll_merge /
     # w_stream_cms_merge gates in the prefix).
     "w_hll_rollup",
+    # rotated out round 7 for the six queries ADDED this round
+    # (e_pca_top2, t_content_chunks_long, t_chunk_rewrite_long,
+    # e_filtered_recall, t_corpus_pipeline_chunked, and the runtime-pinned
+    # mm_stream_image_near_dup gate). All six rotated-out queries are
+    # r06-green and untouched this round (fingerprint-equal vs
+    # FINGERPRINTS_r06, guard-tested). Family coverage stays in the
+    # prefix: the recall-audit pattern through e_ivfpq_recall +
+    # e_filtered_recall (new), the anomaly grid through the runtime
+    # w_stream_anomaly_days twin, the CDC family through the stream view /
+    # pyds / spans / as-of / bootstrap-handoff gates, and RRF's two ranked
+    # inputs through their own certified queries.
+    "e_sq8_recall",
+    "e_matryoshka_recall",
+    "t_collocations",
+    "w_anomaly_days",
+    "cdc_view_diff",
+    "e_hybrid_rrf",
 )
 
 
