@@ -113,6 +113,14 @@ HEADLINE = [
     "w_anomaly_days",
     # round-6 (sixth pass): eval-contamination audit across hash splits
     "t_split_leakage",
+    # round-7 additions: top-2 PCA (projection deflation), the long-doc
+    # Arrow-route chunk/rewrite gates, filtered-ANN recall audit, and the
+    # sub-document curation chain (rewrite -> split -> pack)
+    "e_pca_top2",
+    "t_content_chunks_long",
+    "t_chunk_rewrite_long",
+    "e_filtered_recall",
+    "t_corpus_pipeline_chunked",
 ]
 
 
