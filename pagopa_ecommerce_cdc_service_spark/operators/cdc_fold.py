@@ -185,10 +185,14 @@ def fold_transactions_view(
     ``prepared`` must be the output of :func:`prepare_events` (or carry a
     ``_ts_millis`` column) and a monotone arrival-order ``seq`` column.
 
-    ``salt_segments``: skew fallback. The default plan is ONE exchange on
-    ``key``, whose two per-key windows serialize every hot key's rows into
-    one task — fine up to the measured hotness threshold recorded in
-    SCALING.md, a straggler beyond it. With ``salt_segments=S`` the fold
+    ``salt_segments``: skew fallback, COLD-STANDBY by default. The default
+    plan is ONE exchange on ``key``, whose two per-key windows serialize
+    every hot key's rows into one task — the round-7 sweep (SCALING.md)
+    measured it WINNING through 100% single-key hotness at sf1 (≈333k rows
+    per hot key), so the crossover variable is absolute per-key row count,
+    not skew ratio: activate salting only when one key's event set breaches
+    a single task's memory/time budget (order 10⁸⁺ rows per key at 100 TB).
+    With ``salt_segments=S`` the fold
     switches to a skew-resilient formulation in which NO stage is keyed on
     ``key`` alone at event grain: id-dedup becomes a (key, id) min-by
     aggregation (ids are distinct within a hot key, so the exchange

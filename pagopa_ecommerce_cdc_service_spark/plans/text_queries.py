@@ -2744,12 +2744,18 @@ def _chunk_rewrite(docs: DataFrame) -> DataFrame:
     rn = F.row_number().over(
         Window.partitionBy("chunk_hash", "chunk_len").orderBy("doc_id", "chunk_idx")
     )
+    # lazy persist (the t_kcore_peel discipline): BOTH rebuild branches of
+    # the length-hybrid join against drops, and exchange reuse does not
+    # collapse the two copies across the Union (verified on the executed
+    # plan) — without the pin the chunker + ranking window run twice. One
+    # narrow row per affected doc; at scale this is the drop table a real
+    # pipeline materializes.
     drops = (
         c.withColumn("rn", rn)
         .filter((F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN) & (F.col("rn") > 1))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
-    )
+    ).persist()
     base = (
         docs.select("doc_id", "text")
         .join(drops, "doc_id", "left")

@@ -214,11 +214,14 @@ def build_skew_variant(spark, src: str, dest: str, hot_replicas: int) -> str:
     return vdir
 
 
-def skew_sweep(spark, src: str, dest: str, runs: int) -> None:
+def skew_sweep(
+    spark, src: str, dest: str, runs: int, hotness=(1, 3, 5, 7)
+) -> None:
     """Measure where the single-exchange CDC fold's hot-key straggler bites
     (the salting threshold), and what the salted fallback costs/buys.
 
-    For hotness ratios 10..70% (of the decade's rows on 3 transactionIds),
+    For each hotness ratio (hot_replicas × 10% of the decade's rows on 3
+    transactionIds — 10 routes EVERY row to the 3 hot keys),
     time the default fold and the salted fold over the same skewed decade.
     The envelope synthesis (a uniform map-side cost identical across
     variants) is MATERIALIZED to parquet once per variant so the timing
@@ -263,7 +266,7 @@ def skew_sweep(spark, src: str, dest: str, runs: int) -> None:
         ),
         flush=True,
     )
-    for hot in (1, 3, 5, 7):
+    for hot in hotness:
         pdir = prepared_dir(build_skew_variant(spark, src, dest, hot))
         plain = time_fold(pdir, None)
         salted = time_fold(pdir, 32)
@@ -295,7 +298,12 @@ def main() -> None:
     ap.add_argument(
         "--skew-sweep",
         action="store_true",
-        help="only run the fold salting-threshold sweep (hotness 10..70%%)",
+        help="only run the fold salting-threshold sweep",
+    )
+    ap.add_argument(
+        "--skew-hotness",
+        default="1,3,5,7",
+        help="comma list of hot replica counts (×10%% rows on 3 keys; 10 = all)",
     )
     args = ap.parse_args()
 
@@ -305,7 +313,8 @@ def main() -> None:
     import __spark_entry__ as entry
 
     if args.skew_sweep:
-        skew_sweep(spark, "/root/testdata/sf0.1", args.out, args.runs)
+        hotness = tuple(int(h) for h in args.skew_hotness.split(","))
+        skew_sweep(spark, "/root/testdata/sf0.1", args.out, args.runs, hotness)
         return
 
     build_sf1(spark, "/root/testdata/sf0.1", args.out)
