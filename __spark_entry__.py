@@ -390,6 +390,13 @@ _CERTIFIED_TAIL = (
     "w_anomaly_days",
     "cdc_view_diff",
     "e_hybrid_rrf",
+    # rotated out round 7 (second pass) for t_chunk_containment (chunk-set
+    # quotation/inclusion detection); r06-green and untouched this round —
+    # its plan hash was explicitly re-verified byte-equal to
+    # FINGERPRINTS_r06 (cae882b161abd795) during the round-7 bench-flake
+    # audit. The LSH pair family stays prefix-exercised through
+    # t_stream_lsh_pairs and t_ngram_jaccard_pairs' certified history.
+    "t_split_leakage",
 )
 
 

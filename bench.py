@@ -121,6 +121,8 @@ HEADLINE = [
     "t_chunk_rewrite_long",
     "e_filtered_recall",
     "t_corpus_pipeline_chunked",
+    # round-7 (second pass): chunk-set containment (quotation detection)
+    "t_chunk_containment",
 ]
 
 

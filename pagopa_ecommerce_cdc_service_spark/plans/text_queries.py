@@ -2857,6 +2857,103 @@ def t_content_chunks_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_rows(_mixed_corpus(spark, sf_dir))
 
 
+# ---------------------------------------------------------------------------
+# chunk-level CONTAINMENT detection (quotation / doc-in-doc inclusion):
+# containment(A→B) = |eligible chunks of A also in B| / |eligible chunks
+# of A| over DISTINCT (chunk_hash, chunk_len) sets — the asymmetric
+# measure that catches one document quoting or embedding another, which
+# symmetric Jaccard dilutes away when |B| ≫ |A|. Eligibility = the dedup
+# floor (len ≥ 16) AND document frequency ≤ a cap: chunks shared by more
+# than _CONTAIN_DF_CAP documents are boilerplate, and at corpus scale
+# they are exactly the keys that would turn the chunk-hash self-join
+# quadratic — the df cap is the blocking guarantee (same role as prefix
+# filtering in the n-gram Jaccard join). 100 TB shape: one distinct over
+# narrow chunk keys, one df aggregation, one equi-join on (chunk_hash,
+# chunk_len) bounded by df ≤ cap (≤ cap² pairs per shared chunk), one
+# (doc_a, doc_b) count — never all-pairs, text never shuffles.
+# ---------------------------------------------------------------------------
+_CONTAIN_DF_CAP = 64
+_CONTAIN_THRESH = 0.5
+
+
+@query(
+    "t_chunk_containment",
+    f"""
+    WITH c AS ({_content_chunks_oracle()}),
+    d AS (
+      SELECT DISTINCT doc_id, chunk_hash, chunk_len FROM c
+      WHERE chunk_len >= {_CHUNK_DEDUP_MIN_LEN}
+    ),
+    df AS (
+      SELECT chunk_hash, chunk_len, count(*) AS n_docs
+      FROM d GROUP BY chunk_hash, chunk_len
+    ),
+    e AS (
+      SELECT d.doc_id, d.chunk_hash, d.chunk_len
+      FROM d JOIN df USING (chunk_hash, chunk_len)
+      WHERE df.n_docs <= {_CONTAIN_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_chunks FROM e GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM e a JOIN e b
+        ON a.chunk_hash = b.chunk_hash AND a.chunk_len = b.chunk_len
+       AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           z.n_chunks AS n_chunks_a,
+           CAST(s.n_shared AS DOUBLE) / z.n_chunks AS containment
+    FROM shared s JOIN sizes z ON s.doc_a = z.doc_id
+    WHERE CAST(s.n_shared AS DOUBLE) / z.n_chunks >= {_CONTAIN_THRESH}
+    """,
+)
+def t_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = t_content_chunks(spark, sf_dir)
+    # lazy persist (the t_kcore_peel discipline): the distinct chunk-key
+    # table feeds the df aggregation AND the eligible-key semi-join, and
+    # the eligible table in turn feeds sizes + both containment join sides
+    # — without the pins the flatMap chunker re-executes per reference
+    # (measured 5.7 s warm at sf0.1 unpinned). Narrow keys only, never text.
+    d = (
+        c.filter(F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN)
+        .select("doc_id", "chunk_hash", "chunk_len")
+        .distinct()
+    ).persist()
+    df_tbl = (
+        d.groupBy("chunk_hash", "chunk_len")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= _CONTAIN_DF_CAP)
+        .select("chunk_hash", "chunk_len")
+    )
+    e = d.join(df_tbl, ["chunk_hash", "chunk_len"], "left_semi").persist()
+    sizes = e.groupBy("doc_id").agg(F.count("*").alias("n_chunks"))
+    a = e.select(
+        F.col("doc_id").alias("doc_a"), "chunk_hash", "chunk_len"
+    )
+    b = e.select(
+        F.col("doc_id").alias("doc_b"), "chunk_hash", "chunk_len"
+    )
+    shared = (
+        a.join(b, ["chunk_hash", "chunk_len"])
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    containment = F.col("n_shared").cast("double") / F.col("n_chunks")
+    return (
+        shared.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            F.col("n_chunks").alias("n_chunks_a"),
+            containment.alias("containment"),
+        )
+        .filter(F.col("containment") >= _CONTAIN_THRESH)
+    )
+
+
 @query("t_chunk_rewrite_long", _chunk_rewrite_oracle(_mixed_corpus_sql()))
 def t_chunk_rewrite_long(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _chunk_rewrite(_mixed_corpus(spark, sf_dir))

@@ -70,6 +70,11 @@ QUERIES = (
     "t_inverted_index",        # one explode + one (term, doc) exchange
     "e_gram_matrix",           # fixed 64x64 output at any corpus size
     "t_chunk_dedup_rewrite",   # narrow-key ranking + broadcast rebuild
+    # round-7 additions
+    "e_pca_top2",              # one gram exchange + in-row iteration chain
+    "t_chunk_rewrite_long",    # Arrow chunk+rebuild kernels on >8KiB docs
+    "e_filtered_recall",       # filtered exact scan + probed-list scan
+    "t_corpus_pipeline_chunked",  # rewrite -> split -> pack composition
 )
 
 
