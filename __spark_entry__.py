@@ -397,6 +397,18 @@ _CERTIFIED_TAIL = (
     # audit. The LSH pair family stays prefix-exercised through
     # t_stream_lsh_pairs and t_ngram_jaccard_pairs' certified history.
     "t_split_leakage",
+    # rotated out round 7 (third pass) for t_pair_quality_keeper
+    # (quality-adjudicated dedup keeper) and the residual-quantization
+    # index family (e_rq_topk + e_rq_recall). All three rotated-out
+    # queries are r06-green and untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r06, guard-tested): the JL index stays soft-checked
+    # by full local parity and its zero-exchange shape plan-gated
+    # (test_jl_topk_zero_hash_exchanges); the batch image near-dup's
+    # entire pipeline is prefix-exercised every round by its runtime
+    # streaming twin, which certifies against the SAME pigeonhole oracle.
+    "e_jl_topk",
+    "e_jl_recall",
+    "mm_image_near_dup",
 )
 
 

@@ -123,6 +123,10 @@ HEADLINE = [
     "t_corpus_pipeline_chunked",
     # round-7 (second pass): chunk-set containment (quotation detection)
     "t_chunk_containment",
+    # round-7 (third pass): quality-adjudicated keeper, RVQ index + audit
+    "t_pair_quality_keeper",
+    "e_rq_topk",
+    "e_rq_recall",
 ]
 
 

