@@ -409,6 +409,11 @@ _CERTIFIED_TAIL = (
     "e_jl_topk",
     "e_jl_recall",
     "mm_image_near_dup",
+    # rotated out round 7 (fourth pass) for mm_audio_near_dup (the WAV
+    # column composed with the dedup stack); r06-green, fingerprint-equal —
+    # the frame-energy Arrow pipeline it certified is composed wholesale
+    # inside mm_audio_near_dup, which now holds the prefix slot.
+    "mm_audio_frame_energy",
 )
 
 

@@ -127,6 +127,8 @@ HEADLINE = [
     "t_pair_quality_keeper",
     "e_rq_topk",
     "e_rq_recall",
+    # round-7 (fourth pass): audio column composed with the dedup stack
+    "mm_audio_near_dup",
 ]
 
 

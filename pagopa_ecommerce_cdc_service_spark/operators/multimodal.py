@@ -770,3 +770,33 @@ def synthesize_bmp_media_twins(docs: DataFrame, twin_mod: int = 5) -> DataFrame:
             )
 
     return docs.select("doc_id").mapInPandas(run, schema=BMP_MEDIA_SCHEMA)
+
+
+def synthesize_wav_media_twins(docs: DataFrame, twin_mod: int = 5) -> DataFrame:
+    """documents → WAV corpus with NEAR-DUP twins: every document yields its
+    base test waveform (media_id = 2·doc_id) and every ``twin_mod``-th
+    document additionally yields a perturbed twin (media_id = 2·doc_id + 1)
+    — the same waveform with its LAST sample bumped by one, which changes
+    exactly one analysis frame's energy (Δ = 2s+1 ≠ 0 for integer s). The
+    pairs an audio near-dup stage must recover are therefore known by
+    construction. Arrow-batched producer, map-only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                s = _synth_samples(d)
+                ids.append(2 * d)
+                payloads.append(encode_wav_pcm16(s))
+                if d % twin_mod == 0:
+                    tw = s.copy()
+                    tw[-1] = tw[-1] + 1
+                    ids.append(2 * d + 1)
+                    payloads.append(encode_wav_pcm16(tw))
+            yield pd.DataFrame(
+                {"media_id": ids, "payload": payloads},
+                columns=["media_id", "payload"],
+            )
+
+    return docs.select("doc_id").mapInPandas(run, schema=BMP_MEDIA_SCHEMA)

@@ -754,3 +754,149 @@ FROM v WHERE CAST(n_match AS DOUBLE) / n_patches >= {_IMG_SIM}
 
 # the streaming twin accumulates exactly the batch pipeline's pair set
 ORACLES["mm_stream_image_near_dup"] = ORACLES["mm_image_near_dup"]
+
+
+# ---------------------------------------------------------------------------
+# audio near-dup: the WAV column composed with the dedup stack — the audio
+# sibling of mm_image_near_dup. Corpus = the PCM16 test waveforms plus
+# synthesized near-dup TWINS (every 5th waveform re-emitted with its last
+# sample bumped — exactly one changed analysis frame, since frame energy
+# moves by 2s+1 ≠ 0). Per media, the ordered per-frame energies form an
+# integer acoustic signature; candidates come from the same PIGEONHOLE
+# BANDING (two exact-match halves — provably lossless for pairs differing
+# in ≤ 1 frame); verification keeps pairs with ≥ 70% matching frames.
+# 100 TB shape: decode + frame energy is Arrow map-only; signatures are
+# one media_id aggregation; candidates come from a (n_frames, band_idx,
+# band_key) equi-join — never all-pairs. Oracle: the whole pipeline from
+# the waveform formula in pure SQL, identical banding.
+# ---------------------------------------------------------------------------
+def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_frame_energy, synthesize_wav_media_twins
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    frames = audio_frame_energy(synthesize_wav_media_twins(docs))
+    sig = (
+        frames.groupBy("media_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("frame_idx", "energy"))),
+                lambda x: x["energy"],
+            ).alias("sig")
+        )
+        .withColumn("n", F.size("sig"))
+        .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
+    )
+    bands = sig.select(
+        "media_id",
+        "n",
+        "sig",
+        F.posexplode(
+            F.array(
+                F.slice("sig", F.lit(1), F.col("half")),
+                F.slice("sig", F.col("half") + 1, F.col("n") - F.col("half")),
+            )
+        ).alias("band_idx", "band"),
+    ).withColumn(
+        "band_key", F.concat_ws(",", F.transform("band", lambda x: x.cast("string")))
+    )
+    # lazy persist: both sides of the band self-join reference this subtree
+    # (the t_kcore_peel discipline — the Arrow decode pipeline runs once)
+    bands = bands.persist()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.n") == F.col("b.n"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            F.col("a.sig").alias("sa"),
+            F.col("b.sig").alias("sb"),
+            F.col("a.n").alias("n_frames"),
+        )
+        .distinct()
+    )
+    n_match = F.size(
+        F.filter(F.zip_with("sa", "sb", lambda x, y: x == y), lambda m: m)
+    )
+    return (
+        cand.withColumn("n_match", n_match.cast("long"))
+        .withColumn("sim", F.col("n_match") / F.col("n_frames"))
+        .filter(F.col("sim") >= _IMG_SIM)
+        .select(
+            "media_a",
+            "media_b",
+            F.col("n_frames").cast("long").alias("n_frames"),
+            "n_match",
+            "sim",
+        )
+    )
+
+
+QUERIES["mm_audio_near_dup"] = mm_audio_near_dup
+
+# first-principles twin: waveforms + twins from the sample formula
+# (n = 64 + id%129, s_i = ((id*17 + 3i²) % 4001) − 2000, twin bumps s_{n−1}),
+# 32-sample frames, identical pigeonhole banding and verification
+ORACLES["mm_audio_near_dup"] = f"""
+WITH cards AS (
+  SELECT doc_id, doc_id * 2 AS media_id, 0 AS delta FROM documents
+  UNION ALL
+  SELECT doc_id, doc_id * 2 + 1, 1 FROM documents WHERE doc_id % 5 = 0
+),
+g AS (
+  SELECT media_id, doc_id, delta, 64 + doc_id % 129 AS n FROM cards
+),
+f AS (
+  SELECT *, unnest(range(CAST((n + 31) // 32 AS INTEGER))) AS frame_idx FROM g
+),
+fr AS (
+  SELECT media_id, frame_idx, n,
+         CAST(list_sum(list_transform(
+           list_transform(range(CAST(LEAST(32, n - frame_idx * 32) AS INTEGER)),
+             j -> ((doc_id * 17
+                    + 3 * (frame_idx * 32 + j) * (frame_idx * 32 + j)) % 4001
+                   - 2000
+                   + CASE WHEN delta = 1 AND frame_idx * 32 + j = n - 1
+                          THEN 1 ELSE 0 END)),
+           x -> x * x)) AS BIGINT) AS e
+  FROM f
+),
+sig AS (
+  SELECT media_id,
+         list(e ORDER BY frame_idx) AS sig,
+         count(*) AS n,
+         CAST(ceil(count(*) / 2.0) AS INTEGER) AS half
+  FROM fr GROUP BY media_id
+),
+bands AS (
+  SELECT media_id, n, sig, 0 AS band_idx,
+         array_to_string(sig[1:half], ',') AS band_key
+  FROM sig
+  UNION ALL
+  SELECT media_id, n, sig, 1,
+         array_to_string(sig[half + 1:CAST(n AS INTEGER)], ',')
+  FROM sig
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.sig AS sa, b.sig AS sb, a.n AS n_frames
+  FROM bands a JOIN bands b
+    ON a.n = b.n AND a.band_idx = b.band_idx AND a.band_key = b.band_key
+   AND a.media_id < b.media_id
+),
+v AS (
+  SELECT media_a, media_b, n_frames,
+         CAST(len(list_filter(range(CAST(n_frames AS INTEGER)),
+                i -> sa[i + 1] = sb[i + 1])) AS BIGINT) AS n_match
+  FROM cand
+)
+SELECT media_a, media_b, CAST(n_frames AS BIGINT) AS n_frames, n_match,
+       CAST(n_match AS DOUBLE) / n_frames AS sim
+FROM v WHERE CAST(n_match AS DOUBLE) / n_frames >= {_IMG_SIM}
+"""
