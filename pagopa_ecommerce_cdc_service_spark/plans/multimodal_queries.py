@@ -529,6 +529,28 @@ def mm_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["mm_image_near_dup"] = mm_image_near_dup
 
 
+def _pigeonhole_bands(sig: DataFrame, grid_cols: list[str]) -> DataFrame:
+    """Signature rows (media_id, *grid, sig, n, half) → two exact-match
+    half-bands per media with a string band key — the pigeonhole banding
+    shared by the audio near-dup and the streaming image twin.
+    (mm_image_near_dup keeps its certified inline copy of the identical
+    construction: it sits in the fingerprint-guarded tail, where the plan
+    must stay byte-equal to its certification snapshot.)"""
+    keep = ["media_id"] + [c for c in grid_cols if c != "n"] + ["n", "sig"]
+    return sig.select(
+        *keep,
+        F.posexplode(
+            F.array(
+                F.slice("sig", F.lit(1), F.col("half")),
+                F.slice("sig", F.col("half") + 1, F.col("n") - F.col("half")),
+            )
+        ).alias("band_idx", "band"),
+    ).withColumn(
+        "band_key",
+        F.concat_ws(",", F.transform("band", lambda x: x.cast("string"))),
+    )
+
+
 # ---------------------------------------------------------------------------
 # STREAMING twin of the image near-dup: dedup-on-ingest for the multimodal
 # column, the band-store probe pattern of t_stream_lsh_pairs applied to the
@@ -552,15 +574,21 @@ def mm_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .helpers import gate_workdir, write_staged_file
 
     docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
-    media = synthesize_bmp_media_twins(docs)
+    # pin the synthesized corpus across the three staging writes (each
+    # write is its own action — unpinned, the twin-synthesis Arrow stage
+    # would run three times), and release it before the stream starts
+    media = synthesize_bmp_media_twins(docs).persist()
     workdir = gate_workdir("stream-imgdup-gate-")
     src = f"{workdir}/src"
-    for i in range(3):
-        write_staged_file(
-            media.filter(F.col("media_id") % 3 == i),
-            f"{src}/part{i}.parquet",
-            mtime=1000.0 * (i + 1),
-        )
+    try:
+        for i in range(3):
+            write_staged_file(
+                media.filter(F.col("media_id") % 3 == i),
+                f"{src}/part{i}.parquet",
+                mtime=1000.0 * (i + 1),
+            )
+    finally:
+        media.unpersist()
 
     bands_dir = f"{workdir}/bands"
     sigs_dir = f"{workdir}/sigs"
@@ -569,6 +597,11 @@ def mm_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         s = batch_df.sparkSession
         patches = image_patches(batch_df)
+        # pinned for the batch: three actions read this subtree (bands
+        # append, sig append, candidate probe) — unpinned, the Arrow
+        # decode+patchify pipeline would run three times per micro-batch.
+        # foreachBatch is synchronous, so the pin is released before return
+        # (no session-lifetime leak, unlike the lazy batch-query pins)
         sig = (
             patches.groupBy("media_id")
             .agg(
@@ -585,21 +618,10 @@ def mm_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .withColumn("n", F.size("sig"))
             .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
+        ).persist()
+        bands = _pigeonhole_bands(sig, ["n_pr", "n_pc"]).select(
+            "media_id", "n_pr", "n_pc", "band_idx", "band_key"
         )
-        bands = sig.select(
-            "media_id",
-            "n_pr",
-            "n_pc",
-            F.posexplode(
-                F.array(
-                    F.slice("sig", F.lit(1), F.col("half")),
-                    F.slice("sig", F.col("half") + 1, F.col("n") - F.col("half")),
-                )
-            ).alias("band_idx", "band"),
-        ).withColumn(
-            "band_key",
-            F.concat_ws(",", F.transform("band", lambda x: x.cast("string"))),
-        ).select("media_id", "n_pr", "n_pc", "band_idx", "band_key")
         # append this batch's state FIRST so within-batch pairs form too
         bands.write.mode("append").parquet(bands_dir)
         sig.select("media_id", "n", "sig").write.mode("append").parquet(sigs_dir)
@@ -630,22 +652,25 @@ def mm_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_match = F.size(
             F.filter(F.zip_with("sa", "sb", lambda p, q: p == q), lambda m: m)
         )
-        (
-            cand.join(x, "media_a")
-            .join(y, "media_b")
-            .withColumn("n_match", n_match.cast("long"))
-            .withColumn("sim", F.col("n_match") / F.col("n_patches"))
-            .filter(F.col("sim") >= _IMG_SIM)
-            .select(
-                "media_a",
-                "media_b",
-                F.col("n_patches").cast("long").alias("n_patches"),
-                "n_match",
-                "sim",
+        try:
+            (
+                cand.join(x, "media_a")
+                .join(y, "media_b")
+                .withColumn("n_match", n_match.cast("long"))
+                .withColumn("sim", F.col("n_match") / F.col("n_patches"))
+                .filter(F.col("sim") >= _IMG_SIM)
+                .select(
+                    "media_a",
+                    "media_b",
+                    F.col("n_patches").cast("long").alias("n_patches"),
+                    "n_match",
+                    "sim",
+                )
+                .write.mode("append")
+                .parquet(pairs_dir)
             )
-            .write.mode("append")
-            .parquet(pairs_dir)
-        )
+        finally:
+            sig.unpersist()
 
     def run_incarnation(n_files: int) -> None:
         q = (
@@ -764,7 +789,11 @@ ORACLES["mm_stream_image_near_dup"] = ORACLES["mm_image_near_dup"]
 # moves by 2s+1 ≠ 0). Per media, the ordered per-frame energies form an
 # integer acoustic signature; candidates come from the same PIGEONHOLE
 # BANDING (two exact-match halves — provably lossless for pairs differing
-# in ≤ 1 frame); verification keeps pairs with ≥ 70% matching frames.
+# in ≤ 1 frame); verification keeps pairs with AT MOST ONE differing
+# frame (n_match ≥ n_frames − 1) — the same criterion the banding is
+# lossless for. A ratio threshold (the image family's 70%) would silently
+# drop every twin whose waveform has ≤ 3 frames (1 differing frame of 2–3
+# is only 50–67% similarity), and the test waveforms run 2–6 frames.
 # 100 TB shape: decode + frame energy is Arrow map-only; signatures are
 # one media_id aggregation; candidates come from a (n_frames, band_idx,
 # band_key) equi-join — never all-pairs. Oracle: the whole pipeline from
@@ -786,19 +815,7 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.size("sig"))
         .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
     )
-    bands = sig.select(
-        "media_id",
-        "n",
-        "sig",
-        F.posexplode(
-            F.array(
-                F.slice("sig", F.lit(1), F.col("half")),
-                F.slice("sig", F.col("half") + 1, F.col("n") - F.col("half")),
-            )
-        ).alias("band_idx", "band"),
-    ).withColumn(
-        "band_key", F.concat_ws(",", F.transform("band", lambda x: x.cast("string")))
-    )
+    bands = _pigeonhole_bands(sig, ["n"])
     # lazy persist: both sides of the band self-join reference this subtree
     # (the t_kcore_peel discipline — the Arrow decode pipeline runs once)
     bands = bands.persist()
@@ -827,7 +844,7 @@ def mm_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("n_match", n_match.cast("long"))
         .withColumn("sim", F.col("n_match") / F.col("n_frames"))
-        .filter(F.col("sim") >= _IMG_SIM)
+        .filter(F.col("n_match") >= F.col("n_frames") - 1)
         .select(
             "media_a",
             "media_b",
@@ -898,5 +915,5 @@ v AS (
 )
 SELECT media_a, media_b, CAST(n_frames AS BIGINT) AS n_frames, n_match,
        CAST(n_match AS DOUBLE) / n_frames AS sim
-FROM v WHERE CAST(n_match AS DOUBLE) / n_frames >= {_IMG_SIM}
+FROM v WHERE n_match >= n_frames - 1
 """

@@ -269,8 +269,8 @@ def t_corpus_pipeline_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy persist (the t_kcore_peel discipline): assigned is read three
     # times (train filter, the pack window, the final left join) — without
     # the pin the whole rewrite subtree executes three times (measured
-    # 12.8 s → 4.3 s warm at sf0.1). One narrow row per doc; at scale this
-    # is the materialization boundary a real pipeline writes to disk.
+    # 12.8 s → 3.5 s warm floor at sf0.1). One narrow row per doc; at scale
+    # this is the materialization boundary a real pipeline writes to disk.
     assigned = assign_split(
         rebuilt, key="doc_id", fractions=_SPLIT_FRACTIONS, stratum="source"
     ).select(

@@ -1066,17 +1066,29 @@ def e_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # set, quadratic like every dedup-losslessness oracle in the suite —
 # audit-grade work on a bounded panel, not the serving path.
 # ---------------------------------------------------------------------------
-def _exact_topk_gt(spark: SparkSession, sf_dir: str, query_vec_id: int, k: int):
-    """Brute-force exact-cosine top-k vec_ids for the fixed query vector."""
+def _exact_topk_gt(
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int,
+    k: int,
+    label_filter=None,
+):
+    """Brute-force exact-cosine top-k vec_ids for the fixed query vector;
+    ``label_filter`` (a Column predicate) restricts the corpus for the
+    filtered-search audit. With the default None the built plan is
+    byte-identical to the unfiltered form (tail fingerprints depend on it)."""
+    cols = ["vec_id"] + (["label"] if label_filter is not None else [])
     emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", quantize(F.col("embedding")).alias("qvec")
+        *cols, quantize(F.col("embedding")).alias("qvec")
     )
     q = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("qvec").alias("qv")
     )
+    base = emb.filter(F.col("vec_id") != query_vec_id)
+    if label_filter is not None:
+        base = base.filter(label_filter)
     return (
-        emb.filter(F.col("vec_id") != query_vec_id)
-        .crossJoin(F.broadcast(q))
+        base.crossJoin(F.broadcast(q))
         .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
         .orderBy(F.desc("cs"), F.asc("vec_id"))
         .limit(k)
@@ -1084,7 +1096,7 @@ def _exact_topk_gt(spark: SparkSession, sf_dir: str, query_vec_id: int, k: int):
     )
 
 
-def _gt_sql(query_vec_id: int, k: int) -> str:
+def _gt_sql(query_vec_id: int, k: int, extra_where: str = "") -> str:
     return f"""
       SELECT vec_id FROM (
         SELECT e.vec_id,
@@ -1095,7 +1107,7 @@ def _gt_sql(query_vec_id: int, k: int) -> str:
         FROM embeddings e,
              (SELECT {_QV} AS qv FROM embeddings
               WHERE vec_id = {query_vec_id}) gq
-        WHERE e.vec_id <> {query_vec_id}
+        WHERE e.vec_id <> {query_vec_id}{extra_where}
       ) WHERE rn <= {k}
     """
 
@@ -1108,10 +1120,12 @@ def _recall_row(approx: DataFrame, gt: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _recall_sql(approx_sql: str, query_vec_id: int, k: int) -> str:
+def _recall_sql(
+    approx_sql: str, query_vec_id: int, k: int, extra_where: str = ""
+) -> str:
     return f"""
     WITH approx AS ({approx_sql}),
-    gt AS ({_gt_sql(query_vec_id, k)})
+    gt AS ({_gt_sql(query_vec_id, k, extra_where)})
     SELECT CAST({k} AS BIGINT) AS k,
            count(*) AS n_hits,
            count(*) / {k} AS recall_at_{k}
@@ -1281,54 +1295,37 @@ def e_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # recall audit for the filtered search: ground truth = EXACT cosine top-k
-# over the label-filtered corpus (one O(N) scan — the same audit shape as
-# the other index audits). This quantifies precisely the pre-filter IVF
-# under-fill risk documented above: every hit lost to a selective filter
-# shrinking the probed lists shows up here as recall < 1.
+# over the label-filtered corpus (one O(N) scan — the shared recall
+# scaffolding with a label predicate). This quantifies precisely the
+# pre-filter IVF under-fill risk documented above: every hit lost to a
+# selective filter shrinking the probed lists shows up here as recall < 1.
 @query(
     "e_filtered_recall",
-    f"""
-    WITH approx AS ({ORACLES["e_filtered_topk"]}),
-    gt AS (
-      SELECT vec_id FROM (
-        SELECT e.vec_id,
-               ROW_NUMBER() OVER (
-                 ORDER BY {cosine_sql(quantize_sql("e.embedding"), "gq.qv")} DESC,
-                          e.vec_id
-               ) AS rn
-        FROM embeddings e,
-             (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0) gq
-        WHERE e.vec_id <> 0 AND e.label IN {_FILTER_LABELS}
-      ) WHERE rn <= {_FILTERED_K}
-    )
-    SELECT CAST({_FILTERED_K} AS BIGINT) AS k,
-           count(*) AS n_hits,
-           count(*) / {_FILTERED_K} AS recall_at_{_FILTERED_K}
-    FROM approx JOIN gt USING (vec_id)
-    """,
+    _recall_sql(
+        ORACLES["e_filtered_topk"],
+        0,
+        _FILTERED_K,
+        extra_where=f" AND e.label IN {_FILTER_LABELS}",
+    ),
 )
 def e_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", "label", quantize(F.col("embedding")).alias("qvec")
-    )
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
-    gt = (
-        emb.filter((F.col("vec_id") != 0) & F.col("label").isin(*_FILTER_LABELS))
-        .crossJoin(F.broadcast(q))
-        .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
-        .orderBy(F.desc("cs"), F.asc("vec_id"))
-        .limit(_FILTERED_K)
-        .select("vec_id")
-    )
     return _recall_row(
-        e_filtered_topk(spark, sf_dir).select("vec_id"), gt, _FILTERED_K
+        e_filtered_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(
+            spark,
+            sf_dir,
+            0,
+            _FILTERED_K,
+            label_filter=F.col("label").isin(*_FILTER_LABELS),
+        ),
+        _FILTERED_K,
     )
 
 
 # ---------------------------------------------------------------------------
 # Residual (2-level additive) quantization — the RVQ index family:
-# level-1 codebook = the deterministic pivot set (vec_id 1..8, the IVF
-# discipline); level-2 codebook = the RESIDUALS of the next 8 vectors
+# level-1 codebook = a deterministic pivot set (vec_id 1..16, the IVF
+# discipline); level-2 codebook = the RESIDUALS of the next 32 vectors
 # after their own level-1 assignment (codeword = qvec − nearest c1, exact
 # integers). Every vector encodes as (c1, c2) with reconstruction
 # x̂ = c1 + c2; the approximate score is dot(q, x̂) = dot(q,c1) +

@@ -262,3 +262,35 @@ def test_image_near_dup_recovers_every_twin_pair(spark):
         key = (2 * d, 2 * d + 1)
         assert key in pairs, f"twin pair for doc {d} missed"
         assert pairs[key] >= 0.75
+
+
+def test_audio_near_dup_recovers_every_twin_pair(spark):
+    """Pigeonhole guarantee, audio flavor: a twin differs from its base
+    waveform in exactly one frame (the bumped last sample moves that
+    frame's energy by 2s+1 != 0), so with 2 exact-match bands and the
+    at-most-one-differing-frame verdict every (2d, 2d+1) pair MUST
+    surface. A 70% ratio threshold would miss every <= 3-frame waveform
+    (1 differing frame of 2-3 is 50-67% similarity) — the bug this test
+    pins against."""
+    from pagopa_ecommerce_cdc_service_spark.plans.multimodal_queries import (
+        mm_audio_near_dup,
+    )
+
+    rows = mm_audio_near_dup(spark, "/root/testdata/sf0.001").collect()
+    pairs = {(r["media_a"], r["media_b"]): r["n_match"] for r in rows}
+    assert any(r["n_frames"] <= 3 for r in rows), (
+        "corpus no longer exercises the short-waveform regime"
+    )
+    import duckdb
+
+    doc_ids = [
+        r[0]
+        for r in duckdb.sql(
+            "SELECT doc_id FROM '/root/testdata/sf0.001/documents.parquet' "
+            "WHERE doc_id % 5 = 0"
+        ).fetchall()
+    ]
+    assert doc_ids
+    for d in doc_ids:
+        key = (2 * d, 2 * d + 1)
+        assert key in pairs, f"twin pair for doc {d} missed"

@@ -75,6 +75,10 @@ QUERIES = (
     "t_chunk_rewrite_long",    # Arrow chunk+rebuild kernels on >8KiB docs
     "e_filtered_recall",       # filtered exact scan + probed-list scan
     "t_corpus_pipeline_chunked",  # rewrite -> split -> pack composition
+    "t_chunk_containment",     # df-capped chunk-set inclusion join
+    "t_pair_quality_keeper",   # LSH pairs + two narrow quality joins
+    "e_rq_topk",               # broadcast 2-level codebooks, map-only encode
+    "mm_audio_near_dup",       # Arrow frame energies + pigeonhole bands
 )
 
 
