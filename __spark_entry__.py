@@ -414,6 +414,16 @@ _CERTIFIED_TAIL = (
     # the frame-energy Arrow pipeline it certified is composed wholesale
     # inside mm_audio_near_dup, which now holds the prefix slot.
     "mm_audio_frame_energy",
+    # rotated out round 7 (fifth pass) for the robust-winnowing family
+    # (t_winnow_fingerprints + t_winnow_pairs — the MOSS selection law).
+    # Both rotated-out queries are r06-green and untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r06, guard-tested): the gram
+    # aggregation's single-exchange shape stays plan-gated AND prefix-
+    # composed inside e_pca_projection / e_pca_top2; the audit-grade
+    # quadratic pair ground truth keeps e_ivfpq_recall, e_filtered_recall
+    # and e_rq_recall representing the recall-audit family in the prefix.
+    "e_gram_matrix",
+    "e_semdedup_pair_recall",
 )
 
 

@@ -129,6 +129,9 @@ HEADLINE = [
     "e_rq_recall",
     # round-7 (fourth pass): audio column composed with the dedup stack
     "mm_audio_near_dup",
+    # round-7 (fifth pass): robust winnowing (MOSS) fingerprints + pairs
+    "t_winnow_fingerprints",
+    "t_winnow_pairs",
 ]
 
 

@@ -65,6 +65,51 @@ def shingle_hashes31_sql(c: str, n: int = 5) -> str:
     )
 
 
+WINNOW_W = 4
+
+
+def positional_gram_hashes(col: Column, k: int = 5) -> Column:
+    """Positional (non-distinct) char-k-gram hashes in the Mersenne-31
+    domain — the winnowing base. Callers should bind this to its OWN
+    projection column before windowing over it: a lambda body that embeds
+    this expression re-evaluates the whole array per reference."""
+    return F.transform(char_shingles(col, k), lambda s: md5_long(s) % MERSENNE31)
+
+
+def winnow_from_grams(g: Column, w: int = WINNOW_W) -> Column:
+    """Distinct ROBUST WINNOWING fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS scheme): the minimum of every w-window of
+    consecutive positional gram hashes, deduplicated. Guarantee: any
+    substring shared by two documents of length ≥ w + k − 1 yields at
+    least one shared fingerprint (the detection floor), while keeping an
+    expected 2/(w+1) fraction of grams — a third selection law next to
+    MinHash (per-permutation global minima) and CDC chunk hashes
+    (content-defined boundaries). Evaluated as w SHIFTED SLICES folded
+    with zip_with/least, NOT a transform over window positions — a
+    per-position lambda referencing the gram array would re-evaluate it
+    per element, O(n²·md5) per document (the word_ngrams lesson). In-row,
+    pure flatMap shape; O(w·n) work, O(n) transient."""
+    n_w = F.size(g) - (w - 1)
+    wins = F.slice(g, 1, n_w)
+    for j in range(1, w):
+        wins = F.zip_with(wins, F.slice(g, j + 1, n_w), lambda x, y: F.least(x, y))
+    return F.when(n_w >= 1, F.array_distinct(wins)).otherwise(
+        F.array(F.array_min(g))
+    )
+
+
+def winnow_fingerprints_sql(c: str, k: int = 5, w: int = WINNOW_W) -> str:
+    grams = (
+        f"list_transform({char_shingles_sql(c, k)}, "
+        f"s -> {md5_long_sql('s')} % {MERSENNE31})"
+    )
+    return (
+        f"list_distinct(list_transform("
+        f"generate_series(1, GREATEST(len({grams}) - {w - 1}, 1)), "
+        f"i -> list_min(({grams})[i : i + {w - 1}])))"
+    )
+
+
 def word_ngrams(col: Column, n: int) -> Column:
     """Word n-grams (space-joined), empty array when the doc has < n tokens.
 

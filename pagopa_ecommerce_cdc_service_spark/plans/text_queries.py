@@ -37,9 +37,12 @@ from ..operators.text import (
     shingle_hashes31_sql,
     simhash_docs,
     simhash_sql,
+    positional_gram_hashes,
     stopword_count,
     stopword_count_sql,
     tokens,
+    winnow_fingerprints_sql,
+    winnow_from_grams,
     word_ngrams,
     word_ngrams_sql,
 )
@@ -3029,6 +3032,123 @@ def t_chunk_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             containment.alias("containment"),
         )
         .filter(F.col("containment") >= _CONTAIN_THRESH)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROBUST WINNOWING fingerprints (the MOSS scheme) + the pair application:
+# a third fingerprint-selection law alongside MinHash and CDC chunking —
+# per doc, the distinct minima of every w-window of positional k-gram
+# hashes. Detection guarantee: a shared substring of length ≥ w + k − 1
+# produces a shared fingerprint, so the pair join has a provable floor
+# (MOSS plagiarism detection at corpus scale). 100 TB shape: fingerprint
+# selection is a pure in-row flatMap; the pair stage explodes ~2/(w+1) of
+# grams, df-caps viral fingerprints (the same blocking guarantee as the
+# containment join), and counts shared prints per pair — never all-pairs.
+# ---------------------------------------------------------------------------
+_WINNOW_DF_CAP = 64
+_WINNOW_OVERLAP = 0.5
+
+
+@query(
+    "t_winnow_fingerprints",
+    f"""
+    SELECT doc_id,
+           CAST(len({winnow_fingerprints_sql("text")}) AS BIGINT) AS n_fp,
+           CAST(list_sum({winnow_fingerprints_sql("text")}) AS BIGINT) AS fp_sum,
+           CAST(list_min({winnow_fingerprints_sql("text")}) AS BIGINT) AS fp_min,
+           CAST(list_max({winnow_fingerprints_sql("text")}) AS BIGINT) AS fp_max
+    FROM documents
+    """,
+)
+def t_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gram hashes bound to their own projection before windowing — the
+    # w slice references then read an attribute, not a re-evaluated
+    # expression (38 s → ~2 s at sf0.1; see winnow_from_grams)
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", positional_gram_hashes(F.col("text")).alias("g"))
+        .select("doc_id", winnow_from_grams(F.col("g")).alias("fps"))
+    )
+    return d.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fp"),
+        F.aggregate(
+            "fps", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("fp_sum"),
+        F.array_min("fps").cast("long").alias("fp_min"),
+        F.array_max("fps").cast("long").alias("fp_max"),
+    )
+
+
+@query(
+    "t_winnow_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, unnest({winnow_fingerprints_sql("text")}) AS fp
+      FROM documents
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_fp FROM d GROUP BY doc_id),
+    df AS (
+      SELECT fp, count(*) AS n_docs FROM d GROUP BY fp
+    ),
+    e AS (
+      SELECT d.doc_id, d.fp FROM d JOIN df USING (fp)
+      WHERE df.n_docs <= {_WINNOW_DF_CAP}
+    ),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b, s.n_shared,
+           za.n_fp AS n_fp_a, zb.n_fp AS n_fp_b,
+           CAST(s.n_shared AS DOUBLE) / LEAST(za.n_fp, zb.n_fp) AS overlap
+    FROM shared s
+    JOIN sizes za ON s.doc_a = za.doc_id
+    JOIN sizes zb ON s.doc_b = zb.doc_id
+    WHERE CAST(s.n_shared AS DOUBLE) / LEAST(za.n_fp, zb.n_fp) >= {_WINNOW_OVERLAP}
+    """,
+)
+def t_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy persist (the t_kcore_peel discipline): the exploded fingerprint
+    # table feeds sizes, the df cap and both join sides
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", positional_gram_hashes(F.col("text")).alias("g"))
+        .select("doc_id", F.explode(winnow_from_grams(F.col("g"))).alias("fp"))
+    ).persist()
+    sizes = d.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    df_tbl = (
+        d.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    e = d.join(df_tbl, "fp", "left_semi")
+    a = e.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = e.select(F.col("doc_id").alias("doc_b"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    overlap = F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b")
+    return (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            overlap.alias("overlap"),
+        )
+        .filter(F.col("overlap") >= _WINNOW_OVERLAP)
     )
 
 
