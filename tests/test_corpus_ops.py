@@ -516,3 +516,62 @@ def test_chunk_rewrite_multi_megabyte_document(spark):
     assert rows == _py_rewrite([(3, big)], _CHUNK_DEDUP_MIN_LEN)
     assert rows[0][2] < len(big), "duplicated passage not dropped"
     assert wall < 120, f"multi-MB rewrite took {wall:.1f}s"
+
+
+# --- robust winnowing -------------------------------------------------------
+
+def _py_winnow(text: str, k: int = 5, w: int = 4) -> set[int]:
+    """Sequential reference of the winnowing law (same hash domain)."""
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.operators.text import MERSENNE31
+
+    if len(text) >= k:
+        grams = [
+            md5_long_py(text[i : i + k]) % MERSENNE31
+            for i in range(len(text) - k + 1)
+        ]
+    else:
+        grams = [md5_long_py(text) % MERSENNE31]
+    if len(grams) < w:
+        return {min(grams)}
+    return {min(grams[i : i + w]) for i in range(len(grams) - w + 1)}
+
+
+def test_winnow_matches_python_reference_and_detection_guarantee(spark):
+    """Two laws at once: (1) the Spark expression equals the sequential
+    reference fingerprint set document-for-document; (2) the published
+    winnowing guarantee — any substring shared by two documents of length
+    >= w + k - 1 yields at least one shared fingerprint — holds for
+    planted common substrings at every alignment."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        WINNOW_W,
+        positional_gram_hashes,
+        winnow_from_grams,
+    )
+
+    rng = random.Random(41)
+    alphabet = "winnow guarantee xyz 358 "
+    shared = "".join(rng.choice(alphabet) for _ in range(5 + WINNOW_W - 1))
+    docs = []
+    for i in range(12):
+        body = "".join(rng.choice(alphabet) for _ in range(30 + 17 * i))
+        off = min(3 * i, len(body))
+        docs.append((i, body[:off] + shared + body[off:]))
+    docs.append((98, "tiny"))            # shorter than k
+    docs.append((99, "under-w doc!"))    # fewer grams than w
+    df = (
+        spark.createDataFrame(docs, ["doc_id", "text"])
+        .select("doc_id", positional_gram_hashes(F.col("text")).alias("g"))
+        .select("doc_id", winnow_from_grams(F.col("g")).alias("fps"))
+    )
+    got = {r["doc_id"]: set(r["fps"]) for r in df.collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == _py_winnow(text), doc_id
+    # detection guarantee across every pair holding the planted substring
+    for i in range(12):
+        for j in range(i + 1, 12):
+            assert got[i] & got[j], (i, j)
