@@ -132,6 +132,8 @@ HEADLINE = [
     # round-7 (fifth pass): robust winnowing (MOSS) fingerprints + pairs
     "t_winnow_fingerprints",
     "t_winnow_pairs",
+    # round-7 (sixth pass): Spark-4 VARIANT typed extraction
+    "w_variant_props_stats",
 ]
 
 

@@ -671,6 +671,44 @@ def w_json_props_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# semi-structured extraction through Spark 4's VARIANT type: props parsed
+# once into the binary variant encoding, then typed variant_get paths feed
+# an ordinary aggregation — the engine surface a semi-structured lakehouse
+# pipeline uses instead of per-access JSON string parsing (the variant
+# binary is parsed once per row; get_json_object re-parses per path). The
+# oracle computes the same stats via DuckDB's JSON path extraction, so the
+# hash certifies the variant ENCODE→typed-DECODE round trip, not just the
+# aggregation. Map-only + one partial-aggregable groupBy at any scale.
+# ---------------------------------------------------------------------------
+@query(
+    "w_variant_props_stats",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+           COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL) AS n_missing_path
+    FROM {EV}
+    GROUP BY event_type
+    """,
+)
+def w_variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json(F.col("props"))
+    )
+    k = F.variant_get(F.col("v"), "$.k", "long")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).cast("long").alias("k_sum"),
+        F.min(k).cast("long").alias("k_min"),
+        F.max(k).cast("long").alias("k_max"),
+        F.count_if(missing.isNull()).alias("n_missing_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # as-of join: each purchase picks the user's latest click at-or-before it
 # (operators/asof.py union+window formulation; oracle is DuckDB's native
 # ASOF LEFT JOIN — deterministic because (user_id, ts) is unique)
