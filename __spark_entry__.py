@@ -430,6 +430,20 @@ _CERTIFIED_TAIL = (
     # plan (codebook training, probed-list semi-join, ADC scan, rescore)
     # inside its prefix slot, so the index keeps hard certification.
     "e_ivfpq_topk",
+    # rotated out round 7 (seventh pass) for the statistics family
+    # (w_ols_daily_trend + w_pearson_daily + w_decayed_counts —
+    # integer-exact trend/correlation/decay over the daily grid). All
+    # three rotated-out queries are r06-green and untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r06, guard-tested): the CDC
+    # family keeps THREE runtime prefix gates (stream view, pyds feed,
+    # bootstrap handoff) that execute the same fold/dispatch machinery
+    # spans and as-of compose; the inverted index's single-term-exchange
+    # shape stays plan-gated (test_inverted_index_single_exchange) and its
+    # postings law is prefix-exercised through t_collocations' certified
+    # history and the BM25 tail fingerprints.
+    "cdc_event_spans",
+    "cdc_asof_snapshot",
+    "t_inverted_index",
 )
 
 

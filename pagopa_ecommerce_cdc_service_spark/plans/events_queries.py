@@ -2326,3 +2326,232 @@ def w_stream_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["w_stream_anomaly_days"] = w_stream_anomaly_days
 ORACLES["w_stream_anomaly_days"] = ORACLES["w_anomaly_days"]
+
+# ---------------------------------------------------------------------------
+# statistics family — integer-exact trend / correlation / decay over the
+# daily activity grid. A monitoring stack on the reference's view
+# (BASELINE.md: ingestion-rate capacity planning) needs exactly these three
+# summaries: is volume trending, do two signals move together, and what is
+# the recency-weighted load. All three reduce the corpus ONCE to the
+# bounded (event_type, day) grid — a single partial-aggregated exchange —
+# and run the statistics on the tiny grid, so the shapes are scan-bound at
+# any corpus size. Every moment is an exact integer (BIGINT sums over
+# centered day indices / counts); the ONLY floating-point steps are final
+# divisions/sqrt of identical operands, so the doubles are bit-identical
+# across engines (helpers.py discipline). At 100 TB the moment sums move to
+# DECIMAL(38,0) unchanged in shape.
+# ---------------------------------------------------------------------------
+@query(
+    "w_ols_daily_trend",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS y
+      FROM {EV} GROUP BY 1, 2
+    ),
+    centered AS (
+      SELECT event_type,
+             CAST(date_diff('day', MIN(day) OVER (), day) AS BIGINT) AS x,
+             y
+      FROM daily
+    ),
+    mo AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM centered GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+                     / CAST(n_days * sxx - sx * sx AS DOUBLE) END
+             AS slope_per_day,
+           CASE WHEN n_days * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n_days * sxx - sx * sx AS DOUBLE) END
+             AS intercept
+    FROM mo
+    """,
+)
+def w_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS fit of daily event volume against a centered day index.
+
+    Closed-form least squares on exact integer moments: slope and intercept
+    surface both as BIGINT rationals (num/den — the auditable exact form)
+    and as doubles derived by one division of those identical integers.
+    The day index is centered on the global minimum day so the moment sums
+    stay far from BIGINT range at any scale; the minimum is an unpartitioned
+    window over the already-aggregated BOUNDED grid (n_types × n_days rows),
+    not a second corpus scan — the whole query reads events exactly once.
+    """
+    ev = read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("y"))
+    centered = daily.select(
+        "event_type",
+        F.datediff("day", F.min("day").over(Window.partitionBy()))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    mo = centered.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    icpt = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return mo.select(
+        "event_type",
+        "n_days",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("slope_per_day"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(icpt.cast("double") / den.cast("double"))
+        .alias("intercept"),
+    )
+
+
+@query(
+    "w_pearson_daily",
+    f"""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             COUNT(*) AS x, COUNT(DISTINCT user_id) AS y
+      FROM {EV} GROUP BY 1, 2
+    ),
+    mo AS (
+      SELECT event_type, COUNT(*) AS n_days,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM daily GROUP BY event_type
+    )
+    SELECT event_type, n_days,
+           CAST(n_days * sxy - sx * sy AS BIGINT) AS r_num,
+           CAST(n_days * sxx - sx * sx AS BIGINT) AS den_x,
+           CAST(n_days * syy - sy * sy AS BIGINT) AS den_y,
+           CASE WHEN (n_days * sxx - sx * sx) = 0
+                  OR (n_days * syy - sy * sy) = 0 THEN NULL
+                ELSE CAST(n_days * sxy - sx * sy AS DOUBLE)
+                     / SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_days * syy - sy * sy AS DOUBLE)) END
+             AS pearson_r
+    FROM mo
+    """,
+)
+def w_pearson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of daily volume vs daily reach, per event type.
+
+    x = events/day, y = distinct users/day: both exact BIGINTs off the same
+    bounded grid, so all five moments and the three Pearson components are
+    exact integers; r is one double division + sqrt of identical operands
+    in both engines. The zero-variance guard is explicit because the
+    engines disagree on x/0.0 (Spark NULL, DuckDB Infinity).
+    """
+    ev = read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count("*").alias("x"),
+        F.countDistinct("user_id").alias("y"),
+    )
+    mo = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mo.select(
+        "event_type",
+        "n_days",
+        num.alias("r_num"),
+        den_x.alias("den_x"),
+        den_y.alias("den_y"),
+        F.when((den_x == 0) | (den_y == 0), F.lit(None).cast("double"))
+        .otherwise(
+            num.cast("double")
+            / F.sqrt(den_x.cast("double") * den_y.cast("double"))
+        )
+        .alias("pearson_r"),
+    )
+
+
+@query(
+    "w_decayed_counts",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS cnt
+      FROM {EV} GROUP BY 1, 2
+    ),
+    aged AS (
+      SELECT event_type, cnt,
+             CAST(date_diff('day', day, MAX(day) OVER ()) AS BIGINT) // 7
+               AS k
+      FROM daily
+    ),
+    denom AS (
+      SELECT event_type, cnt, k, MAX(k) OVER () AS big_k FROM aged
+    )
+    SELECT event_type,
+           MAX(big_k) AS weeks_span,
+           CAST(SUM(cnt * CAST(POWER(2, big_k - k) AS BIGINT)) AS BIGINT)
+             AS decayed_num,
+           CAST(SUM(cnt * CAST(POWER(2, big_k - k) AS BIGINT)) AS DOUBLE)
+             / CAST(POWER(2, MAX(big_k)) AS DOUBLE) AS decayed_score
+    FROM denom GROUP BY event_type
+    """,
+)
+def w_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted activity: half-life-decayed daily counts per type.
+
+    Each day's count is weighted 2^-k, k = full weeks before the newest
+    day (a one-week half-life). The weighted sum is kept EXACT as the
+    integer numerator over the common denominator 2^big_k — every weight
+    2^(big_k-k) is an exact BIGINT, and POWER(2, n) is an exact double in
+    both engines — so the score is one division of identical operands.
+    The decay is mergeable under any partitioning (numerators add), which
+    is what makes the shape streaming- and rollup-safe at scale. The
+    newest-day anchor and the common denominator are unpartitioned windows
+    over the already-aggregated BOUNDED grid, not extra corpus scans —
+    events is read exactly once.
+    """
+    ev = read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    everything = Window.partitionBy()
+    keyed = daily.select(
+        "event_type",
+        "cnt",
+        (
+            F.datediff(F.max("day").over(everything), "day").cast("long")
+            / F.lit(7)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    aged = keyed.withColumn("big_k", F.max("k").over(everything))
+    weight = F.pow(F.lit(2.0), F.col("big_k") - F.col("k")).cast("long")
+    return aged.groupBy("event_type").agg(
+        F.max("big_k").alias("weeks_span"),
+        F.sum(F.col("cnt") * weight).alias("decayed_num"),
+        (
+            F.sum(F.col("cnt") * weight).cast("double")
+            / F.pow(F.lit(2.0), F.max("big_k"))
+        ).alias("decayed_score"),
+    )

@@ -701,3 +701,23 @@ def test_chunk_rewrite_text_never_shuffles(spark, sf_dir, queries):
                 or "ObjectHashAggregate" in l
                 or ("Sort [chunk_hash" in l)):
             assert "text#" not in l, f"chunk text in a post-shuffle operator:\n{l}"
+
+
+def test_stats_family_single_corpus_scan(spark, sf_dir, queries):
+    """Trend/correlation/decay reduce events ONCE to the bounded daily
+    grid; the global anchors (min/max day, max k) are windows over that
+    grid, never second corpus scans. One parquet scan, one corpus
+    exchange (the grid aggregation); everything downstream runs on
+    grid-sized data."""
+    for name in ("w_ols_daily_trend", "w_pearson_daily", "w_decayed_counts"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert plan.count("FileScan parquet") == 1, (name, plan[:1200])
+        # pearson's exact countDistinct legitimately adds an expand round;
+        # the others stay at grid-agg + final per-type agg
+        cap = 3 if name == "w_pearson_daily" else 2
+        assert plan.count("Exchange hashpartitioning") <= cap, name
+        # the scan reads only the grid-building columns
+        scan_line = next(
+            line for line in plan.splitlines() if "FileScan parquet" in line
+        )
+        assert "value" not in scan_line, name

@@ -1,0 +1,124 @@
+"""Unit laws for the statistics family (w_ols_daily_trend /
+w_pearson_daily / w_decayed_counts) on synthesized event frames.
+
+The oracle gate certifies the queries on the driver corpus; these tests
+pin the edge cases the corpus never produces (zero-variance groups →
+NULL, single-day types) and the mergeability law the 100 TB shape relies
+on (decay numerators add across any partition split).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from pagopa_ecommerce_cdc_service_spark.plans import events_queries as eq
+
+
+def _write_events(spark, tmp_path, rows):
+    """rows: (event_id, ts, user_id, event_type, value, props)."""
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    out = str(tmp_path / "events.parquet")
+    df.coalesce(1).write.mode("overwrite").parquet(out)
+    return str(tmp_path)
+
+
+def _ts(day, hour=0):
+    return dt.datetime(2026, 1, day, hour)
+
+
+def test_ols_exact_fit_and_zero_variance_null(spark, tmp_path):
+    # 'lin' counts follow y = 2x + 3 exactly over days 1..4 → slope 2.0,
+    # intercept 3.0 with day 1 as x=0; 'one' has a single day → den = 0.
+    rows = []
+    eid = 0
+    for d in range(1, 5):
+        for _ in range(2 * (d - 1) + 3):
+            rows.append((eid, _ts(d), 1, "lin", 1.0, "{}"))
+            eid += 1
+    rows.append((eid, _ts(1), 2, "one", 1.0, "{}"))
+    sf = _write_events(spark, tmp_path, rows)
+
+    got = {
+        r["event_type"]: r
+        for r in eq.QUERIES["w_ols_daily_trend"](spark, sf).collect()
+    }
+    lin = got["lin"]
+    assert lin["n_days"] == 4
+    assert lin["slope_den"] > 0
+    assert lin["slope_per_day"] == pytest.approx(2.0)
+    assert lin["intercept"] == pytest.approx(3.0)
+    # exact rational form agrees with the double form
+    assert lin["slope_num"] / lin["slope_den"] == lin["slope_per_day"]
+    one = got["one"]
+    assert one["slope_den"] == 0
+    assert one["slope_per_day"] is None and one["intercept"] is None
+
+
+def test_pearson_perfect_and_zero_variance(spark, tmp_path):
+    # 'up': users/day == events/day (distinct users each event) → r = 1.
+    # 'flat': constant 2 events by the SAME user each day → den_x = 0.
+    rows = []
+    eid = 0
+    for d in range(1, 4):
+        for u in range(d + 1):
+            rows.append((eid, _ts(d), 100 + eid, "up", 1.0, "{}"))
+            eid += 1
+    for d in range(1, 4):
+        for _ in range(2):
+            rows.append((eid, _ts(d), 7, "flat", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+
+    got = {
+        r["event_type"]: r
+        for r in eq.QUERIES["w_pearson_daily"](spark, sf).collect()
+    }
+    up = got["up"]
+    assert up["pearson_r"] == pytest.approx(1.0)
+    # exact components satisfy r = num / sqrt(den_x * den_y) bit-for-bit
+    assert up["pearson_r"] == up["r_num"] / math.sqrt(
+        float(up["den_x"]) * float(up["den_y"])
+    )
+    flat = got["flat"]
+    assert flat["den_x"] == 0 and flat["pearson_r"] is None
+
+
+def test_decay_weights_and_merge_law(spark, tmp_path):
+    # days 1, 8, 15 → k = 2, 1, 0 weeks old → weights 1, 2, 4 over 2^2.
+    rows = []
+    eid = 0
+    for day, n in ((1, 5), (8, 3), (15, 2)):
+        for _ in range(n):
+            rows.append((eid, _ts(day), 1, "a", 1.0, "{}"))
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = eq.QUERIES["w_decayed_counts"](spark, sf).collect()[0]
+    assert row["weeks_span"] == 2
+    assert row["decayed_num"] == 5 * 1 + 3 * 2 + 2 * 4
+    assert row["decayed_score"] == row["decayed_num"] / 4.0
+
+    # merge law: numerators computed on any day-split of the grid add up
+    # to the whole-log numerator (the property a streaming/rollup path
+    # relies on when it merges partial grids under one common 2^big_k).
+    ev = eq.read(spark, sf, "events")
+    halves = []
+    for pred in (F.dayofmonth("ts") <= 7, F.dayofmonth("ts") > 7):
+        daily = (
+            ev.filter(pred)
+            .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        )
+        part = 0
+        for r in daily:
+            k = (dt.date(2026, 1, 15) - r["day"].date()).days // 7
+            part += r["cnt"] * 2 ** (row["weeks_span"] - k)
+        halves.append(part)
+    assert sum(halves) == row["decayed_num"]
