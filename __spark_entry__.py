@@ -444,6 +444,14 @@ _CERTIFIED_TAIL = (
     "cdc_event_spans",
     "cdc_asof_snapshot",
     "t_inverted_index",
+    # rotated out round 7 (eighth pass) for t_label_prop (synchronous
+    # frequency-LPA communities over the SimHash graph — the
+    # bridge-resistant complement of t_dup_clusters' CC). r06-green and
+    # untouched this round (fingerprint-equal vs FINGERPRINTS_r06,
+    # guard-tested); the sketch set-algebra family keeps TWO runtime
+    # prefix gates (w_stream_hll_merge, w_stream_cms_merge) that execute
+    # the same register tables t_hll_set_ops folds.
+    "t_hll_set_ops",
 )
 
 

@@ -160,3 +160,50 @@ def triangle_census(
         .alias("n_wedges"),
         F.count("_s").alias("n_triangles"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over a
+    symmetric edge list → ``(node, community)`` after a FIXED number of
+    rounds.
+
+    Every node starts labeled with its own id; each round all nodes
+    simultaneously adopt the most frequent label among their neighbors,
+    ties broken by MINIMUM label — both rules order-free, so the result
+    is deterministic under any partitioning (unlike the randomized
+    asynchronous variant). A fixed unroll (no convergence check) keeps
+    the plan static: each round is one keyed join + one (node, label)
+    count + one per-node top-1 window — all narrow keyed shuffles on the
+    pair graph, never the corpus. Complements ``connected_components``:
+    CC merges everything reachable; LPA keeps densely-connected regions
+    separate when they touch through a thin bridge.
+
+    ``edges`` must already contain both directions of every undirected
+    edge (the ``_simhash_band_edges`` contract). The caller is expected
+    to have the edge subtree lazily persisted if it is expensive — the
+    unroll references it ``rounds + 1`` times.
+    """
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    labels = e.select("u").distinct().withColumn("lbl", F.col("u"))
+    from pyspark.sql import Window
+
+    top1 = Window.partitionBy("u").orderBy(F.desc("c"), F.asc("lbl"))
+    for _ in range(rounds):
+        neighbor_labels = e.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl")
+        labels = (
+            neighbor_labels.groupBy("u", "lbl")
+            .agg(F.count("*").alias("c"))
+            .withColumn("rn", F.row_number().over(top1))
+            .filter(F.col("rn") == 1)
+            .select("u", "lbl")
+        )
+    return labels.select(
+        F.col("u").alias("node"), F.col("lbl").alias("community")
+    )

@@ -3461,3 +3461,54 @@ def t_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_pairs"))
         .withColumn("leaked", F.col("split_a") != F.col("split_b"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities over the SimHash near-dup graph. CC
+# (t_dup_clusters) merges everything reachable — two dense duplicate
+# clusters connected by one spurious band collision become one cluster;
+# frequency-based LPA keeps them apart because a single bridge edge never
+# outvotes a dense neighborhood. Synchronous update, min-label tie-break,
+# fixed 3-round unroll: every stage is a keyed shuffle on the pair graph
+# (never the corpus), the edge subtree is lazily persisted (the
+# t_kcore_peel discipline — the unroll references it 4×), and the result
+# is deterministic under any partitioning. Rounds are unrolled in BOTH
+# engines, so the oracle certifies the exact per-round mode/tie law.
+# ---------------------------------------------------------------------------
+_LPA_ROUNDS = 3
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""
+    {out} AS (
+      SELECT u, lbl FROM (
+        SELECT e.u, l.lbl,
+               ROW_NUMBER() OVER (PARTITION BY e.u
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rn
+        FROM edges e JOIN {prev} l ON l.u = e.v
+        GROUP BY e.u, l.lbl
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "t_label_prop",
+    f"""
+    WITH {_lp_pair_sql()},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT u, u AS lbl FROM edges),
+    {",".join(_lpa_round_sql(f"l{r}", f"l{r + 1}") for r in range(_LPA_ROUNDS))}
+    SELECT u AS doc_id, lbl AS community FROM l{_LPA_ROUNDS}
+    """,
+)
+def t_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import label_propagation
+
+    _, edges = _simhash_band_edges(spark, sf_dir)
+    edges = edges.persist()
+    return label_propagation(edges, rounds=_LPA_ROUNDS).select(
+        F.col("node").alias("doc_id"), "community"
+    )

@@ -100,3 +100,58 @@ def test_triangle_census_random_graphs(spark):
         pool = list(combinations(range(n_nodes), 2))
         edges = rng.sample(pool, min(n_edges, len(pool)))
         assert _census_spark(spark, edges) == _census_brute(edges), edges
+
+
+# ---------------------------------------------------------------------------
+# label propagation
+# ---------------------------------------------------------------------------
+def _sym(spark, pairs):
+    from pyspark.sql import functions as F
+
+    e = spark.createDataFrame(pairs, "u bigint, v bigint")
+    return e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def test_lpa_bridge_keeps_dense_sides_apart(spark):
+    # two triangles {1,2,3} and {4,5,6} joined by the single bridge 3-4:
+    # CC merges them into one component; LPA must not — a lone bridge
+    # vote never outvotes two in-triangle neighbors.
+    from pagopa_ecommerce_cdc_service_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = _sym(
+        spark, [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    )
+    cc = connected_components(edges, src="u", dst="v")
+    assert {r["component"] for r in cc.collect()} == {1}
+
+    got = {
+        r["node"]: r["community"]
+        for r in label_propagation(edges, rounds=3).collect()
+    }
+    left = {got[n] for n in (1, 2, 3)}
+    right = {got[n] for n in (4, 5, 6)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right
+
+
+def test_lpa_tie_breaks_to_min_label_deterministically(spark):
+    # node 3's neighbors 1 and 2 tie at one vote each → min label wins;
+    # re-running on a different partitioning must give identical labels.
+    from pagopa_ecommerce_cdc_service_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = _sym(spark, [(1, 3), (2, 3)])
+    one = {
+        (r["node"], r["community"])
+        for r in label_propagation(edges, rounds=1).collect()
+    }
+    assert (3, 1) in one
+    again = {
+        (r["node"], r["community"])
+        for r in label_propagation(edges.repartition(7), rounds=1).collect()
+    }
+    assert one == again
