@@ -452,6 +452,20 @@ _CERTIFIED_TAIL = (
     # prefix gates (w_stream_hll_merge, w_stream_cms_merge) that execute
     # the same register tables t_hll_set_ops folds.
     "t_hll_set_ops",
+    # rotated out round 7 (ninth pass) for t_rake_keywords (RAKE
+    # degree/frequency keyword scores — the phrase-segmentation text
+    # operator) and t_record_linkage (blocked two-registry Fellegi-Sunter
+    # agreement scoring — the entity-resolution shape). Both rotated-out
+    # queries are r06-green and untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r06, guard-tested): the SemDeDup family's full
+    # pipeline is audit-certified by e_semdedup_pair_recall's merged-
+    # history row and its within-cluster candidate shape stays plan-gated
+    # (test_semdedup_candidates_cluster_bucketed); the AQE skew-join
+    # handling keeps its dedicated plan/property tests (tests/test_skew.py)
+    # and the salted-aggregation twin w_salted_type_stats in the gated
+    # history.
+    "e_semdedup_pairs",
+    "w_skew_join_pairs",
 )
 
 

@@ -332,3 +332,86 @@ SELECT CASE WHEN doc_id % 2 = 0 THEN NULL ELSE lang END AS lang,
 FROM documents
 GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Record linkage (entity resolution): the blocked Fellegi-Sunter shape a
+# data-cleaning pipeline runs before any entity-keyed join — here across
+# TWO registries (customer vs supplier, the classic two-source linkage).
+# Candidates come from BLOCKING on nation — the standard way to avoid the
+# all-pairs cross product: comparisons happen only inside blocks, and
+# block size is what you tune at scale (add a blocking key to split a hot
+# block; the join is a plain equi-join, so AQE's skew split applies too).
+# Each candidate pair gets an integer agreement score over three field
+# comparators (balance proximity, balance bucket, entity-id suffix) with
+# fixed log-odds-style weights — balance arithmetic runs in DECIMAL
+# (exact), the score is an exact BIGINT, and the ranking is fully
+# deterministic via the (score, cust, supp) tie-break. The registries are
+# synthetic distinct entities, so the VALUE of the query is the certified
+# shape: blocking → agreement vector → weighted rank, byte-identical
+# across engines.
+# ---------------------------------------------------------------------------
+_LINK_TOP = 50
+
+
+def t_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_bal"),
+        (F.regexp_extract("c_name", r"(\d+)$", 1).cast("long") % 100).alias(
+            "c_sfx"
+        ),
+    )
+    supp = read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp"),
+        F.col("s_nationkey").alias("nat"),
+        F.col("s_acctbal").cast("decimal(12,2)").alias("s_bal"),
+        (F.regexp_extract("s_name", r"(\d+)$", 1).cast("long") % 100).alias(
+            "s_sfx"
+        ),
+    )
+    pairs = cust.join(supp, "nat")
+    bal_close = (
+        F.abs(F.col("c_bal") - F.col("s_bal")) < F.lit("50.00").cast("decimal(12,2)")
+    )
+    bucket_eq = F.floor(F.col("c_bal") / F.lit(500.0)) == F.floor(
+        F.col("s_bal") / F.lit(500.0)
+    )
+    score = (
+        F.when(bal_close, F.lit(3)).otherwise(F.lit(-1))
+        + F.when(bucket_eq, F.lit(2)).otherwise(F.lit(-1))
+        + F.when(F.col("c_sfx") == F.col("s_sfx"), F.lit(1)).otherwise(F.lit(0))
+    ).cast("long")
+    return (
+        pairs.select("cust", "supp", score.alias("match_score"))
+        .orderBy(F.desc("match_score"), "cust", "supp")
+        .limit(_LINK_TOP)
+    )
+
+
+QUERIES["t_record_linkage"] = t_record_linkage
+ORACLES["t_record_linkage"] = f"""
+WITH c AS (
+  SELECT c_custkey AS cust, c_nationkey AS nat,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS c_bal,
+         CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) % 100 AS c_sfx
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey AS supp, s_nationkey AS nat,
+         CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal,
+         CAST(regexp_extract(s_name, '(\\d+)$', 1) AS BIGINT) % 100 AS s_sfx
+  FROM supplier
+)
+SELECT cust, supp,
+       CAST(CASE WHEN ABS(c_bal - s_bal) < CAST('50.00' AS DECIMAL(12,2))
+                 THEN 3 ELSE -1 END
+          + CASE WHEN FLOOR(c_bal / 500.0) = FLOOR(s_bal / 500.0)
+                 THEN 2 ELSE -1 END
+          + CASE WHEN c_sfx = s_sfx THEN 1 ELSE 0 END AS BIGINT)
+         AS match_score
+FROM c JOIN s USING (nat)
+ORDER BY match_score DESC, cust, supp
+LIMIT {_LINK_TOP}
+"""

@@ -3512,3 +3512,126 @@ def t_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(edges, rounds=_LPA_ROUNDS).select(
         F.col("node").alias("doc_id"), "community"
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword scores (Rose et al. 2010, "Automatic Keyword Extraction
+# from Individual Documents"): candidate phrases are the maximal token
+# runs between delimiters (stopwords or punctuation-only tokens); each
+# occurrence of a word in a phrase contributes 1 to its frequency and the
+# phrase length to its degree; score = degree/freq favors words that
+# appear inside long multi-word phrases. Both components stay exact
+# BIGINTs corpus-wide; the only float step is the final division of
+# identical operands. Shape: explode → per-doc running-sum window (the
+# gaps-and-islands phrase id) → two keyed aggregations → global top-k via
+# TakeOrderedAndProject — every shuffle is keyed, nothing is quadratic,
+# and the phrase table never carries text (only ids and lengths).
+# ---------------------------------------------------------------------------
+_RAKE_TOP = 20
+_RAKE_STOPS = STOPWORDS["en"]
+
+
+@query(
+    "t_rake_keywords",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {TOKENS_SQL.format(c="lower(text)")} AS toks
+      FROM documents
+    ),
+    ex AS (
+      SELECT doc_id, unnest(range(len(toks))) AS pos, toks
+      FROM d WHERE len(toks) > 0
+    ),
+    tok AS (
+      SELECT doc_id, pos,
+             regexp_replace(toks[CAST(pos AS INTEGER) + 1],
+                            '[^a-z0-9]', '', 'g') AS w
+      FROM ex
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w = '' OR w IN ({", ".join(f"'{s}'" for s in _RAKE_STOPS)})
+                  THEN 1 ELSE 0 END AS is_break
+      FROM tok
+    ),
+    ph AS (
+      SELECT doc_id, w, is_break,
+             SUM(is_break) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS phrase_id
+      FROM marked
+    ),
+    members AS (
+      SELECT doc_id, phrase_id, w FROM ph WHERE is_break = 0
+    ),
+    plen AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS phlen
+      FROM members GROUP BY doc_id, phrase_id
+    ),
+    wd AS (
+      SELECT m.w AS word,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.phlen) AS BIGINT) AS degree
+      FROM members m
+      JOIN plen p ON p.doc_id = m.doc_id AND p.phrase_id = m.phrase_id
+      GROUP BY m.w
+    )
+    SELECT word, freq, degree,
+           CAST(degree AS DOUBLE) / freq AS rake_score
+    FROM wd
+    ORDER BY rake_score DESC, degree DESC, word
+    LIMIT {_RAKE_TOP}
+    """,
+)
+def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    )
+    tok = d.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.posexplode("toks").alias("pos", "raw"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.regexp_replace("raw", "[^a-z0-9]", "").alias("w"),
+    )
+    marked = tok.withColumn(
+        "is_break",
+        F.when(
+            (F.col("w") == "") | F.col("w").isin(list(_RAKE_STOPS)), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    members = (
+        marked.withColumn("phrase_id", F.sum("is_break").over(run))
+        .filter(F.col("is_break") == 0)
+        .select("doc_id", "phrase_id", "w")
+    )
+    plen = members.groupBy("doc_id", "phrase_id").agg(
+        F.count("*").alias("phlen")
+    )
+    wd = (
+        members.join(plen, ["doc_id", "phrase_id"])
+        .groupBy(F.col("w").alias("word"))
+        .agg(
+            F.count("*").cast("long").alias("freq"),
+            F.sum("phlen").cast("long").alias("degree"),
+        )
+    )
+    return (
+        wd.select(
+            "word",
+            "freq",
+            "degree",
+            (F.col("degree").cast("double") / F.col("freq")).alias(
+                "rake_score"
+            ),
+        )
+        .orderBy(F.desc("rake_score"), F.desc("degree"), "word")
+        .limit(_RAKE_TOP)
+    )
