@@ -466,6 +466,15 @@ _CERTIFIED_TAIL = (
     # history.
     "e_semdedup_pairs",
     "w_skew_join_pairs",
+    # rotated out round 7 (tenth pass) for t_stream_winnow_pairs (the
+    # winnowing dedup-on-ingest twin — a RUNTIME gate, so it must hold a
+    # prefix slot). e_filtered_topk is r06-green and untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r06, guard-tested), and its
+    # ENTIRE plan (pre-filtered probed-list IVF scan) is composed inside
+    # e_filtered_recall, which certifies in this round's prefix — the
+    # same keep-hard-certification-by-composition argument as
+    # e_ivfpq_topk/e_ivfpq_recall.
+    "e_filtered_topk",
 )
 
 

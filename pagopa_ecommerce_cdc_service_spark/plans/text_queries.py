@@ -3635,3 +3635,118 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rake_score"), F.desc("degree"), "word")
         .limit(_RAKE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING winnowing twin (plagiarism-detection-on-ingest): each
+# micro-batch fingerprints its documents (the same MOSS selection law as
+# t_winnow_fingerprints), appends (doc_id, fp) to a fingerprint store,
+# probes the store for shared-fingerprint CONTRIBUTIONS touching the
+# batch — O(batch × collision density) on the narrow fp key, never a
+# corpus rescan — and appends them. The df cap and the overlap threshold
+# are CORPUS-GLOBAL adjudications (a fingerprint's document frequency
+# only grows), so they apply at the final read over the accumulated
+# store: eligible-fp semi-join → per-pair count → size join → threshold,
+# all on the bounded contribution/store tables. After the stream drains
+# the result must hash-match the one-shot batch oracle
+# (t_winnow_pairs' SQL, reused verbatim). A contribution (a, b, fp)
+# forms exactly once — in the batch where the LATER document arrives
+# (same-batch pairs form because the batch appends to the store before
+# probing); distinct() guards the value hash against at-least-once
+# replay of a batch, which re-derives byte-identical rows.
+# ---------------------------------------------------------------------------
+def t_stream_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .helpers import gate_workdir, write_single_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-winnow-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("winnowsplit:"), F.col("doc_id").cast("string")))
+        % 3
+    )
+    for i in range(3):
+        write_single_file(
+            docs.filter(third == i), f"{src}/part{i}.parquet", fmt="parquet"
+        )
+
+    fp_dir = f"{workdir}/fps"
+    contrib_dir = f"{workdir}/contribs"
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_fps = batch_df.select(
+            "doc_id", positional_gram_hashes(F.col("text")).alias("g")
+        ).select("doc_id", F.explode(winnow_from_grams(F.col("g"))).alias("fp"))
+        # append FIRST so within-batch pairs form in this batch's probe
+        batch_fps.write.mode("append").parquet(fp_dir)
+        store = s.read.parquet(fp_dir)
+        (
+            batch_fps.alias("a")
+            .join(
+                store.alias("b"),
+                (F.col("a.fp") == F.col("b.fp"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.col("a.fp").alias("fp"),
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(contrib_dir)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(merge)
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "t_stream_winnow_pairs: availableNow run did not complete in 240s"
+        )
+
+    # final adjudication over the accumulated narrow stores (no text, no
+    # re-fingerprinting): global df cap, shared counts, overlap threshold.
+    # distinct() on BOTH stores makes the adjudication replay-safe: an
+    # at-least-once re-run of a batch re-appends byte-identical rows,
+    # which would otherwise inflate per-doc sizes and fingerprint df
+    # (each doc's winnow list is distinct by construction, so distinct is
+    # semantics-preserving on the clean path)
+    store = spark.read.parquet(fp_dir).distinct()
+    contribs = spark.read.parquet(contrib_dir).distinct()
+    sizes = store.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    eligible = (
+        store.groupBy("fp")
+        .agg(F.count("*").alias("n_docs"))
+        .filter(F.col("n_docs") <= _WINNOW_DF_CAP)
+        .select("fp")
+    )
+    shared = (
+        contribs.join(eligible, "fp", "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    overlap = F.col("n_shared").cast("double") / F.least("n_fp_a", "n_fp_b")
+    return (
+        shared.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b",
+            overlap.alias("overlap"),
+        )
+        .filter(F.col("overlap") >= _WINNOW_OVERLAP)
+    )
+
+
+QUERIES["t_stream_winnow_pairs"] = t_stream_winnow_pairs
+ORACLES["t_stream_winnow_pairs"] = ORACLES["t_winnow_pairs"]

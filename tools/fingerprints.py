@@ -58,6 +58,7 @@ RUNTIME_QUERIES = {
     "w_stream_hist_merge",          # stages parquet, runs a stream
     "t_stream_lsh_pairs",           # stages parquet, runs an incremental-LSH stream
     "t_stream_chunk_dedup",         # stages parquet, runs an incremental chunk-dedup stream
+    "t_stream_winnow_pairs",        # stages parquet, runs an incremental winnow-fingerprint stream
     "mm_stream_image_near_dup",     # stages media parquet, runs a two-incarnation band-store stream
     "cdc_bootstrap_handoff",        # batch bootstrap + seeded-state stream on one view
     "q_schema_evolution_merge",     # stages two parquet generations at build
