@@ -134,6 +134,15 @@ HEADLINE = [
     "t_winnow_pairs",
     # round-7 (sixth pass): Spark-4 VARIANT typed extraction
     "w_variant_props_stats",
+    # round-7 (seventh pass): integer-exact statistics family
+    "w_ols_daily_trend",
+    "w_pearson_daily",
+    "w_decayed_counts",
+    # round-7 (eighth/ninth passes): LPA communities, RAKE keywords,
+    # cross-registry record linkage
+    "t_label_prop",
+    "t_rake_keywords",
+    "t_record_linkage",
 ]
 
 

@@ -79,6 +79,11 @@ QUERIES = (
     "t_pair_quality_keeper",   # LSH pairs + two narrow quality joins
     "e_rq_topk",               # broadcast 2-level codebooks, map-only encode
     "mm_audio_near_dup",       # Arrow frame energies + pigeonhole bands
+    # round-7 (seventh-ninth passes)
+    "w_ols_daily_trend",       # corpus -> bounded grid reduce, stats on grid
+    "t_label_prop",            # banded pair graph + 3-round keyed LPA unroll
+    "t_rake_keywords",         # explode + per-doc window + keyed aggs + topk
+    "t_record_linkage",        # nation-blocked two-registry equi-join
 )
 
 
