@@ -485,7 +485,16 @@ _CERTIFIED_TAIL = (
 # for first certification next round. Explicitly surfaced here so the
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
-_PENDING_FIRST_CERT = ()
+_PENDING_FIRST_CERT = (
+    # round-7 late additions, after the 50-slot prefix filled (every
+    # earlier static rotation candidate was consumed by the seventh–tenth
+    # passes and the remaining static prefix members were all touched or
+    # composition-critical this round). Both are static, oracle-backed,
+    # and run under full local parity every round; rotate into the prefix
+    # for first certification in round 8.
+    "e_cluster_outliers",
+    "e_dim_variance",
+)
 
 
 def _suite():

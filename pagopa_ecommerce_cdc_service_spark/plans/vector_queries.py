@@ -2008,3 +2008,116 @@ def e_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot(F.col("q"), F.col("va1")).alias("pc1_proj"),
         dot(F.col("q"), F.col("va2")).alias("pc2_proj"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-cluster outliers (anti-prototypicality): the embedding-space pruning
+# signal dual to SemDeDup — SemDeDup drops near-duplicate vectors close to
+# each other inside a cluster; this surfaces the vectors FARTHEST from
+# their centroid (noise, mislabeled, or out-of-distribution items a
+# curation pass reviews or drops). Rides the same unrolled Lloyd's plan
+# as e_kmeans_clusters (exact BIGINT quantized distances, deterministic
+# (dist, cid) assignment tie-break); the outlier rank is one per-cluster
+# window over the final assignment — narrow keyed shuffle, top-k per cid,
+# no extra corpus pass beyond the shared assignment scan.
+# ---------------------------------------------------------------------------
+_OUTLIER_K = 5
+
+
+def _cluster_outliers_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_oracle_ctes
+
+    return f"""
+    WITH {kmeans_oracle_ctes(_QV)}
+    SELECT cid AS cluster_id, vec_id, CAST(dist AS BIGINT) AS dist_q, rk
+    FROM (
+      SELECT cid, vec_id, dist,
+             ROW_NUMBER() OVER (PARTITION BY cid
+                                ORDER BY dist DESC, vec_id) AS rk
+      FROM a{KM_ITERS}
+    ) WHERE rk <= {_OUTLIER_K}
+    """
+
+
+@query("e_cluster_outliers", _cluster_outliers_oracle())
+def e_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.clustering import kmeans_plan
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    final = kmeans_plan(emb)
+    w = Window.partitionBy("cid").orderBy(F.desc("dist"), "vec_id")
+    return (
+        final.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _OUTLIER_K)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "vec_id",
+            F.col("dist").cast("long").alias("dist_q"),
+            "rk",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding health (dead/collapsed-dimension audit): exact
+# integer mean/variance moments per coordinate. A projection head that
+# collapses dimensions (or an ingestion bug zeroing a coordinate) is
+# invisible to cosine top-k quality until recall quietly degrades; this
+# is the one-scan audit that catches it. Shape: posexplode to (pos, v) →
+# ONE 64-key aggregation (map-side combine does almost all the work — the
+# exchange carries 64 rows per task); variance numerator n·Σv²−(Σv)²
+# stays an exact BIGINT at gate scales (the 100 TB path lifts the two
+# moment sums to DECIMAL(38,0) unchanged in shape).
+# ---------------------------------------------------------------------------
+@query(
+    "e_dim_variance",
+    f"""
+    WITH expl AS (
+      SELECT i.pos, ({_QV})[i.pos + 1] AS v
+      FROM embeddings,
+           (SELECT UNNEST(generate_series(0, 63)) AS pos) i
+    ),
+    mo AS (
+      SELECT pos, COUNT(*) AS n,
+             CAST(SUM(v) AS BIGINT) AS sx,
+             CAST(SUM(v * v) AS BIGINT) AS sxx
+      FROM expl GROUP BY pos
+    )
+    SELECT pos AS dim, n,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_num,
+           CAST(sx AS DOUBLE) / n AS mean_q,
+           CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * n)
+             AS variance_q,
+           (n * sxx - sx * sx) = 0 AS is_dead
+    FROM mo
+    """,
+)
+def e_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        quantize(F.col("embedding")).alias("q")
+    )
+    mo = (
+        emb.select(F.posexplode("q").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("v").cast("long").alias("sx"),
+            F.sum(F.col("v") * F.col("v")).cast("long").alias("sxx"),
+        )
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return mo.select(
+        F.col("pos").cast("long").alias("dim"),
+        "n",
+        var_num.alias("var_num"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mean_q"),
+        (var_num.cast("double") / (F.col("n").cast("double") * F.col("n")))
+        .alias("variance_q"),
+        (var_num == 0).alias("is_dead"),
+    )
