@@ -494,6 +494,7 @@ _PENDING_FIRST_CERT = (
     # for first certification in round 8.
     "e_cluster_outliers",
     "e_dim_variance",
+    "cdc_status_history",
 )
 
 

@@ -1193,3 +1193,88 @@ def cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["cdc_bootstrap_handoff"] = cdc_bootstrap_handoff
 ORACLES["cdc_bootstrap_handoff"] = _STREAM_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 status history: the TEMPORAL-TABLE view of the CDC log. The
+# materialized view keeps only the CURRENT status; auditors and funnel
+# analyses need every status the view ever held and when — one row per
+# (transaction, status interval) with [valid_from, valid_to) millis and an
+# is_current flag. Semantics are exactly the fold's write history: an
+# interval opens when an APPLIED status-bearing event (same dedup +
+# strict-newer guard as fold_transactions_view, the reference's
+# conditional-update semantics at TransactionViewUpsertService.kt:134-149)
+# writes a status DIFFERENT from the view's previous one; applied
+# timestamps are strictly increasing per key by the guard's definition,
+# so intervals are well-formed without sorting tricks. One exchange on
+# transactionId feeds the dedup window, the guard window, and all three
+# history windows. The oracle reuses the fold oracle's env/valid/guarded/
+# applied_events CTE prefix verbatim, so a hash match certifies that the
+# interval law and the fold's status law agree event-for-event.
+# ---------------------------------------------------------------------------
+def cdc_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.cdc_fold import _APPLIED, _TS, _status_op
+
+    env = synthesize_envelope(spark, sf_dir)
+    df = prepare_events(env).repartition("transactionId")
+    w_dedup = Window.partitionBy("transactionId", "id").orderBy("seq")
+    df = (
+        df.withColumn("_rn_id", F.row_number().over(w_dedup))
+        .filter(F.col("_rn_id") == 1)
+        .drop("_rn_id")
+    )
+    w_prefix = (
+        Window.partitionBy("transactionId")
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_max = F.max(F.col(_TS)).over(w_prefix)
+    df = df.withColumn(_APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max))
+    writes = df.withColumn("st", _status_op()["v"]).filter(
+        F.col("st").isNotNull()
+    )
+    w_seq = Window.partitionBy("transactionId").orderBy("seq")
+    changes = writes.withColumn("prev", F.lag("st").over(w_seq)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("st"))
+    )
+    return changes.select(
+        "transactionId",
+        F.row_number().over(w_seq).cast("long").alias("version"),
+        F.col("st").alias("status"),
+        F.col(_TS).alias("valid_from_ms"),
+        F.lead(F.col(_TS)).over(w_seq).alias("valid_to_ms"),
+        F.lead(F.col(_TS)).over(w_seq).isNull().alias("is_current"),
+    )
+
+
+_HIST_PREFIX = ORACLE_SQL[: ORACLE_SQL.index("SELECT\n  tx AS transactionId")]
+assert _HIST_PREFIX.rstrip().endswith(")")
+
+CDC_STATUS_HISTORY_ORACLE_SQL = f"""
+{_HIST_PREFIX},
+status_writes AS (
+  SELECT tx, seq, ts_ms, status_val FROM applied_events
+  WHERE applied AND status_val IS NOT NULL
+),
+with_prev AS (
+  SELECT tx, seq, ts_ms, status_val,
+         LAG(status_val) OVER (PARTITION BY tx ORDER BY seq) AS prev
+  FROM status_writes
+),
+ch AS (
+  SELECT tx, seq, ts_ms, status_val FROM with_prev
+  WHERE prev IS NULL OR prev <> status_val
+)
+SELECT tx AS transactionId,
+       ROW_NUMBER() OVER (PARTITION BY tx ORDER BY seq) AS version,
+       status_val AS status,
+       ts_ms AS valid_from_ms,
+       LEAD(ts_ms) OVER (PARTITION BY tx ORDER BY seq) AS valid_to_ms,
+       LEAD(ts_ms) OVER (PARTITION BY tx ORDER BY seq) IS NULL AS is_current
+FROM ch
+"""
+
+QUERIES["cdc_status_history"] = cdc_status_history
+ORACLES["cdc_status_history"] = CDC_STATUS_HISTORY_ORACLE_SQL
