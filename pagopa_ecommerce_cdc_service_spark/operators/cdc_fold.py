@@ -282,3 +282,45 @@ def transactions_view_from_log(
 ) -> DataFrame:
     """End-to-end batch replay: raw envelope log → transactions view."""
     return fold_transactions_view(prepare_events(raw, config))
+
+
+def status_history(prepared: DataFrame, key: str = "transactionId") -> DataFrame:
+    """SCD Type-2 status intervals of the materialized view's write history.
+
+    ``prepared`` must be the output of :func:`prepare_events` with a
+    monotone arrival-order ``seq`` column (the contract of
+    :func:`fold_transactions_view`, whose dedup + strict-newer guard this
+    reuses verbatim — TransactionViewUpsertService.kt:134-149 semantics).
+    An interval opens when an APPLIED status-bearing event writes a status
+    different from the view's previous one; applied timestamps are
+    strictly increasing per key by the guard's definition, so intervals
+    are well-formed. One exchange on ``key`` serves the dedup window, the
+    guard window, and all three history windows.
+    """
+    df = prepared.repartition(key)
+    w_dedup = Window.partitionBy(key, "id").orderBy("seq")
+    df = (
+        df.withColumn("_rn_id", F.row_number().over(w_dedup))
+        .filter(F.col("_rn_id") == 1)
+        .drop("_rn_id")
+    )
+    w_prefix = (
+        Window.partitionBy(key)
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_max = F.max(F.col(_TS)).over(w_prefix)
+    df = df.withColumn(_APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max))
+    writes = df.withColumn("st", _status_op()["v"]).filter(F.col("st").isNotNull())
+    w_seq = Window.partitionBy(key).orderBy("seq")
+    changes = writes.withColumn("prev", F.lag("st").over(w_seq)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("st"))
+    )
+    return changes.select(
+        F.col(key).alias("transactionId"),
+        F.row_number().over(w_seq).cast("long").alias("version"),
+        F.col("st").alias("status"),
+        F.col(_TS).alias("valid_from_ms"),
+        F.lead(F.col(_TS)).over(w_seq).alias("valid_to_ms"),
+        F.lead(F.col(_TS)).over(w_seq).isNull().alias("is_current"),
+    )

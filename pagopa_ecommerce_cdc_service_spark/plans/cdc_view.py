@@ -1213,40 +1213,10 @@ ORACLES["cdc_bootstrap_handoff"] = _STREAM_ORACLE_SQL
 # interval law and the fold's status law agree event-for-event.
 # ---------------------------------------------------------------------------
 def cdc_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.cdc_fold import _APPLIED, _TS, _status_op
+    from ..operators.cdc_fold import status_history
 
     env = synthesize_envelope(spark, sf_dir)
-    df = prepare_events(env).repartition("transactionId")
-    w_dedup = Window.partitionBy("transactionId", "id").orderBy("seq")
-    df = (
-        df.withColumn("_rn_id", F.row_number().over(w_dedup))
-        .filter(F.col("_rn_id") == 1)
-        .drop("_rn_id")
-    )
-    w_prefix = (
-        Window.partitionBy("transactionId")
-        .orderBy("seq")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prefix_max = F.max(F.col(_TS)).over(w_prefix)
-    df = df.withColumn(_APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max))
-    writes = df.withColumn("st", _status_op()["v"]).filter(
-        F.col("st").isNotNull()
-    )
-    w_seq = Window.partitionBy("transactionId").orderBy("seq")
-    changes = writes.withColumn("prev", F.lag("st").over(w_seq)).filter(
-        F.col("prev").isNull() | (F.col("prev") != F.col("st"))
-    )
-    return changes.select(
-        "transactionId",
-        F.row_number().over(w_seq).cast("long").alias("version"),
-        F.col("st").alias("status"),
-        F.col(_TS).alias("valid_from_ms"),
-        F.lead(F.col(_TS)).over(w_seq).alias("valid_to_ms"),
-        F.lead(F.col(_TS)).over(w_seq).isNull().alias("is_current"),
-    )
+    return status_history(prepare_events(env))
 
 
 _HIST_PREFIX = ORACLE_SQL[: ORACLE_SQL.index("SELECT\n  tx AS transactionId")]

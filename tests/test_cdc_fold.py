@@ -440,3 +440,67 @@ def test_salted_fold_hot_key(spark):
     assert set(base) == set(salted)
     for k in base:
         assert normalize(base[k]) == normalize(salted[k]), k
+
+
+# ---------------------------------------------------------------------------
+# SCD2 status history (operators/cdc_fold.status_history)
+# ---------------------------------------------------------------------------
+def _history(spark, events):
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import (
+        prepare_events,
+        status_history,
+    )
+
+    rows = status_history(prepare_events(events_to_df(spark, events))).collect()
+    return [
+        (r["version"], r["status"], r["valid_from_ms"], r["valid_to_ms"],
+         r["is_current"])
+        for r in sorted(rows, key=lambda r: (r["transactionId"], r["version"]))
+    ]
+
+
+def test_status_history_intervals_and_current_flag(spark):
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T0, {"email": "a@b.c"}),
+        _ev(1, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T1),
+        _ev(2, "t", "TRANSACTION_CLOSED_EVENT", T2,
+            {"wasCanceledByUser": False, "responseOutcome": "OK"}),
+    ]
+    h = _history(spark, events)
+    assert [x[1] for x in h] == ["ACTIVATED", "CLOSURE_REQUESTED", "CLOSED"]
+    # intervals chain: each valid_to equals the next valid_from; only the
+    # last row is current/open
+    assert h[0][3] == h[1][2] and h[1][3] == h[2][2]
+    assert [x[4] for x in h] == [False, False, True]
+    assert [x[0] for x in h] == [1, 2, 3]
+
+
+def test_status_history_stale_event_opens_no_interval(spark):
+    # the out-of-order CLOSURE_REQUESTED (older creationDate, later arrival)
+    # fails the strict-newer guard: the view never held that status, so the
+    # history must not contain it either
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T1, {"email": "a@b.c"}),
+        _ev(1, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T0),
+        _ev(2, "t", "TRANSACTION_CLOSED_EVENT", T2,
+            {"wasCanceledByUser": False, "responseOutcome": "OK"}),
+    ]
+    h = _history(spark, events)
+    assert [x[1] for x in h] == ["ACTIVATED", "CLOSED"]
+
+
+def test_status_history_duplicate_id_and_same_status_collapse(spark):
+    # a redelivered event (same id) is dropped by the lock dedup; a second
+    # APPLIED write of the SAME status extends the open interval instead of
+    # versioning it
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T0, {"email": "a@b.c"}),
+        _ev(1, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T1),
+        _ev(2, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T1, id="e1"),
+        _ev(3, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T2, id="e3"),
+    ]
+    h = _history(spark, events)
+    assert [x[1] for x in h] == ["ACTIVATED", "CLOSURE_REQUESTED"]
+    # the open interval starts at its FIRST write (T1), not the re-write
+    assert h[1][2] < h[1][3] if h[1][3] is not None else True
+    assert h[1][4] is True
