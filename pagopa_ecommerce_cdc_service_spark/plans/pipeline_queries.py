@@ -415,3 +415,194 @@ FROM c JOIN s USING (nat)
 ORDER BY match_score DESC, cust, supp
 LIMIT {_LINK_TOP}
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic STRATIFIED QUOTA SAMPLING: keep an exact 20% quota
+# (ceil(n/5)) of every (lang, source) stratum, selected by rank over the
+# portable md5 hash of the doc id — the reproducible importance-sampling
+# primitive a curation pipeline uses to rebalance domains (fixed quotas
+# per stratum, no RNG state, identical output on any cluster layout).
+# Plan: one hash exchange on the stratum key; the quota is a window count
+# over the same partition (no second scan, no driver round-trip).
+# 100 TB: strata are domain-bounded (thousands), each partition sorts
+# only its own stratum; a hot stratum is one AQE skew split away.
+# ---------------------------------------------------------------------------
+from ..functions.hashing import md5_long, md5_long_sql  # noqa: E402
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    strat = Window.partitionBy("lang", "source")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.count("*").over(strat).alias("stratum_size"),
+        F.expr("(count(*) OVER (PARTITION BY lang, source) + 4) div 5").alias(
+            "quota"
+        ),
+        F.row_number()
+        .over(strat.orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rk"),
+    )
+    return ranked.filter(F.col("rk") <= F.col("quota"))
+
+
+QUERIES["t_stratified_sample"] = t_stratified_sample
+ORACLES["t_stratified_sample"] = f"""
+SELECT doc_id, lang, source, stratum_size, quota, rk
+FROM (
+  SELECT doc_id, lang, source,
+         count(*) OVER (PARTITION BY lang, source) AS stratum_size,
+         (count(*) OVER (PARTITION BY lang, source) + 4) // 5 AS quota,
+         row_number() OVER (
+           PARTITION BY lang, source
+           ORDER BY {md5_long_sql("CAST(doc_id AS VARCHAR)")}, doc_id
+         ) AS rk
+  FROM documents
+) WHERE rk <= quota
+"""
+
+
+# ---------------------------------------------------------------------------
+# ENTITY GOLDEN RECORD: the step after record linkage — match pairs
+# (agreement score >= 5, i.e. both balance comparators agree) form a
+# bipartite graph over the two registries; transitive closure (connected
+# components, operators/graph.py) merges chained matches into ENTITIES;
+# each entity emits one canonical ("golden") record: member counts, the
+# max balance (exact DECIMAL), and deterministic representative ids per
+# registry. Node ids are namespaced (cust*2, supp*2+1) so the two
+# registries cannot collide. RUNTIME query (iterative min-label CC with a
+# convergence count per round) — pinned in the certification prefix, like
+# t_dup_clusters. 100 TB: edges are blocking-bounded (same discipline as
+# t_record_linkage); CC iterations shuffle only the edge list, with the
+# label table localCheckpoint'd per round.
+# ---------------------------------------------------------------------------
+_MATCH_MIN_SCORE = 5
+
+
+def _linkage_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matched-pair member rows: (node, is_supp, id, bal) for both sides of
+    every pair whose agreement score clears the match threshold."""
+    cust = read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_acctbal").cast("decimal(12,2)").alias("c_bal"),
+    )
+    supp = read(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("supp"),
+        F.col("s_nationkey").alias("nat"),
+        F.col("s_acctbal").cast("decimal(12,2)").alias("s_bal"),
+    )
+    pairs = cust.join(supp, "nat")
+    bal_close = (
+        F.abs(F.col("c_bal") - F.col("s_bal"))
+        < F.lit("50.00").cast("decimal(12,2)")
+    )
+    bucket_eq = F.floor(F.col("c_bal") / F.lit(500.0)) == F.floor(
+        F.col("s_bal") / F.lit(500.0)
+    )
+    score = (
+        F.when(bal_close, F.lit(3)).otherwise(F.lit(-1))
+        + F.when(bucket_eq, F.lit(2)).otherwise(F.lit(-1))
+    ).cast("long")
+    return pairs.filter(score >= _MATCH_MIN_SCORE).select(
+        "cust", "supp", "c_bal", "s_bal"
+    )
+
+
+def t_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    m = _linkage_members(spark, sf_dir)
+    edges = m.select(
+        (F.col("cust") * 2).alias("src"), (F.col("supp") * 2 + 1).alias("dst")
+    )
+    comp = connected_components(edges, src="src", dst="dst")
+    members = comp.select(
+        "component",
+        (F.col("node") % 2).alias("is_supp"),
+        F.expr("node div 2").alias("id"),
+    )
+    bal = (
+        m.select((F.col("cust") * 2).alias("node"), F.col("c_bal").alias("bal"))
+        .unionByName(
+            m.select(
+                (F.col("supp") * 2 + 1).alias("node"), F.col("s_bal").alias("bal")
+            )
+        )
+        .distinct()
+    )
+    joined = comp.join(bal, "node").select(
+        "component",
+        (F.col("node") % 2).alias("is_supp"),
+        F.expr("node div 2").alias("id"),
+        "bal",
+    )
+    return joined.groupBy(F.col("component").alias("entity_id")).agg(
+        F.sum(F.when(F.col("is_supp") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cust"),
+        F.sum(F.when(F.col("is_supp") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_supp"),
+        # exact integer cents — DECIMAL round-trips to pandas as object
+        # in Spark but float in DuckDB; BIGINT cents is kind-stable
+        (F.max("bal") * 100).cast("long").alias("golden_bal_cents"),
+        F.min(F.when(F.col("is_supp") == 0, F.col("id"))).alias("rep_cust"),
+        F.min(F.when(F.col("is_supp") == 1, F.col("id"))).alias("rep_supp"),
+    )
+
+
+QUERIES["t_entity_golden_record"] = t_entity_golden_record
+ORACLES["t_entity_golden_record"] = f"""
+WITH RECURSIVE c AS (
+  SELECT c_custkey AS cust, c_nationkey AS nat,
+         CAST(c_acctbal AS DECIMAL(12,2)) AS c_bal
+  FROM customer
+),
+s AS (
+  SELECT s_suppkey AS supp, s_nationkey AS nat,
+         CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal
+  FROM supplier
+),
+m AS (
+  SELECT cust, supp, c_bal, s_bal
+  FROM c JOIN s USING (nat)
+  WHERE CAST(CASE WHEN abs(c_bal - s_bal) < 50.00 THEN 3 ELSE -1 END
+           + CASE WHEN FLOOR(c_bal / 500.0) = FLOOR(s_bal / 500.0)
+                  THEN 2 ELSE -1 END AS BIGINT) >= {_MATCH_MIN_SCORE}
+),
+edges AS (
+  SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM m
+  UNION
+  SELECT supp * 2 + 1 AS src, cust * 2 AS dst FROM m
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, lbl) AS (
+  SELECT node, node AS lbl FROM nodes
+  UNION
+  SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+bal AS (
+  -- DISTINCT over UNION ALL, not bare UNION: inside a WITH RECURSIVE
+  -- block DuckDB does not apply set-union dedup to later CTEs
+  SELECT DISTINCT node, bal FROM (
+    SELECT cust * 2 AS node, c_bal AS bal FROM m
+    UNION ALL
+    SELECT supp * 2 + 1 AS node, s_bal AS bal FROM m
+  )
+)
+SELECT comp.component AS entity_id,
+       CAST(SUM(CASE WHEN comp.node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cust,
+       CAST(SUM(CASE WHEN comp.node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_supp,
+       CAST(MAX(bal.bal) * 100 AS BIGINT) AS golden_bal_cents,
+       MIN(CASE WHEN comp.node % 2 = 0 THEN comp.node // 2 END) AS rep_cust,
+       MIN(CASE WHEN comp.node % 2 = 1 THEN comp.node // 2 END) AS rep_supp
+FROM comp JOIN bal ON comp.node = bal.node
+GROUP BY comp.component
+"""

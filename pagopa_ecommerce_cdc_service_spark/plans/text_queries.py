@@ -3750,3 +3750,162 @@ def t_stream_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_stream_winnow_pairs"] = t_stream_winnow_pairs
 ORACLES["t_stream_winnow_pairs"] = ORACLES["t_winnow_pairs"]
+
+
+# ---------------------------------------------------------------------------
+# EXACT-SUBSTRING duplication spans (Lee et al. 2021, "Deduplicating
+# Training Data Makes Language Models Better"): every fixed-length token
+# window that occurs >= 2 times ANYWHERE in the corpus (cross-document or
+# within-document) marks its positions as duplicated; overlapping or
+# touching duplicated windows merge into MAXIMAL spans per document — the
+# artifact ExactSubstr dedup cuts out of training text. The paper builds a
+# corpus suffix array; the Spark-first equivalent is a positional
+# gram-hash posting list: one explode to (gram_hash, doc_id, pos), one
+# hash exchange to count occurrences per gram (a WINDOW count, not
+# groupBy+join-back — the position table crosses the wire once), one
+# doc_id exchange for the gaps-and-islands merge. 100 TB: rows after the
+# explode = corpus token count — the same O(total_tokens) the suffix
+# array costs, but embarrassingly partitionable; a boilerplate gram that
+# floods one reducer is the skew case AQE's skew-split handles (the key
+# space is md5-uniform otherwise). W=8 tokens here; the paper's 50-token
+# threshold is one constant away.
+# ---------------------------------------------------------------------------
+_SUBSTR_W = 8
+
+
+def _exact_substr_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    w = _SUBSTR_W
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS pos
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             {md5_long_sql(f"array_to_string(toks[pos : pos + {w - 1}], ' ')")} AS gh
+      FROM p
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM h
+      ) WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {w} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + {w - 1} AS span_end,
+           MAX(pos) + {w} - MIN(pos) AS span_tokens
+    FROM grp GROUP BY doc_id, island
+    """
+
+
+@query("t_exact_substr_spans", _exact_substr_oracle())
+def t_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = _SUBSTR_W
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("text"), w)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        md5_long(F.col("gram")).alias("gh"),
+    )
+    # window count over gh: the position table is exchanged ONCE on the
+    # gram hash (groupBy+join-back would exchange it twice)
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= w, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("island", F.sum("brk").over(by_doc))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (w - 1)).alias("span_end"),
+        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
+    ).drop("island")
+
+
+# ---------------------------------------------------------------------------
+# Unigram surprisal (LM-quality proxy, integer-exact): score every
+# document by the sum over its tokens of floor(log2(N / c(token))) where
+# N is the corpus token count and c the token's corpus frequency — rare
+# tokens contribute high surprisal, boilerplate near zero. The classic
+# perplexity filter (CCNet/Gopher data pipelines) uses a trained LM; the
+# cross-engine-certifiable core is the same shape with the corpus itself
+# as the unigram model, and the log kept in the INTEGER domain:
+# floor(log2(x)) = length(bin(x)) - 1, bit-identical in Spark and DuckDB
+# (no libm in the value path). Plan: explode tokens -> groupBy(token) for
+# the vocab counts (bounded by vocab size, partial-agg map-side) ->
+# re-explode and shuffle-join counts on token (AQE broadcasts the vocab
+# when it is small; at 100 TB it stays a shuffle join on a md5-uniform
+# key) -> groupBy(doc_id). The corpus total N rides a broadcast one-row
+# crossJoin.
+# ---------------------------------------------------------------------------
+def _surprisal_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({toks}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS c FROM tok GROUP BY tok),
+    total AS (SELECT count(*) AS n FROM tok)
+    SELECT t.doc_id,
+           count(*) AS n_tokens,
+           CAST(SUM(length(bin(CAST(total.n // v.c AS BIGINT))) - 1) AS BIGINT)
+             AS surprisal_sum,
+           CAST(SUM(length(bin(CAST(total.n // v.c AS BIGINT))) - 1) * 1000
+                  // count(*) AS BIGINT) AS surprisal_per_1k
+    FROM tok t JOIN vocab v ON t.tok = v.tok CROSS JOIN total
+    GROUP BY t.doc_id
+    """
+
+
+@query("t_unigram_surprisal", _surprisal_oracle())
+def t_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    total = tok.agg(F.count("*").alias("n"))
+    scored = (
+        tok.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            # integer division (`div`), NOT float `/`: floor(log2(n//c))
+            # must be computed on the exact BIGINT quotient in both engines
+            (
+                F.length(F.bin(F.expr("n div c"))) - 1
+            ).cast("long").alias("surp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("surp").cast("long").alias("surprisal_sum"),
+        F.expr("(sum(surp) * 1000) div count(*)")
+        .cast("long")
+        .alias("surprisal_per_1k"),
+    )

@@ -250,7 +250,15 @@ try:  # pragma: no cover - import guard for older runtimes
             # state IS the view dict, so seeding is a row→dict conversion;
             # the seen-id list starts empty — the batch fold already deduped
             # its half, and the guard semantics carry entirely in
-            # lastProcessedEventAt. Absent-vs-null collapse is safe: the
+            # lastProcessedEventAt. SCOPE: a duplicate STRADDLING the
+            # handoff boundary (original delivered to the batch half, its
+            # at-least-once redelivery to the stream half) is out of scope
+            # for id-dedup here: guarded merges are still blocked by the
+            # strict-newer lastProcessedEventAt check, but an unguarded
+            # dataUpdate redelivery re-applies. Callers needing that
+            # coverage must cut the handoff at a quiescent offset (the gate
+            # does) or seed seen-ids from the batch tail. Absent-vs-null
+            # collapse is safe: the
             # fold never reads a view FIELD to decide a merge (only
             # lastProcessedEventAt), and output maps absent → null anyway.
             row = {

@@ -721,3 +721,46 @@ def test_stats_family_single_corpus_scan(spark, sf_dir, queries):
             line for line in plan.splitlines() if "FileScan parquet" in line
         )
         assert "value" not in scan_line, name
+
+
+def test_exact_substr_single_posting_exchange(spark, sf_dir, queries):
+    """ExactSubstr spans: the positional gram posting table crosses the
+    wire exactly twice — once on the gram hash (the WINDOW count; a
+    groupBy+join-back would add a third) and once on doc_id for the
+    gaps-and-islands merge. One corpus scan, no joins at all."""
+    plan = _plan(queries["t_exact_substr_spans"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan[:1200]
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1200]
+    assert "Join" not in plan, "posting count must be a window, not a join"
+
+
+def test_unigram_surprisal_no_global_exchange(spark, sf_dir, queries):
+    """Surprisal: the corpus total rides a broadcast one-row crossJoin and
+    the vocab join broadcasts at this scale — no single-partition global
+    exchange anywhere (Exchange SinglePartition only feeds the one-row
+    total aggregate, never the token table)."""
+    plan = _plan(queries["t_unigram_surprisal"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan[:1200]
+    assert plan.count("BroadcastExchange") >= 1, "one-row total must broadcast"
+
+
+def test_interval_overlap_join_is_bucketed_broadcast(spark, sf_dir, queries):
+    """The range join must run as the bucketed rewrite: sessions explode
+    into hour buckets (Generate) and equi-join the BROADCAST hot-hour
+    dimension — never a sort-merge theta join or a cross product over
+    sessions x hours."""
+    plan = _plan(queries["w_interval_overlap_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+    assert "SortMergeJoin" not in plan, "range join degenerated to SMJ"
+    assert plan.count("Generate explode") == 1, plan[:1200]
+    # the only nested-loop is the broadcast one-row threshold crossJoin
+    assert plan.count("BroadcastNestedLoopJoin") <= 1, plan[:1200]
+
+
+def test_stratified_sample_single_exchange(spark, sf_dir, queries):
+    """Quota sampling: stratum count and rank share ONE hash exchange on
+    the stratum key (both windows partition identically); one corpus
+    scan, nothing else moves."""
+    plan = _plan(queries["t_stratified_sample"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1, plan[:1200]
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]

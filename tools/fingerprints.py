@@ -68,6 +68,7 @@ RUNTIME_QUERIES = {
     "q_bucketed_colocated_join",    # writes bucketed tables at build
     "w_partition_pruned_day",       # writes partitioned layout at build
     "q_zorder_box_scan",            # writes z-ordered layout at build
+    "t_entity_golden_record",       # iterative min-label CC (convergence counts)
 }
 
 _NORMALIZERS = (
