@@ -431,3 +431,47 @@ def rebuild_long_doc_batches(frames):
             out["rebuilt_len"].append(len(rebuilt))
             out["rebuilt_text"].append(rebuilt)
         yield pd.DataFrame(out)
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication spans (Lee et al. 2021 ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+def exact_substr_spans(docs, w: int = 8):
+    """(doc_id, text) → maximal duplicated token spans
+    (doc_id, span_start, span_end, span_tokens), where a position is
+    duplicated iff its w-token window occurs ≥ 2 times anywhere in the
+    corpus (cross- OR within-document) and overlapping/touching duplicated
+    windows merge. Positions are 1-based token indices.
+
+    Shape: one posting exchange on the gram hash (window count — the
+    posting table crosses the wire once there), one exchange on doc_id for
+    the gaps-and-islands merge. No joins.
+    """
+    from pyspark.sql import Window
+
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("text"), w)).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        md5_long(F.col("gram")).alias("gh"),
+    )
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= w, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("island", F.sum("brk").over(by_doc))
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + (w - 1)).alias("span_end"),
+        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
+    ).drop("island")

@@ -512,19 +512,16 @@ def _linkage_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def t_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+def golden_records(m: DataFrame) -> DataFrame:
+    """Match pairs (cust, supp, c_bal, s_bal) → one canonical record per
+    transitively-merged entity. Node ids are namespaced (cust*2, supp*2+1);
+    entity id = min node in the component."""
     from ..operators.graph import connected_components
 
-    m = _linkage_members(spark, sf_dir)
     edges = m.select(
         (F.col("cust") * 2).alias("src"), (F.col("supp") * 2 + 1).alias("dst")
     )
     comp = connected_components(edges, src="src", dst="dst")
-    members = comp.select(
-        "component",
-        (F.col("node") % 2).alias("is_supp"),
-        F.expr("node div 2").alias("id"),
-    )
     bal = (
         m.select((F.col("cust") * 2).alias("node"), F.col("c_bal").alias("bal"))
         .unionByName(
@@ -553,6 +550,10 @@ def t_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("is_supp") == 0, F.col("id"))).alias("rep_cust"),
         F.min(F.when(F.col("is_supp") == 1, F.col("id"))).alias("rep_supp"),
     )
+
+
+def t_entity_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return golden_records(_linkage_members(spark, sf_dir))
 
 
 QUERIES["t_entity_golden_record"] = t_entity_golden_record

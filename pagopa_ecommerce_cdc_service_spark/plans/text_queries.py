@@ -3814,37 +3814,10 @@ def _exact_substr_oracle() -> str:
 
 @query("t_exact_substr_spans", _exact_substr_oracle())
 def t_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    from ..operators.text import exact_substr_spans
 
-    w = _SUBSTR_W
     docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
-    grams = docs.select(
-        "doc_id",
-        F.posexplode(word_ngrams(F.col("text"), w)).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        md5_long(F.col("gram")).alias("gh"),
-    )
-    # window count over gh: the position table is exchanged ONCE on the
-    # gram hash (groupBy+join-back would exchange it twice)
-    hits = (
-        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "pos")
-    )
-    by_doc = Window.partitionBy("doc_id").orderBy("pos")
-    isl = hits.withColumn(
-        "brk",
-        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= w, F.lit(0)).otherwise(
-            F.lit(1)
-        ),
-    ).withColumn("island", F.sum("brk").over(by_doc))
-    return isl.groupBy("doc_id", "island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + (w - 1)).alias("span_end"),
-        (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
-    ).drop("island")
+    return exact_substr_spans(docs, w=_SUBSTR_W)
 
 
 # ---------------------------------------------------------------------------

@@ -575,3 +575,108 @@ def test_winnow_matches_python_reference_and_detection_guarantee(spark):
     for i in range(12):
         for j in range(i + 1, 12):
             assert got[i] & got[j], (i, j)
+
+
+# --- exact-substring duplication spans --------------------------------------
+
+def test_exact_substr_merges_overlapping_windows(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_spans,
+    )
+
+    # docs 1 and 2 share a 5-token run "a b c d e" => with w=3, windows at
+    # positions 1,2,3 of the shared run are duplicated and must merge into
+    # ONE maximal span covering the whole run in each document
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1 z1"),
+            (2, "p2 q2 a b c d e"),
+            (3, "u3 v3 w3 t3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in exact_substr_spans(docs, w=3).collect()
+    }
+    assert out == {(1, 1, 5, 5), (2, 3, 7, 5)}
+
+
+def test_exact_substr_detects_within_doc_repeats(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_spans,
+    )
+
+    # "m n o" occurs twice INSIDE one document (positions 1 and 6) and
+    # nowhere else: both occurrences are duplicated spans (paper
+    # semantics: any repeat counts, not just cross-document)
+    docs = spark.createDataFrame(
+        [(1, "m n o x y m n o"), (2, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(docs, w=3).collect()
+    }
+    assert out == {(1, 1, 3), (1, 6, 8)}
+
+
+def test_exact_substr_touching_windows_merge_across_gap(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_spans,
+    )
+
+    # two duplicated windows whose starts differ by exactly w (touching,
+    # zero overlap) must merge; a gap of w+1 must NOT merge
+    docs = spark.createDataFrame(
+        [
+            # shared windows: "a b c" at pos 1 and "d e f" at pos 4 (touch)
+            (1, "a b c d e f"),
+            (2, "a b c d e f"),
+            # shared windows at pos 1 and pos 5 (gap of one non-shared
+            # window start) — doc 3/4 texts differ at position 4
+            (3, "g h i x3 j k l"),
+            (4, "g h i y4 j k l"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in exact_substr_spans(docs, w=3).collect()
+    }
+    assert (1, 1, 6) in out and (2, 1, 6) in out
+    assert (3, 1, 3) in out and (3, 5, 7) in out
+    assert (4, 1, 3) in out and (4, 5, 7) in out
+
+
+# --- entity golden record ----------------------------------------------------
+
+def test_golden_record_merges_chained_matches(spark):
+    from decimal import Decimal
+
+    from pagopa_ecommerce_cdc_service_spark.plans.pipeline_queries import (
+        golden_records,
+    )
+
+    dec = lambda s: Decimal(s)
+    # chain: cust 10 - supp 5 - cust 11 - supp 6 => ONE entity with
+    # 2 custs + 2 supps; plus an isolated pair (cust 20, supp 9)
+    m = spark.createDataFrame(
+        [
+            (10, 5, dec("100.00"), dec("120.00")),
+            (11, 5, dec("101.00"), dec("120.00")),
+            (11, 6, dec("101.00"), dec("95.50")),
+            (20, 9, dec("7.25"), dec("8.00")),
+        ],
+        "cust long, supp long, c_bal decimal(12,2), s_bal decimal(12,2)",
+    )
+    rows = {r.entity_id: r for r in golden_records(m).collect()}
+    # entity id = min NODE id: supp 5 -> 5*2+1 = 11 undercuts cust 10 -> 20
+    assert set(rows) == {11, 19}
+    big = rows[11]
+    assert (big.n_cust, big.n_supp) == (2, 2)
+    assert big.golden_bal_cents == 12000  # max of all member balances
+    assert (big.rep_cust, big.rep_supp) == (10, 5)
+    small = rows[19]
+    assert (small.n_cust, small.n_supp) == (1, 1)
+    assert small.golden_bal_cents == 800
