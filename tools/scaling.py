@@ -84,6 +84,14 @@ QUERIES = (
     "t_label_prop",            # banded pair graph + 3-round keyed LPA unroll
     "t_rake_keywords",         # explode + per-doc window + keyed aggs + topk
     "t_record_linkage",        # nation-blocked two-registry equi-join
+    # round-7 (tenth-eleventh passes)
+    "cdc_status_history",      # SCD2 intervals: fold window + lead()
+    "e_cluster_outliers",      # k-means subtree + per-cluster distance rank
+    "t_exact_substr_spans",    # positional gram postings + islands merge
+    "t_unigram_surprisal",     # token explode x2 + vocab join + doc agg
+    "w_interval_overlap_join", # session islands + bucketed broadcast join
+    "t_stratified_sample",     # one stratum exchange, two shared windows
+    "t_entity_golden_record",  # blocked linkage graph + iterative CC
 )
 
 
@@ -315,6 +323,11 @@ def main() -> None:
         help="only run the fold salting-threshold sweep",
     )
     ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma list: measure only these (default: the full QUERIES set)",
+    )
+    ap.add_argument(
         "--skew-hotness",
         default="1,3,5,7",
         help="comma list of hot replica counts (×10%% rows on 3 keys; 10 = all)",
@@ -333,6 +346,12 @@ def main() -> None:
 
     build_sf1(spark, "/root/testdata/sf0.1", args.out)
 
+    selected = (
+        tuple(args.queries.split(",")) if args.queries else QUERIES
+    )
+    unknown = set(selected) - set(QUERIES)
+    if unknown:
+        raise SystemExit(f"not in the scaling set: {sorted(unknown)}")
     qs = entry.queries()
     results: dict[str, dict[str, float]] = {}
     for sf_label, sf_dir in (
@@ -340,7 +359,7 @@ def main() -> None:
         ("sf0.1", "/root/testdata/sf0.1"),
         ("sf1", args.out),
     ):
-        for name in QUERIES:
+        for name in selected:
             best = None
             for _ in range(args.runs):
                 # noop sink = full computation (count() would let Catalyst
@@ -358,6 +377,9 @@ def main() -> None:
     # skew study: the CDC fold on the skewed decade (3 hot transactionIds
     # holding ~10% of the log) vs the uniform decade timed above
     name = "cdc_transactions_view"
+    if name not in selected:
+        print(json.dumps({"summary": results}), flush=True)
+        return
     best = None
     for _ in range(args.runs):
         t0 = time.time()
