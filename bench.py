@@ -155,6 +155,8 @@ HEADLINE = [
     "w_interval_overlap_join",
     "t_stratified_sample",
     "t_entity_golden_record",
+    # round-7 (twelfth pass): farthest-point-sampling coreset
+    "e_kcenter_coreset",
 ]
 
 

@@ -2121,3 +2121,119 @@ def e_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variance_q"),
         (var_num == 0).alias("is_dead"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GREEDY K-CENTER CORESET (farthest-point sampling, Gonzalez 1985): the
+# diversity-sampling primitive — pick the point farthest from everything
+# selected so far, k times; the selected set 2-approximates the optimal
+# k-center cover, and the radius after each pick is the coverage
+# guarantee a curation pipeline reports. Four centers unrolled as ONE
+# static plan: seed = min vec_id; each round is a map-only distance
+# update (exact integer squared L2 over quantized vectors, broadcast
+# one-row center) + a TakeOrderedAndProject argmax (d DESC, vec_id ASC —
+# deterministic ties). The selection row of round k+1 doubles as the
+# round-k radius (max of the running min-distance), so 4 centers cost 4
+# argmax passes + 1 final max. 100 TB: FPS is inherently k corpus
+# passes; each pass here is map-only + top-1 — nothing shuffles but one
+# row per round.
+# ---------------------------------------------------------------------------
+_KCENTER_K = 4
+
+
+def _kcenter_oracle() -> str:
+    qv = quantize_sql("embedding")
+    return f"""
+    WITH e AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+    c1 AS (SELECT vec_id AS cid1, qv AS cv1 FROM e ORDER BY vec_id LIMIT 1),
+    s1 AS (SELECT e.vec_id, e.qv, {dist2_sql("e.qv", "c1.cv1")} AS d
+           FROM e CROSS JOIN c1),
+    c2 AS (SELECT vec_id AS cid2, qv AS cv2, d AS r1 FROM s1
+           ORDER BY d DESC, vec_id LIMIT 1),
+    s2 AS (SELECT s1.vec_id, s1.qv,
+                  LEAST(s1.d, {dist2_sql("s1.qv", "c2.cv2")}) AS d
+           FROM s1 CROSS JOIN c2),
+    c3 AS (SELECT vec_id AS cid3, qv AS cv3, d AS r2 FROM s2
+           ORDER BY d DESC, vec_id LIMIT 1),
+    s3 AS (SELECT s2.vec_id, s2.qv,
+                  LEAST(s2.d, {dist2_sql("s2.qv", "c3.cv3")}) AS d
+           FROM s2 CROSS JOIN c3),
+    c4 AS (SELECT vec_id AS cid4, qv AS cv4, d AS r3 FROM s3
+           ORDER BY d DESC, vec_id LIMIT 1),
+    s4 AS (SELECT LEAST(s3.d, {dist2_sql("s3.qv", "c4.cv4")}) AS d
+           FROM s3 CROSS JOIN c4),
+    r4 AS (SELECT MAX(d) AS r4 FROM s4)
+    SELECT CAST(1 AS BIGINT) AS sel_round, (SELECT cid1 FROM c1) AS center_id,
+           (SELECT r1 FROM c2) AS radius_sq
+    UNION ALL
+    SELECT 2, (SELECT cid2 FROM c2), (SELECT r2 FROM c3)
+    UNION ALL
+    SELECT 3, (SELECT cid3 FROM c3), (SELECT r3 FROM c4)
+    UNION ALL
+    SELECT 4, (SELECT cid4 FROM c4), (SELECT r4 FROM r4)
+    """
+
+
+@query("e_kcenter_coreset", _kcenter_oracle())
+def e_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    c1 = emb.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("cid1"), F.col("qv").alias("cv1")
+    )
+    # lazy persist (the t_kcore_peel discipline) on every running
+    # distance table: the unrolled selection chain references each s_k
+    # from BOTH the next round's argmax and the next distance update —
+    # without the pin the lineage re-derives ~2^k corpus scans (measured
+    # 16 FileScans unpinned at k=4 vs 1 pinned); at 100 TB the persisted
+    # (vec_id, qv, dmin) table IS the state real FPS maintains per pass
+    s1 = emb.crossJoin(F.broadcast(c1)).select(
+        "vec_id", "qv", "cid1", dist2(F.col("qv"), F.col("cv1")).alias("d")
+    ).persist()
+    c2 = s1.orderBy(F.desc("d"), "vec_id").limit(1).select(
+        "cid1",
+        F.col("vec_id").alias("cid2"),
+        F.col("qv").alias("cv2"),
+        F.col("d").alias("r1"),
+    )
+    s2 = s1.select("vec_id", "qv", "d").crossJoin(F.broadcast(c2)).select(
+        "vec_id", "qv", "cid1", "cid2", "r1",
+        F.least(F.col("d"), dist2(F.col("qv"), F.col("cv2"))).alias("d"),
+    ).persist()
+    c3 = s2.orderBy(F.desc("d"), "vec_id").limit(1).select(
+        "cid1", "cid2", "r1",
+        F.col("vec_id").alias("cid3"),
+        F.col("qv").alias("cv3"),
+        F.col("d").alias("r2"),
+    )
+    s3 = s2.select("vec_id", "qv", "d").crossJoin(F.broadcast(c3)).select(
+        "vec_id", "qv", "cid1", "cid2", "cid3", "r1", "r2",
+        F.least(F.col("d"), dist2(F.col("qv"), F.col("cv3"))).alias("d"),
+    ).persist()
+    c4 = s3.orderBy(F.desc("d"), "vec_id").limit(1).select(
+        "cid1", "cid2", "cid3", "r1", "r2",
+        F.col("vec_id").alias("cid4"),
+        F.col("qv").alias("cv4"),
+        F.col("d").alias("r3"),
+    )
+    s4 = s3.select("vec_id", "qv", "d").crossJoin(F.broadcast(c4)).select(
+        "cid1", "cid2", "cid3", "cid4", "r1", "r2", "r3",
+        F.least(F.col("d"), dist2(F.col("qv"), F.col("cv4"))).alias("d"),
+    )
+    one = s4.groupBy(
+        "cid1", "cid2", "cid3", "cid4", "r1", "r2", "r3"
+    ).agg(F.max("d").alias("r4"))
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).cast("long").alias("sel_round"),
+                F.col(f"cid{k + 1}").alias("center_id"),
+                F.col(f"r{k + 1}").alias("radius_sq"),
+            )
+            for k in range(_KCENTER_K)
+        ]
+    )
+    return one.select(F.explode(picks).alias("p")).select(
+        "p.sel_round", "p.center_id", "p.radius_sq"
+    )

@@ -764,3 +764,14 @@ def test_stratified_sample_single_exchange(spark, sf_dir, queries):
     plan = _plan(queries["t_stratified_sample"](spark, sf_dir))
     assert plan.count("FileScan parquet") == 1, plan[:1200]
     assert plan.count("Exchange hashpartitioning") == 1, plan[:1200]
+
+
+def test_kcenter_coreset_pinned_distance_tables(spark, sf_dir, queries):
+    """FPS coreset: every running-distance table is lazily persisted —
+    the unrolled argmax chain references each s_k twice, and without the
+    pin the lineage re-derives ~2^k corpus scans. The selection itself is
+    TakeOrderedAndProject (one per round); nothing sort-merges."""
+    plan = _plan(queries["e_kcenter_coreset"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "distance tables not pinned"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 4

@@ -92,6 +92,7 @@ QUERIES = (
     "w_interval_overlap_join", # session islands + bucketed broadcast join
     "t_stratified_sample",     # one stratum exchange, two shared windows
     "t_entity_golden_record",  # blocked linkage graph + iterative CC
+    "e_kcenter_coreset",       # FPS: k map-only passes + top-1 per round
 )
 
 
