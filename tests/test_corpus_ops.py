@@ -680,3 +680,67 @@ def test_golden_record_merges_chained_matches(spark):
     small = rows[19]
     assert (small.n_cust, small.n_supp) == (1, 1)
     assert small.golden_bal_cents == 800
+
+
+def _brute_substr_spans(docs: dict[int, str], w: int) -> set[tuple[int, int, int]]:
+    """Reference ExactSubstr: count every w-token window across the corpus,
+    mark duplicated positions, merge overlapping/touching windows."""
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs.items()}
+    counts = Counter()
+    for t in toks.values():
+        for i in range(len(t) - w + 1):
+            counts[" ".join(t[i : i + w])] += 1
+    spans = set()
+    for d, t in toks.items():
+        dup = [
+            i + 1
+            for i in range(len(t) - w + 1)
+            if counts[" ".join(t[i : i + w])] >= 2
+        ]
+        run: list[int] = []
+        for p in dup + [None]:
+            if p is not None and (not run or p - run[-1] <= w):
+                run.append(p)
+                continue
+            if run:
+                spans.add((d, run[0], run[-1] + w - 1))
+            run = [p] if p is not None else []
+    return spans
+
+
+def test_exact_substr_matches_bruteforce_property(spark):
+    """Randomized corpora (small vocab forces collisions): the distributed
+    posting/window/islands plan must equal the quadratic reference."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_spans,
+    )
+
+    vocab = ["aa", "bb", "cc", "dd"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=14).map(" ".join)
+    corpora = st.lists(doc, min_size=1, max_size=5)
+
+    @settings(
+        max_examples=10, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpora)
+    def run(texts):
+        docs = {i + 1: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()], ["doc_id", "text"]
+        )
+        got = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in exact_substr_spans(df, w=3).collect()
+        }
+        assert got == _brute_substr_spans(docs, 3)
+
+    run()
