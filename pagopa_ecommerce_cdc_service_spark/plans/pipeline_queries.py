@@ -431,22 +431,30 @@ LIMIT {_LINK_TOP}
 from ..functions.hashing import md5_long, md5_long_sql  # noqa: E402
 
 
-def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(read(spark, sf_dir, "documents"), spark)
+def stratified_quota_sample(docs: DataFrame, denominator: int = 5) -> DataFrame:
+    """Keep an exact ceil(n/denominator) quota of every (lang, source)
+    stratum, selected by rank over the portable md5 hash of doc_id —
+    reproducible on any cluster layout, no RNG state. One exchange: the
+    stratum count, the quota and the rank all window over the same key."""
     strat = Window.partitionBy("lang", "source")
+    d = denominator
     ranked = docs.select(
         "doc_id",
         "lang",
         "source",
         F.count("*").over(strat).alias("stratum_size"),
-        F.expr("(count(*) OVER (PARTITION BY lang, source) + 4) div 5").alias(
-            "quota"
-        ),
+        F.expr(
+            f"(count(*) OVER (PARTITION BY lang, source) + {d - 1}) div {d}"
+        ).alias("quota"),
         F.row_number()
         .over(strat.orderBy(md5_long(F.col("doc_id").cast("string")), "doc_id"))
         .alias("rk"),
     )
     return ranked.filter(F.col("rk") <= F.col("quota"))
+
+
+def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_quota_sample(spread(read(spark, sf_dir, "documents"), spark))
 
 
 QUERIES["t_stratified_sample"] = t_stratified_sample

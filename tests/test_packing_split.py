@@ -92,3 +92,62 @@ def test_split_fractions_must_sum_to_one(spark):
             spark.range(1).select(F.col("id").alias("doc_id")),
             key="doc_id", fractions={"train": 0.5},
         )
+
+
+# --- stratified quota sampling -----------------------------------------------
+
+def test_stratified_quota_exactness_property(spark):
+    """Random strata: every (lang, source) stratum keeps EXACTLY
+    ceil(n/5) docs, and the kept set is the md5-rank prefix (the n
+    smallest hashes), independent of input order."""
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        import pytest
+
+        pytest.skip("hypothesis not installed")
+
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.plans.pipeline_queries import (
+        stratified_quota_sample,
+    )
+
+    strata = st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.sampled_from(["web", "book"]),
+            st.integers(min_value=1, max_value=13),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(strata)
+    def run(spec):
+        rows, next_id = [], 0
+        for lang, source, n in spec:
+            for _ in range(n):
+                rows.append((next_id, lang, source))
+                next_id += 1
+        df = spark.createDataFrame(rows, ["doc_id", "lang", "source"])
+        got = stratified_quota_sample(df).collect()
+        by_stratum = {}
+        for r in got:
+            by_stratum.setdefault((r.lang, r.source), []).append(r)
+        for lang, source, n in spec:
+            kept = by_stratum.get((lang, source), [])
+            quota = (n + 4) // 5
+            assert len(kept) == quota, (lang, source, n)
+            ids = [i for i, l, s in rows if (l, s) == (lang, source)]
+            expect = set(
+                sorted(ids, key=lambda i: (md5_long_py(str(i)), i))[:quota]
+            )
+            assert {r.doc_id for r in kept} == expect
+
+    run()
