@@ -5,14 +5,18 @@ SimHash, cosine buckets) and "keep one document per duplicate CLUSTER":
 transitively close the pair graph and name each component by its minimum
 member id (deterministic under any partitioning — min is order-free).
 
-Spark-first shape: iterative min-label propagation. Each iteration is one
-join + one partial-aggregable groupBy (both on the node key, so AQE reuses
-the exchange layout); lineage is truncated per iteration with an eager
-``localCheckpoint`` so plans stay O(1) deep. Iterations needed = graph
-diameter, which for near-dup clusters is tiny (dup clusters are cliques or
-short chains — LSH emits most intra-cluster pairs directly). For
-adversarially long chains at extreme scale, the same loop accepts the
-large-star/small-star rewrite; the propagation core is unchanged.
+Spark-first shape: iterative min-label propagation PLUS pointer doubling
+(shortcutting). Each iteration is one neighbor-min join + groupBy and one
+label-table self-join (comp(u) <- comp(comp(u))), all on the node key;
+lineage is truncated per iteration with an eager ``localCheckpoint`` so
+plans stay O(1) deep. The doubling step halves the distance any label
+still has to travel, so iterations needed = O(log2 diameter) instead of
+diameter — a 2000-hop chain converges in ~11 rounds where plain one-hop
+propagation needs 2000 (and would blow the iteration cap: the pre-doubling
+version of this operator RAISED on any graph with diameter > 25). Dup
+clusters are near-cliques where both variants converge in 2-3 rounds; the
+doubling is what makes the operator safe for adversarial chain topologies
+at 100 TB.
 
 No driver-side data loops: the driver only runs the convergence check
 (a count aggregate per iteration), exactly like any iterative algorithm on
@@ -65,18 +69,32 @@ def connected_components(
 
     changed = -1
     for _ in range(max_iterations):
-        # each node adopts min(own label, neighbors' labels)
+        # hop: each node adopts min(own label, neighbors' labels)
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        hop = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+            ).alias("comp"),
+        )
+        # shortcut (pointer doubling): comp(u) <- comp(comp(u)). Labels are
+        # always node ids of the same component (invariant: init comp=node;
+        # hop takes mins of labels; this step takes a label's label), so the
+        # lookup is a self-join of the label table — monotone non-increasing,
+        # and it halves the remaining label-propagation distance per round.
+        parents = hop.select(
+            F.col("node").alias("p_node"), F.col("comp").alias("p_comp")
+        )
         new_labels = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            hop.join(parents, hop["comp"] == parents["p_node"], "left")
             .select(
                 "node",
                 F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                    F.col("comp"), F.coalesce(F.col("p_comp"), F.col("comp"))
                 ).alias("comp"),
             )
             .localCheckpoint(eager=True)
@@ -99,8 +117,8 @@ def connected_components(
         # cluster into several — fail loudly instead
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "
-            "iterations (graph diameter exceeds the bound); raise "
-            "max_iterations or pre-contract the graph"
+            "iterations (log2(diameter) exceeds the bound — a pathological "
+            "graph); raise max_iterations"
         )
 
     return labels.select("node", F.col("comp").alias("component"))

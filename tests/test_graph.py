@@ -155,3 +155,14 @@ def test_lpa_tie_breaks_to_min_label_deterministically(spark):
         for r in label_propagation(edges.repartition(7), rounds=1).collect()
     }
     assert one == again
+
+
+def test_long_chain_converges_logarithmically(spark):
+    # a 301-node path (diameter 300) — plain one-hop min-label needs 300
+    # rounds and the pre-doubling operator RAISED here (cap 25); with
+    # pointer doubling the label distance halves per round, so the cap
+    # comfortably covers it and every node lands on the chain minimum
+    chain = [(i, i + 1) for i in range(1, 301)]
+    df = spark.createDataFrame(chain, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got == {i: 1 for i in range(1, 302)}
