@@ -450,13 +450,15 @@ def exact_substr_spans(docs, w: int = 8):
     """
     from pyspark.sql import Window
 
+    # hash in-row BEFORE the explode: the posting table then carries
+    # (doc_id, pos, int64) — the exploded/shuffled volume is 8-byte hashes,
+    # never gram strings (the string array exists only transiently inside
+    # the source row, same shape as every shingle operator here)
+    gh_arr = F.transform(word_ngrams(F.col("text"), w), lambda g: md5_long(g))
     grams = docs.select(
-        "doc_id",
-        F.posexplode(word_ngrams(F.col("text"), w)).alias("pos0", "gram"),
+        "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
     ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        md5_long(F.col("gram")).alias("gh"),
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
     )
     hits = (
         grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
