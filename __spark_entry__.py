@@ -515,9 +515,9 @@ _PENDING_FIRST_CERT = (
     # round-7 additions after the last static rotation candidate
     # (e_ivfpq_recall, twelfth pass — consumed by the runtime
     # t_entity_golden_record, which MUST hold a prefix slot) was spent.
-    # All four are static, oracle-backed, run under full local parity
+    # All five are static, oracle-backed, run under full local parity
     # every round, and rotate into the prefix for first certification in
-    # round 8.
+    # round 8 (five = the declared cap).
     "t_exact_substr_spans",
     "t_unigram_surprisal",
     "w_interval_overlap_join",

@@ -75,11 +75,18 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        hop = labels.join(nbr_min, labels["node"] == nbr_min["src"], "left").select(
-            "node",
-            F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
-            ).alias("comp"),
+        # the doubling step references the hop table TWICE (left side +
+        # parent lookup), so pin it — unpinned, the join+groupBy above
+        # re-executes on both sides of the self-join every round
+        hop = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_comp"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
         )
         # shortcut (pointer doubling): comp(u) <- comp(comp(u)). Labels are
         # always node ids of the same component (invariant: init comp=node;
@@ -99,6 +106,7 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
+        _release_local_checkpoint(hop)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

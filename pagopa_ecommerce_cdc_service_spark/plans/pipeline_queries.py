@@ -354,7 +354,13 @@ GROUP BY 1
 _LINK_TOP = 50
 
 
-def t_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored_registry_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nation-blocked customer x supplier candidate pairs with the full
+    three-comparator Fellegi-Sunter agreement score. ONE definition of the
+    comparators (balance proximity < 50.00, floor(bal/500) bucket, id
+    suffix mod 100) feeds BOTH t_record_linkage's ranking and the entity
+    golden record's match threshold — a constant changed here changes both
+    in lockstep."""
     cust = read(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("cust"),
         F.col("c_nationkey").alias("nat"),
@@ -383,8 +389,15 @@ def t_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.when(bucket_eq, F.lit(2)).otherwise(F.lit(-1))
         + F.when(F.col("c_sfx") == F.col("s_sfx"), F.lit(1)).otherwise(F.lit(0))
     ).cast("long")
+    return pairs.select(
+        "cust", "supp", "c_bal", "s_bal", score.alias("match_score")
+    )
+
+
+def t_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        pairs.select("cust", "supp", score.alias("match_score"))
+        _scored_registry_pairs(spark, sf_dir)
+        .select("cust", "supp", "match_score")
         .orderBy(F.desc("match_score"), "cust", "supp")
         .limit(_LINK_TOP)
     )
@@ -491,32 +504,15 @@ _MATCH_MIN_SCORE = 5
 
 
 def _linkage_members(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Matched-pair member rows: (node, is_supp, id, bal) for both sides of
-    every pair whose agreement score clears the match threshold."""
-    cust = read(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("cust"),
-        F.col("c_nationkey").alias("nat"),
-        F.col("c_acctbal").cast("decimal(12,2)").alias("c_bal"),
-    )
-    supp = read(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("supp"),
-        F.col("s_nationkey").alias("nat"),
-        F.col("s_acctbal").cast("decimal(12,2)").alias("s_bal"),
-    )
-    pairs = cust.join(supp, "nat")
-    bal_close = (
-        F.abs(F.col("c_bal") - F.col("s_bal"))
-        < F.lit("50.00").cast("decimal(12,2)")
-    )
-    bucket_eq = F.floor(F.col("c_bal") / F.lit(500.0)) == F.floor(
-        F.col("s_bal") / F.lit(500.0)
-    )
-    score = (
-        F.when(bal_close, F.lit(3)).otherwise(F.lit(-1))
-        + F.when(bucket_eq, F.lit(2)).otherwise(F.lit(-1))
-    ).cast("long")
-    return pairs.filter(score >= _MATCH_MIN_SCORE).select(
-        "cust", "supp", "c_bal", "s_bal"
+    """Matched-pair member rows (cust, supp, c_bal, s_bal): every scored
+    registry pair clearing the match threshold. Shares the comparator
+    definition with t_record_linkage via _scored_registry_pairs; score
+    >= 5 holds iff BOTH balance comparators agree (3+2+sfx0/1), so the
+    suffix comparator cannot flip membership."""
+    return (
+        _scored_registry_pairs(spark, sf_dir)
+        .filter(F.col("match_score") >= _MATCH_MIN_SCORE)
+        .select("cust", "supp", "c_bal", "s_bal")
     )
 
 
@@ -568,20 +564,26 @@ QUERIES["t_entity_golden_record"] = t_entity_golden_record
 ORACLES["t_entity_golden_record"] = f"""
 WITH RECURSIVE c AS (
   SELECT c_custkey AS cust, c_nationkey AS nat,
-         CAST(c_acctbal AS DECIMAL(12,2)) AS c_bal
+         CAST(c_acctbal AS DECIMAL(12,2)) AS c_bal,
+         CAST(regexp_extract(c_name, '(\\d+)$', 1) AS BIGINT) % 100 AS c_sfx
   FROM customer
 ),
 s AS (
   SELECT s_suppkey AS supp, s_nationkey AS nat,
-         CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal
+         CAST(s_acctbal AS DECIMAL(12,2)) AS s_bal,
+         CAST(regexp_extract(s_name, '(\\d+)$', 1) AS BIGINT) % 100 AS s_sfx
   FROM supplier
 ),
 m AS (
+  -- the FULL three-comparator score, mirroring _scored_registry_pairs;
+  -- >= 5 holds iff both balance comparators agree (suffix adds 0 or 1)
   SELECT cust, supp, c_bal, s_bal
   FROM c JOIN s USING (nat)
   WHERE CAST(CASE WHEN abs(c_bal - s_bal) < 50.00 THEN 3 ELSE -1 END
            + CASE WHEN FLOOR(c_bal / 500.0) = FLOOR(s_bal / 500.0)
-                  THEN 2 ELSE -1 END AS BIGINT) >= {_MATCH_MIN_SCORE}
+                  THEN 2 ELSE -1 END
+           + CASE WHEN c_sfx = s_sfx THEN 1 ELSE 0 END AS BIGINT)
+        >= {_MATCH_MIN_SCORE}
 ),
 edges AS (
   SELECT cust * 2 AS src, supp * 2 + 1 AS dst FROM m

@@ -2163,14 +2163,19 @@ def _kcenter_oracle() -> str:
     s4 AS (SELECT LEAST(s3.d, {dist2_sql("s3.qv", "c4.cv4")}) AS d
            FROM s3 CROSS JOIN c4),
     r4 AS (SELECT MAX(d) AS r4 FROM s4)
-    SELECT CAST(1 AS BIGINT) AS sel_round, (SELECT cid1 FROM c1) AS center_id,
-           (SELECT r1 FROM c2) AS radius_sq
-    UNION ALL
-    SELECT 2, (SELECT cid2 FROM c2), (SELECT r2 FROM c3)
-    UNION ALL
-    SELECT 3, (SELECT cid3 FROM c3), (SELECT r3 FROM c4)
-    UNION ALL
-    SELECT 4, (SELECT cid4 FROM c4), (SELECT r4 FROM r4)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS sel_round, (SELECT cid1 FROM c1) AS center_id,
+             (SELECT r1 FROM c2) AS radius_sq
+      UNION ALL
+      SELECT 2, (SELECT cid2 FROM c2), (SELECT r2 FROM c3)
+      UNION ALL
+      SELECT 3, (SELECT cid3 FROM c3), (SELECT r3 FROM c4)
+      UNION ALL
+      SELECT 4, (SELECT cid4 FROM c4), (SELECT r4 FROM r4)
+    )
+    -- empty-corpus parity: the Spark side's constant-key groupBy emits no
+    -- groups on an empty table, so the scalar-subquery rows must vanish too
+    WHERE EXISTS (SELECT 1 FROM e)
     """
 
 
