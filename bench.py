@@ -218,6 +218,23 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # ...and one BIG-payload Arrow round-trip. The first large var-binary
+    # batch in a session pays extra bring-up the row-only warm-up above
+    # does not touch; this absorbs the generic part untimed. NOTE the
+    # remaining first-CHAINED-pipeline cost (two Arrow stages moving
+    # ~250 MB, mm_resize_geometry) is host-state-variable and NOT fully
+    # warmable: measured 9-15s first / ~1.5s warm on a busy host day vs
+    # 3.7s first on the round-6 run, with generic chained 500 MB warmups
+    # absorbing none of it — see bench_baseline.json warm_protocol_notes
+    # (mm_resize_geometry) for the audit.
+    (
+        spark.range(cpus * 8, numPartitions=cpus)
+        .selectExpr("id", "CAST(repeat('x', 262144) AS BINARY) AS payload")
+        .mapInPandas(lambda it: it, "id long, payload binary")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
