@@ -744,3 +744,164 @@ def test_exact_substr_matches_bruteforce_property(spark):
         assert got == _brute_substr_spans(docs, 3)
 
     run()
+
+
+# --- unigram surprisal --------------------------------------------------------
+
+def test_unigram_surprisal_matches_bruteforce(spark):
+    """Fixed corpus: per-doc surprisal sums must equal a Python reference
+    computing floor(log2(N // c)) per token with exact integers."""
+    from collections import Counter
+
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_unigram_surprisal,
+    )
+
+    texts = {
+        1: "a a b c",
+        2: "a b b d d",
+        3: "c",
+        4: "e e e e e e",
+    }
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="surprisal-ut-")
+    spark.createDataFrame(
+        [(d, t, "xx", "src", len(t)) for d, t in texts.items()],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+
+    toks = {d: t.split() for d, t in texts.items()}
+    counts = Counter(tok for ts in toks.values() for tok in ts)
+    N = sum(counts.values())
+    expect = {}
+    for d, ts in toks.items():
+        s = sum((N // counts[t]).bit_length() - 1 for t in ts)
+        expect[d] = (len(ts), s, s * 1000 // len(ts))
+
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal_sum, r.surprisal_per_1k)
+        for r in t_unigram_surprisal(spark, tmp).collect()
+    }
+    assert got == expect
+
+
+# --- k-center coreset ---------------------------------------------------------
+
+def test_kcenter_matches_bruteforce_fps(spark):
+    """Synthetic embeddings: the unrolled plan must reproduce greedy
+    farthest-point sampling (seed = min id, argmax min-distance with
+    (d desc, id asc) ties) computed by a quadratic Python reference."""
+    import tempfile
+
+    from pagopa_ecommerce_cdc_service_spark.operators.similarity import QUANT
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        e_kcenter_coreset,
+    )
+
+    vecs = {
+        0: [0.0, 0.0],
+        1: [1.0, 0.0],
+        2: [0.0, 1.0],
+        3: [10.0, 10.0],
+        4: [10.0, 10.5],
+        5: [-7.0, 2.0],
+        6: [3.0, -4.0],
+    }
+    tmp = tempfile.mkdtemp(prefix="kcenter-ut-")
+    spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(f"{tmp}/embeddings.parquet")
+
+    q = {i: [round(x * QUANT) for x in v] for i, v in vecs.items()}
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    centers = [min(q)]
+    dmin = {i: d2(v, q[centers[0]]) for i, v in q.items()}
+    expect = []
+    for rnd in range(1, 4):
+        # radius after round `rnd` = max min-distance = the next pick's d
+        nxt = max(dmin, key=lambda i: (dmin[i], -i))
+        expect.append((rnd, centers[-1], dmin[nxt]))
+        centers.append(nxt)
+        for i, v in q.items():
+            dmin[i] = min(dmin[i], d2(v, q[nxt]))
+    expect.append((4, centers[3], max(dmin.values())))
+    got = sorted(
+        (r.sel_round, r.center_id, r.radius_sq)
+        for r in e_kcenter_coreset(spark, tmp).collect()
+    )
+    assert got == expect, (got, expect)
+
+
+# --- interval overlap join ----------------------------------------------------
+
+def test_interval_overlap_join_matches_bruteforce(spark):
+    """Synthetic events: the bucketed broadcast rewrite must equal a
+    Python theta-join over gap-island sessions and the exact integer
+    hot-hour law."""
+    import datetime as dt
+    import tempfile
+    from collections import Counter
+
+    from pagopa_ecommerce_cdc_service_spark.plans.events_queries import (
+        w_interval_overlap_join,
+    )
+
+    H = 3_600_000
+    base = 1_700_000_000_000  # ms, hour-unaligned on purpose? keep raw
+    # (user, offset-ms): user 1 has one long session spanning 3 hours and a
+    # separate later session; user 2 clusters inside one hot hour
+    ev = [
+        (1, 0), (1, 20 * 60_000), (1, 100 * 60_000), (1, 170 * 60_000),
+        (1, 400 * 60_000),
+        (2, 30 * 60_000), (2, 45 * 60_000), (2, 50 * 60_000),
+        (2, 55 * 60_000), (2, 60 * 60_000),
+    ]
+    rows = [
+        (i, dt.datetime.fromtimestamp((base + off) / 1000, dt.timezone.utc)
+             .replace(tzinfo=None),
+         u, "click", 1.0, "{}")
+        for i, (u, off) in enumerate(ev)
+    ]
+    tmp = tempfile.mkdtemp(prefix="overlap-ut-")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string"
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+        "event_type", "value", "props"
+    ).write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    # reference: gap-island sessions (>= 30 min starts new), hot hours,
+    # naive theta join
+    ms = sorted((u, base + off, i) for i, (u, off) in enumerate(ev))
+    sessions = []
+    cur = None
+    for u, t, _ in ms:
+        if cur and cur[0] == u and t - cur[2] < 1_800_000:
+            cur = (u, cur[1], t)
+        else:
+            if cur:
+                sessions.append(cur)
+            cur = (u, t, t)
+    sessions.append(cur)
+    hours = Counter((base + off) // H for _, off in ev)
+    total, n_hours = sum(hours.values()), len(hours)
+    hot = {hb: c for hb, c in hours.items() if 4 * c * n_hours >= 5 * total}
+    expect = set()
+    for u, s, e in sessions:
+        for hb, c in hot.items():
+            if s < (hb + 1) * H and e >= hb * H:
+                ov = min(e + 1, (hb + 1) * H) - max(s, hb * H)
+                expect.add((u, s, hb * H, c, ov))
+
+    got = {
+        (r.user_id, r.session_start_ms, r.hour_ms, r.hour_events,
+         r.overlap_ms)
+        for r in w_interval_overlap_join(spark, tmp).collect()
+    }
+    assert got == expect, (sorted(got), sorted(expect))
