@@ -477,3 +477,58 @@ def exact_substr_spans(docs, w: int = 8):
         (F.max("pos") + (w - 1)).alias("span_end"),
         (F.max("pos") + w - F.min("pos")).alias("span_tokens"),
     ).drop("island")
+
+
+def exact_substr_rewrite(docs, w: int = 8):
+    """(doc_id, text) → (doc_id, rebuilt_text, n_tokens, kept_tokens):
+    the ExactSubstr dedup ARTIFACT — every duplicated span (as detected by
+    :func:`exact_substr_spans`) is cut out of the text and the surviving
+    tokens re-joined in order. Cut-all semantics (every occurrence of a
+    duplicated window is removed; the keep-one variant needs a global
+    first-occurrence adjudication, the chunk-rewrite keeper law — queued).
+
+    Shape: the span table (bounded by duplicated-region count, narrow) is
+    grouped per doc and joined back onto the corpus; the rebuild is an
+    in-row token filter against the per-doc span list (O(tokens × spans)
+    per row, spans per doc are few) — document text never shuffles: the
+    join moves only (doc_id, start, end) triples."""
+    from pyspark.sql import functions as F  # local alias for clarity
+
+    spans = (
+        exact_substr_spans(docs, w=w)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            ).alias("spans")
+        )
+    )
+    t = tokens(F.col("text"))
+    joined = docs.join(spans, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("spans"), F.array().cast("array<struct<s:bigint,e:bigint>>"))
+        .alias("spans"),
+        t.alias("toks"),
+    )
+    # keep token i (1-based) iff no span covers it
+    kept = F.filter(
+        F.transform(
+            F.col("toks"),
+            lambda tok, i: F.struct(
+                tok.alias("tok"),
+                F.exists(
+                    F.col("spans"),
+                    lambda sp: (sp["s"] <= i + 1) & (i + 1 <= sp["e"]),
+                ).alias("cut"),
+            ),
+        ),
+        lambda st: ~st["cut"],
+    )
+    return joined.select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda st: st["tok"])).alias(
+            "rebuilt_text"
+        ),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("kept_tokens"),
+    )

@@ -905,3 +905,74 @@ def test_interval_overlap_join_matches_bruteforce(spark):
         for r in w_interval_overlap_join(spark, tmp).collect()
     }
     assert got == expect, (sorted(got), sorted(expect))
+
+
+def test_exact_substr_rewrite_cuts_all_duplicated_spans(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_rewrite,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e x1 y1 z1"),
+            (2, "p2 q2 a b c d e"),
+            (3, "only unique tokens here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.rebuilt_text, r.n_tokens, r.kept_tokens)
+        for r in exact_substr_rewrite(docs, w=3).collect()
+    }
+    # the shared 5-token run "a b c d e" is cut from BOTH docs (cut-all)
+    assert got[1] == ("x1 y1 z1", 8, 3)
+    assert got[2] == ("p2 q2", 7, 2)
+    assert got[3] == ("only unique tokens here", 4, 4)
+
+
+def test_exact_substr_rewrite_matches_bruteforce_property(spark):
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_rewrite,
+    )
+
+    vocab = ["aa", "bb", "cc"]
+    doc = st.lists(st.sampled_from(vocab), min_size=0, max_size=12).map(" ".join)
+    corpora = st.lists(doc, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpora)
+    def run(texts):
+        docs = {i + 1: t for i, t in enumerate(texts)}
+        spans = _brute_substr_spans(docs, 3)
+        expect = {}
+        import re
+
+        for d, t in docs.items():
+            # repo tokenization convention: split(trim(text), '\\s+') yields
+            # [""] (size 1) for empty/whitespace-only text in BOTH engines
+            ts = re.split(r"\s+", t.strip())
+            cut = set()
+            for dd, s, e in spans:
+                if dd == d:
+                    cut.update(range(s, e + 1))
+            keep = [tok for i, tok in enumerate(ts, 1) if i not in cut]
+            expect[d] = (" ".join(keep), len(ts), len(keep))
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.rebuilt_text, r.n_tokens, r.kept_tokens)
+            for r in exact_substr_rewrite(df, w=3).collect()
+        }
+        assert got == expect
+
+    run()
