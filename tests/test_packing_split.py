@@ -151,3 +151,52 @@ def test_stratified_quota_exactness_property(spark):
             assert {r.doc_id for r in kept} == expect
 
     run()
+
+
+def test_stream_stratified_quota_equals_batch_across_restart(spark, tmp_path):
+    """Two stream incarnations on one checkpoint (new files land between
+    them): the adjudicated kept set must equal the batch quota law over
+    everything ingested — including rows whose quota membership only
+    opened when their stratum grew in the second incarnation."""
+    from pagopa_ecommerce_cdc_service_spark.plans.pipeline_queries import (
+        stratified_quota_sample,
+    )
+    from pagopa_ecommerce_cdc_service_spark.streaming.sampling import (
+        stream_stratified_quota,
+    )
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+
+    def docs(lo, hi):
+        return spark.createDataFrame(
+            [
+                (i, f"t{i}", "en" if i % 2 else "fr", "web", 2)
+                for i in range(lo, hi)
+            ],
+            schema,
+        )
+
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import (
+        write_staged_file,
+    )
+
+    write_staged_file(docs(0, 8), f"{src}/p1.parquet", mtime=1000.0)
+    write_staged_file(docs(8, 14), f"{src}/p2.parquet", mtime=2000.0)
+    first = stream_stratified_quota(spark, src, work, schema=schema)
+    batch1 = stratified_quota_sample(docs(0, 14))
+    assert {r.doc_id for r in first.collect()} == {
+        r.doc_id for r in batch1.collect()
+    }
+
+    # second incarnation: more files, SAME checkpoint — only the new files
+    # are ingested, and the final adjudication re-opens quota membership
+    write_staged_file(docs(14, 40), f"{src}/p3.parquet", mtime=3000.0)
+    second = stream_stratified_quota(spark, src, work, schema=schema)
+    batch2 = stratified_quota_sample(docs(0, 40))
+    got = {(r.doc_id, r.stratum_size, r.quota, r.rk) for r in second.collect()}
+    expect = {
+        (r.doc_id, r.stratum_size, r.quota, r.rk) for r in batch2.collect()
+    }
+    assert got == expect
