@@ -532,3 +532,94 @@ def exact_substr_rewrite(docs, w: int = 8):
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(kept).cast("long").alias("kept_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal with unigram backoff (integer-exact LM-quality scoring)
+# ---------------------------------------------------------------------------
+_BACKOFF_PENALTY = 4  # ≈ log2(1/alpha) for the unseen-bigram discount
+
+
+def bigram_surprisal(docs, ref_docs=None):
+    """Score ``docs`` (doc_id, text) against a bigram LM whose counts come
+    from ``ref_docs`` (default: ``docs`` itself — self-scoring, where every
+    adjacent pair is by construction seen and the backoff never fires).
+
+    Per-token surprisal, all in the integer domain (floor(log2 x) =
+    length(bin(x))−1, bit-identical across engines):
+
+    - first token:            floor_log2(N // max(c(w), 1))
+    - seen bigram (prev, w):  floor_log2(c(prev) // c(prev, w))
+    - unseen bigram:          BACKOFF_PENALTY + floor_log2(N // max(c(w), 1))
+
+    Returns (doc_id, n_tokens, surprisal_sum, surprisal_per_1k). Shape:
+    one bigram explode + three key-hashed count joins (bigram, prev
+    unigram, cur unigram — md5-uniform keys, AQE broadcasts the count
+    tables when small); the corpus total rides a broadcast one-row
+    crossJoin. 100 TB: counts are vocabulary-bounded aggregations with
+    map-side combine; the exploded score table crosses the wire only on
+    the count keys."""
+    if ref_docs is None:
+        ref_docs = docs
+
+    def flog2(x):
+        return (F.length(F.bin(x)) - 1).cast("long")
+
+    ref_tok = ref_docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    uni = ref_tok.groupBy("w").agg(F.count("*").alias("cw"))
+    total = ref_tok.agg(F.count("*").alias("n"))
+    bi = (
+        ref_docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count("*").alias("cbg"))
+    )
+
+    t = tokens(F.col("text"))
+    first = docs.select(
+        "doc_id", F.element_at(t, 1).alias("cur"), F.lit(None).alias("bg")
+    )
+    rest = docs.select(
+        "doc_id", F.explode(word_ngrams(F.col("text"), 2)).alias("bg")
+    ).select(
+        "doc_id", F.element_at(F.split(F.col("bg"), " "), -1).alias("cur"), "bg"
+    )
+    scored = (
+        first.unionByName(rest)
+        .join(bi, "bg", "left")
+        .join(
+            uni.select(F.col("w").alias("cur"), F.col("cw").alias("c_cur")),
+            "cur",
+            "left",
+        )
+        .withColumn(
+            "prev",
+            F.when(
+                F.col("bg").isNotNull(),
+                F.element_at(F.split(F.col("bg"), " "), 1),
+            ),
+        )
+        .join(
+            uni.select(F.col("w").alias("prev"), F.col("cw").alias("c_prev")),
+            "prev",
+            "left",
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    uni_s = flog2(F.expr("n div greatest(coalesce(c_cur, 0), 1)"))
+    bi_s = flog2(F.expr("c_prev div cbg"))
+    surp = (
+        F.when(F.col("bg").isNull(), uni_s)  # first token
+        .when(F.col("cbg").isNotNull(), bi_s)  # seen bigram
+        .otherwise(F.lit(_BACKOFF_PENALTY) + uni_s)  # backoff
+    ).cast("long")
+    return (
+        scored.select("doc_id", surp.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("s").cast("long").alias("surprisal_sum"),
+            F.expr("(sum(s) * 1000) div count(*)").cast("long").alias(
+                "surprisal_per_1k"
+            ),
+        )
+    )

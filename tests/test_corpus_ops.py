@@ -976,3 +976,69 @@ def test_exact_substr_rewrite_matches_bruteforce_property(spark):
         assert got == expect
 
     run()
+
+
+# --- bigram surprisal ----------------------------------------------------------
+
+def _brute_bigram_surprisal(score_docs, ref_docs, penalty=4):
+    import re
+    from collections import Counter
+
+    def toks(t):
+        return re.split(r"\s+", t.strip())
+
+    uni = Counter(w for t in ref_docs.values() for w in toks(t))
+    N = sum(uni.values())
+    bi = Counter()
+    for t in ref_docs.values():
+        ts = toks(t)
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] += 1
+
+    def fl2(x):
+        return x.bit_length() - 1
+
+    out = {}
+    for d, t in score_docs.items():
+        ts = toks(t)
+        s = fl2(N // max(uni.get(ts[0], 0), 1))
+        for a, b in zip(ts, ts[1:]):
+            if (a, b) in bi:
+                s += fl2(uni[a] // bi[(a, b)])
+            else:
+                s += penalty + fl2(N // max(uni.get(b, 0), 1))
+        out[d] = (len(ts), s, s * 1000 // len(ts))
+    return out
+
+
+def test_bigram_surprisal_self_scoring_matches_bruteforce(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    texts = {1: "a b a b c", 2: "a b", 3: "c c c a", 4: "d"}
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal_sum, r.surprisal_per_1k)
+        for r in bigram_surprisal(df).collect()
+    }
+    assert got == _brute_bigram_surprisal(texts, texts)
+
+
+def test_bigram_surprisal_backoff_fires_on_unseen_bigrams(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    ref = {1: "a b a b", 2: "c a b c"}
+    score = {10: "b a x", 11: "a b"}  # "b a", "a x" unseen; "x" OOV
+    rdf = spark.createDataFrame(list(ref.items()), ["doc_id", "text"])
+    sdf = spark.createDataFrame(list(score.items()), ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal_sum, r.surprisal_per_1k)
+        for r in bigram_surprisal(sdf, rdf).collect()
+    }
+    expect = _brute_bigram_surprisal(score, ref)
+    assert got == expect
+    # sanity: the unseen-bigram doc really is more surprising per token
+    assert got[10][2] > got[11][2]
