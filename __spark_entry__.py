@@ -501,6 +501,25 @@ _CERTIFIED_TAIL = (
     # pattern itself holds TWO r07 prefix slots (e_filtered_recall,
     # e_rq_recall).
     "e_ivfpq_recall",
+    # rotated out round 8 (first pass) so the five round-7
+    # _PENDING_FIRST_CERT queries (t_exact_substr_spans,
+    # t_unigram_surprisal, w_interval_overlap_join, t_stratified_sample,
+    # e_kcenter_coreset) take their first hard certification. All five
+    # rotated-out queries are r07-green and untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r07, guard-tested): the winnowing
+    # selection law is re-executed EVERY round by the runtime
+    # t_stream_winnow_pairs prefix gate (which adjudicates against the
+    # same corpus-global law); e_rq_topk's entire plan (two-stage residual
+    # codebooks + ADC scan) is composed inside e_rq_recall, which stays in
+    # the prefix; e_pca_projection's PC1 power iteration is composed
+    # inside e_pca_top2 (deflation needs PC1 first), which stays in the
+    # prefix; the chunk-set containment join's df-capped shape stays
+    # plan-gated and its chunker input holds FIVE prefix slots.
+    "t_winnow_fingerprints",
+    "t_winnow_pairs",
+    "e_rq_topk",
+    "e_pca_projection",
+    "t_chunk_containment",
 )
 
 
@@ -512,17 +531,9 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT = (
-    # round-7 additions after the last static rotation candidate
-    # (e_ivfpq_recall, twelfth pass — consumed by the runtime
-    # t_entity_golden_record, which MUST hold a prefix slot) was spent.
-    # All five are static, oracle-backed, run under full local parity
-    # every round, and rotate into the prefix for first certification in
-    # round 8 (five = the declared cap).
-    "t_exact_substr_spans",
-    "t_unigram_surprisal",
-    "w_interval_overlap_join",
-    "t_stratified_sample",
-    "e_kcenter_coreset",
+    # round 8: empty — the five round-7 pending queries rotated into the
+    # prefix for first certification (five unchanged static r07-green
+    # queries rotated out; see the tail list's round-8 entries).
 )
 
 
