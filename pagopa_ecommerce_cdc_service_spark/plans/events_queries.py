@@ -2504,15 +2504,29 @@ def w_pearson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS k
       FROM daily
     ),
+    perk AS (
+      SELECT event_type, k, CAST(SUM(cnt) AS BIGINT) AS cnt_k
+      FROM aged GROUP BY 1, 2
+    ),
     denom AS (
-      SELECT event_type, cnt, k, MAX(k) OVER () AS big_k FROM aged
+      SELECT event_type, k, cnt_k, MAX(k) OVER () AS big_k,
+             LEAST(MAX(k) OVER (), 50) AS cap_k
+      FROM perk
     )
     SELECT event_type,
            MAX(big_k) AS weeks_span,
-           CAST(SUM(cnt * CAST(POWER(2, big_k - k) AS BIGINT)) AS BIGINT)
+           CAST(CAST(SUM(
+             CASE WHEN k <= cap_k
+                  THEN CAST(cnt_k AS HUGEINT)
+                       * CAST(POWER(2, cap_k - k) AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS VARCHAR)
              AS decayed_num,
-           CAST(SUM(cnt * CAST(POWER(2, big_k - k) AS BIGINT)) AS DOUBLE)
-             / CAST(POWER(2, MAX(big_k)) AS DOUBLE) AS decayed_score
+           CAST(SUM(
+             CASE WHEN k <= cap_k
+                  THEN CAST(cnt_k AS HUGEINT)
+                       * CAST(POWER(2, cap_k - k) AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END) AS DOUBLE)
+             / CAST(POWER(2, MAX(cap_k)) AS DOUBLE) AS decayed_score
     FROM denom GROUP BY event_type
     """,
 )
@@ -2520,15 +2534,21 @@ def w_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted activity: half-life-decayed daily counts per type.
 
     Each day's count is weighted 2^-k, k = full weeks before the newest
-    day (a one-week half-life). The weighted sum is kept EXACT as the
-    integer numerator over the common denominator 2^big_k — every weight
-    2^(big_k-k) is an exact BIGINT, and POWER(2, n) is an exact double in
-    both engines — so the score is one division of identical operands.
-    The decay is mergeable under any partitioning (numerators add), which
-    is what makes the shape streaming- and rollup-safe at scale. The
-    newest-day anchor and the common denominator are unpartitioned windows
-    over the already-aggregated BOUNDED grid, not extra corpus scans —
-    events is read exactly once.
+    day (a one-week half-life). The weighted sum is kept EXACT as an
+    integer numerator over the common denominator 2^cap_k, with the decay
+    window TRUNCATED at cap_k = min(big_k, 50) half-lives: a day older
+    than 50 half-lives contributes < 2^-50 (relative) to the score —
+    below double epsilon — so dropping it changes nothing observable
+    while bounding every weight at 2^50. Without the clamp the weight
+    2^(big_k-k) overflows BIGINT once the grid spans 63+ weeks (the
+    round-7 ADVICE finding). The numerator is summed in DECIMAL(38,0)
+    (Spark) / HUGEINT (DuckDB) — bound 2^51 x weekly-rate, ~1e25 even at
+    1e9 events/week, far under the 1e38 ceiling — and emitted as a STRING
+    so the cross-engine hash compares exact digits, not a lossy double.
+    The decay stays mergeable under any partitioning within the window
+    (numerators add), so the shape remains streaming- and rollup-safe.
+    The per-(type, k) pre-aggregation means the weighting runs on the
+    bounded week grid, never the corpus; events is read exactly once.
     """
     ev = read(spark, sf_dir, "events")
     daily = ev.groupBy(
@@ -2545,15 +2565,25 @@ def w_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k"),
     )
-    aged = keyed.withColumn("big_k", F.max("k").over(everything))
-    weight = F.pow(F.lit(2.0), F.col("big_k") - F.col("k")).cast("long")
+    perk = keyed.groupBy("event_type", "k").agg(F.sum("cnt").alias("cnt_k"))
+    aged = perk.withColumn("big_k", F.max("k").over(everything)).withColumn(
+        "cap_k", F.least(F.col("big_k"), F.lit(50))
+    )
+    # exact: 2^e is an exact double for e <= 50, and the decimal cast
+    # preserves it; the clamped exponent keeps every weight representable
+    weight = F.when(
+        F.col("k") <= F.col("cap_k"),
+        F.pow(F.lit(2.0), (F.col("cap_k") - F.col("k")).cast("double")).cast(
+            "decimal(20,0)"
+        ),
+    ).otherwise(F.lit(0).cast("decimal(20,0)"))
+    num = F.sum(F.col("cnt_k").cast("decimal(18,0)") * weight)
     return aged.groupBy("event_type").agg(
         F.max("big_k").alias("weeks_span"),
-        F.sum(F.col("cnt") * weight).alias("decayed_num"),
-        (
-            F.sum(F.col("cnt") * weight).cast("double")
-            / F.pow(F.lit(2.0), F.max("big_k"))
-        ).alias("decayed_score"),
+        num.cast("string").alias("decayed_num"),
+        (num.cast("double") / F.pow(F.lit(2.0), F.max("cap_k"))).alias(
+            "decayed_score"
+        ),
     )
 
 

@@ -101,8 +101,8 @@ def test_decay_weights_and_merge_law(spark, tmp_path):
     sf = _write_events(spark, tmp_path, rows)
     row = eq.QUERIES["w_decayed_counts"](spark, sf).collect()[0]
     assert row["weeks_span"] == 2
-    assert row["decayed_num"] == 5 * 1 + 3 * 2 + 2 * 4
-    assert row["decayed_score"] == row["decayed_num"] / 4.0
+    assert int(row["decayed_num"]) == 5 * 1 + 3 * 2 + 2 * 4
+    assert row["decayed_score"] == int(row["decayed_num"]) / 4.0
 
     # merge law: numerators computed on any day-split of the grid add up
     # to the whole-log numerator (the property a streaming/rollup path
@@ -121,4 +121,40 @@ def test_decay_weights_and_merge_law(spark, tmp_path):
             k = (dt.date(2026, 1, 15) - r["day"].date()).days // 7
             part += r["cnt"] * 2 ** (row["weeks_span"] - k)
         halves.append(part)
-    assert sum(halves) == row["decayed_num"]
+    assert sum(halves) == int(row["decayed_num"])
+
+
+def test_decay_cap_survives_wide_grids(spark, tmp_path):
+    # The round-7 ADVICE overflow: a grid spanning >= 63 weeks made the
+    # weight 2^(big_k-k) overflow BIGINT. The cap truncates the decay
+    # window at 50 half-lives — a day 80 weeks old contributes 0, a day
+    # 10 weeks old contributes cnt * 2^(50-10), the newest day cnt * 2^50,
+    # and the numerator stays exact (DECIMAL, emitted as a string).
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for weeks_old, n in ((80, 7), (10, 1), (0, 3)):
+        for _ in range(n):
+            rows.append(
+                (eid, base - dt.timedelta(weeks=weeks_old), 1, "a", 1.0, "{}")
+            )
+            eid += 1
+    sf = _write_events(spark, tmp_path, rows)
+    row = eq.QUERIES["w_decayed_counts"](spark, sf).collect()[0]
+    assert row["weeks_span"] == 80
+    assert int(row["decayed_num"]) == 3 * 2**50 + 1 * 2**40
+    assert row["decayed_score"] == (3 * 2**50 + 2**40) / 2.0**50
+
+    # the DuckDB oracle survives (and agrees on) the same wide grid —
+    # the pre-fix CAST(POWER(2, 80) AS BIGINT) would have errored here
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    o = con.execute(eq.ORACLES["w_decayed_counts"]).fetchone()
+    assert o[1] == 80
+    assert int(o[2]) == int(row["decayed_num"])
+    assert o[3] == row["decayed_score"]
