@@ -575,7 +575,11 @@ def bigram_surprisal(docs, ref_docs=None):
     )
 
     t = tokens(F.col("text"))
-    first = docs.select(
+    # a NULL/empty text has NO tokens: without the filter it would still
+    # emit a phantom "first token" row (element_at → NULL) and score as
+    # one token of floor_log2(N) surprisal (round-7 ADVICE) — it must be
+    # absent, matching the empty-product LM convention and the oracle
+    first = docs.filter(F.element_at(t, 1).isNotNull()).select(
         "doc_id", F.element_at(t, 1).alias("cur"), F.lit(None).alias("bg")
     )
     rest = docs.select(

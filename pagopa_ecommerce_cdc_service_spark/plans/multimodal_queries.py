@@ -619,40 +619,49 @@ def mm_stream_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("n", F.size("sig"))
             .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
         ).persist()
-        bands = _pigeonhole_bands(sig, ["n_pr", "n_pc"]).select(
-            "media_id", "n_pr", "n_pc", "band_idx", "band_key"
-        )
-        # append this batch's state FIRST so within-batch pairs form too
-        bands.write.mode("append").parquet(bands_dir)
-        sig.select("media_id", "n", "sig").write.mode("append").parquet(sigs_dir)
-        store = s.read.parquet(bands_dir)
-        cand = (
-            bands.alias("a")
-            .join(
-                store.alias("b"),
-                (F.col("a.n_pr") == F.col("b.n_pr"))
-                & (F.col("a.n_pc") == F.col("b.n_pc"))
-                & (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.media_id") != F.col("b.media_id")),
-            )
-            .select(
-                F.least("a.media_id", "b.media_id").alias("media_a"),
-                F.greatest("a.media_id", "b.media_id").alias("media_b"),
-            )
-            .distinct()
-        )
-        sigs = s.read.parquet(sigs_dir)
-        x = sigs.select(
-            F.col("media_id").alias("media_a"),
-            F.col("sig").alias("sa"),
-            F.col("n").alias("n_patches"),
-        )
-        y = sigs.select(F.col("media_id").alias("media_b"), F.col("sig").alias("sb"))
-        n_match = F.size(
-            F.filter(F.zip_with("sa", "sb", lambda p, q: p == q), lambda m: m)
-        )
+        # EVERY action that reads the pinned subtree (both store appends,
+        # the candidate probe, the pairs write) sits inside the try so a
+        # failure anywhere — not just in the final write — releases the
+        # pin (round-7 ADVICE: a raise between persist and the old, later
+        # try leaked the DataFrame for the session)
         try:
+            bands = _pigeonhole_bands(sig, ["n_pr", "n_pc"]).select(
+                "media_id", "n_pr", "n_pc", "band_idx", "band_key"
+            )
+            # append this batch's state FIRST so within-batch pairs form too
+            bands.write.mode("append").parquet(bands_dir)
+            sig.select("media_id", "n", "sig").write.mode("append").parquet(
+                sigs_dir
+            )
+            store = s.read.parquet(bands_dir)
+            cand = (
+                bands.alias("a")
+                .join(
+                    store.alias("b"),
+                    (F.col("a.n_pr") == F.col("b.n_pr"))
+                    & (F.col("a.n_pc") == F.col("b.n_pc"))
+                    & (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.media_id") != F.col("b.media_id")),
+                )
+                .select(
+                    F.least("a.media_id", "b.media_id").alias("media_a"),
+                    F.greatest("a.media_id", "b.media_id").alias("media_b"),
+                )
+                .distinct()
+            )
+            sigs = s.read.parquet(sigs_dir)
+            x = sigs.select(
+                F.col("media_id").alias("media_a"),
+                F.col("sig").alias("sa"),
+                F.col("n").alias("n_patches"),
+            )
+            y = sigs.select(
+                F.col("media_id").alias("media_b"), F.col("sig").alias("sb")
+            )
+            n_match = F.size(
+                F.filter(F.zip_with("sa", "sb", lambda p, q: p == q), lambda m: m)
+            )
             (
                 cand.join(x, "media_a")
                 .join(y, "media_b")

@@ -3643,11 +3643,20 @@ def t_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 # t_winnow_fingerprints), appends (doc_id, fp) to a fingerprint store,
 # probes the store for shared-fingerprint CONTRIBUTIONS touching the
 # batch — O(batch × collision density) on the narrow fp key, never a
-# corpus rescan — and appends them. The df cap and the overlap threshold
-# are CORPUS-GLOBAL adjudications (a fingerprint's document frequency
-# only grows), so they apply at the final read over the accumulated
-# store: eligible-fp semi-join → per-pair count → size join → threshold,
-# all on the bounded contribution/store tables. After the stream drains
+# corpus rescan — and appends them. The df cap is applied TWICE: once at
+# probe time (fingerprints already over the cap in the store are
+# anti-joined out of the batch probe — a fingerprint's document frequency
+# only grows, so anything over the cap now is over it at the end; this
+# bounds a viral/boilerplate fingerprint's accumulated contributions at
+# O(cap^2) instead of O(df^2), the round-7 ADVICE skew finding) and again
+# as the CORPUS-GLOBAL adjudication at the final read (a fingerprint that
+# crossed the cap AFTER some of its contributions formed is excluded
+# late). The overlap threshold is global too, so it applies at the final
+# read over the accumulated store: eligible-fp semi-join → per-pair count
+# → size join → threshold, all on the bounded contribution/store tables.
+# The probe-time count is countDistinct(doc_id) so at-least-once replay
+# (duplicate store rows) cannot push an eligible fingerprint over the
+# cap spuriously and silently skip forming its pairs. After the stream drains
 # the result must hash-match the one-shot batch oracle
 # (t_winnow_pairs' SQL, reused verbatim). A contribution (a, b, fp)
 # forms exactly once — in the batch where the LATER document arrives
@@ -3681,8 +3690,20 @@ def t_stream_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # append FIRST so within-batch pairs form in this batch's probe
         batch_fps.write.mode("append").parquet(fp_dir)
         store = s.read.parquet(fp_dir)
+        # probe-time df cap: a fingerprint already over the cap can never
+        # survive the final adjudication (df only grows), so skip forming
+        # its contributions — bounds skew at O(cap^2) rows per fp. The
+        # count is over DISTINCT doc_ids so replayed (duplicate) store
+        # rows can't spuriously disqualify an eligible fingerprint.
+        overcap = (
+            store.groupBy("fp")
+            .agg(F.countDistinct("doc_id").alias("n_docs"))
+            .filter(F.col("n_docs") > _WINNOW_DF_CAP)
+            .select("fp")
+        )
         (
-            batch_fps.alias("a")
+            batch_fps.join(overcap, "fp", "left_anti")
+            .alias("a")
             .join(
                 store.alias("b"),
                 (F.col("a.fp") == F.col("b.fp"))

@@ -1042,3 +1042,22 @@ def test_bigram_surprisal_backoff_fires_on_unseen_bigrams(spark):
     assert got == expect
     # sanity: the unseen-bigram doc really is more surprising per token
     assert got[10][2] > got[11][2]
+
+
+def test_bigram_surprisal_null_text_scores_nothing(spark):
+    # round-7 ADVICE: a NULL-text row must be ABSENT from the output (the
+    # Python reference would raise on it), not silently score as one
+    # phantom "first token" of floor_log2(N) surprisal.
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        bigram_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.surprisal_sum, r.surprisal_per_1k)
+        for r in bigram_surprisal(df).collect()
+    }
+    assert set(got) == {1}
+    assert got == _brute_bigram_surprisal({1: "a b a"}, {1: "a b a"})
