@@ -520,6 +520,25 @@ _CERTIFIED_TAIL = (
     "e_rq_topk",
     "e_pca_projection",
     "t_chunk_containment",
+    # rotated out round 8 (second pass) for the four queries ADDED this
+    # round — the pre-built round-7 queue: t_exact_substr_rewrite (cut-all
+    # dedup artifact), t_bigram_surprisal (second-order LM scoring),
+    # e_kcenter_assign (Gonzalez coverage + 2-approx separation audit),
+    # and the runtime-pinned t_stream_stratified_sample gate (two-
+    # incarnation quota-store stream ≡ the batch sampling law). All four
+    # rotated-out queries are r07-green and untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r07, guard-tested): the daily-
+    # grid statistics family keeps w_decayed_counts in the prefix (changed
+    # this round — the ADVICE overflow clamp — so it re-certifies, and its
+    # plan exercises the same events→daily-grid scan OLS/Pearson fold);
+    # t_record_linkage's comparators and match law are composed wholesale
+    # inside the runtime t_entity_golden_record prefix gate; RAKE's
+    # phrase-run segmentation has no dependent and its plan is append-only
+    # untouched.
+    "t_rake_keywords",
+    "t_record_linkage",
+    "w_ols_daily_trend",
+    "w_pearson_daily",
 )
 
 

@@ -470,6 +470,38 @@ def t_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_quota_sample(spread(read(spark, sf_dir, "documents"), spark))
 
 
+def t_stream_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of t_stratified_sample (dedup-on-ingest shape): two
+    stream incarnations on ONE checkpoint — the third staged file lands
+    only after the first incarnation drains — then the corpus-global
+    quota adjudication at the final read. Per batch the work is O(batch)
+    narrow appends (streaming/sampling.py); the quota law CANNOT be
+    decided on ingest (a row outside today's quota enters it when its
+    stratum grows — exercised here across the restart), so the verdict is
+    deferred, like the winnowing twin's df cap. Must hash-match the batch
+    oracle over the whole corpus."""
+    from ..streaming.sampling import stream_stratified_quota
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    workdir = gate_workdir("stream-strat-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("stratsplit:"), F.col("doc_id").cast("string")))
+        % 3
+    )
+    write_staged_file(docs.filter(third == 0), f"{src}/part0.parquet", mtime=1000.0)
+    write_staged_file(docs.filter(third == 1), f"{src}/part1.parquet", mtime=2000.0)
+    # incarnation 1 drains the two staged files and adjudicates
+    stream_stratified_quota(spark, src, workdir)
+    # the third file lands AFTER the handoff; incarnation 2 resumes the
+    # same checkpoint, ingests only the new file, and re-adjudicates
+    write_staged_file(docs.filter(third == 2), f"{src}/part2.parquet", mtime=3000.0)
+    return stream_stratified_quota(spark, src, workdir)
+
+
 QUERIES["t_stratified_sample"] = t_stratified_sample
 ORACLES["t_stratified_sample"] = f"""
 SELECT doc_id, lang, source, stratum_size, quota, rk
@@ -484,6 +516,9 @@ FROM (
   FROM documents
 ) WHERE rk <= quota
 """
+
+QUERIES["t_stream_stratified_sample"] = t_stream_stratified_sample
+ORACLES["t_stream_stratified_sample"] = ORACLES["t_stratified_sample"]
 
 
 # ---------------------------------------------------------------------------

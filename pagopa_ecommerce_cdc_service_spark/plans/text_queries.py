@@ -3841,6 +3841,85 @@ def t_exact_substr_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_substr_spans(docs, w=_SUBSTR_W)
 
 
+def _exact_substr_rewrite_oracle() -> str:
+    """Chains the span CTEs with the SQL token-filter law: token i (1-based)
+    survives iff no duplicated span covers it; survivors re-join with ' '."""
+    toks = TOKENS_SQL.format(c="text")
+    w = _SUBSTR_W
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS pos
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+             {md5_long_sql(f"array_to_string(toks[pos : pos + {w - 1}], ' ')")} AS gh
+      FROM p
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM h
+      ) WHERE c >= 2
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       <= {w} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id,
+             MIN(pos) AS s,
+             MAX(pos) + {w - 1} AS e
+      FROM grp GROUP BY doc_id, island
+    ),
+    sp AS (
+      SELECT doc_id, list(struct_pack(s := s, e := e)) AS spans
+      FROM spans GROUP BY doc_id
+    ),
+    kept AS (
+      SELECT t.doc_id, t.toks,
+             list_filter(range(1, len(t.toks) + 1),
+                         i -> len(list_filter(
+                                COALESCE(sp.spans,
+                                  CAST([] AS STRUCT(s BIGINT, e BIGINT)[])),
+                                x -> x.s <= i AND i <= x.e)) = 0) AS keep_idx
+      FROM t LEFT JOIN sp ON sp.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           -- DuckDB's array_to_string returns NULL (not '') on an empty
+           -- list; a fully-cut document must rebuild to the empty string,
+           -- matching Spark's concat_ws
+           COALESCE(
+             array_to_string(list_transform(keep_idx, i -> toks[i]), ' '),
+             '') AS rebuilt_text,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(keep_idx) AS BIGINT) AS kept_tokens
+    FROM kept
+    """
+
+
+@query("t_exact_substr_rewrite", _exact_substr_rewrite_oracle())
+def t_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr dedup ARTIFACT (Lee et al. 2021, cut-all): every
+    duplicated span detected by t_exact_substr_spans is removed from the
+    text and the survivors re-joined. The span table is narrow (bounded by
+    duplicated-region count) and joins back onto the corpus grouped per
+    doc; the rebuild is an in-row token filter — document text never
+    shuffles (the join moves (doc_id, s, e) triples only)."""
+    from ..operators.text import exact_substr_rewrite
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    return exact_substr_rewrite(docs, w=_SUBSTR_W)
+
+
 # ---------------------------------------------------------------------------
 # Unigram surprisal (LM-quality proxy, integer-exact): score every
 # document by the sum over its tokens of floor(log2(N / c(token))) where
@@ -3903,3 +3982,73 @@ def t_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("surprisal_per_1k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram surprisal with unigram backoff — the second-order LM upgrade of
+# t_unigram_surprisal, still integer-exact (floor_log2 via length(bin(x))-1,
+# no libm in the value path). Per-token law (operators/text.py:
+# bigram_surprisal): first token floor_log2(N // c(w)); seen bigram
+# floor_log2(c(prev) // c(prev,w)); unseen bigram a fixed backoff penalty
+# + the unigram term. Self-scored on the corpus here, so every bigram is
+# by construction seen except across the synthetic first-token boundary —
+# the backoff branch is pinned by unit tests against a Python reference
+# (tests/test_corpus_ops.py) with a disjoint reference corpus. Plan: one
+# bigram explode + three count joins on md5-uniform keys (AQE broadcasts
+# the count tables when small; at 100 TB they stay vocabulary-bounded
+# shuffle joins with map-side partial aggregation); the corpus total rides
+# a broadcast one-row crossJoin.
+# ---------------------------------------------------------------------------
+def _bigram_surprisal_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    from ..operators.text import _BACKOFF_PENALTY
+
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+    total AS (SELECT count(*) AS n FROM tok),
+    bidx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i
+      FROM t
+    ),
+    big AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM bidx),
+    bcnt AS (SELECT prev, cur, count(*) AS cbg FROM big GROUP BY 1, 2),
+    firsts AS (
+      SELECT doc_id, toks[1] AS cur FROM t WHERE toks[1] IS NOT NULL
+    ),
+    scored AS (
+      SELECT f.doc_id,
+             length(bin(CAST(total.n
+               // greatest(coalesce(u.cw, 0), 1) AS BIGINT))) - 1 AS s
+      FROM firsts f LEFT JOIN uni u ON u.w = f.cur CROSS JOIN total
+      UNION ALL
+      SELECT b.doc_id,
+             CASE WHEN bc.cbg IS NOT NULL
+                  THEN length(bin(CAST(up.cw // bc.cbg AS BIGINT))) - 1
+                  ELSE {_BACKOFF_PENALTY}
+                       + length(bin(CAST(total.n
+                           // greatest(coalesce(uc.cw, 0), 1) AS BIGINT))) - 1
+             END AS s
+      FROM big b
+      LEFT JOIN bcnt bc ON bc.prev = b.prev AND bc.cur = b.cur
+      LEFT JOIN uni up ON up.w = b.prev
+      LEFT JOIN uni uc ON uc.w = b.cur
+      CROSS JOIN total
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(s) AS BIGINT) AS surprisal_sum,
+           CAST(SUM(s) * 1000 // count(*) AS BIGINT) AS surprisal_per_1k
+    FROM scored GROUP BY doc_id
+    """
+
+
+@query("t_bigram_surprisal", _bigram_surprisal_oracle())
+def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import bigram_surprisal
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "text"
+    )
+    return bigram_surprisal(docs)

@@ -2179,49 +2179,62 @@ def _kcenter_oracle() -> str:
     """
 
 
-@query("e_kcenter_coreset", _kcenter_oracle())
-def e_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", quantize(F.col("embedding")).alias("qv")
-    )
+def _fps_chain(emb: DataFrame):
+    """Unrolled Gonzalez FPS selection: returns ``(c4, s3)`` — ``c4`` the
+    ONE-ROW selection frame (cid1..4, cv1..4, r1..r3), ``s3`` the running
+    min-distance table after three updates. Shared by e_kcenter_coreset
+    (which finishes with the r4 aggregation) and e_kcenter_assign (which
+    audits the selection against a direct nearest-center assignment).
+
+    Lazy persist (the t_kcore_peel discipline) on every running distance
+    table: the unrolled selection chain references each s_k from BOTH the
+    next round's argmax and the next distance update — without the pin the
+    lineage re-derives ~2^k corpus scans (measured 16 FileScans unpinned at
+    k=4 vs 1 pinned); at 100 TB the persisted (vec_id, qv, dmin) table IS
+    the state real FPS maintains per pass."""
     c1 = emb.orderBy("vec_id").limit(1).select(
         F.col("vec_id").alias("cid1"), F.col("qv").alias("cv1")
     )
-    # lazy persist (the t_kcore_peel discipline) on every running
-    # distance table: the unrolled selection chain references each s_k
-    # from BOTH the next round's argmax and the next distance update —
-    # without the pin the lineage re-derives ~2^k corpus scans (measured
-    # 16 FileScans unpinned at k=4 vs 1 pinned); at 100 TB the persisted
-    # (vec_id, qv, dmin) table IS the state real FPS maintains per pass
     s1 = emb.crossJoin(F.broadcast(c1)).select(
-        "vec_id", "qv", "cid1", dist2(F.col("qv"), F.col("cv1")).alias("d")
+        "vec_id", "qv", "cid1", "cv1",
+        dist2(F.col("qv"), F.col("cv1")).alias("d"),
     ).persist()
     c2 = s1.orderBy(F.desc("d"), "vec_id").limit(1).select(
-        "cid1",
+        "cid1", "cv1",
         F.col("vec_id").alias("cid2"),
         F.col("qv").alias("cv2"),
         F.col("d").alias("r1"),
     )
     s2 = s1.select("vec_id", "qv", "d").crossJoin(F.broadcast(c2)).select(
-        "vec_id", "qv", "cid1", "cid2", "r1",
+        "vec_id", "qv", "cid1", "cv1", "cid2", "cv2", "r1",
         F.least(F.col("d"), dist2(F.col("qv"), F.col("cv2"))).alias("d"),
     ).persist()
     c3 = s2.orderBy(F.desc("d"), "vec_id").limit(1).select(
-        "cid1", "cid2", "r1",
+        "cid1", "cv1", "cid2", "cv2", "r1",
         F.col("vec_id").alias("cid3"),
         F.col("qv").alias("cv3"),
         F.col("d").alias("r2"),
     )
     s3 = s2.select("vec_id", "qv", "d").crossJoin(F.broadcast(c3)).select(
-        "vec_id", "qv", "cid1", "cid2", "cid3", "r1", "r2",
+        "vec_id", "qv", "cid1", "cv1", "cid2", "cv2", "cid3", "cv3",
+        "r1", "r2",
         F.least(F.col("d"), dist2(F.col("qv"), F.col("cv3"))).alias("d"),
     ).persist()
     c4 = s3.orderBy(F.desc("d"), "vec_id").limit(1).select(
-        "cid1", "cid2", "cid3", "r1", "r2",
+        "cid1", "cv1", "cid2", "cv2", "cid3", "cv3", "r1", "r2",
         F.col("vec_id").alias("cid4"),
         F.col("qv").alias("cv4"),
         F.col("d").alias("r3"),
     )
+    return c4, s3
+
+
+@query("e_kcenter_coreset", _kcenter_oracle())
+def e_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    c4, s3 = _fps_chain(emb)
     s4 = s3.select("vec_id", "qv", "d").crossJoin(F.broadcast(c4)).select(
         "cid1", "cid2", "cid3", "cid4", "r1", "r2", "r3",
         F.least(F.col("d"), dist2(F.col("qv"), F.col("cv4"))).alias("d"),
@@ -2241,4 +2254,137 @@ def e_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return one.select(F.explode(picks).alias("p")).select(
         "p.sel_round", "p.center_id", "p.radius_sq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K-CENTER ASSIGNMENT AUDIT: assign EVERY vector to its nearest selected
+# center (composing the zero-shuffle nearest_pivot fold over the 4-row
+# broadcast center table) and certify the two Gonzalez invariants that
+# make the coreset trustworthy:
+#  - covered:  per-center max assigned distance <= the covering radius
+#    (the global max of the direct assignment — which must agree with the
+#    chain's running-min r4, an equivalence between the incremental and
+#    the direct formulation);
+#  - sep_ok:   min pairwise center separation >= the covering radius —
+#    the standard 2-approximation witness (each center was the farthest
+#    point when selected, so inter-center distances dominate the final
+#    radius; with the triangle inequality this pins r <= 2*OPT).
+# All distances exact integer L2² over quantized vectors. Shape: the
+# selection chain (k map-only passes) + ONE corpus pass for the fold
+# assignment + a 4-key aggregation; radius and separation ride broadcast
+# one-row crossJoins.
+# ---------------------------------------------------------------------------
+def _kcenter_assign_oracle() -> str:
+    qv = quantize_sql("embedding")
+    return f"""
+    WITH e AS (SELECT vec_id, {qv} AS qv FROM embeddings),
+    c1 AS (SELECT vec_id AS cid1, qv AS cv1 FROM e ORDER BY vec_id LIMIT 1),
+    s1 AS (SELECT e.vec_id, e.qv, {dist2_sql("e.qv", "c1.cv1")} AS d
+           FROM e CROSS JOIN c1),
+    c2 AS (SELECT vec_id AS cid2, qv AS cv2 FROM s1
+           ORDER BY d DESC, vec_id LIMIT 1),
+    s2 AS (SELECT s1.vec_id, s1.qv,
+                  LEAST(s1.d, {dist2_sql("s1.qv", "c2.cv2")}) AS d
+           FROM s1 CROSS JOIN c2),
+    c3 AS (SELECT vec_id AS cid3, qv AS cv3 FROM s2
+           ORDER BY d DESC, vec_id LIMIT 1),
+    s3 AS (SELECT s2.vec_id, s2.qv,
+                  LEAST(s2.d, {dist2_sql("s2.qv", "c3.cv3")}) AS d
+           FROM s2 CROSS JOIN c3),
+    c4 AS (SELECT vec_id AS cid4, qv AS cv4 FROM s3
+           ORDER BY d DESC, vec_id LIMIT 1),
+    cents AS (
+      SELECT 1 AS sel_round, cid1 AS center_id, cv1 AS cv FROM c1
+      UNION ALL SELECT 2, cid2, cv2 FROM c2
+      UNION ALL SELECT 3, cid3, cv3 FROM c3
+      UNION ALL SELECT 4, cid4, cv4 FROM c4
+    ),
+    ad AS (
+      SELECT e.vec_id, c.sel_round, c.center_id,
+             {dist2_sql("e.qv", "c.cv")} AS d
+      FROM e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT vec_id, sel_round, center_id, d FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d, sel_round) AS rn
+        FROM ad
+      ) WHERE rn = 1
+    ),
+    rad AS (SELECT MAX(d) AS radius_sq FROM best),
+    sep AS (SELECT MIN({dist2_sql("a.cv", "b.cv")}) AS min_center_sep
+            FROM cents a JOIN cents b ON a.sel_round < b.sel_round)
+    SELECT b.sel_round, b.center_id,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned,
+           CAST(MAX(b.d) AS BIGINT) AS max_d2,
+           CAST(rad.radius_sq AS BIGINT) AS radius_sq,
+           MAX(b.d) <= rad.radius_sq AS covered,
+           CAST(sep.min_center_sep AS BIGINT) AS min_center_sep,
+           sep.min_center_sep >= rad.radius_sq AS sep_ok
+    FROM best b CROSS JOIN rad CROSS JOIN sep
+    GROUP BY b.sel_round, b.center_id, rad.radius_sq, sep.min_center_sep
+    """
+
+
+@query("e_kcenter_assign", _kcenter_assign_oracle())
+def e_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    c4, _ = _fps_chain(emb)
+    cents = c4.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k + 1).cast("long").alias("sel_round"),
+                        F.col(f"cid{k + 1}").alias("center_id"),
+                        F.col(f"cv{k + 1}").alias("cv"),
+                    )
+                    for k in range(_KCENTER_K)
+                ]
+            )
+        ).alias("p")
+    ).select("p.sel_round", "p.center_id", "p.cv")
+    # nearest_pivot's sorted-fold strict < breaks distance ties to the
+    # smallest pid — pid := sel_round, matching the oracle's (d, sel_round)
+    piv = cents.select(
+        F.col("sel_round").alias("pid"), F.col("cv").alias("pv")
+    )
+    assigned = nearest_pivot(emb, piv, vec_col="qv", out_col="pid").join(
+        F.broadcast(cents.withColumnRenamed("sel_round", "pid")), "pid"
+    ).select(
+        "vec_id",
+        F.col("pid").alias("sel_round"),
+        "center_id",
+        dist2(F.col("qv"), F.col("cv")).alias("d"),
+    ).persist()
+    rad = assigned.agg(F.max("d").alias("radius_sq"))
+    pair_d = [
+        dist2(F.col(f"cv{i + 1}"), F.col(f"cv{j + 1}"))
+        for i in range(_KCENTER_K)
+        for j in range(i + 1, _KCENTER_K)
+    ]
+    sep = c4.select(F.least(*pair_d).alias("min_center_sep"))
+    return (
+        assigned.groupBy("sel_round", "center_id")
+        .agg(
+            F.count("*").alias("n_assigned"),
+            F.max("d").alias("max_d2"),
+        )
+        .crossJoin(F.broadcast(rad))
+        .crossJoin(F.broadcast(sep))
+        .select(
+            "sel_round",
+            "center_id",
+            "n_assigned",
+            "max_d2",
+            "radius_sq",
+            (F.col("max_d2") <= F.col("radius_sq")).alias("covered"),
+            "min_center_sep",
+            (F.col("min_center_sep") >= F.col("radius_sq")).alias("sep_ok"),
+        )
     )

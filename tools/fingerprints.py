@@ -69,6 +69,7 @@ RUNTIME_QUERIES = {
     "w_partition_pruned_day",       # writes partitioned layout at build
     "q_zorder_box_scan",            # writes z-ordered layout at build
     "t_entity_golden_record",       # iterative min-label CC (convergence counts)
+    "t_stream_stratified_sample",   # stages parquet, runs two quota-store incarnations
 }
 
 _NORMALIZERS = (
