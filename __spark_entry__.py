@@ -539,6 +539,27 @@ _CERTIFIED_TAIL = (
     "t_record_linkage",
     "w_ols_daily_trend",
     "w_pearson_daily",
+    # rotated out round 8 (third pass) for the five queries added in this
+    # session's breadth pass: t_exact_substr_keepone (keep-first dedup
+    # policy), e_silhouette (cluster-quality audit over the shared
+    # Lloyd's model), w_session_paths (session path mining),
+    # t_zipf_fit (rank-frequency corpus health), cdc_pit_status
+    # (point-in-time temporal-table probe). All five rotated-out queries
+    # are r07-green and untouched this round (fingerprint-equal vs
+    # FINGERPRINTS_r07, guard-tested — kmeans_plan's delegation refactor
+    # preserves its expression tree byte-for-byte): cdc_status_history's
+    # ENTIRE plan (dedup + guard + interval windows) is composed wholesale
+    # inside cdc_pit_status, which certifies in this round's prefix;
+    # e_cluster_outliers' Lloyd's chain is likewise composed inside
+    # e_silhouette (same kmeans_fit assignment feeding a richer audit);
+    # e_dim_variance / w_variant_props_stats / mm_audio_near_dup have no
+    # dependent among the changed operators and their plans are
+    # append-only untouched.
+    "cdc_status_history",
+    "e_cluster_outliers",
+    "e_dim_variance",
+    "w_variant_props_stats",
+    "mm_audio_near_dup",
 )
 
 

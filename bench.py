@@ -157,6 +157,11 @@ HEADLINE = [
     "t_entity_golden_record",
     # round-7 (twelfth pass): farthest-point-sampling coreset
     "e_kcenter_coreset",
+    # round-8 additions: ExactSubstr cut-all rewrite, bigram-backoff
+    # surprisal, k-center assignment/separation audit
+    "t_exact_substr_rewrite",
+    "t_bigram_surprisal",
+    "e_kcenter_assign",
 ]
 
 

@@ -324,3 +324,58 @@ def status_history(prepared: DataFrame, key: str = "transactionId") -> DataFrame
         F.lead(F.col(_TS)).over(w_seq).alias("valid_to_ms"),
         F.lead(F.col(_TS)).over(w_seq).isNull().alias("is_current"),
     )
+
+
+def status_at_events(prepared: DataFrame, key: str = "transactionId") -> DataFrame:
+    """POINT-IN-TIME status lookup: for every envelope event, the status
+    the materialized view held at the event's business timestamp — the
+    temporal-table (`FOR SYSTEM_TIME AS OF`) probe over
+    :func:`status_history`'s intervals.
+
+    Computed WITHOUT a range join: history rows (kind 0) and probe rows
+    (kind 1) union on the key and a last-non-null window resolves each
+    probe against the most recent interval start at-or-before its
+    timestamp (history sorts before probes at equal timestamps, so a
+    status applies AT its own valid_from instant). Probes that precede the
+    first interval resolve to NULL. One key exchange serves the whole
+    lookup — the PIT pattern that replaces the O(probes × intervals)
+    theta-join at scale; applied interval starts are strictly increasing
+    per key (the guard's definition), so the window order is total.
+    """
+    hist = status_history(prepared, key)
+    h = hist.select(
+        F.col("transactionId").alias("k"),
+        F.col("valid_from_ms").alias("t"),
+        F.lit(0).alias("kind"),
+        (-F.col("version")).alias("ord"),
+        "status",
+        "version",
+        F.lit(None).cast("string").alias("code"),
+    )
+    p = prepared.select(
+        F.col(key).alias("k"),
+        F.col(_TS).alias("t"),
+        F.lit(1).alias("kind"),
+        F.col("seq").alias("ord"),
+        F.lit(None).cast("string").alias("status"),
+        F.lit(None).cast("long").alias("version"),
+        F.col("eventCode").alias("code"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "kind", "ord")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    u = (
+        h.unionByName(p)
+        .withColumn("status_at", F.last("status", ignorenulls=True).over(w))
+        .withColumn("version_at", F.last("version", ignorenulls=True).over(w))
+    )
+    return u.filter(F.col("kind") == 1).select(
+        F.col("k").alias("transactionId"),
+        F.col("ord").alias("seq"),
+        F.col("t").alias("probe_ts_ms"),
+        F.col("code").alias("event_code"),
+        "status_at",
+        "version_at",
+    )

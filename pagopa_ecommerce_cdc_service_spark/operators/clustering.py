@@ -118,14 +118,21 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
+def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
+    """Unrolled k-means returning ``(centroids, final_assignment)`` — the
+    assignment is exactly :func:`kmeans_plan`'s output; the centroid table
+    additionally feeds audits that need the model itself (silhouette)."""
+    cent = kmeans_seeds(emb, k)
+    for _ in range(iters):
+        cent = kmeans_update(kmeans_assign(emb, cent))
+    return cent, kmeans_assign(emb, cent)
+
+
 def kmeans_plan(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
     """Full unrolled k-means: returns the final assignment (vec_id, cid,
     dist) after ``iters`` centroid updates. ``emb`` must have (vec_id, q)
     and SHOULD be hash-partitioned by vec_id (see module docstring)."""
-    cent = kmeans_seeds(emb, k)
-    for _ in range(iters):
-        cent = kmeans_update(kmeans_assign(emb, cent))
-    return kmeans_assign(emb, cent)
+    return kmeans_fit(emb, k, iters)[1]
 
 
 # --- unrolled-CTE oracle ----------------------------------------------------

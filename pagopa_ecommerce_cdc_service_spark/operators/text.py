@@ -437,34 +437,26 @@ def rebuild_long_doc_batches(frames):
 # exact-substring duplication spans (Lee et al. 2021 ExactSubstr dedup)
 # ---------------------------------------------------------------------------
 
-def exact_substr_spans(docs, w: int = 8):
-    """(doc_id, text) → maximal duplicated token spans
-    (doc_id, span_start, span_end, span_tokens), where a position is
-    duplicated iff its w-token window occurs ≥ 2 times anywhere in the
-    corpus (cross- OR within-document) and overlapping/touching duplicated
-    windows merge. Positions are 1-based token indices.
+def _substr_postings(docs, w: int):
+    """(doc_id, pos, gh) positional gram-hash postings, 1-based positions.
 
-    Shape: one posting exchange on the gram hash (window count — the
-    posting table crosses the wire once there), one exchange on doc_id for
-    the gaps-and-islands merge. No joins.
-    """
-    from pyspark.sql import Window
-
-    # hash in-row BEFORE the explode: the posting table then carries
-    # (doc_id, pos, int64) — the exploded/shuffled volume is 8-byte hashes,
-    # never gram strings (the string array exists only transiently inside
-    # the source row, same shape as every shingle operator here)
+    Hash in-row BEFORE the explode: the posting table then carries
+    (doc_id, pos, int64) — the exploded/shuffled volume is 8-byte hashes,
+    never gram strings (the string array exists only transiently inside
+    the source row, same shape as every shingle operator here)."""
     gh_arr = F.transform(word_ngrams(F.col("text"), w), lambda g: md5_long(g))
-    grams = docs.select(
+    return docs.select(
         "doc_id", F.posexplode(gh_arr).alias("pos0", "gh")
     ).select(
         "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "gh"
     )
-    hits = (
-        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
-        .filter(F.col("c") >= 2)
-        .select("doc_id", "pos")
-    )
+
+
+def _spans_from_hits(hits, w: int):
+    """Merge duplicated window positions into maximal spans
+    (gaps-and-islands on one doc_id exchange). ``hits`` = (doc_id, pos)."""
+    from pyspark.sql import Window
+
     by_doc = Window.partitionBy("doc_id").orderBy("pos")
     isl = hits.withColumn(
         "brk",
@@ -479,23 +471,84 @@ def exact_substr_spans(docs, w: int = 8):
     ).drop("island")
 
 
+def exact_substr_spans(docs, w: int = 8):
+    """(doc_id, text) → maximal duplicated token spans
+    (doc_id, span_start, span_end, span_tokens), where a position is
+    duplicated iff its w-token window occurs ≥ 2 times anywhere in the
+    corpus (cross- OR within-document) and overlapping/touching duplicated
+    windows merge. Positions are 1-based token indices.
+
+    Shape: one posting exchange on the gram hash (window count — the
+    posting table crosses the wire once there), one exchange on doc_id for
+    the gaps-and-islands merge. No joins.
+    """
+    from pyspark.sql import Window
+
+    grams = _substr_postings(docs, w)
+    hits = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("gh")))
+        .filter(F.col("c") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _spans_from_hits(hits, w)
+
+
+def exact_substr_keepone_spans(docs, w: int = 8):
+    """Keep-FIRST variant of :func:`exact_substr_spans`: a position is cut
+    iff its w-token window occurs ≥ 2 times corpus-wide AND this occurrence
+    is NOT the canonical first one (min by (doc_id, pos) per window) — the
+    Lee et al. 2021 dedup policy that preserves one copy of every
+    duplicated passage. ``row_number ≥ 2`` encodes both conditions (a
+    second occurrence exists iff rn reaches 2). A kept occurrence's tokens
+    can still be cut when a DIFFERENT duplicated window (whose canonical
+    copy lives elsewhere) covers them — coverage is per window, not per
+    span, and the law stays one-pass deterministic.
+
+    Shape identical to the cut-all variant: the gh exchange serves one
+    row_number window instead of one count window; spans merge on doc_id.
+    """
+    from pyspark.sql import Window
+
+    grams = _substr_postings(docs, w)
+    first = Window.partitionBy("gh").orderBy("doc_id", "pos")
+    hits = (
+        grams.withColumn("rn", F.row_number().over(first))
+        .filter(F.col("rn") >= 2)
+        .select("doc_id", "pos")
+    )
+    return _spans_from_hits(hits, w)
+
+
 def exact_substr_rewrite(docs, w: int = 8):
     """(doc_id, text) → (doc_id, rebuilt_text, n_tokens, kept_tokens):
     the ExactSubstr dedup ARTIFACT — every duplicated span (as detected by
     :func:`exact_substr_spans`) is cut out of the text and the surviving
-    tokens re-joined in order. Cut-all semantics (every occurrence of a
-    duplicated window is removed; the keep-one variant needs a global
-    first-occurrence adjudication, the chunk-rewrite keeper law — queued).
+    tokens re-joined in order. Cut-all semantics; see
+    :func:`exact_substr_keepone_rewrite` for the keep-first policy.
 
     Shape: the span table (bounded by duplicated-region count, narrow) is
     grouped per doc and joined back onto the corpus; the rebuild is an
     in-row token filter against the per-doc span list (O(tokens × spans)
     per row, spans per doc are few) — document text never shuffles: the
     join moves only (doc_id, start, end) triples."""
+    return _rebuild_outside_spans(docs, exact_substr_spans(docs, w=w))
+
+
+def exact_substr_keepone_rewrite(docs, w: int = 8):
+    """Keep-first ExactSubstr rewrite: cut only non-canonical occurrences
+    (:func:`exact_substr_keepone_spans`), so every duplicated passage
+    survives exactly once (modulo cross-window coverage, documented
+    there). Same narrow-join + in-row-filter rebuild as the cut-all
+    variant."""
+    return _rebuild_outside_spans(docs, exact_substr_keepone_spans(docs, w=w))
+
+
+def _rebuild_outside_spans(docs, span_df):
+    """Rebuild each doc's text from the tokens NO span covers."""
     from pyspark.sql import functions as F  # local alias for clarity
 
     spans = (
-        exact_substr_spans(docs, w=w)
+        span_df
         .groupBy("doc_id")
         .agg(
             F.collect_list(

@@ -1248,3 +1248,53 @@ FROM ch
 
 QUERIES["cdc_status_history"] = cdc_status_history
 ORACLES["cdc_status_history"] = CDC_STATUS_HISTORY_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# POINT-IN-TIME STATUS LOOKUP (temporal-table probe): for EVERY envelope
+# event, the status the materialized view held at that event's business
+# timestamp — the `FOR SYSTEM_TIME AS OF` query pattern over the SCD2
+# history, with the envelope log itself as the probe set (so interval
+# boundaries are probed exactly: a status applies AT its own valid_from).
+# The Spark plan is the scalable PIT shape — history and probes UNION on
+# the key, one last-non-null window resolves every probe; ZERO joins, one
+# key exchange (operators/cdc_fold.py:status_at_events). The oracle states
+# the naive semantics instead (a correlated LATERAL top-1 over the
+# interval table), so a hash match certifies that the window formulation
+# IS the as-of join. 100 TB: the union table is |events| + |changes| rows
+# on one exchange — the theta-join alternative is |events| × |intervals|.
+# ---------------------------------------------------------------------------
+def cdc_pit_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc_fold import status_at_events
+
+    env = synthesize_envelope(spark, sf_dir)
+    return status_at_events(prepare_events(env))
+
+
+_PIT_PREFIX = CDC_STATUS_HISTORY_ORACLE_SQL[
+    : CDC_STATUS_HISTORY_ORACLE_SQL.index("SELECT tx AS transactionId")
+]
+assert _PIT_PREFIX.rstrip().endswith(")")
+
+CDC_PIT_STATUS_ORACLE_SQL = f"""
+{_PIT_PREFIX},
+hist AS (
+  SELECT tx, ROW_NUMBER() OVER (PARTITION BY tx ORDER BY seq) AS version,
+         status_val, ts_ms FROM ch
+)
+SELECT p.tx AS transactionId,
+       p.seq,
+       p.ts_ms AS probe_ts_ms,
+       p.code AS event_code,
+       h.status_val AS status_at,
+       h.version AS version_at
+FROM applied_events p
+LEFT JOIN LATERAL (
+  SELECT status_val, version FROM hist h
+  WHERE h.tx = p.tx AND h.ts_ms <= p.ts_ms
+  ORDER BY h.ts_ms DESC LIMIT 1
+) h ON TRUE
+"""
+
+QUERIES["cdc_pit_status"] = cdc_pit_status
+ORACLES["cdc_pit_status"] = CDC_PIT_STATUS_ORACLE_SQL

@@ -2705,3 +2705,91 @@ def w_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("s_start"), F.col("hb") * H)
         ).alias("overlap_ms"),
     )
+
+# ---------------------------------------------------------------------------
+# SESSION PATH MINING: the most frequent event-type SEQUENCES users follow
+# within a session (30-min inactivity gap, the same sessionization law as
+# w_interval_overlap_join) — the navigation-pattern query behind funnel
+# discovery. Each session's path is its first 8 event types in arrival
+# order joined with '>'; output is the top 25 paths by session count with
+# deterministic (count DESC, path) ordering. Plan: ONE user_id exchange
+# serves the gap-mark and run-sum windows; the per-session path is an
+# in-row array_sort+slice over collect_list (bounded at 8 by the slice);
+# the path census is a bounded-key aggregation + TakeOrderedAndProject.
+# 100 TB: sessions are user-bounded; the path space is capped by the
+# 8-event truncation (paths beyond 8 events collapse, documented), so the
+# census never exceeds |event_types|^8 keys and in practice follows the
+# power-law head this query exists to report.
+# ---------------------------------------------------------------------------
+_PATH_MAXLEN = 8
+_PATH_TOP = 25
+
+
+@query(
+    "w_session_paths",
+    f"""
+    WITH ms AS (
+      SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM {EV}
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, tms,
+             CASE WHEN tms - LAG(tms) OVER w >= 1800000
+                    OR LAG(tms) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ms
+      WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, event_type, tms,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               (list(event_type ORDER BY tms, event_id))[1:{_PATH_MAXLEN}],
+               '>') AS path
+      FROM sess GROUP BY user_id, session_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_millis(F.col("ts")).alias("tms")
+    )
+    w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    is_new = F.when(
+        (F.col("tms") - F.lag("tms").over(w) >= 1_800_000)
+        | F.lag("tms").over(w).isNull(),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("tms", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1,
+                _PATH_MAXLEN,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(_PATH_TOP)
+    )

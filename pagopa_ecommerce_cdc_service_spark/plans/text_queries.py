@@ -3906,6 +3906,43 @@ def _exact_substr_rewrite_oracle() -> str:
     """
 
 
+def _exact_substr_keepone_oracle() -> str:
+    """Same chained span→rebuild law, but the hit set keeps the canonical
+    first occurrence (row_number over (doc_id, pos) per window ≥ 2 marks
+    exactly the non-canonical copies — rn reaching 2 also implies the
+    window is duplicated)."""
+    base = _exact_substr_rewrite_oracle()
+    return base.replace(
+        """    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, count(*) OVER (PARTITION BY gh) AS c FROM h
+      ) WHERE c >= 2
+    ),""",
+        """    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos, row_number() OVER (
+          PARTITION BY gh ORDER BY doc_id, pos) AS rn FROM h
+      ) WHERE rn >= 2
+    ),""",
+    )
+
+
+assert "row_number" in _exact_substr_keepone_oracle()  # replace() must hit
+
+
+@query("t_exact_substr_keepone", _exact_substr_keepone_oracle())
+def t_exact_substr_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-FIRST ExactSubstr rewrite (Lee et al. 2021's dedup policy):
+    every duplicated passage survives exactly once — the canonical
+    (min doc_id, pos) occurrence — instead of the cut-all variant's
+    total erasure. Same plan shape: the gh exchange serves a row_number
+    window instead of a count window."""
+    from ..operators.text import exact_substr_keepone_rewrite
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    return exact_substr_keepone_rewrite(docs, w=_SUBSTR_W)
+
+
 @query("t_exact_substr_rewrite", _exact_substr_rewrite_oracle())
 def t_exact_substr_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ExactSubstr dedup ARTIFACT (Lee et al. 2021, cut-all): every
@@ -4052,3 +4089,95 @@ def t_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     return bigram_surprisal(docs)
+
+# ---------------------------------------------------------------------------
+# ZIPF FIT (corpus-health audit): the rank-frequency log-log slope over the
+# top-V vocabulary — a healthy natural-language corpus sits near -1;
+# boilerplate floods or synthetic-token contamination bend it. Both logs
+# stay in the INTEGER domain (floor_log2 via length(bin(x))-1) and the OLS
+# slope/intercept keep the exact rational form of the statistics family
+# (slope_num/slope_den as BIGINTs, one final division). The vocabulary is
+# capped at the top 4096 tokens by (freq DESC, token) — the Zipf head;
+# orderBy().limit() compiles to TakeOrderedAndProject, so the global rank
+# window only ever sees the 4096-row head, never the full vocabulary
+# (the 100 TB guard: vocab aggregation is map-side combined on md5-uniform
+# token keys; nothing else is corpus-wide).
+# ---------------------------------------------------------------------------
+_ZIPF_TOPV = 4096
+
+
+def _zipf_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+    WITH tok AS (SELECT unnest({toks}) AS tok FROM documents),
+    vocab AS (SELECT tok, count(*) AS freq FROM tok GROUP BY tok),
+    head AS (SELECT tok, freq FROM vocab ORDER BY freq DESC, tok
+             LIMIT {_ZIPF_TOPV}),
+    xy AS (
+      SELECT length(bin(CAST(row_number() OVER (ORDER BY freq DESC, tok)
+                             AS BIGINT))) - 1 AS x,
+             length(bin(CAST(freq AS BIGINT))) - 1 AS y
+      FROM head
+    ),
+    mo AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM xy
+    )
+    SELECT n AS n_tokens,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE (CAST(sy AS DOUBLE)
+                      - CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+           END AS intercept
+    FROM mo
+    """
+
+
+@query("t_zipf_fit", _zipf_oracle())
+def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    head = vocab.orderBy(F.desc("freq"), "tok").limit(_ZIPF_TOPV)
+    rk = F.row_number().over(Window.orderBy(F.desc("freq"), "tok"))
+
+    def flog2(c):
+        return (F.length(F.bin(c)) - 1).cast("long")
+
+    xy = head.select(
+        flog2(rk.cast("long")).alias("x"), flog2(F.col("freq")).alias("y")
+    )
+    mo = xy.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return mo.select(
+        F.col("n").alias("n_tokens"),
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den == 0, F.lit(None).cast("double")).otherwise(slope)
+        .alias("zipf_slope"),
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        )
+        .alias("intercept"),
+    )

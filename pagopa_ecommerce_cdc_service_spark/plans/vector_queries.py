@@ -2065,6 +2065,86 @@ def e_cluster_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SIMPLIFIED SILHOUETTE (cluster-quality audit over the shared Lloyd's
+# model): per point, a = distance to OWN centroid (the assignment's dist),
+# b = min distance to any OTHER centroid; the classic silhouette replaces
+# centroid distances with mean pairwise point distances (O(N²) — audit
+# only); the centroid form is the O(N·k) production variant (as in
+# scikit-learn's `silhouette via centroids` guidance for large N). To stay
+# hash-exact across engines the per-cluster score is the RATIO OF EXACT
+# SUMS (Σ(b−a)) / (Σ max(a,b)) — one division of BIGINTs, no
+# order-dependent accumulation of per-point doubles. n_better counts
+# points strictly closer to their own centroid than to any rival
+# (b > a — the per-point silhouette's sign). Shape: the k-means chain +
+# ONE in-row fold over the broadcast centroid array (no extra corpus
+# exchange — b is computed where the row already lives) + a k-key agg.
+# ---------------------------------------------------------------------------
+def _silhouette_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {kmeans_oracle_ctes(_QV)},
+    ab AS (
+      SELECT a.vec_id, a.cid, a.dist AS a_d,
+             MIN({sq_dist_sql("a.q", "s.c")}) AS b_d
+      FROM a{KM_ITERS} a JOIN c{KM_ITERS - 1} s ON s.cid <> a.cid
+      GROUP BY a.vec_id, a.cid, a.dist
+    )
+    SELECT cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(a_d) AS BIGINT) AS sum_a,
+           CAST(SUM(b_d) AS BIGINT) AS sum_b,
+           CAST(SUM(GREATEST(a_d, b_d)) AS BIGINT) AS sum_max,
+           CAST(SUM(CASE WHEN b_d > a_d THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_better,
+           CASE WHEN SUM(GREATEST(a_d, b_d)) = 0 THEN NULL
+                ELSE CAST(SUM(b_d) - SUM(a_d) AS DOUBLE)
+                     / CAST(SUM(GREATEST(a_d, b_d)) AS DOUBLE)
+           END AS sil_proxy
+    FROM ab GROUP BY cid
+    """
+
+
+@query("e_silhouette", _silhouette_oracle())
+def e_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import KM_ITERS, kmeans_fit, sq_dist
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    cent, final = kmeans_fit(emb)
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cents")
+    )
+    b_d = F.array_min(
+        F.transform(
+            F.filter(F.col("_cents"), lambda s: s["cid"] != F.col("cid")),
+            lambda s: sq_dist(F.col("q"), s["c"]),
+        )
+    )
+    ab = final.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id", "cid", F.col("dist").alias("a_d"), b_d.alias("b_d")
+    )
+    return ab.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count("*").alias("n"),
+        F.sum("a_d").cast("long").alias("sum_a"),
+        F.sum("b_d").cast("long").alias("sum_b"),
+        F.sum(F.greatest("a_d", "b_d")).cast("long").alias("sum_max"),
+        F.sum(F.when(F.col("b_d") > F.col("a_d"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_better"),
+        F.when(F.sum(F.greatest("a_d", "b_d")) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.sum("b_d") - F.sum("a_d")).cast("double")
+            / F.sum(F.greatest("a_d", "b_d")).cast("double")
+        )
+        .alias("sil_proxy"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-dimension embedding health (dead/collapsed-dimension audit): exact
 # integer mean/variance moments per coordinate. A projection head that
 # collapses dimensions (or an ingestion bug zeroing a coordinate) is

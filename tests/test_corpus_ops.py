@@ -746,6 +746,85 @@ def test_exact_substr_matches_bruteforce_property(spark):
     run()
 
 
+def _brute_keepone_rebuild(docs: dict[int, str], w: int):
+    """Reference keep-first ExactSubstr rewrite: cut every occurrence of a
+    duplicated window EXCEPT the canonical first (min (doc_id, pos));
+    rebuild from uncovered tokens."""
+    toks = {d: t.split() for d, t in docs.items()}
+    occ: dict[str, list[tuple[int, int]]] = {}
+    for d in sorted(toks):
+        t = toks[d]
+        for i in range(len(t) - w + 1):
+            occ.setdefault(" ".join(t[i : i + w]), []).append((d, i + 1))
+    cut: dict[int, set[int]] = {d: set() for d in toks}
+    for lst in occ.values():
+        if len(lst) >= 2:
+            for d, p in lst[1:]:
+                cut[d].update(range(p, p + w))
+    out = {}
+    for d, t in toks.items():
+        kept = [tok for i, tok in enumerate(t, 1) if i not in cut[d]]
+        out[d] = (" ".join(kept), len(t), len(kept))
+    return out
+
+
+def test_exact_substr_keepone_preserves_canonical_copy(spark):
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_keepone_rewrite,
+        exact_substr_rewrite,
+    )
+
+    # the same 3-gram "x y z" in docs 1 and 2: cut-all erases both, the
+    # keep-one policy preserves doc 1's (canonical) copy
+    docs = {1: "x y z a", 2: "b x y z"}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    keepone = {
+        r.doc_id: (r.rebuilt_text, r.n_tokens, r.kept_tokens)
+        for r in exact_substr_keepone_rewrite(df, w=3).collect()
+    }
+    assert keepone == _brute_keepone_rebuild(docs, 3)
+    assert keepone[1] == ("x y z a", 4, 4)
+    assert keepone[2] == ("b", 4, 1)
+    cutall = {
+        r.doc_id: r.kept_tokens for r in exact_substr_rewrite(df, w=3).collect()
+    }
+    assert cutall == {1: 1, 2: 1}
+
+
+def test_exact_substr_keepone_matches_bruteforce_property(spark):
+    try:
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+    except ImportError:
+        pytest.skip("hypothesis not installed")
+
+    from pagopa_ecommerce_cdc_service_spark.operators.text import (
+        exact_substr_keepone_rewrite,
+    )
+
+    vocab = ["aa", "bb", "cc"]
+    doc = st.lists(st.sampled_from(vocab), min_size=1, max_size=12).map(" ".join)
+    corpora = st.lists(doc, min_size=1, max_size=4)
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(corpora)
+    def run(texts):
+        docs = {i + 1: t for i, t in enumerate(texts)}
+        df = spark.createDataFrame(
+            [(d, t) for d, t in docs.items()], ["doc_id", "text"]
+        )
+        got = {
+            r.doc_id: (r.rebuilt_text, r.n_tokens, r.kept_tokens)
+            for r in exact_substr_keepone_rewrite(df, w=3).collect()
+        }
+        assert got == _brute_keepone_rebuild(docs, 3)
+
+    run()
+
+
 # --- unigram surprisal --------------------------------------------------------
 
 def test_unigram_surprisal_matches_bruteforce(spark):
