@@ -560,6 +560,22 @@ _CERTIFIED_TAIL = (
     "e_dim_variance",
     "w_variant_props_stats",
     "mm_audio_near_dup",
+    # rotated out round 8 (fourth pass) for t_ngram_novelty (per-document
+    # first-occurrence contribution audit), e_mmr_topk (diversified
+    # retrieval — unrolled MMR over a pinned top-16 pool) and
+    # e_rand_stability (two-seeding Rand-index agreement over the shared
+    # Lloyd's chain). All three rotated-out queries are r07-green and
+    # untouched this round (fingerprint-equal vs FINGERPRINTS_r07,
+    # guard-tested — kmeans_seeds/kmeans_oracle_ctes gained default-valued
+    # salt/prefix parameters that leave every existing plan and oracle
+    # byte-identical, re-verified by the snapshot diff): the PCA family's
+    # gram/power-iteration machinery remains tail-guarded with its plan
+    # gates; the keeper adjudication and LPA communities have no dependent
+    # among this round's changes, and the dup-graph family keeps the
+    # runtime t_dup_clusters / t_entity_golden_record prefix gates.
+    "e_pca_top2",
+    "t_pair_quality_keeper",
+    "t_label_prop",
 )
 
 

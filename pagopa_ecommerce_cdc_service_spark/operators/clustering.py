@@ -64,16 +64,17 @@ def sq_dist_sql(a: str, b: str, dims: int = DIMS) -> str:
     )
 
 
-def kmeans_seeds(emb: DataFrame, k: int = KM_K) -> DataFrame:
-    """k seed centroids: vectors ranked by (md5_long('km:'||id), id).
+def kmeans_seeds(emb: DataFrame, k: int = KM_K, salt: str = "km:") -> DataFrame:
+    """k seed centroids: vectors ranked by (md5_long(salt||id), id).
 
     ``orderBy().limit()`` compiles to TakeOrderedAndProject (no global
-    sort); the row_number window then ranks only k rows.
+    sort); the row_number window then ranks only k rows. ``salt`` picks an
+    independent deterministic seeding (stability audits run two).
     """
     hashed = emb.select(
         "vec_id",
         "q",
-        md5_long(F.concat(F.lit("km:"), F.col("vec_id").cast("string"))).alias("h"),
+        md5_long(F.concat(F.lit(salt), F.col("vec_id").cast("string"))).alias("h"),
     )
     top = hashed.orderBy("h", "vec_id").limit(k)
     w = Window.orderBy("h", "vec_id")
@@ -118,38 +119,51 @@ def kmeans_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_fit(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS):
+def kmeans_fit(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS, salt: str = "km:"
+):
     """Unrolled k-means returning ``(centroids, final_assignment)`` — the
     assignment is exactly :func:`kmeans_plan`'s output; the centroid table
     additionally feeds audits that need the model itself (silhouette)."""
-    cent = kmeans_seeds(emb, k)
+    cent = kmeans_seeds(emb, k, salt)
     for _ in range(iters):
         cent = kmeans_update(kmeans_assign(emb, cent))
     return cent, kmeans_assign(emb, cent)
 
 
-def kmeans_plan(emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS) -> DataFrame:
+def kmeans_plan(
+    emb: DataFrame, k: int = KM_K, iters: int = KM_ITERS, salt: str = "km:"
+) -> DataFrame:
     """Full unrolled k-means: returns the final assignment (vec_id, cid,
     dist) after ``iters`` centroid updates. ``emb`` must have (vec_id, q)
     and SHOULD be hash-partitioned by vec_id (see module docstring)."""
-    return kmeans_fit(emb, k, iters)[1]
+    return kmeans_fit(emb, k, iters, salt)[1]
 
 
 # --- unrolled-CTE oracle ----------------------------------------------------
 
 
-def kmeans_oracle_ctes(qv_sql: str, k: int = KM_K, iters: int = KM_ITERS) -> str:
+def kmeans_oracle_ctes(
+    qv_sql: str,
+    k: int = KM_K,
+    iters: int = KM_ITERS,
+    salt: str = "km:",
+    prefix: str = "",
+) -> str:
     """CTE chain mirroring kmeans_plan: emb → seeds → (a_i → c_i)* → a_final.
 
-    The caller SELECTs from ``a{iters}`` (final assignment: vec_id, cid,
-    dist). ``qv_sql`` is the quantized-vector expression over ``embeddings``.
-    """
-    seed_hash = md5_long_sql("'km:' || CAST(vec_id AS VARCHAR)")
+    The caller SELECTs from ``{prefix}a{iters}`` (final assignment: vec_id,
+    cid, dist). ``qv_sql`` is the quantized-vector expression over
+    ``embeddings``. ``salt``/``prefix`` let one query chain two independent
+    seedings without CTE-name collisions (defaults keep the emitted SQL
+    byte-identical to the single-chain form)."""
+    p = prefix
+    seed_hash = md5_long_sql(f"'{salt}' || CAST(vec_id AS VARCHAR)")
     parts = [
-        f"emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
-        f"""seeds0 AS (
+        f"{p}emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
+        f"""{p}seeds0 AS (
           SELECT row_number() OVER (ORDER BY h, vec_id) AS cid, q AS c
-          FROM (SELECT vec_id, q, {seed_hash} AS h FROM emb
+          FROM (SELECT vec_id, q, {seed_hash} AS h FROM {p}emb
                 ORDER BY h, vec_id LIMIT {k}))""",
     ]
 
@@ -161,7 +175,7 @@ def kmeans_oracle_ctes(qv_sql: str, k: int = KM_K, iters: int = KM_ITERS) -> str
                    row_number() OVER (
                      PARTITION BY e.vec_id
                      ORDER BY {sq_dist_sql("e.q", "s.c")}, s.cid) AS rn
-            FROM emb e CROSS JOIN {cent} s)
+            FROM {p}emb e CROSS JOIN {cent} s)
           WHERE rn = 1)"""
 
     def update(name: str, assigned: str) -> str:
@@ -175,12 +189,12 @@ def kmeans_oracle_ctes(qv_sql: str, k: int = KM_K, iters: int = KM_ITERS) -> str
             GROUP BY cid, pos)
           GROUP BY cid)"""
 
-    cent = "seeds0"
+    cent = f"{p}seeds0"
     for i in range(iters):
-        parts.append(assign(f"a{i}", cent))
-        parts.append(update(f"c{i}", f"a{i}"))
-        cent = f"c{i}"
-    parts.append(assign(f"a{iters}", cent))
+        parts.append(assign(f"{p}a{i}", cent))
+        parts.append(update(f"{p}c{i}", f"{p}a{i}"))
+        cent = f"{p}c{i}"
+    parts.append(assign(f"{p}a{iters}", cent))
     return ",\n".join(parts)
 
 

@@ -4181,3 +4181,66 @@ def t_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("intercept"),
     )
+
+# ---------------------------------------------------------------------------
+# N-GRAM NOVELTY (curation-order audit): per document, the fraction of its
+# token 3-grams whose FIRST corpus occurrence (min doc_id) is this
+# document — the "how much new text does each document contribute"
+# signal a dedup-ordered ingestion pipeline reports (documents late in
+# the order that introduce almost nothing are boilerplate candidates;
+# the per-position law counts within-doc repeats of a first-seen gram as
+# novel, deterministic in both engines). Shape: the same positional
+# gram-hash postings as ExactSubstr (hashes explode, strings never
+# shuffle), ONE gh exchange for the min-doc window, one doc_id
+# aggregation. Ratio kept integer (per-mille floor division).
+# ---------------------------------------------------------------------------
+_NOVELTY_W = 3
+
+
+def _novelty_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    w = _NOVELTY_W
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - {w - 1}, 0) + 1)) AS pos
+      FROM t
+    ),
+    h AS (
+      SELECT doc_id,
+             {md5_long_sql(f"array_to_string(toks[pos : pos + {w - 1}], ' ')")} AS gh
+      FROM p
+    ),
+    f AS (
+      SELECT doc_id, MIN(doc_id) OVER (PARTITION BY gh) AS first_doc FROM h
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS novel_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) * 1000
+                  // count(*) AS BIGINT) AS novelty_per_1k
+    FROM f GROUP BY doc_id
+    """
+
+
+@query("t_ngram_novelty", _novelty_oracle())
+def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.text import _substr_postings
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    grams = _substr_postings(docs, _NOVELTY_W)
+    f = grams.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("gh"))
+    )
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return f.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        F.sum(novel).alias("novel_grams"),
+        F.expr(
+            "(sum(CAST(first_doc = doc_id AS BIGINT)) * 1000) div count(*)"
+        ).alias("novelty_per_1k"),
+    )

@@ -2468,3 +2468,223 @@ def e_kcenter_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("min_center_sep") >= F.col("radius_sq")).alias("sep_ok"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# MMR DIVERSIFIED TOP-K (maximal marginal relevance, Carbonell & Goldstein
+# 1998): retrieval that trades relevance against redundancy — pick the
+# candidate maximizing lambda*rel - (1-lambda)*max-sim-to-selected, k
+# times. With lambda = 1/2 the doubled objective stays in the INTEGER
+# domain: mmr_score2x = rel - max_sim, both exact integer dots over
+# quantized vectors. Candidate generation is the corpus-scale stage (one
+# map-only exact-dot pass + TakeOrderedAndProject top-16, the e_mips
+# shape); the 4-round selection then unrolls over the PINNED 16-row pool
+# exactly like the FPS chain (running-max similarity instead of running-
+# min distance) — selection never rescans the corpus. Ties: vec_id ASC.
+# ---------------------------------------------------------------------------
+_MMR_POOL = 16
+_MMR_K = 4
+
+
+def _mmr_oracle() -> str:
+    parts = [
+        f"e AS (SELECT vec_id, {_QV} AS qv FROM embeddings)",
+        "q AS (SELECT qv AS query_v FROM e WHERE vec_id = 1)",
+        f"""cand AS (
+          SELECT e.vec_id, e.qv, {dot_sql("e.qv", "q.query_v")} AS rel
+          FROM e CROSS JOIN q WHERE e.vec_id <> 1
+          ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL})""",
+        """m1 AS (SELECT vec_id AS sid1, qv AS sv1, rel AS rel1,
+                        rel AS mmr1
+                 FROM cand ORDER BY rel DESC, vec_id LIMIT 1)""",
+    ]
+    prev_t = "cand"
+    for k in range(2, _MMR_K + 1):
+        prev_m = f"m{k - 1}"
+        sim = dot_sql("c.qv", f"{prev_m}.sv{k - 1}")
+        msim = f"GREATEST(c.msim, {sim})" if k > 2 else sim
+        parts.append(
+            f"""t{k - 1} AS (
+              SELECT c.vec_id, c.qv, c.rel, {msim} AS msim
+              FROM {prev_t} c CROSS JOIN {prev_m}
+              WHERE c.vec_id <> {prev_m}.sid{k - 1})"""
+        )
+        parts.append(
+            f"""m{k} AS (
+              SELECT vec_id AS sid{k}, qv AS sv{k}, rel AS rel{k},
+                     rel - msim AS mmr{k}
+              FROM t{k - 1} ORDER BY rel - msim DESC, vec_id LIMIT 1)"""
+        )
+        prev_t = f"t{k - 1}"
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS sel_round, "
+        f"(SELECT sid{k} FROM m{k}) AS vec_id, "
+        f"(SELECT rel{k} FROM m{k}) AS rel, "
+        f"(SELECT mmr{k} FROM m{k}) AS mmr_score2x"
+        for k in range(1, _MMR_K + 1)
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"\n    SELECT * FROM ({rows})"
+        "\n    WHERE EXISTS (SELECT 1 FROM cand)"
+    )
+
+
+@query("e_mmr_topk", _mmr_oracle())
+def e_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qv")
+    )
+    q = emb.filter(F.col("vec_id") == 1).select(F.col("qv").alias("query_v"))
+    cand = (
+        emb.filter(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "qv", dot(F.col("qv"), F.col("query_v")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_POOL)
+        .persist()  # the 16-row pool: every selection round reads it
+    )
+    m = cand.orderBy(F.desc("rel"), "vec_id").limit(1).select(
+        F.col("vec_id").alias("sid1"),
+        F.col("qv").alias("sv1"),
+        F.col("rel").alias("rel1"),
+        F.col("rel").alias("mmr1"),
+    )
+    t = cand
+    for k in range(2, _MMR_K + 1):
+        prev = k - 1
+        t = (
+            t.crossJoin(F.broadcast(m.select(f"sid{prev}", f"sv{prev}")))
+            .filter(F.col("vec_id") != F.col(f"sid{prev}"))
+            .withColumn(
+                "msim",
+                F.greatest(F.col("msim"), dot(F.col("qv"), F.col(f"sv{prev}")))
+                if k > 2
+                else dot(F.col("qv"), F.col(f"sv{prev}")),
+            )
+            .select("vec_id", "qv", "rel", "msim")
+        )
+        sel = (
+            t.orderBy(F.desc(F.col("rel") - F.col("msim")), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias(f"sid{k}"),
+                F.col("qv").alias(f"sv{k}"),
+                F.col("rel").alias(f"rel{k}"),
+                (F.col("rel") - F.col("msim")).alias(f"mmr{k}"),
+            )
+        )
+        m = m.crossJoin(sel)
+    picks = F.array(
+        *[
+            F.struct(
+                F.lit(k).cast("long").alias("sel_round"),
+                F.col(f"sid{k}").alias("vec_id"),
+                F.col(f"rel{k}").alias("rel"),
+                F.col(f"mmr{k}").alias("mmr_score2x"),
+            )
+            for k in range(1, _MMR_K + 1)
+        ]
+    )
+    return m.select(F.explode(picks).alias("p")).select(
+        "p.sel_round", "p.vec_id", "p.rel", "p.mmr_score2x"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CLUSTERING STABILITY (Rand index between two independent seedings): run
+# the SAME unrolled Lloyd's chain from two deterministic seed hashes and
+# pair-count agreement — the standard "is this clustering real or seed
+# noise" audit before anyone trusts cluster-derived curation decisions
+# (SemDeDup prunes, outlier flags). Pair counts come from the k×k
+# CONTINGENCY table, never from materialized pairs: both_same =
+# Σ C(n_ij,2), marginals give each side's same-cluster mass, and
+# rand = (C(n,2) + 2·both_same − a_same − b_same) / C(n,2) — all exact
+# BIGINTs at gate scale (the 100 TB lift is DECIMAL on the four pair
+# sums, shape unchanged). Shape: two Lloyd's chains share the corpus
+# scan pattern; ONE vec_id join builds the contingency table; everything
+# after runs on k² rows.
+# ---------------------------------------------------------------------------
+def _rand_stability_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_oracle_ctes
+
+    return f"""
+    WITH {kmeans_oracle_ctes(_QV)},
+    {kmeans_oracle_ctes(_QV, salt="km2:", prefix="s2_")},
+    cont AS (
+      SELECT a.cid AS cid_a, b.cid AS cid_b, CAST(count(*) AS BIGINT) AS n_ij
+      FROM a{KM_ITERS} a JOIN s2_a{KM_ITERS} b USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n,
+                   CAST(SUM(n_ij * (n_ij - 1) // 2) AS BIGINT) AS both_same
+            FROM cont),
+    ma AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS a_same
+           FROM (SELECT SUM(n_ij) AS s FROM cont GROUP BY cid_a)),
+    mb AS (SELECT CAST(SUM(s * (s - 1) // 2) AS BIGINT) AS b_same
+           FROM (SELECT SUM(n_ij) AS s FROM cont GROUP BY cid_b))
+    SELECT n,
+           CAST(n * (n - 1) // 2 AS BIGINT) AS n_pairs,
+           both_same, a_same, b_same,
+           CASE WHEN n < 2 THEN NULL
+                ELSE CAST(n * (n - 1) // 2 + 2 * both_same - a_same - b_same
+                          AS DOUBLE) / CAST(n * (n - 1) // 2 AS DOUBLE)
+           END AS rand_index
+    FROM tot CROSS JOIN ma CROSS JOIN mb
+    """
+
+
+@query("e_rand_stability", _rand_stability_oracle())
+def e_rand_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_plan
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    a = kmeans_plan(emb).select("vec_id", F.col("cid").alias("cid_a"))
+    b = kmeans_plan(emb, salt="km2:").select("vec_id", F.col("cid").alias("cid_b"))
+    cont = (
+        a.join(b, "vec_id")
+        .groupBy("cid_a", "cid_b")
+        .agg(F.count("*").cast("long").alias("n_ij"))
+        .persist()  # k×k rows; three aggregates read it
+    )
+    tot = cont.agg(
+        F.sum("n_ij").cast("long").alias("n"),
+        F.expr("CAST(sum(n_ij * (n_ij - 1) div 2) AS BIGINT)").alias(
+            "both_same"
+        ),
+    )
+    ma = (
+        cont.groupBy("cid_a")
+        .agg(F.sum("n_ij").alias("s"))
+        .agg(F.expr("CAST(sum(s * (s - 1) div 2) AS BIGINT)").alias("a_same"))
+    )
+    mb = (
+        cont.groupBy("cid_b")
+        .agg(F.sum("n_ij").alias("s"))
+        .agg(F.expr("CAST(sum(s * (s - 1) div 2) AS BIGINT)").alias("b_same"))
+    )
+    n_pairs = F.expr("n * (n - 1) div 2")
+    return (
+        tot.crossJoin(F.broadcast(ma))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            "n",
+            n_pairs.cast("long").alias("n_pairs"),
+            "both_same",
+            "a_same",
+            "b_same",
+            F.when(F.col("n") < 2, F.lit(None).cast("double"))
+            .otherwise(
+                (
+                    n_pairs
+                    + 2 * F.col("both_same")
+                    - F.col("a_same")
+                    - F.col("b_same")
+                ).cast("double")
+                / n_pairs.cast("double")
+            )
+            .alias("rand_index"),
+        )
+    )
