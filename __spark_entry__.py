@@ -576,6 +576,21 @@ _CERTIFIED_TAIL = (
     "e_pca_top2",
     "t_pair_quality_keeper",
     "t_label_prop",
+    # rotated out round 8 (fifth pass) for e_ivf_nprobe_curve (the
+    # recall-vs-probe-budget tuning curve), e_centroid_shift (Lloyd's
+    # convergence audit) and t_char_entropy (integer-exact character
+    # entropy quality signal). All three rotated-out queries are r07-green
+    # and untouched this round (fingerprint-equal vs FINGERPRINTS_r07,
+    # guard-tested): the recall-audit pattern keeps a prefix slot through
+    # e_ivf_nprobe_curve — which composes the SAME probed-list semi-join +
+    # exact-ground-truth machinery the two rotated audits certify, at
+    # three probe depths instead of one — and the corpus pipeline's stages
+    # each keep their own certifications (the chunk rewrite/long gates in
+    # the prefix, the runtime t_stream_chunk_dedup gate, and the split/
+    # pack tail fingerprints).
+    "e_filtered_recall",
+    "e_rq_recall",
+    "t_corpus_pipeline_chunked",
 )
 
 

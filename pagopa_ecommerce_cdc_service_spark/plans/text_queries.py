@@ -4244,3 +4244,82 @@ def t_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(sum(CAST(first_doc = doc_id AS BIGINT)) * 1000) div count(*)"
         ).alias("novelty_per_1k"),
     )
+
+# ---------------------------------------------------------------------------
+# CHARACTER ENTROPY PROXY (quality signal): per document, the Shannon
+# entropy of its character distribution kept ENTIRELY in the integer
+# domain — entropy_proxy = Σ_ch c_ch · (floor_log2(n) − floor_log2(c_ch)),
+# the floor-log analogue of n·H = Σ c·log2(n/c). Repetitive/low-diversity
+# text (the classic garbage signal: one character flooding a crawl shard)
+# scores near zero per char; diverse text scores high. Positions explode
+# via an in-row transform over the char index (both engines substring the
+# SAME way), then two bounded aggregations: (doc, char) → doc. 100 TB:
+# the char explode is O(corpus bytes) rows of (int64, 1-char) — the same
+# volume every shingle pass reads — with map-side combine collapsing each
+# doc's alphabet immediately.
+# ---------------------------------------------------------------------------
+def _char_entropy_oracle() -> str:
+    return """
+    WITH ch AS (
+      SELECT doc_id, ch FROM (
+        SELECT doc_id,
+               CASE WHEN length(text) > 0
+                    THEN list_transform(range(1, length(text) + 1),
+                                        i -> substring(text, i, 1))
+                    ELSE CAST([] AS VARCHAR[]) END AS chars
+        FROM documents
+      ), unnest(chars) AS u(ch)
+    ),
+    per AS (
+      SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      FROM ch GROUP BY doc_id, ch
+    ),
+    per2 AS (
+      SELECT doc_id, c,
+             CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+      FROM per
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_chars,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+           CAST(SUM(c * ((length(bin(n)) - 1) - (length(bin(c)) - 1)))
+             AS BIGINT) AS entropy_proxy,
+           CAST(SUM(c * ((length(bin(n)) - 1) - (length(bin(c)) - 1))) * 1000
+                  // MAX(n) AS BIGINT) AS entropy_per_char_milli
+    FROM per2 GROUP BY doc_id
+    """
+
+
+@query("t_char_entropy", _char_entropy_oracle())
+def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.length("text") > 0,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text")),
+                    lambda i: F.col("text").substr(i, F.lit(1)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+
+    def flog2(c):
+        return (F.length(F.bin(c)) - 1).cast("long")
+
+    w_doc = Window.partitionBy("doc_id")
+    n_doc = F.sum("c").over(w_doc)
+    scored = per.withColumn("surp", F.col("c") * (flog2(n_doc) - flog2(F.col("c"))))
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_chars"),
+        F.count("*").alias("distinct_chars"),
+        F.sum("surp").cast("long").alias("entropy_proxy"),
+        F.expr("(sum(surp) * 1000) div sum(c)").cast("long").alias(
+            "entropy_per_char_milli"
+        ),
+    )

@@ -2688,3 +2688,178 @@ def e_rand_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rand_index"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# IVF NPROBE TUNING CURVE: recall@10 of the probed-list search at
+# nprobe ∈ {1, 2, 4} against the exact cosine ground truth — the
+# latency/quality trade-off evidence an index operator reads before
+# picking a probe budget (each nprobe step touches ~nprobe/nlist of the
+# corpus; this query quantifies what that buys). Composes the e_ivf_topk
+# machinery: ONE pivot assignment (zero-shuffle nearest_pivot fold,
+# pinned — three probe depths read the same list table), one query-side
+# pivot ranking to depth 4, one exact ground-truth scan; per depth a
+# probed-list semi-join + TakeOrderedAndProject top-10 and a bounded
+# intersection count.
+# ---------------------------------------------------------------------------
+_CURVE_PROBES = (1, 2, 4)
+_CURVE_TOP = 10
+
+
+def _nprobe_curve_oracle() -> str:
+    probes_sql = []
+    for np_ in _CURVE_PROBES:
+        probes_sql.append(f"""ap{np_} AS (
+          SELECT c.vec_id FROM lists c
+          JOIN (SELECT pid FROM qprobe WHERE rn <= {np_}) USING (pid)
+          CROSS JOIN q
+          WHERE c.vec_id <> 0
+          ORDER BY {cosine_sql("c.qvec", "q.qv")} DESC, c.vec_id
+          LIMIT {_CURVE_TOP})""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({np_} AS BIGINT) AS nprobe, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ap{np_} JOIN truth USING (vec_id)) AS hits, "
+        f"(SELECT CAST(count(*) AS DOUBLE) / {_CURVE_TOP} "
+        f" FROM ap{np_} JOIN truth USING (vec_id)) AS recall_at_10"
+        for np_ in _CURVE_PROBES
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_QV} AS qvec FROM embeddings),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, e.qvec, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, qvec, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid, rn FROM assign WHERE vec_id = 0),
+    q AS (SELECT qvec AS qv FROM e WHERE vec_id = 0),
+    truth AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {cosine_sql("e.qvec", "q.qv")} DESC, e.vec_id) AS rk
+        FROM e CROSS JOIN q WHERE e.vec_id <> 0
+      ) WHERE rk <= {_CURVE_TOP}),
+    {",".join(probes_sql)}
+    SELECT * FROM ({rows})
+    """
+
+
+@query("e_ivf_nprobe_curve", _nprobe_curve_oracle())
+def e_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dist2, nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    lists = nearest_pivot(emb, piv).select("vec_id", "qvec", "pid").persist()
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    wq = Window.orderBy("d2", "pid")
+    qprobe = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("qvec"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max(_CURVE_PROBES))
+        .persist()
+    )
+    truth = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
+        .orderBy(F.desc("cs"), "vec_id")
+        .limit(_CURVE_TOP)
+        .select("vec_id")
+        .persist()
+    )
+    out = None
+    for np_ in _CURVE_PROBES:
+        ap = (
+            lists.join(
+                F.broadcast(qprobe.filter(F.col("rn") <= np_).select("pid")),
+                "pid",
+                "left_semi",
+            )
+            .filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", cosine(F.col("qvec"), F.col("qv")).alias("cs"))
+            .orderBy(F.desc("cs"), "vec_id")
+            .limit(_CURVE_TOP)
+            .select("vec_id")
+        )
+        row = ap.join(truth, "vec_id", "left_semi").agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count("*").alias("hits"),
+            (F.count("*").cast("double") / _CURVE_TOP).alias("recall_at_10"),
+        ).select("nprobe", "hits", "recall_at_10")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CENTROID SHIFT (Lloyd's convergence audit): how far each centroid moved
+# in the LAST update — exact integer squared L2 between the final and
+# previous centroid tables, joined with the final cluster sizes. The "did
+# the unrolled iteration budget actually converge" evidence that decides
+# whether KM_ITERS must grow; a cluster with shift_sq = 0 is fixed-point.
+# Shape: the shared Lloyd's chain; the audit itself joins two k-row
+# tables and one k-key size aggregation — nothing corpus-scale beyond the
+# chain it audits.
+# ---------------------------------------------------------------------------
+def _centroid_shift_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_oracle_ctes, sq_dist_sql
+
+    prev = f"c{KM_ITERS - 2}" if KM_ITERS >= 2 else "seeds0"
+    return f"""
+    WITH {kmeans_oracle_ctes(_QV)},
+    sizes AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+              FROM a{KM_ITERS} GROUP BY cid)
+    SELECT f.cid AS cluster_id, s.n,
+           {sq_dist_sql("f.c", "p.c")} AS shift_sq,
+           {sq_dist_sql("f.c", "p.c")} = 0 AS converged
+    FROM c{KM_ITERS - 1} f
+    JOIN {prev} p USING (cid)
+    JOIN sizes s ON s.cid = f.cid
+    """
+
+
+@query("e_centroid_shift", _centroid_shift_oracle())
+def e_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import (
+        KM_ITERS,
+        kmeans_assign,
+        kmeans_seeds,
+        kmeans_update,
+        sq_dist,
+    )
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    cent = kmeans_seeds(emb)
+    prev = cent
+    for _ in range(KM_ITERS):
+        prev = cent
+        cent = kmeans_update(kmeans_assign(emb, cent))
+    sizes = kmeans_assign(emb, cent).groupBy("cid").agg(
+        F.count("*").alias("n")
+    )
+    shift = sq_dist(F.col("fc"), F.col("pc"))
+    return (
+        cent.select("cid", F.col("c").alias("fc"))
+        .join(prev.select("cid", F.col("c").alias("pc")), "cid")
+        .join(sizes, "cid")
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "n",
+            shift.alias("shift_sq"),
+            (shift == 0).alias("converged"),
+        )
+    )
