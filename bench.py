@@ -162,6 +162,22 @@ HEADLINE = [
     "t_exact_substr_rewrite",
     "t_bigram_surprisal",
     "e_kcenter_assign",
+    # round-8 (third pass): keep-first rewrite, silhouette, session paths,
+    # Zipf fit, point-in-time status lookup
+    "t_exact_substr_keepone",
+    "e_silhouette",
+    "w_session_paths",
+    "t_zipf_fit",
+    "cdc_pit_status",
+    # round-8 (fourth pass): n-gram novelty, MMR diversified retrieval,
+    # two-seeding Rand stability
+    "t_ngram_novelty",
+    "e_mmr_topk",
+    "e_rand_stability",
+    # round-8 (fifth pass): nprobe tuning curve, centroid shift, char entropy
+    "e_ivf_nprobe_curve",
+    "e_centroid_shift",
+    "t_char_entropy",
 ]
 
 

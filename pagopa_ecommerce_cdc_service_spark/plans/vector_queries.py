@@ -2533,7 +2533,11 @@ def e_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", quantize(F.col("embedding")).alias("qv")
     )
-    q = emb.filter(F.col("vec_id") == 1).select(F.col("qv").alias("query_v"))
+    q = (
+        emb.filter(F.col("vec_id") == 1)
+        .select(F.col("qv").alias("query_v"))
+        .persist()  # 1-row query vector: read by the pool scan only
+    )
     cand = (
         emb.filter(F.col("vec_id") != 1)
         .crossJoin(F.broadcast(q))
@@ -2547,10 +2551,15 @@ def e_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qv").alias("sv1"),
         F.col("rel").alias("rel1"),
         F.col("rel").alias("mmr1"),
-    )
+    ).persist()
     t = cand
     for k in range(2, _MMR_K + 1):
         prev = k - 1
+        # every per-round table is pinned (pool-sized or one row): the
+        # unrolled chain references t_k and m_k from two consumers each,
+        # and unpinned lineage re-derives ~2^k corpus scans — the same
+        # cache discipline as the FPS chain (measured 42 FileScans
+        # unpinned at k=4 vs 1 pinned)
         t = (
             t.crossJoin(F.broadcast(m.select(f"sid{prev}", f"sv{prev}")))
             .filter(F.col("vec_id") != F.col(f"sid{prev}"))
@@ -2561,6 +2570,7 @@ def e_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else dot(F.col("qv"), F.col(f"sv{prev}")),
             )
             .select("vec_id", "qv", "rel", "msim")
+            .persist()
         )
         sel = (
             t.orderBy(F.desc(F.col("rel") - F.col("msim")), "vec_id")
@@ -2572,7 +2582,7 @@ def e_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rel") - F.col("msim")).alias(f"mmr{k}"),
             )
         )
-        m = m.crossJoin(sel)
+        m = m.crossJoin(sel).persist()
     picks = F.array(
         *[
             F.struct(

@@ -775,3 +775,75 @@ def test_kcenter_coreset_pinned_distance_tables(spark, sf_dir, queries):
     assert "InMemoryTableScan" in plan, "distance tables not pinned"
     assert "SortMergeJoin" not in plan
     assert plan.count("TakeOrderedAndProject") >= 4
+
+
+def test_pit_status_zero_joins(spark, sf_dir, queries):
+    """Point-in-time lookup: history and probes UNION on the key and a
+    window resolves every probe — the plan must contain NO join at all
+    (the naive as-of formulation is |events| x |intervals|)."""
+    plan = _plan(queries["cdc_pit_status"](spark, sf_dir))
+    assert "Join" not in plan, "PIT lookup must be the union+window shape"
+    assert "Window" in plan
+
+
+def test_keepone_rewrite_shape_matches_cutall(spark, sf_dir, queries):
+    """The keep-first policy costs nothing structurally: same exchange
+    count as the cut-all rewrite (the gh exchange serves a row_number
+    window instead of a count window)."""
+    keepone = _plan(queries["t_exact_substr_keepone"](spark, sf_dir))
+    cutall = _plan(queries["t_exact_substr_rewrite"](spark, sf_dir))
+    assert keepone.count("Exchange hashpartitioning") == cutall.count(
+        "Exchange hashpartitioning"
+    )
+    assert keepone.count("FileScan parquet") == cutall.count("FileScan parquet")
+
+
+def test_ngram_novelty_two_exchanges_no_joins(spark, sf_dir, queries):
+    """Novelty: postings cross the wire once on the gram hash (min-doc
+    window) and once on doc_id (the per-doc census). No joins, one scan."""
+    plan = _plan(queries["t_ngram_novelty"](spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+
+
+def test_mmr_selection_never_rescans_corpus(spark, sf_dir, queries):
+    """MMR: candidate generation is the only corpus pass (one scan into
+    the pinned 16-row pool); every per-round table is pinned so the
+    unrolled chain reuses InMemoryRelations instead of re-deriving
+    lineage (plan text nests each cached child, so scan-counting the
+    string overcounts — presence of the cache nodes plus
+    TakeOrderedAndProject per round is the shape contract, as for FPS)."""
+    plan = _plan(queries["e_mmr_topk"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "pool/rounds not pinned"
+    assert "SortMergeJoin" not in plan
+    assert plan.count("TakeOrderedAndProject") >= _plan_mmr_rounds()
+
+
+def _plan_mmr_rounds() -> int:
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import _MMR_K
+
+    return _MMR_K
+
+
+def test_zipf_head_is_take_ordered(spark, sf_dir, queries):
+    """Zipf: the top-V head must come from TakeOrderedAndProject — the
+    global rank window then sees 4096 rows, never the full vocabulary."""
+    plan = _plan(queries["t_zipf_fit"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_char_entropy_no_joins(spark, sf_dir, queries):
+    """Char entropy: (doc, ch) census -> doc window -> doc census; the
+    window and the final aggregation share the doc partitioning."""
+    plan = _plan(queries["t_char_entropy"](spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_session_paths_take_ordered_census(spark, sf_dir, queries):
+    plan = _plan(queries["w_session_paths"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # sessionization window + (user, session) agg + path census: the agg
+    # reuses the window's user partitioning, so at most two exchanges
+    assert plan.count("Exchange hashpartitioning") <= 3
