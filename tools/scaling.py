@@ -93,6 +93,21 @@ QUERIES = (
     "t_stratified_sample",     # one stratum exchange, two shared windows
     "t_entity_golden_record",  # blocked linkage graph + iterative CC
     "e_kcenter_coreset",       # FPS: k map-only passes + top-1 per round
+    # round-8 additions
+    "t_exact_substr_rewrite",  # span postings + narrow join-back rebuild
+    "t_exact_substr_keepone",  # same shape, row_number hit law
+    "t_bigram_surprisal",      # bigram explode + three count joins
+    "e_kcenter_assign",        # FPS chain + one fold-assignment pass
+    "cdc_pit_status",          # union + last-non-null window, zero joins
+    "e_silhouette",            # Lloyd's chain + in-row rival-centroid fold
+    "w_session_paths",         # session windows + bounded path census
+    "t_zipf_fit",              # vocab agg + TakeOrdered head + one-row OLS
+    "t_ngram_novelty",         # gram postings + min-doc window + doc census
+    "e_mmr_topk",              # one corpus pass + pinned 16-row selection
+    "e_rand_stability",        # two Lloyd's chains + k^2 contingency
+    "e_ivf_nprobe_curve",      # pinned lists; 3 probed scans + exact truth
+    "e_centroid_shift",        # Lloyd's chain + k-row delta join
+    "t_char_entropy",          # char census x2, window-shared partitioning
 )
 
 
