@@ -504,3 +504,52 @@ def test_status_history_duplicate_id_and_same_status_collapse(spark):
     # the open interval starts at its FIRST write (T1), not the re-write
     assert h[1][2] < h[1][3] if h[1][3] is not None else True
     assert h[1][4] is True
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time status lookup (operators/cdc_fold.status_at_events)
+# ---------------------------------------------------------------------------
+def _pit(spark, events):
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import (
+        prepare_events,
+        status_at_events,
+    )
+
+    rows = status_at_events(prepare_events(events_to_df(spark, events))).collect()
+    return {r["seq"]: (r["status_at"], r["version_at"]) for r in rows}
+
+
+def test_pit_status_boundaries_and_stale_probe(spark):
+    # history: ACTIVATED@T1 -> CLOSED@T3. Probes are the events themselves:
+    # - seq 0 (the ACTIVATED write at T1): sees its OWN status (boundary
+    #   inclusive — a status applies AT its valid_from instant)
+    # - seq 1 (a stale CLOSURE_REQUESTED at T0, guard-rejected): probes
+    #   BEFORE the first interval -> NULL status
+    # - seq 2 (CLOSED at T3): sees CLOSED, version 2
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T1, {"email": "a@b.c"}),
+        _ev(1, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T0),
+        _ev(2, "t", "TRANSACTION_CLOSED_EVENT", T3,
+            {"wasCanceledByUser": False, "responseOutcome": "OK"}),
+    ]
+    got = _pit(spark, events)
+    assert got[0] == ("ACTIVATED", 1)
+    assert got[1] == (None, None)
+    assert got[2] == ("CLOSED", 2)
+
+
+def test_pit_status_mid_interval_probe(spark):
+    # a non-status event (probe at T2) between two writes resolves to the
+    # status valid over [T1, T3): ACTIVATED
+    events = [
+        _ev(0, "t", "TRANSACTION_ACTIVATED_EVENT", T1, {"email": "a@b.c"}),
+        _ev(1, "t", "TRANSACTION_AUTH_DUMMY", T2),  # unknown code: filtered
+        _ev(2, "t", "TRANSACTION_CLOSURE_REQUESTED_EVENT", T2),
+        _ev(3, "t", "TRANSACTION_CLOSED_EVENT", T3,
+            {"wasCanceledByUser": False, "responseOutcome": "OK"}),
+    ]
+    got = _pit(spark, events)
+    # seq 2 IS a status write at T2: it sees itself (CLOSURE_REQUESTED, v2)
+    assert got[2] == ("CLOSURE_REQUESTED", 2)
+    assert got[3] == ("CLOSED", 3)
+    assert 1 not in got  # unknown eventCode never reaches the probe set
