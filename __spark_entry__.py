@@ -591,6 +591,15 @@ _CERTIFIED_TAIL = (
     "e_filtered_recall",
     "e_rq_recall",
     "t_corpus_pipeline_chunked",
+    # rotated out round 8 (sixth pass) for e_pq_distortion (per-subspace
+    # quantization-error audit over the shared grouped-Lloyd's chain).
+    # t_chunk_dedup_rewrite is r07-green and untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r07, guard-tested); the chunking
+    # family keeps BOTH long-document Arrow-route gates
+    # (t_content_chunks_long, t_chunk_rewrite_long — which compose the
+    # same chunker and rebuild kernels) and the runtime
+    # t_stream_chunk_dedup gate in the prefix.
+    "t_chunk_dedup_rewrite",
 )
 
 

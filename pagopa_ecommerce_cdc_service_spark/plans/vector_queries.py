@@ -2873,3 +2873,45 @@ def e_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (shift == 0).alias("converged"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# PQ DISTORTION AUDIT: the quantization error the PQ index actually
+# carries — per subspace, the exact integer squared-L2 between each
+# subvector and its assigned codeword (the `dist` the assignment already
+# computes), aggregated to (n, total, max, mean). Recall audits measure
+# end-to-end ranking damage; this isolates WHERE the damage originates
+# (a subspace with outsized distortion is the one to re-train or split).
+# Shape: the shared grouped-Lloyd's training chain; the audit itself is
+# ONE 8-key aggregation over the code table — nothing new is corpus-scale.
+# ---------------------------------------------------------------------------
+def _pq_distortion_oracle() -> str:
+    from ..operators.clustering import pq_oracle_ctes
+
+    return f"""
+    WITH {pq_oracle_ctes(_QV)}
+    SELECT sub,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(dist) AS BIGINT) AS total_err,
+           CAST(MAX(dist) AS BIGINT) AS max_err,
+           CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_err
+    FROM pq_codes GROUP BY sub
+    """
+
+
+@query("e_pq_distortion", _pq_distortion_oracle())
+def e_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    subs = pq_subvectors(full).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, _cb = pq_train(subs)
+    return codes.groupBy("sub").agg(
+        F.count("*").alias("n"),
+        F.sum("dist").cast("long").alias("total_err"),
+        F.max("dist").cast("long").alias("max_err"),
+        (F.sum("dist").cast("double") / F.count("*")).alias("mean_err"),
+    )
