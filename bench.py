@@ -178,6 +178,8 @@ HEADLINE = [
     "e_ivf_nprobe_curve",
     "e_centroid_shift",
     "t_char_entropy",
+    # round-8 (sixth pass): per-subspace PQ quantization-error audit
+    "e_pq_distortion",
 ]
 
 

@@ -108,6 +108,7 @@ QUERIES = (
     "e_ivf_nprobe_curve",      # pinned lists; 3 probed scans + exact truth
     "e_centroid_shift",        # Lloyd's chain + k-row delta join
     "t_char_entropy",          # char census x2, window-shared partitioning
+    "e_pq_distortion",         # PQ training chain + 8-key error census
 )
 
 
