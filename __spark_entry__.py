@@ -600,6 +600,17 @@ _CERTIFIED_TAIL = (
     # same chunker and rebuild kernels) and the runtime
     # t_stream_chunk_dedup gate in the prefix.
     "t_chunk_dedup_rewrite",
+    # rotated out round 8 (seventh pass) for w_rolling_dau_wau (rolling
+    # 7-day distinct stickiness via the bounded-grid fan-out rewrite) and
+    # t_vocab_growth (Heaps'-law vocabulary curve — the Zipf audit's
+    # companion). Both rotated-out queries are r07-green and untouched
+    # this round (fingerprint-equal vs FINGERPRINTS_r07, guard-tested):
+    # the long-document Arrow chunk/rebuild kernels they certify are
+    # fingerprint-pinned and the chunking law still executes under an r08
+    # value hash every round inside the runtime t_stream_chunk_dedup
+    # prefix gate (which chunk-hashes each batch with the same operator).
+    "t_content_chunks_long",
+    "t_chunk_rewrite_long",
 )
 
 

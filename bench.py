@@ -180,6 +180,9 @@ HEADLINE = [
     "t_char_entropy",
     # round-8 (sixth pass): per-subspace PQ quantization-error audit
     "e_pq_distortion",
+    # round-8 (seventh pass): rolling stickiness, Heaps'-law vocab growth
+    "w_rolling_dau_wau",
+    "t_vocab_growth",
 ]
 
 

@@ -2793,3 +2793,70 @@ def w_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_sessions"), "path")
         .limit(_PATH_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLING DAU/WAU STICKINESS: per day, distinct daily actives over distinct
+# trailing-7-day actives — the engagement ratio every product dashboard
+# tracks. Rolling DISTINCT doesn't compose from daily partials (users
+# repeat across days), so the scalable rewrite FANS each (user, day) pair
+# OUT to the ≤7 trailing days it covers and counts distinct per day — the
+# bounded-grid analogue of the interval-overlap bucket rewrite (the
+# (user, day) table is tiny next to events: one groupBy collapses events
+# first, and the fan-out is a constant 7). Ratio = exact per-mille BIGINT.
+# Days with no trailing coverage beyond themselves still appear (wau >=
+# dau >= 1 by construction).
+# ---------------------------------------------------------------------------
+@query(
+    "w_rolling_dau_wau",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+      FROM {EV}
+    ),
+    days AS (SELECT DISTINCT day FROM ud),
+    fan AS (
+      SELECT u.user_id, d.day
+      FROM ud u JOIN days d
+        ON d.day >= u.day AND d.day <= u.day + INTERVAL 6 DAY
+    ),
+    wau AS (
+      SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM fan
+      GROUP BY day
+    ),
+    dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day
+    )
+    SELECT d.day, d.dau, w.wau,
+           CAST(d.dau * 1000 // w.wau AS BIGINT) AS stickiness_per_1k
+    FROM dau d JOIN wau w USING (day)
+    """,
+)
+def w_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    # fan each (user, day) out to the <=7 trailing days it covers, but only
+    # days that EXIST in the grid (oracle joins the day dimension; Spark
+    # explodes the sequence then semi-joins the broadcast day dimension —
+    # the calendar is bounded, always broadcastable)
+    days = ud.select("day").distinct()
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+    ).join(F.broadcast(days), "day", "left_semi")
+    wau = fan.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    dau = ud.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        F.expr("(dau * 1000) div wau").cast("long").alias("stickiness_per_1k"),
+    )

@@ -4323,3 +4323,82 @@ def t_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_per_char_milli"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# HEAPS'-LAW VOCABULARY GROWTH (the companion corpus-health audit to
+# t_zipf_fit): distinct vocabulary size at ten corpus-prefix checkpoints
+# (docs ordered by doc_id; boundary d_i = i*max_doc/10) — a healthy
+# natural corpus grows ~ N^beta, beta≈0.5; a flattening curve means the
+# tail is duplicated/boilerplate, a linear curve means synthetic noise.
+# Shape: ONE token exchange computes each token's first-occurrence doc
+# (min window — the same first-seen law as t_ngram_novelty, at token
+# granularity), then the cumulative count at each checkpoint is a fan-out
+# against the BROADCAST 10-row boundary table. Token totals per prefix
+# ride the same fan-out from the bounded (doc, n_tokens) table.
+# ---------------------------------------------------------------------------
+def _vocab_growth_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest({toks}) AS tok FROM documents),
+    firsts AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+               FROM tok GROUP BY tok),
+    mx AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+    bounds AS (
+      SELECT i AS decile, CAST(mx.max_doc * i // 10 AS BIGINT) AS bound
+      FROM (SELECT unnest(generate_series(1, 10)) AS i), mx
+    ),
+    vocab AS (
+      SELECT b.decile, b.bound, CAST(count(*) AS BIGINT) AS vocab_size
+      FROM bounds b JOIN firsts f ON f.first_doc <= b.bound
+      GROUP BY b.decile, b.bound
+    ),
+    dt AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n FROM documents),
+    toks_at AS (
+      SELECT b.decile, CAST(SUM(d.n) AS BIGINT) AS n_tokens
+      FROM bounds b JOIN dt d ON d.doc_id <= b.bound
+      GROUP BY b.decile
+    )
+    SELECT v.decile, v.bound, t.n_tokens, v.vocab_size,
+           CAST(v.vocab_size * 1000 // t.n_tokens AS BIGINT)
+             AS vocab_per_1k_tokens
+    FROM vocab v JOIN toks_at t USING (decile)
+    """
+
+
+@query("t_vocab_growth", _vocab_growth_oracle())
+def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    firsts = tok.groupBy("tok").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    mx = docs.agg(F.max("doc_id").alias("max_doc"))
+    bounds = (
+        spark.range(1, 11)
+        .select(F.col("id").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "decile",
+            F.expr("(max_doc * decile) div 10").cast("long").alias("bound"),
+        )
+    )
+    vocab = (
+        firsts.crossJoin(F.broadcast(bounds))
+        .filter(F.col("first_doc") <= F.col("bound"))
+        .groupBy("decile", "bound")
+        .agg(F.count("*").alias("vocab_size"))
+    )
+    dt = docs.select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n"))
+    toks_at = (
+        dt.crossJoin(F.broadcast(bounds))
+        .filter(F.col("doc_id") <= F.col("bound"))
+        .groupBy("decile")
+        .agg(F.sum("n").alias("n_tokens"))
+    )
+    return vocab.join(toks_at, "decile").select(
+        "decile",
+        "bound",
+        "n_tokens",
+        "vocab_size",
+        F.expr("(vocab_size * 1000) div n_tokens").cast("long").alias(
+            "vocab_per_1k_tokens"
+        ),
+    )

@@ -109,6 +109,8 @@ QUERIES = (
     "e_centroid_shift",        # Lloyd's chain + k-row delta join
     "t_char_entropy",          # char census x2, window-shared partitioning
     "e_pq_distortion",         # PQ training chain + 8-key error census
+    "w_rolling_dau_wau",       # bounded (user, day) grid + 7x fan-out
+    "t_vocab_growth",          # one token exchange + 10-row broadcast fan
 )
 
 
