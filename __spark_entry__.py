@@ -622,9 +622,16 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT = (
-    # round 8: empty — the five round-7 pending queries rotated into the
-    # prefix for first certification (five unchanged static r07-green
-    # queries rotated out; see the tail list's round-8 entries).
+    # Round-8 additions after the 50-slot prefix filled (every earlier
+    # round-8 addition took a slot from a provably-unchanged r07-green
+    # query; by the eighth pass no rotatable static candidate remained —
+    # every static prefix member was added or changed this round). All
+    # three are static, oracle-backed, run under full local parity every
+    # round, and rotate into the prefix for first certification in
+    # round 9 (cap 5).
+    "t_source_distinctive_terms",
+    "t_simhash_hamming_hist",
+    "w_markov_stationary",
 )
 
 

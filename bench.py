@@ -183,6 +183,11 @@ HEADLINE = [
     # round-8 (seventh pass): rolling stickiness, Heaps'-law vocab growth
     "w_rolling_dau_wau",
     "t_vocab_growth",
+    # round-8 (eighth pass, pending first cert): distinctive vocabulary,
+    # SimHash threshold calibration, Markov stationary distribution
+    "t_source_distinctive_terms",
+    "t_simhash_hamming_hist",
+    "w_markov_stationary",
 ]
 
 

@@ -2860,3 +2860,92 @@ def w_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.expr("(dau * 1000) div wau").cast("long").alias("stickiness_per_1k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MARKOV STATIONARY DISTRIBUTION (unrolled power iteration over the
+# journey transition matrix): where user sessions SETTLE — the long-run
+# occupancy of each event type under the empirical chain, the summary a
+# funnel owner reads next to the raw transition matrix. Arithmetic is
+# FIXED-POINT INTEGER throughout (the stats-family discipline): the mass
+# vector starts at 1e6/K per type and each step distributes v(i)·n(i,j)
+# div rowtotal(i) — floor division, bit-identical cross-engine, no IEEE
+# accumulation anywhere (mass bleeds ≤K per step to flooring; after 10
+# steps ≤ 50 ppm, documented). Shape: the transition matrix is ONE
+# corpus exchange (the w_event_transitions law) into a ≤K² bounded table
+# (persisted — ten iterations re-read it); every iteration is a join of
+# two BOUNDED tables (K and K² rows) — zero corpus work after the first
+# exchange, the e_pca_top2 pattern on the journey matrix.
+# ---------------------------------------------------------------------------
+_MARKOV_ITERS = 10
+
+
+def _markov_oracle() -> str:
+    ctes = [
+        f"""seq AS MATERIALIZED (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM {EV})""",
+        """m AS MATERIALIZED (
+      SELECT prev_type AS cur, event_type AS nxt, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS BIGINT) AS rt
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type)""",
+        f"""types AS MATERIALIZED (
+      SELECT DISTINCT event_type FROM {EV})""",
+        """v0 AS MATERIALIZED (
+      SELECT event_type,
+             CAST(1000000 // (SELECT COUNT(*) FROM types) AS BIGINT) AS v
+      FROM types)""",
+    ]
+    for t in range(1, _MARKOV_ITERS + 1):
+        ctes.append(
+            f"""vu{t} AS MATERIALIZED (
+      SELECT m.nxt AS event_type, CAST(SUM((v.v * m.n) // m.rt) AS BIGINT) AS v
+      FROM m JOIN v{t - 1} v ON v.event_type = m.cur GROUP BY m.nxt)"""
+        )
+        ctes.append(
+            f"""v{t} AS MATERIALIZED (
+      SELECT t.event_type, COALESCE(u.v, 0) AS v
+      FROM types t LEFT JOIN vu{t} u USING (event_type))"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\n    SELECT event_type, CAST(v AS BIGINT) AS stationary_per_1m"
+        f"\n    FROM v{_MARKOV_ITERS}"
+    )
+
+
+@query("w_markov_stationary", _markov_oracle())
+def w_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    wt = Window.partitionBy("cur")
+    m = (
+        seq.groupBy(
+            F.col("prev_type").alias("cur"),
+            F.col("event_type").alias("nxt"),
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("rt", F.sum("n").over(wt))
+        .persist()  # <= K^2 rows; ten iterations re-read it
+    )
+    types = ev.select("event_type").distinct().persist()  # K rows
+    kk = types.agg(F.count("*").alias("k"))
+    v = types.crossJoin(F.broadcast(kk)).select(
+        "event_type", F.expr("1000000 div k").cast("long").alias("v")
+    )
+    for _ in range(_MARKOV_ITERS):
+        vu = (
+            m.join(v.withColumnRenamed("event_type", "cur"), "cur")
+            .groupBy(F.col("nxt").alias("event_type"))
+            .agg(F.sum(F.expr("(v * n) div rt")).cast("long").alias("vu"))
+        )
+        v = types.join(vu, "event_type", "left").select(
+            "event_type", F.coalesce(F.col("vu"), F.lit(0)).cast("long").alias("v")
+        )
+    return v.select("event_type", F.col("v").alias("stationary_per_1m"))

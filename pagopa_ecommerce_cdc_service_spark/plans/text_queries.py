@@ -4402,3 +4402,139 @@ def t_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_per_1k_tokens"
         ),
     )
+
+# ---------------------------------------------------------------------------
+# DISTINCTIVE VOCABULARY PER SOURCE (domain-signature audit): for every
+# source, the tokens most over-represented vs the whole corpus — exact
+# integer lift comparison (tf_s·N_total vs tf_total·N_s, cross-multiplied;
+# per-mille lift by floor division), min support 5, top 10 per source by
+# (lift DESC, token). The signal a mixture-planning pipeline reads to
+# verify each domain actually contributes distinct text. Shape: one token
+# explode → (source, token) census (map-side combined) → token-total and
+# source-total joins on bounded keys → per-source rank window over the
+# support-filtered set.
+# ---------------------------------------------------------------------------
+_DISTINCT_MIN_TF = 5
+_DISTINCT_TOP = 10
+
+
+def _distinctive_oracle() -> str:
+    toks = TOKENS_SQL.format(c="text")
+    return f"""
+    WITH tok AS (
+      SELECT source, unnest({toks}) AS tok FROM documents
+    ),
+    st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS tf_s
+           FROM tok GROUP BY 1, 2),
+    tt AS (SELECT tok, CAST(SUM(tf_s) AS BIGINT) AS tf_total FROM st GROUP BY tok),
+    ns AS (SELECT source, CAST(SUM(tf_s) AS BIGINT) AS n_s FROM st GROUP BY source),
+    nt AS (SELECT CAST(SUM(tf_s) AS BIGINT) AS n_total FROM st),
+    scored AS (
+      SELECT s.source, s.tok, s.tf_s,
+             CAST(s.tf_s * nt.n_total * 1000 // (t.tf_total * n.n_s) AS BIGINT)
+               AS lift_per_1k
+      FROM st s JOIN tt t USING (tok) JOIN ns n USING (source) CROSS JOIN nt
+      WHERE s.tf_s >= {_DISTINCT_MIN_TF}
+    )
+    SELECT source, tok, tf_s, lift_per_1k, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY lift_per_1k DESC, tok) AS rk
+      FROM scored
+    ) WHERE rk <= {_DISTINCT_TOP}
+    """
+
+
+@query("t_source_distinctive_terms", _distinctive_oracle())
+def t_source_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("source", "text")
+    tok = docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+    st = tok.groupBy("source", "tok").agg(F.count("*").alias("tf_s"))
+    tt = st.groupBy("tok").agg(F.sum("tf_s").alias("tf_total"))
+    ns = st.groupBy("source").agg(F.sum("tf_s").alias("n_s"))
+    nt = st.agg(F.sum("tf_s").alias("n_total"))
+    scored = (
+        st.filter(F.col("tf_s") >= _DISTINCT_MIN_TF)
+        .join(tt, "tok")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "source",
+            "tok",
+            "tf_s",
+            F.expr("(tf_s * n_total * 1000) div (tf_total * n_s)")
+            .cast("long")
+            .alias("lift_per_1k"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift_per_1k"), "tok")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _DISTINCT_TOP)
+        .select("source", "tok", "tf_s", "lift_per_1k", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SIMHASH HAMMING HISTOGRAM (dedup-threshold calibration): the distribution
+# of Hamming distances over ALL pigeonhole-banded candidate pairs — the
+# evidence behind t_simhash_pairs' ≤6 cutoff (a healthy corpus shows a
+# near-dup mode, a valley, and the random-pair mode near 30 of 60 bits;
+# the cutoff belongs in the valley). Same banded candidate join as the
+# pair query, with the threshold REMOVED and a 61-bin census instead of
+# pair output — calibration never materializes beyond the bins.
+# ---------------------------------------------------------------------------
+@query(
+    "t_simhash_hamming_hist",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {simhash_sql("text")} AS h FROM documents
+    ),
+    chunks AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, h, {c} AS chunk_idx, (h >> {c * _CHUNK_BITS}) & {(1 << _CHUNK_BITS) - 1} AS ckey FROM sh"
+        for c in range(_N_CHUNKS)
+      )}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.h, b.h)) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.ckey = b.ckey
+       AND a.doc_id < b.doc_id
+    )
+    SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY hamming
+    """,
+)
+def t_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = simhash_docs(spread(read(spark, sf_dir, "documents"), spark))
+    mask = (1 << _CHUNK_BITS) - 1
+    chunks = d.select(
+        "doc_id",
+        "h",
+        F.posexplode(
+            F.array(*[
+                F.shiftright("h", c * _CHUNK_BITS).bitwiseAND(F.lit(mask))
+                for c in range(_N_CHUNKS)
+            ])
+        ).alias("chunk_idx", "ckey"),
+    )
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.ckey") == F.col("b.ckey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming60(F.col("a.h"), F.col("b.h")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))

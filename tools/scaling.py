@@ -111,6 +111,9 @@ QUERIES = (
     "e_pq_distortion",         # PQ training chain + 8-key error census
     "w_rolling_dau_wau",       # bounded (user, day) grid + 7x fan-out
     "t_vocab_growth",          # one token exchange + 10-row broadcast fan
+    "t_source_distinctive_terms",  # token census + bounded-key lift joins
+    "t_simhash_hamming_hist",  # banded candidate join -> 61-bin census
+    "w_markov_stationary",     # 1 corpus exchange + 10 bounded-table joins
 )
 
 
