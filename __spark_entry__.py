@@ -632,6 +632,8 @@ _PENDING_FIRST_CERT = (
     "t_source_distinctive_terms",
     "t_simhash_hamming_hist",
     "w_markov_stationary",
+    "w_hourly_seasonality",
+    "e_norm_histogram",
 )
 
 

@@ -188,6 +188,8 @@ HEADLINE = [
     "t_source_distinctive_terms",
     "t_simhash_hamming_hist",
     "w_markov_stationary",
+    "w_hourly_seasonality",
+    "e_norm_histogram",
 ]
 
 

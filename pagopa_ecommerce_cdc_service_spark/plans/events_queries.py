@@ -2949,3 +2949,48 @@ def w_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.coalesce(F.col("vu"), F.lit(0)).cast("long").alias("v")
         )
     return v.select("event_type", F.col("v").alias("stationary_per_1m"))
+
+
+# ---------------------------------------------------------------------------
+# HOURLY SEASONALITY PROFILE: the day-of-week × hour-of-day activity grid
+# with exact per-mille share of the week — the load-shape evidence behind
+# capacity planning and anomaly baselines (w_anomaly_days flags days;
+# this is the within-week rhythm those flags are judged against).
+# Bounded 168-cell output; one corpus scan with map-side combine; the
+# week total rides a broadcast one-row crossJoin. ISO day numbering
+# pinned via dayofweek/isodow parity (both engines: Monday = 1).
+# ---------------------------------------------------------------------------
+@query(
+    "w_hourly_seasonality",
+    f"""
+    WITH g AS (
+      SELECT CAST(isodow(ts) AS BIGINT) AS dow,
+             CAST(hour(ts) AS BIGINT) AS hod,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+      FROM {EV} GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+    SELECT dow, hod, n_events, n_users,
+           CAST(n_events * 1000 // tot.total AS BIGINT) AS share_per_1k
+    FROM g CROSS JOIN tot
+    """,
+)
+def w_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    g = ev.groupBy(
+        # Spark dayofweek: Sunday=1 .. Saturday=7; ISO wants Monday=1..Sunday=7
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").alias("dow"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    tot = g.agg(F.sum("n_events").alias("total"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hod",
+        "n_events",
+        "n_users",
+        F.expr("(n_events * 1000) div total").cast("long").alias("share_per_1k"),
+    )

@@ -2915,3 +2915,42 @@ def e_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("dist").cast("long").alias("max_err"),
         (F.sum("dist").cast("double") / F.count("*")).alias("mean_err"),
     )
+
+# ---------------------------------------------------------------------------
+# EMBEDDING NORM HISTOGRAM (ingestion-health audit): the distribution of
+# squared L2 norms over floor-log2 buckets — an embedding table that is
+# supposed to be L2-normalized shows ONE bucket; stragglers reveal an
+# unnormalized ingestion batch or a broken projection head before cosine
+# quality quietly degrades (the companion to e_dim_variance's per-
+# coordinate view). Exact integer norms over quantized vectors; bucket =
+# length(bin(norm²))−1; bounded ≤64-bucket census in one scan.
+# ---------------------------------------------------------------------------
+@query(
+    "e_norm_histogram",
+    f"""
+    WITH n AS (
+      SELECT vec_id, {dist2_sql(_QV, "list_transform(" + _QV + ", x -> 0)")}
+               AS norm_sq
+      FROM embeddings
+    )
+    SELECT CAST(length(bin(CAST(norm_sq AS BIGINT))) - 1 AS BIGINT)
+             AS log2_bucket,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(MIN(norm_sq) AS BIGINT) AS min_norm_sq,
+           CAST(MAX(norm_sq) AS BIGINT) AS max_norm_sq
+    FROM n WHERE norm_sq > 0 GROUP BY 1
+    """,
+)
+def e_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        quantize(F.col("embedding")).alias("qv")
+    )
+    norm = dot(F.col("qv"), F.col("qv"))
+    n = emb.select(norm.alias("norm_sq")).filter(F.col("norm_sq") > 0)
+    return n.groupBy(
+        (F.length(F.bin(F.col("norm_sq"))) - 1).cast("long").alias("log2_bucket")
+    ).agg(
+        F.count("*").alias("n_vectors"),
+        F.min("norm_sq").cast("long").alias("min_norm_sq"),
+        F.max("norm_sq").cast("long").alias("max_norm_sq"),
+    )

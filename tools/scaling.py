@@ -114,6 +114,8 @@ QUERIES = (
     "t_source_distinctive_terms",  # token census + bounded-key lift joins
     "t_simhash_hamming_hist",  # banded candidate join -> 61-bin census
     "w_markov_stationary",     # 1 corpus exchange + 10 bounded-table joins
+    "w_hourly_seasonality",    # 168-cell grid, one scan
+    "e_norm_histogram",        # <=64-bucket census, one scan
 )
 
 
