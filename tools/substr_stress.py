@@ -56,5 +56,5 @@ for n in (5_000, 50_000):
         best = min(best or 9e9, time.time() - t0)
     spans = exact_substr_spans(docs, w=8)
     agg = spans.agg(F.count("*").alias("n_spans"), F.sum("span_tokens").alias("dup_tokens")).collect()[0]
-    print(f"n_docs={n} tokens={n*280} wall={round(best,2)}s spans={agg.n_spans} dup_tokens={agg.dup_tokens}")
+    print(f"n_docs={n} tokens={n*200} wall={round(best,2)}s spans={agg.n_spans} dup_tokens={agg.dup_tokens}")
 spark.stop()
