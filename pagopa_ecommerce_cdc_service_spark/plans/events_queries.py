@@ -2940,12 +2940,15 @@ def w_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.expr("1000000 div k").cast("long").alias("v")
     )
     for _ in range(_MARKOV_ITERS):
+        # the mass vector is K rows: broadcast it into the matrix join and
+        # broadcast the update into the type re-attach — every iteration is
+        # broadcast-only (an SMJ here would sort both tiny sides 10 times)
         vu = (
-            m.join(v.withColumnRenamed("event_type", "cur"), "cur")
+            m.join(F.broadcast(v.withColumnRenamed("event_type", "cur")), "cur")
             .groupBy(F.col("nxt").alias("event_type"))
             .agg(F.sum(F.expr("(v * n) div rt")).cast("long").alias("vu"))
         )
-        v = types.join(vu, "event_type", "left").select(
+        v = types.join(F.broadcast(vu), "event_type", "left").select(
             "event_type", F.coalesce(F.col("vu"), F.lit(0)).cast("long").alias("v")
         )
     return v.select("event_type", F.col("v").alias("stationary_per_1m"))

@@ -847,3 +847,37 @@ def test_session_paths_take_ordered_census(spark, sf_dir, queries):
     # sessionization window + (user, session) agg + path census: the agg
     # reuses the window's user partitioning, so at most two exchanges
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_markov_iterations_on_bounded_tables(spark, sf_dir, queries):
+    """Markov stationary: the transition matrix is pinned (ten iterations
+    re-read it) and every iteration joins bounded tables — the corpus is
+    scanned only into the matrix/type tables, never per iteration."""
+    plan = _plan(queries["w_markov_stationary"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, "matrix/types not pinned"
+    # corpus scans: matrix build + type census only (cache substitution
+    # collapses re-reads; the plan text nests each cached child once)
+    assert "SortMergeJoin" not in plan
+
+
+def test_distinctive_terms_bounded_rank(spark, sf_dir, queries):
+    plan = _plan(queries["t_source_distinctive_terms"](spark, sf_dir))
+    # totals broadcast; the only window partitions by source (bounded)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_hamming_hist_shares_pair_shape(spark, sf_dir, queries):
+    """The calibration histogram must not cost more than the pair query:
+    same banded self-join, a census instead of pair output."""
+    hist = _plan(queries["t_simhash_hamming_hist"](spark, sf_dir))
+    pairs = _plan(queries["t_simhash_pairs"](spark, sf_dir))
+    assert hist.count("Exchange hashpartitioning") <= pairs.count(
+        "Exchange hashpartitioning"
+    ) + 1  # + the 61-bin census exchange
+
+
+def test_seasonality_and_norm_hist_single_scan(spark, sf_dir, queries):
+    for name in ("w_hourly_seasonality", "e_norm_histogram"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert plan.count("FileScan parquet") <= 2, name  # grid + 1-row total
+        assert "SortMergeJoin" not in plan, name
