@@ -926,3 +926,140 @@ SELECT media_a, media_b, CAST(n_frames AS BIGINT) AS n_frames, n_match,
        CAST(n_match AS DOUBLE) / n_frames AS sim
 FROM v WHERE n_match >= n_frames - 1
 """
+
+
+# ---------------------------------------------------------------------------
+# STREAMING twin of the AUDIO near-dup (PRE-BUILT for round 9 — not yet
+# registered: runtime queries must hold a certification-prefix slot, and
+# round 8's prefix is fully committed; the restart-equality pytest pins it
+# until the gate slot opens). Same band-store dedup-on-ingest shape as
+# mm_stream_image_near_dup, applied to frame-energy signatures: per batch,
+# decode WAV frames (Arrow), build per-media signature rows, append bands
+# + signatures FIRST (within-batch pairs), probe the band store on exact
+# (n, band_idx, band_key) matches, verify candidates frame-by-frame
+# against the signature store (at-most-one-differing-frame verdict — the
+# ratio-threshold trap documented at the batch query), append pairs.
+# media_id % 3 slicing puts a base (2d) and its twin (2d+1) in different
+# batches, and the run restarts mid-stream on one checkpoint. After the
+# drain the pairs must equal the batch mm_audio_near_dup exactly.
+# ---------------------------------------------------------------------------
+def mm_stream_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import audio_frame_energy, synthesize_wav_media_twins
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = spread(read(spark, sf_dir, "documents"), spark, min_parts=8)
+    media = synthesize_wav_media_twins(docs).persist()
+    workdir = gate_workdir("stream-auddup-gate-")
+    src = f"{workdir}/src"
+    try:
+        for i in range(3):
+            write_staged_file(
+                media.filter(F.col("media_id") % 3 == i),
+                f"{src}/part{i}.parquet",
+                mtime=1000.0 * (i + 1),
+            )
+    finally:
+        media.unpersist()
+
+    bands_dir = f"{workdir}/bands"
+    sigs_dir = f"{workdir}/sigs"
+    pairs_dir = f"{workdir}/pairs"
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        s = batch_df.sparkSession
+        frames = audio_frame_energy(batch_df)
+        sig = (
+            frames.groupBy("media_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_idx", "energy"))),
+                    lambda x: x["energy"],
+                ).alias("sig")
+            )
+            .withColumn("n", F.size("sig"))
+            .withColumn("half", F.ceil(F.col("n") / 2).cast("int"))
+        ).persist()
+        # every consumer of the pinned subtree sits inside the try (the
+        # round-7 ADVICE leak class)
+        try:
+            bands = _pigeonhole_bands(sig, ["n"]).select(
+                "media_id", "n", "band_idx", "band_key"
+            )
+            bands.write.mode("append").parquet(bands_dir)
+            sig.select("media_id", "n", "sig").write.mode("append").parquet(
+                sigs_dir
+            )
+            store = s.read.parquet(bands_dir)
+            cand = (
+                bands.alias("a")
+                .join(
+                    store.alias("b"),
+                    (F.col("a.n") == F.col("b.n"))
+                    & (F.col("a.band_idx") == F.col("b.band_idx"))
+                    & (F.col("a.band_key") == F.col("b.band_key"))
+                    & (F.col("a.media_id") != F.col("b.media_id")),
+                )
+                .select(
+                    F.least("a.media_id", "b.media_id").alias("media_a"),
+                    F.greatest("a.media_id", "b.media_id").alias("media_b"),
+                )
+                .distinct()
+            )
+            sigs = s.read.parquet(sigs_dir)
+            x = sigs.select(
+                F.col("media_id").alias("media_a"),
+                F.col("sig").alias("sa"),
+                F.col("n").alias("n_frames"),
+            )
+            y = sigs.select(
+                F.col("media_id").alias("media_b"), F.col("sig").alias("sb")
+            )
+            n_match = F.size(
+                F.filter(F.zip_with("sa", "sb", lambda p, q: p == q), lambda m: m)
+            )
+            (
+                cand.join(x, "media_a")
+                .join(y, "media_b")
+                .withColumn("n_match", n_match.cast("long"))
+                .withColumn("sim", F.col("n_match") / F.col("n_frames"))
+                .filter(F.col("n_match") >= F.col("n_frames") - 1)
+                .select(
+                    "media_a",
+                    "media_b",
+                    F.col("n_frames").cast("long").alias("n_frames"),
+                    "n_match",
+                    "sim",
+                )
+                .write.mode("append")
+                .parquet(pairs_dir)
+            )
+        finally:
+            sig.unpersist()
+
+    def run_incarnation(n_files: int) -> None:
+        q = (
+            spark.readStream.schema("media_id bigint, payload binary")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "mm_stream_audio_near_dup: availableNow run did not "
+                f"complete in 240s ({n_files} files)"
+            )
+
+    import os as _os
+
+    third = f"{src}/part2.parquet"
+    staged_third = f"{workdir}/part2.staged"
+    _os.rename(third, staged_third)
+    run_incarnation(2)
+    _os.rename(staged_third, third)
+    _os.utime(third, (3000.0, 3000.0))
+    run_incarnation(3)
+    return spark.read.parquet(pairs_dir).distinct()

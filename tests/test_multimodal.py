@@ -294,3 +294,25 @@ def test_audio_near_dup_recovers_every_twin_pair(spark):
     for d in doc_ids:
         key = (2 * d, 2 * d + 1)
         assert key in pairs, f"twin pair for doc {d} missed"
+
+
+def test_stream_audio_near_dup_equals_batch_across_restart(spark):
+    """Round-9 pre-build: the streaming audio near-dup twin (band-store
+    dedup-on-ingest, two incarnations on one checkpoint) must equal the
+    batch pigeonhole query exactly — including the cross-batch twin pairs
+    the media_id % 3 slicing forces across the restart boundary."""
+    from pagopa_ecommerce_cdc_service_spark.plans.multimodal_queries import (
+        mm_audio_near_dup,
+        mm_stream_audio_near_dup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.media_a, r.media_b, r.n_frames, r.n_match)
+        for r in mm_stream_audio_near_dup(spark, sf).collect()
+    }
+    expect = {
+        (r.media_a, r.media_b, r.n_frames, r.n_match)
+        for r in mm_audio_near_dup(spark, sf).collect()
+    }
+    assert got == expect and expect, "stream twin diverged from batch"
