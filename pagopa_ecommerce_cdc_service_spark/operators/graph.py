@@ -233,3 +233,56 @@ def label_propagation(
     return labels.select(
         F.col("u").alias("node"), F.col("lbl").alias("community")
     )
+
+
+def density_clusters(edges: DataFrame, min_pts: int = 2,
+                     src: str = "src", dst: str = "dst") -> DataFrame:
+    """DBSCAN-style density clustering over a NEAR-DUP graph (PRE-BUILT for
+    round 9): the edge list plays the role of the eps-neighborhood
+    relation (candidate generation stays banded/blocked — the quadratic
+    eps-scan never happens), so the classic DBSCAN taxonomy falls out of
+    pure graph ops:
+
+    - CORE nodes have >= ``min_pts`` distinct neighbors;
+    - clusters = connected components of the CORE-CORE subgraph
+      (:func:`connected_components` — min-label, pointer-doubled);
+    - BORDER nodes are non-core neighbors of a core, attached to their
+      minimum adjacent core cluster (deterministic, order-free);
+    - everything else is noise (absent from the output — the caller
+      left-joins the corpus, absent => unclustered).
+
+    Returns (node, cluster_id, is_core). 100 TB: degree census and the
+    border attach are one exchange each on the edge list; the CC runs on
+    the (smaller) core-core subgraph only.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    ).distinct()
+    deg = sym.groupBy("u").agg(F.countDistinct("v").alias("deg"))
+    core = deg.filter(F.col("deg") >= min_pts).select(F.col("u").alias("node"))
+    cc_edges = (
+        sym.join(core.withColumnRenamed("node", "u"), "u", "left_semi")
+        .join(core.withColumnRenamed("node", "v"), "v", "left_semi")
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    comp = connected_components(cc_edges)  # (node, component) for cores w/ core nbrs
+    # a core with NO core neighbor is its own cluster
+    cores_labeled = (
+        core.join(comp, "node", "left")
+        .select("node", F.coalesce("component", "node").alias("cluster_id"))
+    )
+    border = (
+        sym.join(core.withColumnRenamed("node", "v"), "v", "left_semi")
+        .join(core.withColumnRenamed("node", "u"), "u", "left_anti")
+        .join(
+            cores_labeled.select(
+                F.col("node").alias("v"), F.col("cluster_id")
+            ),
+            "v",
+        )
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+    return cores_labeled.withColumn("is_core", F.lit(True)).unionByName(
+        border.withColumn("is_core", F.lit(False))
+    )

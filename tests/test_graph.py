@@ -166,3 +166,25 @@ def test_long_chain_converges_logarithmically(spark):
     df = spark.createDataFrame(chain, ["src", "dst"])
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {i: 1 for i in range(1, 302)}
+
+
+def test_density_clusters_taxonomy(spark):
+    """DBSCAN taxonomy on a hand graph (min_pts=2):
+    1-2-3 triangle (all core) + pendant 4 on 3 (border) + isolated edge
+    5-6 (both degree 1: noise) + star center 7 with leaves 8,9 (7 core,
+    8/9 border), 7's component is itself (no core neighbor)."""
+    from pagopa_ecommerce_cdc_service_spark.operators.graph import (
+        density_clusters,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (5, 6), (7, 8), (7, 9)],
+        "src long, dst long",
+    )
+    rows = {r.node: (r.cluster_id, r.is_core)
+            for r in density_clusters(edges, min_pts=2).collect()}
+    assert rows[1] == (1, True) and rows[2] == (1, True) and rows[3] == (1, True)
+    assert rows[4] == (1, False)          # border attaches to the triangle
+    assert 5 not in rows and 6 not in rows  # noise
+    assert rows[7] == (7, True)           # lone core = own cluster
+    assert rows[8] == (7, False) and rows[9] == (7, False)
