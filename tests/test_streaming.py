@@ -663,10 +663,13 @@ def test_view_state_ttl_wiring_executes_end_to_end(spark, tmp_path):
         spark, log_dir, view_dir, ckpt_dir, config=cfg, max_files_per_trigger=1
     )
     try:
-        # same budget as the availableNow gates' awaitTermination(240): the
-        # TTL query interleaves timer-evaluation batches with the two file
-        # batches, and under full-suite load 120 s has proven flaky
-        deadline = time.time() + 240
+        # the TTL query interleaves timer-evaluation batches with the two
+        # file batches; under full-suite load 120 s proved flaky in round 6
+        # and 240 s once in round 8 on a host measured 10-30% degraded
+        # (passed in isolation both times) — budget doubled again; the
+        # query is stopped the moment the keys converge, so the budget is
+        # a ceiling, not a wait
+        deadline = time.time() + 480
         while time.time() < deadline:
             try:
                 keys = {
