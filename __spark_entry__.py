@@ -611,6 +611,24 @@ _CERTIFIED_TAIL = (
     # prefix gate (which chunk-hashes each batch with the same operator).
     "t_content_chunks_long",
     "t_chunk_rewrite_long",
+    # rotated out round 9 (first pass) to admit the five round-8
+    # _PENDING_FIRST_CERT queries (t_source_distinctive_terms,
+    # t_simhash_hamming_hist, w_markov_stationary, w_hourly_seasonality,
+    # e_norm_histogram) into the prefix for their first hard certification.
+    # All five rotated-out queries were first-certified green in
+    # CORRECTNESS_r08.json and are untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r08, guard-tested): the exact-substr family keeps its
+    # most composite member t_exact_substr_keepone in the prefix (which
+    # composes the same span-detection kernel as _spans and the same
+    # rebuild kernel as _rewrite); the surprisal family keeps
+    # t_bigram_surprisal (which composes the unigram LM as its backoff);
+    # the Zipf/entropy quality signals keep t_vocab_growth and
+    # t_ngram_novelty certifying the shared tokenize→explode spine.
+    "t_exact_substr_spans",
+    "t_exact_substr_rewrite",
+    "t_unigram_surprisal",
+    "t_zipf_fit",
+    "t_char_entropy",
 )
 
 
@@ -621,19 +639,12 @@ _CERTIFIED_TAIL = (
 # for first certification next round. Explicitly surfaced here so the
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
-_PENDING_FIRST_CERT = (
-    # Round-8 additions after the 50-slot prefix filled (every earlier
-    # round-8 addition took a slot from a provably-unchanged r07-green
-    # query; by the eighth pass no rotatable static candidate remained —
-    # every static prefix member was added or changed this round). All
-    # three are static, oracle-backed, run under full local parity every
-    # round, and rotate into the prefix for first certification in
-    # round 9 (cap 5).
-    "t_source_distinctive_terms",
-    "t_simhash_hamming_hist",
-    "w_markov_stationary",
-    "w_hourly_seasonality",
-    "e_norm_histogram",
+_PENDING_FIRST_CERT: tuple[str, ...] = (
+    # Round 9: the five round-8 pending queries rotated INTO the prefix at
+    # round start (see the round-9 rotation block in _CERTIFIED_TAIL);
+    # queries added this round take prefix slots directly from
+    # provably-unchanged certified members, so nothing waits here unless
+    # the rotatable static budget runs out again.
 )
 
 

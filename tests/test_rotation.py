@@ -5,9 +5,9 @@ The driver gate certifies exactly the first 50 registered queries
 tail ONLY if it is provably unchanged since its last green gate row: its
 normalized analyzed-plan hash and oracle-SQL hash must be byte-identical to
 the committed snapshot of the code state that run certified
-(``FINGERPRINTS_r07.json`` as of round 8), and its last gate run (the merged
-r02/r03/r04/r05/r06/r07 history — latest row wins) must have recorded all
-three checks (rows + schema + hash) green.
+(``FINGERPRINTS_r08.json`` as of round 9), and its last gate run (the merged
+r02..r08 history — latest row wins) must have recorded all three checks
+(rows + schema + hash) green.
 
 If you edit any operator or plan a tail query depends on, this test fails —
 rotate that query back into the prefix (swapping out a provably-unchanged
@@ -25,16 +25,17 @@ import __spark_entry__ as entry_mod
 from tools.fingerprints import RUNTIME_QUERIES, _normalize, _sha
 
 REPO = Path(__file__).resolve().parent.parent
-SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r07.json").read_text())
-# a tail query's certifying row is its LATEST hard-gate run: r07 if the
-# round-7 prefix held it, else the most recent earlier round that did
-# (r06/r05/r04/r03/r02 — unchanged since, fingerprint-guarded below)
+SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r08.json").read_text())
+# a tail query's certifying row is its LATEST hard-gate run: r08 if the
+# round-8 prefix held it, else the most recent earlier round that did
+# (r07/r06/r05/r04/r03/r02 — unchanged since, fingerprint-guarded below)
 CERTIFIED = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r03.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r04.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r05.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r06.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r07.json").read_text()))
+CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r08.json").read_text()))
 
 
 def _order():
