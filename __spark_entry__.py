@@ -629,6 +629,20 @@ _CERTIFIED_TAIL = (
     "t_unigram_surprisal",
     "t_zipf_fit",
     "t_char_entropy",
+    # rotated out round 9 (second pass) to admit the two pre-built
+    # round-8 operators — mm_stream_audio_near_dup (runtime-pinned
+    # streaming twin of mm_audio_near_dup, restart-equality pytest green)
+    # and t_density_clusters (runtime-pinned DBSCAN taxonomy over the
+    # banded LSH pair graph) — into the prefix for first certification.
+    # Both rotated-out queries were first-certified green in
+    # CORRECTNESS_r08.json and are untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r08, guard-tested; text_queries.py changes this
+    # round are append-only new queries): the tokenize→explode spine they
+    # certify keeps t_bigram_surprisal and t_source_distinctive_terms in
+    # the prefix, and the chunking/novelty kernels keep the runtime
+    # t_stream_chunk_dedup gate.
+    "t_ngram_novelty",
+    "t_vocab_growth",
 )
 
 

@@ -190,6 +190,8 @@ HEADLINE = [
     "w_markov_stationary",
     "w_hourly_seasonality",
     "e_norm_histogram",
+    # round-9 additions: DBSCAN taxonomy over the banded LSH pair graph
+    "t_density_clusters",
 ]
 
 

@@ -1063,3 +1063,10 @@ def mm_stream_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     _os.utime(third, (3000.0, 3000.0))
     run_incarnation(3)
     return spark.read.parquet(pairs_dir).distinct()
+
+
+QUERIES["mm_stream_audio_near_dup"] = mm_stream_audio_near_dup
+
+# the streaming twin accumulates exactly the batch pipeline's pair set
+# (restart-equality law pinned by tests/test_multimodal.py)
+ORACLES["mm_stream_audio_near_dup"] = ORACLES["mm_audio_near_dup"]

@@ -4538,3 +4538,75 @@ def t_simhash_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pairs.groupBy("hamming").agg(F.count("*").alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN-style density clustering over the near-dup graph (round 9): the
+# LSH pair graph is the eps-neighborhood relation (candidate generation
+# stays banded — no quadratic eps-scan), so the classic core/border/noise
+# taxonomy falls out of pure graph ops (operators/graph.py:density_clusters).
+# Versus t_dup_clusters' plain connected components, density clustering
+# refuses to merge two dense duplicate groups that touch through a single
+# low-degree bridge document: the bridge is BORDER (degree < min_pts), so
+# it attaches to one cluster instead of fusing both. Oracle: degree census
+# + recursive CTE over the core-core subgraph + min-adjacent-core attach.
+# ---------------------------------------------------------------------------
+_DBSCAN_MIN_PTS = 2
+
+
+@query(
+    "t_density_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_PAIR_SQL}),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    deg AS (SELECT u, COUNT(DISTINCT v) AS deg FROM edges GROUP BY u),
+    core AS (SELECT u AS node FROM deg WHERE deg >= {_DBSCAN_MIN_PTS}),
+    cc_edges AS (
+      SELECT e.u AS src, e.v AS dst
+      FROM edges e
+      JOIN core a ON e.u = a.node
+      JOIN core b ON e.v = b.node
+    ),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM core
+      UNION
+      SELECT e.dst AS node, r.lbl
+      FROM reach r JOIN cc_edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node),
+    cores_labeled AS (
+      SELECT c.node, COALESCE(m.component, c.node) AS cluster_id
+      FROM core c LEFT JOIN comp m ON c.node = m.node
+    ),
+    border AS (
+      SELECT e.u AS node, MIN(cl.cluster_id) AS cluster_id
+      FROM edges e
+      JOIN core cv ON e.v = cv.node
+      LEFT JOIN core cu ON e.u = cu.node
+      JOIN cores_labeled cl ON cl.node = e.v
+      WHERE cu.node IS NULL
+      GROUP BY e.u
+    )
+    SELECT node AS doc_id, cluster_id, TRUE AS is_core FROM cores_labeled
+    UNION ALL
+    SELECT node AS doc_id, cluster_id, FALSE AS is_core FROM border
+    """,
+)
+def t_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup pairs → DBSCAN taxonomy (core clusters + border attach).
+
+    100 TB: the degree census and the border attach are one exchange each
+    on the banded pair graph; the iterative CC (pointer-doubled min-label,
+    O(log diameter) rounds) runs on the smaller core-core subgraph only.
+    Noise documents are absent — the caller left-joins the corpus, absent
+    => unclustered singleton."""
+    from ..operators.graph import density_clusters
+
+    pairs = t_minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    out = density_clusters(pairs, min_pts=_DBSCAN_MIN_PTS,
+                           src="doc_a", dst="doc_b")
+    return out.select(F.col("node").alias("doc_id"), "cluster_id", "is_core")

@@ -70,6 +70,8 @@ RUNTIME_QUERIES = {
     "q_zorder_box_scan",            # writes z-ordered layout at build
     "t_entity_golden_record",       # iterative min-label CC (convergence counts)
     "t_stream_stratified_sample",   # stages parquet, runs two quota-store incarnations
+    "mm_stream_audio_near_dup",     # stages media parquet, runs a two-incarnation band-store stream
+    "t_density_clusters",           # iterative min-label CC on the core-core subgraph
 }
 
 _NORMALIZERS = (
