@@ -643,6 +643,17 @@ _CERTIFIED_TAIL = (
     # t_stream_chunk_dedup gate.
     "t_ngram_novelty",
     "t_vocab_growth",
+    # rotated out round 9 (third pass) for cdc_field_lineage (per-field
+    # column lineage of the fold — which event wrote each view field,
+    # generalizing cdc_event_spans to the full 20-field write map).
+    # cdc_pit_status was first-certified green in CORRECTNESS_r08.json and
+    # is untouched this round (fingerprint-equal vs FINGERPRINTS_r08,
+    # guard-tested; cdc_view.py and cdc_fold.py changes this round are
+    # append-only): its interval machinery keeps the cdc_status_history
+    # fingerprint guard and the boundary-semantics unit pins
+    # (test_cdc_fold.py), and the fold itself keeps four runtime CDC
+    # prefix gates.
+    "cdc_pit_status",
 )
 
 

@@ -190,8 +190,10 @@ HEADLINE = [
     "w_markov_stationary",
     "w_hourly_seasonality",
     "e_norm_histogram",
-    # round-9 additions: DBSCAN taxonomy over the banded LSH pair graph
+    # round-9 additions: DBSCAN taxonomy over the banded LSH pair graph,
+    # per-field CDC column lineage
     "t_density_clusters",
+    "cdc_field_lineage",
 ]
 
 

@@ -379,3 +379,131 @@ def status_at_events(prepared: DataFrame, key: str = "transactionId") -> DataFra
         "status_at",
         "version_at",
     )
+
+
+def _lineage_meta(guarded: bool) -> Column:
+    """Writer-metadata struct for one potential write: ordered by arrival
+    ``seq`` (max = last-arriving effective write, exactly the fold's
+    winner), carrying the writer event's identity."""
+    return F.struct(
+        F.col("seq").alias("_s"),
+        F.col("id").alias("event_id"),
+        F.col("eventCode").alias("event_code"),
+        F.col(_TS).alias("event_ts_millis"),
+        F.lit(guarded).alias("guarded"),
+    )
+
+
+def _field_lineage_op(view_field: str) -> Column:
+    """Chained CASE mirroring :func:`_field_op`, but the branch struct
+    carries the WRITER's identity instead of the written value — same
+    effectiveness conditions, so max() picks the event whose write
+    produced the field's final value."""
+    op = None
+    for code, w in writers_of(view_field):
+        cond = F.col("eventCode") == code
+        if w.cond_col is not None:
+            cond = cond & w.cond_col()
+        if w.guarded:
+            cond = cond & F.col(_APPLIED)
+        value = w.value_col()
+        if w.mode is WriteMode.SET_IF_NONNULL:
+            cond = cond & value.isNotNull()
+        branch = _lineage_meta(w.guarded)
+        op = F.when(cond, branch) if op is None else op.when(cond, branch)
+    assert op is not None, f"no writers for {view_field}"
+    return op
+
+
+def _status_lineage_op() -> Column:
+    """Writer metadata for the ``status`` field (mirrors
+    :func:`_status_op`: applied status-bearing events with a non-null
+    target status)."""
+    op = None
+    for code, spec in EVENT_SPECS.items():
+        if spec.status_col is None:
+            continue
+        value = spec.status_col()
+        cond = (F.col("eventCode") == code) & F.col(_APPLIED) & value.isNotNull()
+        branch = _lineage_meta(True)
+        op = F.when(cond, branch) if op is None else op.when(cond, branch)
+    assert op is not None
+    return op
+
+
+def fold_field_lineage(
+    prepared: DataFrame,
+    key: str = "transactionId",
+    seq: str = "seq",
+) -> DataFrame:
+    """Per-field column lineage of the CDC fold: for every view field,
+    WHICH event's write produced the field's final value.
+
+    Generalizes the per-event span projection (streaming/tracing.py) to the
+    full per-field write map of the reference's upsert service
+    (TransactionViewUpsertService.kt:308-659): each field's lineage row is
+    the last-arriving EFFECTIVE write of that field — unguarded writes
+    always effective, guarded writes only when the event applied under the
+    strict-newer guard (TransactionViewUpsertService.kt:134-149). Fields
+    nothing ever wrote for a transaction have no row (the view holds their
+    insert-time default NULL).
+
+    Output: one row per (transactionId, field) with the writer's event id,
+    event code, event-time millis, and whether the winning write was
+    guarded. ``status`` and ``lastProcessedEventAt`` are included as
+    fields; ``lastProcessedEventAt``'s writer is the last applied event
+    (applied event-times are strictly increasing in arrival order, so
+    last-arriving = max event-time — the fold's value).
+
+    Scale shape: identical to :func:`fold_transactions_view` — ONE
+    exchange on ``transactionId`` serves the id-dedup window, the guard
+    window and the final groupBy; per-field lineage folds are
+    partial-aggregable ``max(struct)``; the long format comes from a
+    post-aggregation explode over an O(#fields) array, no extra shuffle.
+    """
+    df = prepared
+    if seq != "seq":
+        df = df.withColumn("seq", F.col(seq))
+    df = df.repartition(key)
+
+    w_dedup = Window.partitionBy(key, "id").orderBy("seq")
+    df = (
+        df.withColumn("_rn_id", F.row_number().over(w_dedup))
+        .filter(F.col("_rn_id") == 1)
+        .drop("_rn_id")
+    )
+    w_prefix = (
+        Window.partitionBy(key)
+        .orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix_max = F.max(F.col(_TS)).over(w_prefix)
+    df = df.withColumn(_APPLIED, prefix_max.isNull() | (F.col(_TS) > prefix_max))
+
+    aggs: list[Column] = [F.max(_status_lineage_op()).alias("_lin_status")]
+    aggs.append(
+        F.max(F.when(F.col(_APPLIED), _lineage_meta(True))).alias("_lin_lpea")
+    )
+    for f_name in WRITTEN_VIEW_FIELDS:
+        aggs.append(F.max(_field_lineage_op(f_name)).alias(f"_lin_{f_name}"))
+    g = df.groupBy(F.col(key).alias("transactionId")).agg(*aggs)
+
+    entries = [
+        F.struct(F.lit("status").alias("field"), F.col("_lin_status").alias("w")),
+        F.struct(
+            F.lit("lastProcessedEventAt").alias("field"),
+            F.col("_lin_lpea").alias("w"),
+        ),
+    ] + [
+        F.struct(F.lit(f_name).alias("field"), F.col(f"_lin_{f_name}").alias("w"))
+        for f_name in WRITTEN_VIEW_FIELDS
+    ]
+    e = g.select("transactionId", F.explode(F.array(*entries)).alias("e"))
+    return e.filter(F.col("e.w").isNotNull()).select(
+        "transactionId",
+        F.col("e.field").alias("field"),
+        F.col("e.w.event_id").alias("event_id"),
+        F.col("e.w.event_code").alias("event_code"),
+        F.col("e.w.event_ts_millis").alias("event_ts_millis"),
+        F.col("e.w.guarded").alias("guarded"),
+    )

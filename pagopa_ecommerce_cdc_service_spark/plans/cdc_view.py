@@ -1298,3 +1298,109 @@ LEFT JOIN LATERAL (
 
 QUERIES["cdc_pit_status"] = cdc_pit_status
 ORACLES["cdc_pit_status"] = CDC_PIT_STATUS_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# Per-field column lineage of the CDC fold (round 9): for every view field,
+# which event's write produced the final value — the queryable form of the
+# reference's per-field write map (TransactionViewUpsertService.kt:308-659),
+# generalizing the per-event span projection (cdc_event_spans) to field
+# grain. Oracle: the fold CTEs (env/valid/guarded/applied_events) reused
+# verbatim + one grouped max(struct_pack) per field, long format via UNION.
+# ---------------------------------------------------------------------------
+def cdc_field_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc_fold import fold_field_lineage
+
+    env = synthesize_envelope(spark, sf_dir)
+    return fold_field_lineage(prepare_events(env))
+
+
+_FOLD_CTES = ORACLE_SQL.rsplit("\nSELECT\n", 1)[0]
+assert _FOLD_CTES.count("WITH env AS") == 1 and _FOLD_CTES.endswith(")")
+
+
+def _lin_select(field: str, branches: list[tuple[str, bool]]) -> str:
+    whens = "\n       ".join(
+        f"WHEN {cond} THEN struct_pack(s := seq, eid := 'ev-' || CAST(seq AS VARCHAR), "
+        f"c := code, t := ts_ms, g := {'TRUE' if g else 'FALSE'})"
+        for cond, g in branches
+    )
+    return (
+        f"  SELECT tx, '{field}' AS field,\n"
+        f"       (max(CASE {whens} END)) AS w\n"
+        f"  FROM applied_events GROUP BY tx"
+    )
+
+
+_CLOSED_FAMILY = (
+    "('TRANSACTION_CLOSED_EVENT','TRANSACTION_CLOSURE_SYNTHETIC_EVENT',"
+    "'TRANSACTION_CLOSURE_ERROR_EVENT','TRANSACTION_CLOSURE_RETRIED_EVENT')"
+)
+
+_LINEAGE_FIELDS: list[tuple[str, list[tuple[str, bool]]]] = [
+    ("status", [("applied AND status_val IS NOT NULL", True)]),
+    ("lastProcessedEventAt", [("applied", True)]),
+    ("email", [(_ACT, False)]),
+    ("paymentNotices", [(_ACT, False)]),
+    ("clientId", [(_ACT, False)]),
+    ("creationDate", [(_ACT, False)]),
+    ("userId", [(_ACT + " AND userId IS NOT NULL", False)]),
+    ("paymentGateway", [(_AUTHREQ, False)]),
+    ("paymentTypeCode", [(_AUTHREQ, False)]),
+    ("pspId", [(_AUTHREQ, False)]),
+    ("feeTotal", [(_AUTHREQ, False)]),
+    ("authorizationRequestId", [(_AUTHREQ, False)]),
+    ("authorizationCode", [(_AUTHCMP, False)]),
+    ("rrn", [(_AUTHCMP, False)]),
+    (
+        "gatewayAuthorizationStatus",
+        [(_AUTHCMP + " AND ga_kind IN ('NPG','REDIRECT')", False)],
+    ),
+    (
+        "endToEndId",
+        [(_AUTHCMP + " AND ga_kind = 'NPG' AND ga_e2e IS NOT NULL", False)],
+    ),
+    (
+        "authorizationErrorCode",
+        [(_AUTHCMP + " AND ga_kind IN ('NPG','REDIRECT')", False)],
+    ),
+    (
+        "sendPaymentResultOutcome",
+        [
+            ("code = 'TRANSACTION_USER_RECEIPT_REQUESTED_EVENT'", False),
+            (f"code IN {_CLOSED_FAMILY} AND applied", True),
+        ],
+    ),
+    (
+        "closureErrorData",
+        [
+            (
+                "code IN ('TRANSACTION_CLOSED_EVENT',"
+                "'TRANSACTION_CLOSURE_SYNTHETIC_EVENT')",
+                False,
+            ),
+            ("code = 'TRANSACTION_CLOSURE_ERROR_EVENT' AND applied", True),
+            (
+                "code = 'TRANSACTION_CLOSURE_RETRIED_EVENT' AND applied "
+                "AND closure_present",
+                True,
+            ),
+        ],
+    ),
+]
+
+CDC_FIELD_LINEAGE_ORACLE_SQL = (
+    _FOLD_CTES
+    + ",\nlin AS (\n"
+    + "\n  UNION ALL\n".join(_lin_select(f, br) for f, br in _LINEAGE_FIELDS)
+    + "\n)\n"
+    + """
+SELECT tx AS transactionId, field,
+       w.eid AS event_id, w.c AS event_code,
+       w.t AS event_ts_millis, w.g AS guarded
+FROM lin WHERE w IS NOT NULL
+"""
+)
+
+QUERIES["cdc_field_lineage"] = cdc_field_lineage
+ORACLES["cdc_field_lineage"] = CDC_FIELD_LINEAGE_ORACLE_SQL
