@@ -654,6 +654,14 @@ _CERTIFIED_TAIL = (
     # (test_cdc_fold.py), and the fold itself keeps four runtime CDC
     # prefix gates.
     "cdc_pit_status",
+    # rotated out round 9 (fourth pass) for t_chunk_keepone_rewrite (the
+    # quality-adjudicated keep-one chunk rewrite — keeper law composed
+    # with the shared length-hybrid rebuild). e_kcenter_coreset was
+    # first-certified green in CORRECTNESS_r08.json and is untouched this
+    # round (fingerprint-equal vs FINGERPRINTS_r08, guard-tested): the FPS
+    # chain keeps e_kcenter_assign in the prefix, which composes the SAME
+    # coreset construction and adds the assignment certificate.
+    "e_kcenter_coreset",
 )
 
 

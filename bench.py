@@ -194,6 +194,7 @@ HEADLINE = [
     # per-field CDC column lineage
     "t_density_clusters",
     "cdc_field_lineage",
+    "t_chunk_keepone_rewrite",
 ]
 
 

@@ -2735,12 +2735,6 @@ def _chunk_rewrite(docs: DataFrame) -> DataFrame:
     """(doc_id, text) → per-doc deduplicated text (the shipped artifact)."""
     from pyspark.sql import Window
 
-    from ..operators.text import (
-        CDC_LONG_DOC,
-        REWRITE_ROW_SCHEMA,
-        rebuild_long_doc_batches,
-    )
-
     c = _chunk_rows(docs).select(
         "doc_id", "chunk_idx", "chunk_len", "chunk_hash"
     )
@@ -2759,6 +2753,22 @@ def _chunk_rewrite(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
     ).persist()
+    return _rebuild_dropping(docs, drops)
+
+
+def _rebuild_dropping(docs: DataFrame, drops: DataFrame) -> DataFrame:
+    """Rebuild each document's text with the chunks in ``drops``
+    (one ``dropped_idx`` array per affected doc) removed — the shared
+    rebuild stage of every chunk-rewrite policy (cut-non-first,
+    quality-keeper keep-one). Length-hybrid: Catalyst in-row below
+    CDC_LONG_DOC, the Arrow kernel above (expressions identical to the
+    pre-split _chunk_rewrite — plan-fingerprint-neutral refactor)."""
+    from ..operators.text import (
+        CDC_LONG_DOC,
+        REWRITE_ROW_SCHEMA,
+        rebuild_long_doc_batches,
+    )
+
     base = (
         docs.select("doc_id", "text")
         .join(drops, "doc_id", "left")
@@ -4610,3 +4620,86 @@ def t_density_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = density_clusters(pairs, min_pts=_DBSCAN_MIN_PTS,
                            src="doc_a", dst="doc_b")
     return out.select(F.col("node").alias("doc_id"), "cluster_id", "is_core")
+
+
+# ---------------------------------------------------------------------------
+# quality-adjudicated KEEP-ONE chunk rewrite (round 9): composes the
+# keeper law of t_pair_quality_keeper with the chunk rewrite. Within each
+# duplicated (chunk_hash, chunk_len) group (dedup floor len >= 16), the
+# ONE surviving occurrence is the one in the highest-QUALITY document —
+# integer-exact key (distinct-token count desc, then char length desc,
+# then doc_id asc, then chunk_idx asc; a total deterministic order) —
+# instead of t_chunk_dedup_rewrite's global-first (min doc_id, chunk_idx)
+# occurrence. The artifact is the same: per-doc rebuilt text through the
+# shared length-hybrid rebuild (_rebuild_dropping).
+#
+# 100 TB shape: identical to the cut-non-first rewrite plus ONE narrow
+# doc-keyed join of the chunk rows against a 3-column quality table
+# (doc_id, nd, nc) — broadcastable when the corpus' quality table fits,
+# doc-keyed SMJ otherwise; the ranking window still exchanges once on
+# (chunk_hash, chunk_len); text still never crosses the wire before the
+# final doc⋈drops join.
+# ---------------------------------------------------------------------------
+@query(
+    "t_chunk_keepone_rewrite",
+    f"""
+    WITH c AS ({_content_chunks_oracle()}),
+    q AS (
+      SELECT doc_id,
+             CAST(len(list_distinct({TOKENS_SQL.format(c="text")})) AS BIGINT) AS nd,
+             CAST(len(text) AS BIGINT) AS nc
+      FROM documents
+    ),
+    r AS (
+      SELECT c.doc_id, c.chunk_idx, c.chunk_start, c.chunk_len,
+             NOT (c.chunk_len >= {_CHUNK_DEDUP_MIN_LEN}
+                  AND row_number() OVER (
+                        PARTITION BY c.chunk_hash, c.chunk_len
+                        ORDER BY q.nd DESC, q.nc DESC, c.doc_id, c.chunk_idx
+                      ) > 1) AS kept
+      FROM c JOIN q ON c.doc_id = q.doc_id
+    ),
+    g AS (
+      SELECT r.doc_id,
+             CAST(count(*) FILTER (WHERE r.kept) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(
+               CASE WHEN r.kept THEN substr(
+                 d.text,
+                 CAST(r.chunk_start AS INTEGER),
+                 CAST(r.chunk_len AS INTEGER)) END,
+               '' ORDER BY r.chunk_idx), '') AS rebuilt_text
+      FROM r JOIN documents d ON r.doc_id = d.doc_id
+      GROUP BY r.doc_id
+    )
+    SELECT doc_id, n_kept,
+           CAST(len(rebuilt_text) AS BIGINT) AS rebuilt_len,
+           rebuilt_text
+    FROM g
+    """,
+)
+def t_chunk_keepone_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    q = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(tokens(F.col("text")))).cast("long").alias("nd"),
+        F.length("text").cast("long").alias("nc"),
+    )
+    c = (
+        _chunk_rows(docs)
+        .select("doc_id", "chunk_idx", "chunk_len", "chunk_hash")
+        .join(q, "doc_id")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("chunk_hash", "chunk_len").orderBy(
+            F.col("nd").desc(), F.col("nc").desc(), "doc_id", "chunk_idx"
+        )
+    )
+    drops = (
+        c.withColumn("rn", rn)
+        .filter((F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN) & (F.col("rn") > 1))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
+    ).persist()
+    return _rebuild_dropping(docs, drops)
