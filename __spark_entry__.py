@@ -662,6 +662,19 @@ _CERTIFIED_TAIL = (
     # chain keeps e_kcenter_assign in the prefix, which composes the SAME
     # coreset construction and adds the assignment certificate.
     "e_kcenter_coreset",
+    # rotated out round 9 (fifth pass) for e_opq_topk (OPQ-style
+    # variance-balanced rotated PQ) and e_opq_distortion_delta (plain-vs-
+    # OPQ total quantization error in one query). Both rotated-out queries
+    # were first-certified green in CORRECTNESS_r08.json and are untouched
+    # this round (fingerprint-equal vs FINGERPRINTS_r08, guard-tested:
+    # pq_oracle_ctes gained a default-valued prefix parameter whose
+    # default emission is byte-identical — verified against the HEAD
+    # string — and vector_queries.py changes are append-only): the Lloyd's
+    # chain keeps e_silhouette + e_ivf_nprobe_curve in the prefix, and the
+    # PQ chain itself is re-certified THROUGH the two new OPQ queries,
+    # which compose pq_train/pq_oracle_ctes verbatim.
+    "e_rand_stability",
+    "e_centroid_shift",
 )
 
 

@@ -195,6 +195,8 @@ HEADLINE = [
     "t_density_clusters",
     "cdc_field_lineage",
     "t_chunk_keepone_rewrite",
+    "e_opq_topk",
+    "e_opq_distortion_delta",
 ]
 
 

@@ -284,26 +284,32 @@ def pq_train(subs: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS):
     return pq_assign(subs, cent), cent
 
 
-def pq_oracle_ctes(qv_sql: str, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
+def pq_oracle_ctes(
+    qv_sql: str, k: int = PQ_K, iters: int = PQ_ITERS, prefix: str = ""
+) -> str:
     """CTE chain mirroring pq_train over ``embeddings``: the caller reads
-    ``pq_codes`` (vec_id, sub, sq, cid, dist) and ``pq_cb`` (sub, cid, c)."""
+    ``{prefix}pq_codes`` (vec_id, sub, sq, cid, dist) and ``{prefix}pq_cb``
+    (sub, cid, c). ``prefix`` lets one query chain two independent PQ
+    trainings (plain vs OPQ-permuted) without CTE-name collisions — the
+    default keeps the emitted SQL byte-identical to the single-chain form."""
+    p = prefix
     seed_hash = md5_long_sql("'pq:' || CAST(vec_id AS VARCHAR)")
     sub_slices = " UNION ALL ".join(
         f"SELECT vec_id, {m} AS sub, "
         f"list_slice(q, {m * PQ_SUBDIM + 1}, {m * PQ_SUBDIM + PQ_SUBDIM}) AS sq "
-        f"FROM pq_emb"
+        f"FROM {p}pq_emb"
         for m in range(PQ_M)
     )
     d = lambda a, b: sq_dist_sql(a, b, PQ_SUBDIM)  # noqa: E731
     parts = [
-        f"pq_emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
-        f"pq_subs AS ({sub_slices})",
-        f"""pq_seeds AS (
+        f"{p}pq_emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
+        f"{p}pq_subs AS ({sub_slices})",
+        f"""{p}pq_seeds AS (
           SELECT sub, cid, sq AS c FROM (
             SELECT sub, vec_id, sq,
                    row_number() OVER (PARTITION BY sub ORDER BY {seed_hash}, vec_id)
                      AS cid
-            FROM pq_subs)
+            FROM {p}pq_subs)
           WHERE cid <= {k})""",
     ]
 
@@ -315,7 +321,7 @@ def pq_oracle_ctes(qv_sql: str, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
                    row_number() OVER (
                      PARTITION BY s.vec_id, s.sub
                      ORDER BY {d("s.sq", "c.c")}, c.cid) AS rn
-            FROM pq_subs s JOIN {cent} c USING (sub))
+            FROM {p}pq_subs s JOIN {cent} c USING (sub))
           WHERE rn = 1)"""
 
     def update(name: str, assigned: str) -> str:
@@ -329,11 +335,11 @@ def pq_oracle_ctes(qv_sql: str, k: int = PQ_K, iters: int = PQ_ITERS) -> str:
             GROUP BY sub, cid, pos)
           GROUP BY sub, cid)"""
 
-    cent = "pq_seeds"
+    cent = f"{p}pq_seeds"
     for i in range(iters):
-        parts.append(assign(f"pa{i}", cent))
-        parts.append(update(f"pc{i}", f"pa{i}"))
-        cent = f"pc{i}"
-    parts.append(assign("pq_codes", cent))
-    parts.append(f"pq_cb AS (SELECT sub, cid, c FROM {cent})")
+        parts.append(assign(f"{p}pa{i}", cent))
+        parts.append(update(f"{p}pc{i}", f"{p}pa{i}"))
+        cent = f"{p}pc{i}"
+    parts.append(assign(f"{p}pq_codes", cent))
+    parts.append(f"{p}pq_cb AS (SELECT sub, cid, c FROM {cent})")
     return ",\n".join(parts)

@@ -2954,3 +2954,205 @@ def e_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("norm_sq").cast("long").alias("min_norm_sq"),
         F.max("norm_sq").cast("long").alias("max_norm_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OPQ-style rotated PQ (round 9): PQ over a DATA-DEPENDENT orthogonal
+# transform. The learned-SVD OPQ rotation has no cross-engine-exact
+# form, but its parametric core — BALANCING information across subspaces
+# (eigenvalue allocation in the OPQ paper; variance-balanced dimension
+# allocation in practice, cf. FAISS's OPQ init) — is a data-dependent
+# PERMUTATION, which is an orthogonal matrix and integer-exact: rank the
+# 64 dimensions by corpus variance (exact int128 numerator
+# n·Σx² − (Σx)², ties by dim), then deal rank r to subspace r % PQ_M,
+# slot r // PQ_M — every subspace receives one dimension from each
+# variance octile instead of PQ's naive contiguous slices (which load
+# whole high-variance blocks into single subspaces and starve others).
+# The PQ training/search chain is reused VERBATIM on the permuted
+# vectors (pq_oracle_ctes prefix="o_"); the final rescore uses the
+# original vectors (cosine is permutation-invariant, so this is exact).
+#
+# 100 TB shape: the permutation adds ONE bounded 64-row statistics
+# aggregate (posexplode → per-dim partial sums, map-side combinable) and
+# a one-row broadcast of the 64-entry perm array; everything downstream
+# is the certified PQ chain unchanged. e_opq_distortion_delta quantifies
+# the win over plain PQ with both trainings in one query.
+# ---------------------------------------------------------------------------
+def _opq_perm_ctes() -> str:
+    from ..operators.clustering import PQ_M, PQ_SUBDIM
+    from ..operators.similarity import DIMS
+
+    h = "CAST(v AS HUGEINT)"
+    return f"""opq_qemb AS (SELECT vec_id, {_QV} AS q FROM embeddings),
+    opq_dimvals AS (
+      SELECT i.pos AS dim, q[i.pos] AS v
+      FROM opq_qemb, (SELECT unnest(generate_series(1, {DIMS})) AS pos) i
+    ),
+    opq_stats AS (
+      SELECT dim,
+             CAST(COUNT(*) AS HUGEINT) * SUM({h} * {h})
+               - SUM({h}) * SUM({h}) AS var_num
+      FROM opq_dimvals GROUP BY dim
+    ),
+    opq_ranked AS (
+      SELECT dim, row_number() OVER (ORDER BY var_num DESC, dim) - 1 AS r
+      FROM opq_stats
+    ),
+    opq_posmap AS (
+      SELECT dim, (r % {PQ_M}) * {PQ_SUBDIM} + (r // {PQ_M}) + 1 AS pos
+      FROM opq_ranked
+    ),
+    opq_perm AS (SELECT array_agg(dim ORDER BY pos) AS pa FROM opq_posmap)"""
+
+
+_OPQ_QV = f"list_select({_QV}, (SELECT pa FROM opq_perm))"
+
+
+def _opq_perm_df(full: DataFrame) -> DataFrame:
+    """One-row (pa: array<int>) permutation table from (vec_id, q) —
+    source dim (0-based) per target position, variance-balanced."""
+    from ..operators.clustering import PQ_M, PQ_SUBDIM
+
+    dv = full.select(F.posexplode("q").alias("dim0", "v"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    st = dv.groupBy("dim0").agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("v")).alias("s"),
+        dec(F.sum(F.col("v") * F.col("v"))).alias("ss"),
+    )
+    ranked = st.select(
+        "dim0", (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).alias("var_num")
+    )
+    w = Window.orderBy(F.col("var_num").desc(), F.col("dim0"))
+    pos = ranked.withColumn("r", F.row_number().over(w) - 1).select(
+        "dim0",
+        (
+            (F.col("r") % PQ_M) * PQ_SUBDIM + F.floor(F.col("r") / PQ_M)
+        ).alias("pos"),
+    )
+    return pos.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "dim0"))),
+            lambda x: x["dim0"],
+        ).alias("pa")
+    )
+
+
+def _opq_permuted(full: DataFrame) -> DataFrame:
+    """(vec_id, q) → (vec_id, q) with q variance-balance-permuted."""
+    perm = _opq_perm_df(full)
+    return full.crossJoin(F.broadcast(perm)).select(
+        "vec_id",
+        F.transform(
+            F.col("pa"), lambda d: F.element_at(F.col("q"), (d + 1).cast("int"))
+        ).alias("q"),
+    )
+
+
+def _opq_topk_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {_opq_perm_ctes()},
+    {pq_oracle_ctes(_OPQ_QV, prefix="o_")},
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM o_pq_subs s JOIN o_pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ), adc AS (
+      SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+      FROM o_pq_codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), cand AS (
+      SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {_PQ_CAND}
+    ), qq AS (
+      SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.vec_id, e.label, c.adc_q,
+           {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_PQ_OUT}
+    """
+
+
+@query("e_opq_topk", _opq_topk_oracle())
+def e_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    permuted = _opq_permuted(full.select("vec_id", "q"))
+    subs = pq_subvectors(permuted).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    )
+    cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    return (
+        full.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "adc_q",
+            cosine(F.col("q"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_PQ_OUT)
+    )
+
+
+def _opq_distortion_delta_oracle() -> str:
+    from ..operators.clustering import pq_oracle_ctes
+
+    return f"""
+    WITH {_opq_perm_ctes()},
+    {pq_oracle_ctes(_QV)},
+    {pq_oracle_ctes(_OPQ_QV, prefix="o_")}
+    SELECT
+      CAST((SELECT SUM(dist) FROM pq_codes) AS BIGINT) AS pq_wcss_q,
+      CAST((SELECT SUM(dist) FROM o_pq_codes) AS BIGINT) AS opq_wcss_q,
+      CAST((SELECT SUM(dist) FROM o_pq_codes) AS DOUBLE)
+        / (SELECT SUM(dist) FROM pq_codes) AS opq_over_pq
+    """
+
+
+@query("e_opq_distortion_delta", _opq_distortion_delta_oracle())
+def e_opq_distortion_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total PQ quantization error, plain vs variance-balance-permuted —
+    the audit quantifying what the OPQ-style transform buys (companion to
+    the per-subspace e_pq_distortion)."""
+    from ..operators.clustering import pq_subvectors, pq_train
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    par = spark.sparkContext.defaultParallelism
+    plain_subs = pq_subvectors(full).repartition(par, "vec_id", "sub")
+    opq_subs = pq_subvectors(_opq_permuted(full)).repartition(
+        par, "vec_id", "sub"
+    )
+    plain_codes, _ = pq_train(plain_subs)
+    opq_codes, _ = pq_train(opq_subs)
+    a = plain_codes.agg(F.sum("dist").cast("long").alias("pq_wcss_q"))
+    b = opq_codes.agg(F.sum("dist").cast("long").alias("opq_wcss_q"))
+    return a.crossJoin(b).select(
+        "pq_wcss_q",
+        "opq_wcss_q",
+        (F.col("opq_wcss_q").cast("double") / F.col("pq_wcss_q")).alias(
+            "opq_over_pq"
+        ),
+    )

@@ -158,3 +158,51 @@ def test_pq_codes_identical_under_any_partitioning(spark, sf_dir):
         return sorted((r.vec_id, r.sub, r.cid, r.dist) for r in rows)
 
     assert run(3) == run(8)
+
+
+def test_opq_perm_is_balanced_permutation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from pagopa_ecommerce_cdc_service_spark.operators.similarity import quantize
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _opq_perm_df,
+    )
+
+    full = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+    )
+    pa = _opq_perm_df(full).collect()[0]["pa"]
+    # a true permutation of 0..63
+    assert sorted(pa) == list(range(PQ_M * PQ_SUBDIM))
+    # balanced allocation: within every subspace, the slots hold one dim
+    # from each variance octile — i.e. slot j across subspaces covers
+    # ranks j*PQ_M..(j+1)*PQ_M-1. Verify via rank reconstruction: dim at
+    # target position p = (r % PQ_M) * PQ_SUBDIM + (r // PQ_M) has rank r.
+    rank_of = {}
+    for p, d in enumerate(pa):
+        sub, slot = divmod(p, PQ_SUBDIM)
+        rank_of[d] = slot * PQ_M + sub
+    assert sorted(rank_of.values()) == list(range(PQ_M * PQ_SUBDIM))
+    # variance ordering: rank 0's dim has the (weakly) largest variance
+    dv = full.select(F.posexplode("q").alias("dim0", "v"))
+    st = {
+        r["dim0"]: r["var_num"]
+        for r in dv.groupBy("dim0")
+        .agg(
+            (
+                F.count("*").cast("decimal(38,0)")
+                * F.sum(F.col("v") * F.col("v")).cast("decimal(38,0)")
+                - F.sum("v").cast("decimal(38,0)")
+                * F.sum("v").cast("decimal(38,0)")
+            ).alias("var_num")
+        )
+        .collect()
+    }
+    by_rank = sorted(rank_of, key=lambda d: rank_of[d])
+    vars_in_rank_order = [st[d] for d in by_rank]
+    assert vars_in_rank_order == sorted(vars_in_rank_order, reverse=True)
