@@ -675,6 +675,15 @@ _CERTIFIED_TAIL = (
     # which compose pq_train/pq_oracle_ctes verbatim.
     "e_rand_stability",
     "e_centroid_shift",
+    # rotated out round 9 (sixth pass) for e_semdedup_pair_recall_sampled
+    # (the anchor-sampled LINEAR-cost ground-truth mode of the pair-recall
+    # audit — the scale path the quadratic exact audit lacks). e_mmr_topk
+    # was first-certified green in CORRECTNESS_r08.json and is untouched
+    # this round (fingerprint-equal vs FINGERPRINTS_r08, guard-tested;
+    # vector_queries.py changes this round are append-only): the pinned
+    # top-16 pool machinery it certifies has no dependent among this
+    # round's changes.
+    "e_mmr_topk",
 )
 
 

@@ -197,6 +197,7 @@ HEADLINE = [
     "t_chunk_keepone_rewrite",
     "e_opq_topk",
     "e_opq_distortion_delta",
+    "e_semdedup_pair_recall_sampled",
 ]
 
 

@@ -3156,3 +3156,100 @@ def e_opq_distortion_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             "opq_over_pq"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# SAMPLED ground truth for the pair-recall audit (round 9): the full
+# e_semdedup_pair_recall's exact side is an all-pairs cross join —
+# correct as a 2k-vector audit, unusable at the sf1 decade (20k vectors →
+# 200M pair dots) and meaningless at 100 TB. This variant draws a
+# deterministic fixed-K ANCHOR sample (md5-rank order, the
+# t_near_dup_sample_pairs discipline — no rand()), computes the exact
+# above-threshold pair set restricted to pairs touching an anchor
+# (anchor × corpus — O(K·n), LINEAR in the corpus), and measures what
+# fraction the cluster-bucketed SemDeDup prune recovers on exactly that
+# restriction. Recall over anchor-incident pairs is an unbiased estimate
+# of pair recall (every true pair is equally likely to be sampled under
+# the hash order), and the audit now has a scale path: K stays fixed as
+# the corpus grows.
+# ---------------------------------------------------------------------------
+from ..functions.hashing import md5_long, md5_long_sql  # noqa: E402
+
+_RECALL_ANCHORS = 128
+
+
+@query(
+    "e_semdedup_pair_recall_sampled",
+    f"""
+    WITH approx AS ({_semdedup_oracle()}),
+    embn2 AS (SELECT vec_id, {_QV} AS q,
+                     {dot_sql(_QV, _QV)} AS n2
+              FROM embeddings),
+    anchors AS (
+      SELECT vec_id, q, n2 FROM embn2
+      ORDER BY {md5_long_sql("'ra:' || CAST(vec_id AS VARCHAR)")}, vec_id
+      LIMIT {_RECALL_ANCHORS}
+    ),
+    exact AS (
+      SELECT DISTINCT least(a.vec_id, e.vec_id) AS vec_a,
+                      greatest(a.vec_id, e.vec_id) AS vec_b
+      FROM anchors a JOIN embn2 e ON a.vec_id <> e.vec_id
+      WHERE CAST({dot_sql("a.q", "e.q")} AS DOUBLE)
+              / (sqrt(CAST(a.n2 AS DOUBLE)) * sqrt(CAST(e.n2 AS DOUBLE)))
+            >= {_SEMDEDUP_COS}
+    ),
+    found AS (
+      SELECT DISTINCT p.vec_a, p.vec_b
+      FROM approx p JOIN exact e
+        ON p.vec_a = e.vec_a AND p.vec_b = e.vec_b
+    )
+    SELECT (SELECT count(*) FROM exact) AS n_exact,
+           (SELECT count(*) FROM found) AS n_found,
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / (SELECT count(*) FROM exact) AS pair_recall
+    """,
+)
+def e_semdedup_pair_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+
+    embn = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .withColumn("n2", dot(F.col("q"), F.col("q")))
+    )
+    # TakeOrderedAndProject head, then broadcast into the anchor × corpus
+    # scan — the corpus side streams map-only, no exchange
+    anchors = (
+        embn.orderBy(
+            md5_long(F.concat(F.lit("ra:"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+        .limit(_RECALL_ANCHORS)
+        .select(
+            F.col("vec_id").alias("a_id"),
+            F.col("q").alias("qa"),
+            F.col("n2").alias("na"),
+        )
+    )
+    cos = dot(F.col("qa"), F.col("q")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("n2").cast("double"))
+    )
+    exact = (
+        embn.crossJoin(F.broadcast(anchors))
+        .filter(F.col("a_id") != F.col("vec_id"))
+        .filter(cos >= _SEMDEDUP_COS)
+        .select(
+            F.least("a_id", "vec_id").alias("vec_a"),
+            F.greatest("a_id", "vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    approx = e_semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    found = approx.join(exact, ["vec_a", "vec_b"]).distinct()
+    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    n_found = found.agg(F.count("*").alias("n_found"))
+    return n_exact.crossJoin(n_found).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_found").cast("double") / F.col("n_exact")).alias("pair_recall"),
+    )

@@ -116,6 +116,13 @@ QUERIES = (
     "w_markov_stationary",     # 1 corpus exchange + 10 bounded-table joins
     "w_hourly_seasonality",    # 168-cell grid, one scan
     "e_norm_histogram",        # <=64-bucket census, one scan
+    # round-9 additions
+    "t_density_clusters",      # degree census + CC on core-core subgraph
+    "cdc_field_lineage",       # single-exchange fold + per-field lineage maxes
+    "t_chunk_keepone_rewrite",  # quality join + ranking window + rebuild
+    "e_opq_topk",              # 64-row variance stats + permuted PQ chain
+    "e_opq_distortion_delta",  # two PQ trainings, one-row delta
+    "e_semdedup_pair_recall_sampled",  # anchor x corpus LINEAR ground truth
 )
 
 
