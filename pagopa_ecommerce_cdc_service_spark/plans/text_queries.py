@@ -4702,4 +4702,14 @@ def t_chunk_keepone_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
     ).persist()
+    # EAGER pin (one count — a single integer to the driver; this makes the
+    # query RUNTIME-classified, prefix-pinned): the rebuild's two
+    # length-routed branches each broadcast-join against drops, and the two
+    # broadcast builds launch concurrently — a LAZY persist lets them race
+    # and each re-compute the chunker + quality join + ranking window
+    # before the cache populates (measured 14s vs 6s warm at sf0.1; the
+    # cut-non-first rewrite's cheaper drop subtree tolerates the race, this
+    # one does not). The drop table is the artifact a real pipeline
+    # materializes anyway — one narrow row per affected doc.
+    drops.count()
     return _rebuild_dropping(docs, drops)

@@ -72,6 +72,7 @@ RUNTIME_QUERIES = {
     "t_stream_stratified_sample",   # stages parquet, runs two quota-store incarnations
     "mm_stream_audio_near_dup",     # stages media parquet, runs a two-incarnation band-store stream
     "t_density_clusters",           # iterative min-label CC on the core-core subgraph
+    "t_chunk_keepone_rewrite",      # eagerly materializes the drop table (one count)
 }
 
 _NORMALIZERS = (
