@@ -2997,3 +2997,93 @@ def w_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         F.expr("(n_events * 1000) div total").cast("long").alias("share_per_1k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over the daily ingest grid (round 9): the
+# drift monitor a training-data pipeline runs on per-type event volume. A
+# one-sided CUSUM with reference value k = per-type mean detects a
+# sustained mean SHIFT that the pointwise median/MAD audit
+# (w_anomaly_days) cannot see — MAD flags single outlier days, CUSUM
+# accumulates small persistent deviations. Integer-exact via the
+# telescoped form: S_t = P_t − min(0, min_{s≤t} P_s) where
+# P_t = n·prefix_t − t·total (the prefix sums scaled by n so the mean
+# subtraction stays integral; P is the running sum of n·x_i − total).
+# The recursive max(0, S_{t−1} + …) definition and this prefix-minus-
+# running-min form are identical by telescoping. Peak day = argmax S.
+# 100 TB shape: one (type, day) count aggregation over the corpus (the
+# only full-data pass, map-side combinable), then three windows on a
+# BOUNDED grid (days × types) — a second exchange of ~150 rows. Overflow
+# bound: |P| ≤ n_days · total_events < 2^63 for any realistic decade.
+# ---------------------------------------------------------------------------
+@query(
+    "w_cusum_changepoint",
+    f"""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM {EV}
+      GROUP BY event_type, date_trunc('day', ts)
+    ),
+    p AS (
+      SELECT event_type, day, cnt,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS d_idx
+      FROM daily
+    ),
+    s AS (
+      SELECT event_type, day, cnt,
+             n * prefix - d_idx * total AS pscaled
+      FROM p
+    ),
+    c AS (
+      SELECT event_type, day, cnt,
+             pscaled - LEAST(CAST(0 AS BIGINT),
+                             MIN(pscaled) OVER (PARTITION BY event_type
+                                                ORDER BY day
+                                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                                         AND CURRENT ROW))
+               AS cusum_num
+      FROM s
+    )
+    SELECT event_type, day, cnt, cusum_num,
+           cusum_num = MAX(cusum_num) OVER (PARTITION BY event_type) AS is_peak
+    FROM c
+    """,
+)
+def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").cast("long").alias("cnt"))
+    w_part = Window.partitionBy("event_type")
+    w_ord = w_part.orderBy("day")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.count("*").over(w_part).alias("n"),
+        F.sum("cnt").over(w_part).alias("total"),
+        F.sum("cnt").over(w_run).alias("prefix"),
+        F.row_number().over(w_ord).alias("d_idx"),
+    )
+    s = p.withColumn(
+        "pscaled", F.col("n") * F.col("prefix") - F.col("d_idx") * F.col("total")
+    )
+    c = s.withColumn(
+        "cusum_num",
+        F.col("pscaled")
+        - F.least(F.lit(0).cast("bigint"), F.min("pscaled").over(w_run)),
+    )
+    return c.select(
+        "event_type",
+        "day",
+        "cnt",
+        "cusum_num",
+        (F.col("cusum_num") == F.max("cusum_num").over(w_part)).alias("is_peak"),
+    )

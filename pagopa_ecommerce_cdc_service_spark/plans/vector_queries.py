@@ -3253,3 +3253,16 @@ def e_semdedup_pair_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         "n_found",
         (F.col("n_found").cast("double") / F.col("n_exact")).alias("pair_recall"),
     )
+
+
+# recall audit for the OPQ-permuted index: does variance balancing change
+# what the ADC ordering FINDS, not just the codebook distortion it
+# minimizes? Same machinery as every other recall row (exact single-query
+# ground truth — O(n), not the quadratic pair audit).
+@query("e_opq_recall", _recall_sql(_opq_topk_oracle(), 0, _PQ_OUT))
+def e_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_opq_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
+        _PQ_OUT,
+    )
