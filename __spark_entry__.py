@@ -684,6 +684,19 @@ _CERTIFIED_TAIL = (
     # top-16 pool machinery it certifies has no dependent among this
     # round's changes.
     "e_mmr_topk",
+    # rotated out round 9 (seventh pass) for w_cusum_changepoint (the
+    # integer-exact drift monitor — telescoped one-sided CUSUM over the
+    # bounded daily grid) and e_opq_recall (recall@10 of the OPQ-permuted
+    # index — the distortion delta's retrieval-quality companion). Both
+    # rotated-out queries were first-certified green in CORRECTNESS_r08
+    # and are untouched this round (fingerprint-equal vs FINGERPRINTS_r08,
+    # guard-tested; events_queries.py/vector_queries.py changes are
+    # append-only): the session machinery keeps w_stream_session_windows
+    # (runtime) + w_interval_overlap_join in the prefix, and the PQ error
+    # census is re-certified through e_opq_distortion_delta, which
+    # composes the same training chain on BOTH layouts.
+    "w_session_paths",
+    "e_pq_distortion",
 )
 
 

@@ -198,6 +198,8 @@ HEADLINE = [
     "e_opq_topk",
     "e_opq_distortion_delta",
     "e_semdedup_pair_recall_sampled",
+    "w_cusum_changepoint",
+    "e_opq_recall",
 ]
 
 

@@ -3037,17 +3037,17 @@ def w_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     s AS (
       SELECT event_type, day, cnt,
-             n * prefix - d_idx * total AS pscaled
+             CAST(n * prefix - d_idx * total AS BIGINT) AS pscaled
       FROM p
     ),
     c AS (
       SELECT event_type, day, cnt,
-             pscaled - LEAST(CAST(0 AS BIGINT),
+             CAST(pscaled - LEAST(CAST(0 AS BIGINT),
                              MIN(pscaled) OVER (PARTITION BY event_type
                                                 ORDER BY day
                                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                                          AND CURRENT ROW))
-               AS cusum_num
+               AS BIGINT) AS cusum_num
       FROM s
     )
     SELECT event_type, day, cnt, cusum_num,

@@ -158,3 +158,47 @@ def test_decay_cap_survives_wide_grids(spark, tmp_path):
     assert o[1] == 80
     assert int(o[2]) == int(row["decayed_num"])
     assert o[3] == row["decayed_score"]
+
+
+def test_cusum_telescoped_equals_recursive(spark):
+    # The query computes S_t = P_t - min(0, min_{s<=t} P_s) with
+    # P_t = n*prefix_t - t*total; the textbook recursive form is
+    # S_t = max(0, S_{t-1} + n*x_t - total). Verify equality (and peak
+    # placement) on a series with an injected level shift.
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from pagopa_ecommerce_cdc_service_spark.plans.events_queries import (
+        w_cusum_changepoint,
+    )
+
+    counts = [10, 11, 9, 10, 10, 30, 31, 29, 30, 30]  # shift at index 5
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + datetime.timedelta(days=d), 1, "shift", 0.0, None))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/events.parquet")
+        got = {
+            r["day"].day: (r["cusum_num"], r["is_peak"])
+            for r in w_cusum_changepoint(spark, tmp).collect()
+        }
+    n, total = len(counts), sum(counts)
+    s_rec, expect = 0, {}
+    for d, c in enumerate(counts):
+        s_rec = max(0, s_rec + n * c - total)
+        expect[d + 1] = s_rec
+    assert {d: v[0] for d, v in got.items()} == expect
+    # the peak lands at the END of the shifted regime (cumulative drift
+    # keeps growing after the changepoint under k = global mean)
+    peak_days = [d for d, v in got.items() if v[1]]
+    assert peak_days == [max(expect, key=expect.get)]
