@@ -405,23 +405,25 @@ def main() -> None:
             print(json.dumps({"query": name, "sf": sf_label, "sec": round(best, 3)}),
                   flush=True)
 
-    # skew study: the CDC fold on the skewed decade (3 hot transactionIds
+    # skew study: the CDC fold (and its lineage twin, which shares the
+    # single-exchange shape) on the skewed decade (3 hot transactionIds
     # holding ~10% of the log) vs the uniform decade timed above
-    name = "cdc_transactions_view"
-    if name not in selected:
-        print(json.dumps({"summary": results}), flush=True)
-        return
-    best = None
-    for _ in range(args.runs):
-        t0 = time.time()
-        qs[name](spark, f"{args.out}/skew").write.format("noop").mode(
-            "overwrite"
-        ).save()
-        dt = time.time() - t0
-        best = dt if best is None else min(best, dt)
-    results.setdefault(name, {})["sf1-skew"] = round(best, 3)
-    print(json.dumps({"query": name, "sf": "sf1-skew", "sec": round(best, 3)}),
-          flush=True)
+    for name in ("cdc_transactions_view", "cdc_field_lineage"):
+        if name not in selected:
+            continue
+        best = None
+        for _ in range(args.runs):
+            t0 = time.time()
+            qs[name](spark, f"{args.out}/skew").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        results.setdefault(name, {})["sf1-skew"] = round(best, 3)
+        print(
+            json.dumps({"query": name, "sf": "sf1-skew", "sec": round(best, 3)}),
+            flush=True,
+        )
     print(json.dumps({"summary": results}), flush=True)
 
 
