@@ -206,3 +206,39 @@ def test_opq_perm_is_balanced_permutation(spark, sf_dir):
     by_rank = sorted(rank_of, key=lambda d: rank_of[d])
     vars_in_rank_order = [st[d] for d in by_rank]
     assert vars_in_rank_order == sorted(vars_in_rank_order, reverse=True)
+
+
+def test_opq_wins_on_anisotropic_corpus(spark):
+    # The gate corpus is near-isotropic (delta ~0.3%), so prove the
+    # operator's point on an ANISOTROPIC synthetic: dims 0..7 carry all
+    # the variance (naive PQ loads them into ONE subspace and starves the
+    # other seven), dims 8..63 are near-constant. The variance-balanced
+    # permutation must spread the hot dims one-per-subspace and cut total
+    # quantization error by a wide margin.
+    from pyspark.sql import functions as F
+
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        pq_subvectors,
+        pq_train,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _opq_permuted,
+    )
+
+    n = 512
+    rows = []
+    for i in range(n):
+        v = [((i * (d + 3) * 2654435761) % 2001) - 1000 for d in range(8)]
+        v += [(d % 7) - 3 for d in range(8, 64)]  # near-constant tail
+        rows.append((i, v))
+    full = spark.createDataFrame(rows, "vec_id long, q array<bigint>")
+
+    def wcss(subs):
+        codes, _ = pq_train(subs)
+        return codes.agg(F.sum("dist")).collect()[0][0]
+
+    plain = wcss(pq_subvectors(full))
+    opq = wcss(pq_subvectors(_opq_permuted(full)))
+    # every hot dim lands in its own subspace: each codebook then models
+    # ONE high-variance coordinate instead of one codebook modeling eight
+    assert opq < 0.55 * plain, (opq, plain)

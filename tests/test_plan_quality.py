@@ -881,3 +881,33 @@ def test_seasonality_and_norm_hist_single_scan(spark, sf_dir, queries):
         plan = _plan(queries[name](spark, sf_dir))
         assert plan.count("FileScan parquet") <= 2, name  # grid + 1-row total
         assert "SortMergeJoin" not in plan, name
+
+
+def test_cusum_bounded_grid_windows(spark, sf_dir, queries):
+    """The only full-data pass is the (type, day) count aggregation; the
+    three CUSUM windows run on the bounded grid — 2 hash exchanges total,
+    no joins."""
+    plan = _plan(queries["w_cusum_changepoint"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2, plan[:1200]
+    assert "Join" not in plan
+
+
+def test_sampled_recall_gt_is_anchor_broadcast(spark, sf_dir, queries):
+    """The sampled audit's ground truth must be the LINEAR anchor x corpus
+    scan: anchors via TakeOrderedAndProject (md5-rank head, no global
+    sort), broadcast into the corpus pass — never a corpus x corpus
+    product."""
+    plan = _plan(queries["e_semdedup_pair_recall_sampled"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # broadcast(anchors) crossJoin
+    assert "CartesianProduct" not in plan
+
+
+def test_opq_no_cartesian_and_pinned_pq_shape(spark, sf_dir, queries):
+    """The OPQ permutation must ride broadcasts (64-row stats, one-row
+    perm array); the PQ chain underneath keeps its broadcast-LUT search
+    (no corpus x corpus product anywhere)."""
+    for name in ("e_opq_topk", "e_opq_distortion_delta"):
+        plan = _plan(queries[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" in plan, name
