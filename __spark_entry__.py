@@ -697,6 +697,21 @@ _CERTIFIED_TAIL = (
     # composes the same training chain on BOTH layouts.
     "w_session_paths",
     "e_pq_distortion",
+    # rotated out round 9 (eighth pass) for q_cube_revenue (the full
+    # grouping-sets lattice with GROUPING flags), e_bq_topk and
+    # e_bq_recall (sign-bit binary quantization — the 1-bit extreme of
+    # the quantization family, two-word Hamming first stage + exact
+    # rescore). All three rotated-out queries were first-certified green
+    # in CORRECTNESS_r08.json and are untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r08, guard-tested; tpch.py /
+    # vector_queries.py / events_queries.py changes are append-only):
+    # t_stratified_sample's quota law still executes under a fresh value
+    # hash every round inside the runtime t_stream_stratified_sample
+    # prefix gate; the decay and interval machinery have no dependents
+    # among this round's changes.
+    "w_decayed_counts",
+    "w_interval_overlap_join",
+    "t_stratified_sample",
 )
 
 

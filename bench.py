@@ -200,6 +200,9 @@ HEADLINE = [
     "e_semdedup_pair_recall_sampled",
     "w_cusum_changepoint",
     "e_opq_recall",
+    "q_cube_revenue",
+    "e_bq_topk",
+    "e_bq_recall",
 ]
 
 

@@ -1092,3 +1092,53 @@ def q_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         money_sum(dec("o_totalprice", 14, 2), "sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cube: revenue over ALL subsets of (region, returnflag) — the full
+# grouping-sets lattice (2^2 sets in one pass; Spark expands the lattice
+# map-side and aggregates once, no per-set rescan). GROUPING() flags
+# distinguish the subtotal rows from genuine NULL keys cross-engine.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cube_revenue",
+    f"""
+    SELECT COALESCE(r_name, 'ALL') AS region_name,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           CAST(GROUPING(r_name) AS BIGINT) AS g_region,
+           CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                  JOIN nation   ON s_nationkey = n_nationkey
+                  JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, l_returnflag)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read(spark, sf_dir, "lineitem")
+    supp = read(spark, sf_dir, "supplier")
+    nation = read(spark, sf_dir, "nation")
+    region = read(spark, sf_dir, "region")
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        j.cube("r_name", "l_returnflag")
+        .agg(
+            F.grouping("r_name").cast("long").alias("g_region"),
+            F.grouping("l_returnflag").cast("long").alias("g_flag"),
+            money_sum(disc_price(), "revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            "g_region",
+            "g_flag",
+            "revenue",
+            "n_lineitems",
+        )
+    )

@@ -3266,3 +3266,115 @@ def e_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
         _PQ_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# BINARY quantization (sign-bit) ANN (round 9): the 1-bit-per-dimension
+# layout vector stores ship for first-stage retrieval — 64 dims pack into
+# two 32-bit words (lo/hi BIGINTs; a single 64-bit word would set the
+# sign bit), candidates rank by Hamming distance (bit_count of XOR, pure
+# integer, identical two's-complement semantics in both engines), exact
+# cosine rescores the fixed candidate set. The extreme point of the
+# quantization family already in the suite (SQ8 = 8 bits/dim, PQ ≈ 4
+# bits/subvector, BQ = 1 bit/dim): an 8-byte code per vector, so the
+# first-stage scan reads 64x less than SQ8 and 512x less than floats.
+# ---------------------------------------------------------------------------
+_BQ_CAND = 40
+_BQ_K = 10
+
+
+def _bq_words(vec):
+    # unrolled 32-way codegen'd sums (the simhash 60-way-SUM style) —
+    # shiftleft needs a literal bit count, so the loop stays in Python
+    def word(bits):
+        terms = [
+            F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << (i - bits[0])).cast("long")).otherwise(F.lit(0).cast("long"))
+            for i in bits
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    return word(range(0, 32)), word(range(32, 64))
+
+
+def _bq_words_sql(vec: str) -> tuple[str, str]:
+    lo = (
+        f"CAST(list_sum(list_transform(range(0, 32), i -> "
+        f"CASE WHEN ({vec})[i + 1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)"
+    )
+    hi = (
+        f"CAST(list_sum(list_transform(range(32, 64), i -> "
+        f"CASE WHEN ({vec})[i + 1] > 0 THEN 1 << (i - 32) ELSE 0 END)) AS BIGINT)"
+    )
+    return lo, hi
+
+
+def _bq_oracle() -> str:
+    lo, hi = _bq_words_sql("embedding")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, label, {lo} AS lo, {hi} AS hi, {_QV} AS qvec
+      FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi, qvec AS qv FROM b WHERE vec_id = 0),
+    cand AS (
+      SELECT b.vec_id, b.label, b.qvec,
+             CAST(bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi))
+               AS BIGINT) AS hamming
+      FROM b, q WHERE b.vec_id <> 0
+      ORDER BY hamming, b.vec_id LIMIT {_BQ_CAND}
+    )
+    SELECT c.vec_id, c.label, c.hamming,
+           {cosine_sql("c.qvec", "q.qv")} AS cos_sim
+    FROM cand c, q
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_BQ_K}
+    """
+
+
+@query("e_bq_topk", _bq_oracle())
+def e_bq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark)
+    lo, hi = _bq_words(F.col("embedding"))
+    b = emb.select(
+        "vec_id",
+        "label",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        quantize(F.col("embedding")).alias("qvec"),
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi"), F.col("qvec").alias("qv")
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("long")
+    cand = (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "qvec", ham.alias("hamming"))
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(_BQ_CAND)
+    )
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "hamming",
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_BQ_K)
+    )
+
+
+@query("e_bq_recall", _recall_sql(_bq_oracle(), 0, _BQ_K))
+def e_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_bq_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _BQ_K),
+        _BQ_K,
+    )
