@@ -123,6 +123,12 @@ QUERIES = (
     "e_opq_topk",              # 64-row variance stats + permuted PQ chain
     "e_opq_distortion_delta",  # two PQ trainings, one-row delta
     "e_semdedup_pair_recall_sampled",  # anchor x corpus LINEAR ground truth
+    # round-9 (second/third passes)
+    "w_cusum_changepoint",     # one count agg + three bounded-grid windows
+    "e_opq_recall",            # permuted PQ chain + exact single-query GT
+    "q_cube_revenue",          # 4-set grouping lattice, one pass
+    "e_bq_topk",               # 2-word sign-bit codes, 64x less scan than SQ8
+    "e_bq_recall",             # BQ chain + exact single-query GT
 )
 
 
