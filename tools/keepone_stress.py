@@ -52,4 +52,51 @@ for n in (5_000, 50_000):
         f"cutall_kept={c.kept} (expect {expect_cutall}, "
         f"match={c.kept == expect_cutall})"
     )
+
+# ---------------------------------------------------------------------------
+# chunk-level keep-one accounting at volume (round 9): on the real corpus
+# at sf0.1 and the 10x decade replica, verify the EXACT mass identity
+#   sum(rebuilt_len) == total_chars - sum(droppable_chars from stats)
+# for BOTH rewrite policies (they drop the same (n_occ-1)*len mass per
+# duplicated group; only the survivors differ), and time the keep-one
+# plan. Run AFTER tools/scaling.py has built /tmp/spark_graft_sf1.
+# ---------------------------------------------------------------------------
+import os
+
+from pagopa_ecommerce_cdc_service_spark.plans.text_queries import QUERIES as _TQ
+
+for sf_dir in ("/root/testdata/sf0.1", "/tmp/spark_graft_sf1"):
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        print(f"chunk-keepone: {sf_dir} absent, skipped")
+        continue
+    total = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.sum(F.length("text")))
+        .collect()[0][0]
+    )
+    droppable = (
+        _TQ["t_chunk_dedup_stats"](spark, sf_dir)
+        .agg(F.sum("droppable_chars"))
+        .collect()[0][0]
+        or 0
+    )
+    t0 = time.time()
+    keepone = (
+        _TQ["t_chunk_keepone_rewrite"](spark, sf_dir)
+        .agg(F.sum("rebuilt_len"))
+        .collect()[0][0]
+    )
+    wall = time.time() - t0
+    cutall = (
+        _TQ["t_chunk_dedup_rewrite"](spark, sf_dir)
+        .agg(F.sum("rebuilt_len"))
+        .collect()[0][0]
+    )
+    expect = total - droppable
+    print(
+        f"chunk-keepone {sf_dir}: total={total} droppable={droppable} "
+        f"keepone_kept={keepone} (match={keepone == expect}) "
+        f"cutall_kept={cutall} (match={cutall == expect}) wall={round(wall, 2)}s"
+    )
+
 spark.stop()
