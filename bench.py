@@ -203,6 +203,7 @@ HEADLINE = [
     "q_cube_revenue",
     "e_bq_topk",
     "e_bq_recall",
+    "w_stream_cusum",
 ]
 
 

@@ -3060,6 +3060,12 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("day")
     ).agg(F.count("*").cast("long").alias("cnt"))
+    return _cusum_flags(daily)
+
+
+def _cusum_flags(daily: DataFrame) -> DataFrame:
+    """Bounded-grid CUSUM post-processing shared by the batch query and
+    its streaming twin (the _anomaly_flags pattern)."""
     w_part = Window.partitionBy("event_type")
     w_ord = w_part.orderBy("day")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -3087,3 +3093,62 @@ def w_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum_num",
         (F.col("cusum_num") == F.max("cusum_num").over(w_part)).alias("is_peak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the CUSUM drift monitor (round 9): the (type, day)
+# count grid accretes as a streaming aggregation across ordered
+# micro-batches (mergeable-summary law — partial counts merge under any
+# batch split, exactly the w_stream_anomaly_days shape), then the SAME
+# bounded-grid CUSUM post-processing (_cusum_flags) runs on the drained
+# grid; final table ≡ the batch oracle. The monitor as it deploys:
+# counts accrete on the stream, the drift statistic recomputes on the
+# tiny grid each evaluation.
+# ---------------------------------------------------------------------------
+def w_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events")
+    src_rows = ev.select("event_id", "event_type", "ts")
+
+    workdir = gate_workdir("stream-cusum-gate-")
+    src = f"{workdir}/src"
+    now = _time.time()
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 0), f"{src}/half0.parquet", now - 20
+    )
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 1), f"{src}/half1.parquet", now - 10
+    )
+
+    name = f"scu_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_id bigint, event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_cusum: availableNow run did not complete in 240s"
+        )
+    grid_dir = f"{workdir}/grid"
+    spark.table(name).write.mode("overwrite").parquet(grid_dir)
+    return _cusum_flags(spark.read.parquet(grid_dir))
+
+
+QUERIES["w_stream_cusum"] = w_stream_cusum
+ORACLES["w_stream_cusum"] = ORACLES["w_cusum_changepoint"]

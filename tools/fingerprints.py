@@ -73,6 +73,7 @@ RUNTIME_QUERIES = {
     "mm_stream_audio_near_dup",     # stages media parquet, runs a two-incarnation band-store stream
     "t_density_clusters",           # iterative min-label CC on the core-core subgraph
     "t_chunk_keepone_rewrite",      # eagerly materializes the drop table (one count)
+    "w_stream_cusum",               # stages parquet, runs a streaming count grid
 }
 
 _NORMALIZERS = (
