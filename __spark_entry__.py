@@ -722,6 +722,16 @@ _CERTIFIED_TAIL = (
     # recall-row machinery is re-certified through e_opq_recall and
     # e_bq_recall in this prefix.
     "e_ivf_nprobe_curve",
+    # rotated out round 9 (tenth pass) for t_wminhash_pairs (rarity-
+    # weighted Jaccard near-dup via integer df-bucket shingle replication
+    # — the classical reduction reusing the certified MinHash/band
+    # machinery verbatim, exact weighted-Jaccard verification).
+    # w_rolling_dau_wau was first-certified green in CORRECTNESS_r08.json
+    # and is untouched this round (fingerprint-equal vs FINGERPRINTS_r08,
+    # guard-tested; events_queries.py changes this round are append-only):
+    # the bounded-grid fan-out rewrite it certifies has no dependent among
+    # this round's changes.
+    "w_rolling_dau_wau",
 )
 
 

@@ -204,6 +204,7 @@ HEADLINE = [
     "e_bq_topk",
     "e_bq_recall",
     "w_stream_cusum",
+    "t_wminhash_pairs",
 ]
 
 

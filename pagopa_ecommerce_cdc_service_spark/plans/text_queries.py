@@ -4713,3 +4713,200 @@ def t_chunk_keepone_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materializes anyway — one narrow row per affected doc.
     drops.count()
     return _rebuild_dropping(docs, drops)
+
+
+# ---------------------------------------------------------------------------
+# WEIGHTED MinHash near-dup (round 9): rarity-weighted Jaccard via integer
+# df-bucket shingle REPLICATION — the classical reduction (weighted Jaccard
+# with integer weights == plain Jaccard over the multiset with each element
+# replicated weight-many times), so the certified MinHash/band machinery is
+# reused VERBATIM on the replicated sets. Weight of a shingle is its corpus
+# rarity bucket w = clamp(floor_log2(n_docs / df), 1, 4): boilerplate
+# shingles shared by most documents count once, rare (distinctive) shingles
+# count up to 4x — the production tweak that stops template boilerplate
+# from dominating similarity. Candidates come from the SAME r=8, b=2
+# banding; verification is the EXACT weighted Jaccard
+# Σ_{h∈A∩B} w(h) / Σ_{h∈A∪B} w(h) over integer weight sums.
+#
+# 100 TB shape: one extra (shingle → df) aggregation and one narrow join
+# vs the unweighted LSH query; replication multiplies shingle rows by ≤4;
+# banding still bounds candidates — never all-pairs; verification joins
+# only candidate pairs back to (doc, shingle, w) rows.
+# ---------------------------------------------------------------------------
+_WMH_MAX_W = 4
+_WMH_THRESH = 0.8
+# replica hashing is ARITHMETIC, not md5-of-string: rh = (h·A + j·B) mod M31
+# — a bijection of h per replica index j (j < 4), so replicas behave as
+# distinct set elements under the minhash permutations, at multiply-add
+# cost instead of ~15M string md5s at sf0.1 (measured 2x on the rep stage)
+_WMH_REP_A = 2654435761
+_WMH_REP_B = 1779033703
+from ..operators.text import MERSENNE31 as _M31  # noqa: E402
+
+
+@query(
+    "t_wminhash_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    sh AS (SELECT doc_id, unnest(sh) AS h FROM docs),
+    dfreq AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY h),
+    shw AS (
+      SELECT s.doc_id, s.h,
+             LEAST({_WMH_MAX_W},
+                   GREATEST(1, CAST(length(bin(n.n_docs // d.df)) - 1 AS BIGINT)))
+               AS w
+      FROM sh s JOIN dfreq d USING (h), n
+    ),
+    rep AS (
+      SELECT doc_id,
+             (h * {_WMH_REP_A} + j * {_WMH_REP_B}) % {_M31} AS rh
+      FROM (SELECT doc_id, h, w, unnest(range(CAST(w AS INTEGER))) AS j FROM shw)
+    ),
+    sigs AS (
+      SELECT doc_id, {minhash_signature_sql("list(rh)", _K)} AS sig
+      FROM rep GROUP BY doc_id
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_key_sql('sig', b, _R)} AS bkey FROM sigs"
+        for b in range(_B)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    wsum AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS tw FROM shw GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(SUM(a.w) AS BIGINT) AS iw
+      FROM cand c
+      JOIN shw a ON a.doc_id = c.doc_a
+      JOIN shw b ON b.doc_id = c.doc_b AND b.h = a.h
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.iw AS inter_w,
+           wa.tw + wb.tw - i.iw AS union_w,
+           CAST(i.iw AS DOUBLE) / (wa.tw + wb.tw - i.iw) AS wjaccard
+    FROM inter i JOIN wsum wa ON wa.doc_id = i.doc_a
+                 JOIN wsum wb ON wb.doc_id = i.doc_b
+    WHERE CAST(i.iw AS DOUBLE) / (wa.tw + wb.tw - i.iw) >= {_WMH_THRESH}
+    """,
+)
+def t_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", shingle_hashes31(F.col("text")).alias("sh")
+    )
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    sh = docs.select("doc_id", F.explode("sh").alias("h"))
+    dfreq = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    # scale shape: w < MAX requires df > n/2^MAX, and the count of such
+    # high-df (boilerplate) shingles is bounded by 2^MAX * avg shingles
+    # per doc — CORPUS-SIZE-INDEPENDENT — so the weight lookup is a
+    # BROADCAST left join against that small table (default weight MAX),
+    # not a second full h-keyed exchange of every shingle row. The df
+    # census itself is one partial-aggregated exchange. The oracle keeps
+    # the plain formulation (identical w values).
+    hi = (
+        dfreq.crossJoin(F.broadcast(n))
+        .filter(
+            F.col("df") * F.lit(1 << _WMH_MAX_W).cast("long") > F.col("n_docs")
+        )
+        .select("h", "df")
+    )
+    shw = (
+        sh.join(F.broadcast(hi), "h", "left")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "w",
+            F.when(F.col("df").isNull(), F.lit(_WMH_MAX_W).cast("long")).otherwise(
+                F.least(
+                    F.lit(_WMH_MAX_W).cast("long"),
+                    F.greatest(
+                        F.lit(1).cast("long"),
+                        (
+                            F.length(F.bin(F.floor(F.col("n_docs") / F.col("df"))))
+                            - 1
+                        ).cast("long"),
+                    ),
+                )
+            ),
+        )
+        .select("doc_id", "h", "w")
+    )
+    rep = shw.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("w") - 1)).alias("j"),
+        "h",
+    ).select(
+        "doc_id",
+        (
+            (F.col("h") * F.lit(_WMH_REP_A) + F.col("j") * F.lit(_WMH_REP_B))
+            % _M31
+        ).alias("rh"),
+    )
+    # signature as 16 GROUPED MINS over replica rows (not collect_list +
+    # array transforms): partial-aggregable — the per-doc exchange carries
+    # 16 longs instead of the whole ≤4x-replicated shingle array. Same
+    # permutation family as minhash_signature, so the oracle's
+    # list-min form computes identical values.
+    from ..functions.hashing import MINHASH_PERMS as _PERMS
+
+    sigs = rep.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("rh") * _PERMS[i][0] + _PERMS[i][1]) % _M31).alias(
+                f"_s{i}"
+            )
+            for i in range(_K)
+        ]
+    ).select("doc_id", F.array(*[f"_s{i}" for i in range(_K)]).alias("sig"))
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[band_key(F.col("sig"), bi, _R) for bi in range(_B)])
+        ).alias("band_idx", "bkey"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wsum = shw.groupBy("doc_id").agg(F.sum("w").cast("long").alias("tw"))
+    sa = shw.select(F.col("doc_id").alias("doc_a"), "h", F.col("w").alias("wa"))
+    sb = shw.select(F.col("doc_id").alias("_doc_b2"), F.col("h").alias("hb"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, (F.col("doc_b") == F.col("_doc_b2")) & (F.col("h") == F.col("hb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum("wa").cast("long").alias("iw"))
+    )
+    wa = wsum.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("twa"))
+    wb = wsum.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("twb"))
+    out = (
+        inter.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("iw").alias("inter_w"),
+            (F.col("twa") + F.col("twb") - F.col("iw")).alias("union_w"),
+            (
+                F.col("iw").cast("double")
+                / (F.col("twa") + F.col("twb") - F.col("iw"))
+            ).alias("wjaccard"),
+        )
+        .filter(F.col("wjaccard") >= _WMH_THRESH)
+    )
+    return out

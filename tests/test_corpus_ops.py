@@ -1140,3 +1140,41 @@ def test_bigram_surprisal_null_text_scores_nothing(spark):
     }
     assert set(got) == {1}
     assert got == _brute_bigram_surprisal({1: "a b a"}, {1: "a b a"})
+
+
+def test_wminhash_downweights_boilerplate(spark):
+    # Corpus: 8 docs sharing one boilerplate sentence (df=8 -> weight 1);
+    # docs 0 and 1 additionally share a rare distinctive passage
+    # (df=2 -> weight floor_log2(8/2)=2, clamped to [1,4]); docs 2 and 3
+    # share ONLY the boilerplate plus disjoint unique content.
+    # Law: the (0,1) pair must surface with high weighted Jaccard; the
+    # (2,3) pair's weighted similarity is boilerplate-only and must stay
+    # below the threshold (unweighted Jaccard would score it higher).
+    import tempfile
+
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_wminhash_pairs,
+    )
+
+    boiler = "all rights reserved contact support for terms of service today"
+    rare = "quantum flux capacitor calibration requires seven turbo encabulators"
+    docs = []
+    for i in range(8):
+        if i in (0, 1):
+            text = f"{boiler} {rare}"
+        elif i in (2, 3):
+            text = f"{boiler} unique{i}word{i} only{i}here{i} extra{i}"
+        else:
+            text = f"{boiler} filler{i}a filler{i}b filler{i}c filler{i}d"
+        docs.append((i, text, len(text), "t"))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, n_chars long, source string"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["wjaccard"]
+            for r in t_wminhash_pairs(spark, tmp).collect()
+        }
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
+    assert (2, 3) not in pairs

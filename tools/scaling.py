@@ -129,6 +129,7 @@ QUERIES = (
     "q_cube_revenue",          # 4-set grouping lattice, one pass
     "e_bq_topk",               # 2-word sign-bit codes, 64x less scan than SQ8
     "e_bq_recall",             # BQ chain + exact single-query GT
+    "t_wminhash_pairs",        # df-weighted banded near-dup, never all-pairs
 )
 
 
