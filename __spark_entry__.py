@@ -732,6 +732,19 @@ _CERTIFIED_TAIL = (
     # the bounded-grid fan-out rewrite it certifies has no dependent among
     # this round's changes.
     "w_rolling_dau_wau",
+    # rotated out round 10 (first pass) for cdc_stream_field_lineage (the
+    # per-field lineage law in its DEPLOYED shape — writer metadata carried
+    # in the stateful fold's per-key state, certified across a mid-stream
+    # restart against the same oracle; runtime-pinned, so it must hold a
+    # prefix slot). cdc_field_lineage was first-certified green in
+    # CORRECTNESS_r09.json and is untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r09, guard-tested; cdc_view.py changes this round are
+    # append-only new queries): the batch lineage law it certifies is
+    # re-executed EVERY round by the streaming twin, which must hash-match
+    # the identical field-lineage oracle (restricted to the stream window),
+    # and the single-exchange fold shape keeps its dedicated plan gate
+    # (tests/test_cdc_lineage.py:test_lineage_single_exchange).
+    "cdc_field_lineage",
 )
 
 

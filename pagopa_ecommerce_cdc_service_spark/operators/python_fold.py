@@ -84,19 +84,44 @@ def is_processable(event: dict[str, Any], config: CdcConfig = DEFAULT_CONFIG) ->
     return event.get("eventCode") in EVENT_SPECS
 
 
-def apply_event(view: dict[str, Any], event: dict[str, Any], ts_millis: int | None = None) -> None:
-    """Apply one (already-validated, already-deduped) event to a view dict."""
+def apply_event(
+    view: dict[str, Any],
+    event: dict[str, Any],
+    ts_millis: int | None = None,
+    lineage: dict[str, dict[str, Any]] | None = None,
+) -> None:
+    """Apply one (already-validated, already-deduped) event to a view dict.
+
+    ``lineage`` (optional): per-field writer-metadata map, updated in place —
+    for every field this event EFFECTIVELY writes, the entry becomes this
+    event's identity. Sequential overwrite in arrival order is exactly the
+    batch lineage law (operators/cdc_fold.fold_field_lineage: last-arriving
+    effective write wins via max-over-seq), so replaying a log through this
+    function yields the same per-field map — the streaming twin's state.
+    """
     spec = EVENT_SPECS[event["eventCode"]]
     ts = ts_millis if ts_millis is not None else parse_millis(event["creationDate"])
     last = view.get("lastProcessedEventAt")
     applied = last is None or last < ts  # strict `<` guard (:144)
 
+    def _meta(guarded: bool) -> dict[str, Any]:
+        return {
+            "event_id": event.get("id"),
+            "event_code": event["eventCode"],
+            "event_ts_millis": ts,
+            "guarded": guarded,
+        }
+
     if applied:
         view["lastProcessedEventAt"] = ts
+        if lineage is not None:
+            lineage["lastProcessedEventAt"] = _meta(True)
         if spec.status_py is not None:
             status = spec.status_py(event)
             if status is not None:
                 view["status"] = status
+                if lineage is not None:
+                    lineage["status"] = _meta(True)
 
     for w in spec.writes:
         if w.cond_py is not None and not w.cond_py(event):
@@ -107,6 +132,8 @@ def apply_event(view: dict[str, Any], event: dict[str, Any], ts_millis: int | No
         if w.mode is WriteMode.SET_IF_NONNULL and value is None:
             continue
         view[w.view_field] = value
+        if lineage is not None:
+            lineage[w.view_field] = _meta(w.guarded)
 
 
 def view_as_row(view: dict[str, Any]) -> dict[str, Any]:

@@ -1404,3 +1404,76 @@ FROM lin WHERE w IS NOT NULL
 
 QUERIES["cdc_field_lineage"] = cdc_field_lineage
 ORACLES["cdc_field_lineage"] = CDC_FIELD_LINEAGE_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# STREAMING per-field lineage twin (round 10): the deployed-mode shape of
+# cdc_field_lineage. The stateful fold carries the per-field writer map in
+# its per-key state (streaming/state_fold.lineage_state_func) and emits the
+# full current map per touched key per micro-batch; the keyed upsert sink
+# replace-merges it. Run in TWO phases sharing one checkpoint (the second
+# half of the log "arrives" while the first query is down), so the gate
+# certifies state recovery of the LINEAGE map across a restart — then the
+# on-disk table must hash-match the BATCH lineage oracle on the same half
+# of the log: batch law ≡ streaming-with-restart ≡ SQL.
+# ---------------------------------------------------------------------------
+def cdc_stream_field_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import (
+        parquet_upsert_sink,
+        read_event_stream,
+        read_view,
+    )
+    from ..streaming.state_fold import incremental_field_lineage
+    from .helpers import gate_workdir, write_single_file
+
+    env = synthesize_envelope(spark, sf_dir).filter(F.col("seq") < _STREAM_LIMIT)
+    workdir = gate_workdir("cdc-lineage-gate-")
+    src, view_dir, ckpt = f"{workdir}/events", f"{workdir}/lin", f"{workdir}/ckpt"
+
+    def run_phase() -> None:
+        out = incremental_field_lineage(
+            prepare_events(read_event_stream(spark, src))
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(parquet_upsert_sink(view_dir, n_buckets=8))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_single_file(
+        env.filter(F.col("seq") < _STREAM_LIMIT // 2), f"{src}/half-a.json"
+    )
+    run_phase()
+    write_single_file(
+        env.filter(F.col("seq") >= _STREAM_LIMIT // 2), f"{src}/half-b.json"
+    )
+    run_phase()
+
+    table = read_view(spark, view_dir)
+    e = table.select(
+        "transactionId", F.explode("lineage").alias("e")
+    )
+    return e.select(
+        "transactionId",
+        F.col("e.field").alias("field"),
+        F.col("e.event_id").alias("event_id"),
+        F.col("e.event_code").alias("event_code"),
+        F.col("e.event_ts_millis").alias("event_ts_millis"),
+        F.col("e.guarded").alias("guarded"),
+    )
+
+
+_STREAM_LINEAGE_ORACLE_SQL = CDC_FIELD_LINEAGE_ORACLE_SQL.replace(
+    "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) events",
+    f"FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events "
+    f"WHERE event_id < {_STREAM_LIMIT}) events",
+)
+assert _STREAM_LINEAGE_ORACLE_SQL != CDC_FIELD_LINEAGE_ORACLE_SQL
+
+QUERIES["cdc_stream_field_lineage"] = cdc_stream_field_lineage
+ORACLES["cdc_stream_field_lineage"] = _STREAM_LINEAGE_ORACLE_SQL

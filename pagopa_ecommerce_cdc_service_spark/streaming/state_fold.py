@@ -93,10 +93,16 @@ def _fold_pdfs(
     seen: set,
     seen_list: list,
     pdf_iter: Iterable[pd.DataFrame],
+    lineage: dict[str, dict[str, Any]] | None = None,
 ) -> list[dict[str, str]]:
     """Apply one micro-batch's events (arrival order) to the view in place;
     returns the poison-pill quarantine list. Shared by the
-    applyInPandasWithState fold and the transformWithStateInPandas twin."""
+    applyInPandasWithState fold and the transformWithStateInPandas twin.
+
+    ``lineage`` (optional): per-field writer-metadata map updated alongside
+    the view (see :func:`operators.python_fold.apply_event`) — a poisoned
+    event leaves BOTH the view and the lineage untouched (scratch-copy
+    isolation covers the pair)."""
     events: list[dict[str, Any]] = []
     for pdf in pdf_iter:
         events.extend(pdf.to_dict("records"))
@@ -121,13 +127,17 @@ def _fold_pdfs(
         # quarantined (marked seen — skip, don't retry forever) and the
         # stream survives, like the reference's non-retriable-error skip
         scratch = dict(view)
+        scratch_lin = dict(lineage) if lineage is not None else None
         try:
-            apply_event(scratch, e, ts_millis=e.get("_ts_millis"))
+            apply_event(scratch, e, ts_millis=e.get("_ts_millis"), lineage=scratch_lin)
         except Exception as exc:  # noqa: BLE001 - the whole point: never fatal
             poisoned.append({"id": eid, "error": f"{type(exc).__name__}: {exc}"})
             continue
         view.clear()
         view.update(scratch)
+        if lineage is not None:
+            lineage.clear()
+            lineage.update(scratch_lin)
     return poisoned
 
 
@@ -202,6 +212,88 @@ def incremental_view(
         timeoutConf=(
             "ProcessingTimeTimeout" if view_state_ttl_seconds is not None else "NoTimeout"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming per-field lineage fold (round 10): the deployed-mode twin of the
+# batch column-lineage query (operators/cdc_fold.fold_field_lineage — the
+# queryable form of the reference's per-field write map,
+# TransactionViewUpsertService.kt:308-659). Per-key state carries the view,
+# the dedup seen-set AND the per-field writer-metadata map; every effective
+# write overwrites its field's entry, so after the whole log the map holds
+# exactly the batch law's winner (last-arriving effective write — sequential
+# overwrite ≡ max-over-seq). Output per touched key per micro-batch: the
+# full current map as an array column, replace-upserted by the keyed sink —
+# state and output are O(#fields) per live transaction, not O(#events).
+# ---------------------------------------------------------------------------
+STREAM_LINEAGE_TYPE = T.StructType(
+    [
+        T.StructField("transactionId", T.StringType()),
+        T.StructField(
+            "lineage",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("field", T.StringType()),
+                        T.StructField("event_id", T.StringType()),
+                        T.StructField("event_code", T.StringType()),
+                        T.StructField("event_ts_millis", T.LongType()),
+                        T.StructField("guarded", T.BooleanType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def lineage_state_func(
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state,  # pyspark.sql.streaming.state.GroupState
+    seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+) -> Iterator[pd.DataFrame]:
+    packed = state.get[0] if state.exists else None
+    if packed is not None:
+        p = json.loads(packed)
+        view, seen_list, lin = p["view"], list(p["seen"]), p.get("lin", {})
+    else:
+        view, seen_list, lin = new_view(key[0]), [], {}
+    seen = set(seen_list)
+    _fold_pdfs(view, seen, seen_list, pdf_iter, lineage=lin)
+    state.update(
+        (
+            json.dumps(
+                {"view": view, "seen": seen_list[-seen_ids_cap:], "lin": lin}
+            ),
+        )
+    )
+    rows = [{"field": f, **m} for f, m in sorted(lin.items())]
+    yield pd.DataFrame([{"transactionId": key[0], "lineage": rows or None}])
+
+
+def incremental_field_lineage(
+    prepared_stream,
+    seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+):
+    """prepared streaming DF → per-key lineage-map updates (update mode).
+
+    Same dedup + guard semantics as :func:`incremental_view` (the state IS
+    the view plus the writer map); restart-safe through the checkpointed
+    state store like the view fold."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    def fold(key, pdf_iter, state):
+        return lineage_state_func(key, pdf_iter, state, seen_ids_cap=seen_ids_cap)
+
+    state_schema = StructType([StructField("packed", StringType())])
+    return prepared_stream.groupBy("transactionId").applyInPandasWithState(
+        fold,
+        outputStructType=STREAM_LINEAGE_TYPE,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
     )
 
 

@@ -135,3 +135,79 @@ def test_lineage_guard_flag_semantics(spark):
     row = lin[("t", "closureErrorData")]
     assert row["event_id"] == "e1"
     assert row["guarded"] is False
+
+
+def test_stream_lineage_restart_matches_batch(spark, tmp_path):
+    """Streaming per-field lineage twin (streaming/state_fold.py:
+    lineage_state_func): fold half the log, STOP, let the rest arrive,
+    restart on the same checkpoint — the recovered lineage map must equal
+    the batch law (fold_field_lineage) over the whole log, field for field.
+    """
+    import json as _json
+    import os
+    import time
+
+    from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+        read_event_stream,
+        read_view,
+    )
+    from pagopa_ecommerce_cdc_service_spark.streaming.state_fold import (
+        incremental_field_lineage,
+    )
+
+    events = generate_event_log(seed=19, n_transactions=30, p_duplicate=0.1)
+    log_dir = str(tmp_path / "log")
+    lin_dir = str(tmp_path / "lin")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log_dir)
+
+    def write_chunk(part, name, age):
+        path = os.path.join(log_dir, name)
+        with open(path, "w") as f:
+            for e in part:
+                f.write(_json.dumps(e) + "\n")
+        mtime = time.time() - age
+        os.utime(path, (mtime, mtime))
+
+    def run_phase():
+        out = incremental_field_lineage(
+            prepare_events(read_event_stream(spark, log_dir))
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(parquet_upsert_sink(lin_dir, n_buckets=4))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half = len(events) // 2
+    write_chunk(events[:half], "a.json", age=20)
+    run_phase()
+    write_chunk(events[half:], "b.json", age=10)  # arrives while down
+    run_phase()
+
+    got = {}
+    for r in (
+        read_view(spark, lin_dir)
+        .select("transactionId", F.explode("lineage").alias("e"))
+        .select("transactionId", "e.*")
+        .collect()
+    ):
+        got[(r["transactionId"], r["field"])] = (
+            r["event_id"], r["event_code"], r["event_ts_millis"], r["guarded"]
+        )
+
+    df = spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    want = {
+        (r["transactionId"], r["field"]): (
+            r["event_id"], r["event_code"], r["event_ts_millis"], r["guarded"]
+        )
+        for r in fold_field_lineage(prepare_events(df)).collect()
+    }
+    assert got == want

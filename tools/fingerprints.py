@@ -74,6 +74,7 @@ RUNTIME_QUERIES = {
     "t_density_clusters",           # iterative min-label CC on the core-core subgraph
     "t_chunk_keepone_rewrite",      # eagerly materializes the drop table (one count)
     "w_stream_cusum",               # stages parquet, runs a streaming count grid
+    "cdc_stream_field_lineage",     # two streaming phases + restart (lineage state)
 }
 
 _NORMALIZERS = (
