@@ -745,6 +745,25 @@ _CERTIFIED_TAIL = (
     # and the single-exchange fold shape keeps its dedicated plan gate
     # (tests/test_cdc_lineage.py:test_lineage_single_exchange).
     "cdc_field_lineage",
+    # rotated out round 10 (second pass) for the three queries ADDED this
+    # round: e_ivf_opq_topk + e_ivf_opq_recall (the composed FAISS
+    # `OPQ,IVF,PQ` serving shape — coarse prune over the permuted PQ chain
+    # — and its recall@10 audit) and the runtime-pinned
+    # t_corpus_pipeline_keepone gate (the quality-adjudicated keep-one
+    # rewrite as the corpus pipeline's dedup stage). All three rotated-out
+    # queries were first-certified green in CORRECTNESS_r09.json and are
+    # untouched this round (fingerprint-equal vs FINGERPRINTS_r09,
+    # guard-tested; tpch.py is untouched and vector_queries.py changes are
+    # append-only new queries): the grouping-lattice Expand shape keeps
+    # its w_cube_counts / w_grouping_sets gated history; the 1-bit
+    # quantization extreme's two-word Hamming stage has no dependent among
+    # this round's changes, and the quantization family keeps e_opq_topk,
+    # e_opq_recall AND the two new IVF-OPQ queries in the prefix — the
+    # composed index re-executes the whole permuted PQ chain under an r10
+    # value hash.
+    "q_cube_revenue",
+    "e_bq_topk",
+    "e_bq_recall",
 )
 
 

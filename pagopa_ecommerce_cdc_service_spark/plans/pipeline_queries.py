@@ -652,3 +652,91 @@ SELECT comp.component AS entity_id,
 FROM comp JOIN bal ON comp.node = bal.node
 GROUP BY comp.component
 """
+
+
+# ---------------------------------------------------------------------------
+# QUALITY-ADJUDICATED keep-one corpus pipeline (round 10): the chunked
+# pipeline with t_chunk_keepone_rewrite as its dedup stage — within every
+# duplicated (chunk_hash, chunk_len) group the ONE surviving occurrence is
+# the one in the highest-quality document (t_pair_quality_keeper's keeper
+# law), and the packed bins are built from THAT rebuilt text. This is the
+# end-to-end shape of a curation pipeline that keeps its best copy of
+# every duplicated passage instead of the globally-first one. RUNTIME
+# query (the keep-one rewrite eagerly materializes its drop table — the
+# round-9 broadcast-race lesson — and `assigned` is eagerly pinned here
+# for the same reason: three consumers, two of them broadcast builds).
+# Scale shape: the keep-one rewrite's stages (documented at the operator)
+# + one narrow doc_id join for the split stratum + the pack's single
+# shard-key window; nothing new shuffles text beyond the rewrite's
+# documented doc⋈drops join.
+# ---------------------------------------------------------------------------
+def _corpus_pipeline_keepone_oracle() -> str:
+    from ..operators.packing import pack_concat_offsets_sql
+    from ..operators.split import split_case_sql
+    from . import text_queries as _tq
+
+    split_case = split_case_sql("doc_id", _SPLIT_FRACTIONS, "source")
+    pack_sql = pack_concat_offsets_sql(
+        weight_expr="n_tokens",
+        capacity=_PACK_CAPACITY,
+        n_shards=_PACK_SHARDS,
+        table="train",
+    )
+    # the keep-one rewrite's REGISTERED oracle, embedded verbatim as a CTE
+    # body — a hash match here certifies the composed pipeline against the
+    # exact dedup law the standalone gate certifies
+    keepone_sql = _tq.ORACLES["t_chunk_keepone_rewrite"]
+    return f"""
+    WITH rw AS ({keepone_sql}),
+    joined AS (
+      SELECT r.doc_id, d.source, r.rebuilt_text
+      FROM rw r JOIN documents d ON r.doc_id = d.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, {split_case} AS split,
+             len({TOKENS_SQL.format(c="rebuilt_text")}) AS n_tokens
+      FROM joined
+    ),
+    train AS (SELECT doc_id, n_tokens FROM assigned WHERE split = 'train'),
+    pack AS ({pack_sql})
+    SELECT a.doc_id, a.split, p.shard, p.bin_idx, p.tok_start, p.tok_len
+    FROM assigned a LEFT JOIN pack p ON a.doc_id = p.doc_id
+    """
+
+
+def t_corpus_pipeline_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_concat_offsets
+    from ..operators.split import assign_split
+    from .text_queries import t_chunk_keepone_rewrite
+
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    rw = t_chunk_keepone_rewrite(spark, sf_dir).select("doc_id", "rebuilt_text")
+    rebuilt = rw.join(docs.select("doc_id", "source"), "doc_id")
+    # EAGER pin (localCheckpoint, reclaimed when the result is dropped):
+    # assigned is read three times (train filter, the pack window, the
+    # final left join) over the whole keep-one rewrite subtree — the same
+    # concurrent-broadcast-build hazard the rewrite's own drop table hit
+    # in round 9; eager materialization makes the three consumers read a
+    # narrow (doc_id, split, n_tokens) table instead of racing the chain.
+    assigned = (
+        assign_split(
+            rebuilt, key="doc_id", fractions=_SPLIT_FRACTIONS, stratum="source"
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.size(tokens(F.col("rebuilt_text"))).cast("long").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    train = assigned.filter(F.col("split") == "train")
+    pack = pack_concat_offsets(
+        train, capacity=_PACK_CAPACITY, n_shards=_PACK_SHARDS
+    ).withColumnRenamed("doc_id", "p_doc_id")
+    return assigned.join(
+        pack, assigned["doc_id"] == pack["p_doc_id"], "left"
+    ).select("doc_id", "split", "shard", "bin_idx", "tok_start", "tok_len")
+
+
+QUERIES["t_corpus_pipeline_keepone"] = t_corpus_pipeline_keepone
+ORACLES["t_corpus_pipeline_keepone"] = _corpus_pipeline_keepone_oracle()

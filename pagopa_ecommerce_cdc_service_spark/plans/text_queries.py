@@ -2746,7 +2746,12 @@ def _chunk_rewrite(docs: DataFrame) -> DataFrame:
     # collapse the two copies across the Union (verified on the executed
     # plan) — without the pin the chunker + ranking window run twice. One
     # narrow row per affected doc; at scale this is the drop table a real
-    # pipeline materializes.
+    # pipeline materializes. CACHE LIFETIME (ADVICE r9): the pin is never
+    # explicitly unpersisted — the query builder returns before execution,
+    # so an unpersist here would defeat the pin; reclamation relies on
+    # session teardown (bench/tests) or an explicit catalog.clearCache()
+    # in a long-lived session. Kept as persist (not localCheckpoint):
+    # tail queries pin this function's analyzed-plan fingerprint.
     drops = (
         c.withColumn("rn", rn)
         .filter((F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN) & (F.col("rn") > 1))
@@ -4696,22 +4701,25 @@ def t_chunk_keepone_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nd").desc(), F.col("nc").desc(), "doc_id", "chunk_idx"
         )
     )
+    # EAGER materialization (this makes the query RUNTIME-classified,
+    # prefix-pinned): the rebuild's two length-routed branches each
+    # broadcast-join against drops, and the two broadcast builds launch
+    # concurrently — a LAZY persist lets them race and each re-compute the
+    # chunker + quality join + ranking window before the cache populates
+    # (measured 14s vs 6s warm at sf0.1; the cut-non-first rewrite's
+    # cheaper drop subtree tolerates the race, this one does not). An eager
+    # localCheckpoint instead of persist+count (ADVICE r9): same pin, but
+    # the cached RDD is reclaimed by the ContextCleaner once the result
+    # DataFrame is unreferenced — a long-lived session running the whole
+    # suite no longer accumulates this query's cache. The drop table is
+    # the artifact a real pipeline materializes anyway — one narrow row
+    # per affected doc.
     drops = (
         c.withColumn("rn", rn)
         .filter((F.col("chunk_len") >= _CHUNK_DEDUP_MIN_LEN) & (F.col("rn") > 1))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("chunk_idx")).alias("dropped_idx"))
-    ).persist()
-    # EAGER pin (one count — a single integer to the driver; this makes the
-    # query RUNTIME-classified, prefix-pinned): the rebuild's two
-    # length-routed branches each broadcast-join against drops, and the two
-    # broadcast builds launch concurrently — a LAZY persist lets them race
-    # and each re-compute the chunker + quality join + ranking window
-    # before the cache populates (measured 14s vs 6s warm at sf0.1; the
-    # cut-non-first rewrite's cheaper drop subtree tolerates the race, this
-    # one does not). The drop table is the artifact a real pipeline
-    # materializes anyway — one narrow row per affected doc.
-    drops.count()
+    ).localCheckpoint(eager=True)
     return _rebuild_dropping(docs, drops)
 
 
@@ -4827,9 +4835,13 @@ def t_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(_WMH_MAX_W).cast("long"),
                     F.greatest(
                         F.lit(1).cast("long"),
+                        # exact integer division (`div`), NOT floor(a/b) on
+                        # doubles: a quotient half-ulp under a power of two
+                        # could round UP and shift the weight bucket off the
+                        # oracle's n_docs // df (ADVICE r9) — `div` makes the
+                        # two formulations provably identical at any scale
                         (
-                            F.length(F.bin(F.floor(F.col("n_docs") / F.col("df"))))
-                            - 1
+                            F.length(F.bin(F.expr("n_docs div df"))) - 1
                         ).cast("long"),
                     ),
                 )
@@ -4837,31 +4849,35 @@ def t_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "h", "w")
     )
-    rep = shw.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0).cast("long"), F.col("w") - 1)).alias("j"),
-        "h",
-    ).select(
-        "doc_id",
-        (
-            (F.col("h") * F.lit(_WMH_REP_A) + F.col("j") * F.lit(_WMH_REP_B))
-            % _M31
-        ).alias("rh"),
-    )
-    # signature as 16 GROUPED MINS over replica rows (not collect_list +
-    # array transforms): partial-aggregable — the per-doc exchange carries
-    # 16 longs instead of the whole ≤4x-replicated shingle array. Same
-    # permutation family as minhash_signature, so the oracle's
-    # list-min form computes identical values.
+    # signature as 16 GROUPED MINS with the replica minimum computed INLINE
+    # per (doc, shingle) row (round 10): shingle arrays are per-doc DISTINCT
+    # by construction (operators/text.shingle_hashes31 wraps array_distinct),
+    # so the replication factor already tracks distinct shingles — the
+    # remaining cost was materializing Σw ≤ 4x rows through explode. Since
+    # min over (h, j) = min over h of (min over j), each row folds its own
+    # j < w replicas through a bounded array_min and the explode disappears:
+    # the map stage streams one row per (doc, shingle) and the per-doc
+    # exchange still carries 16 longs. Same permutation family as
+    # minhash_signature, so the oracle's replica-list form computes
+    # identical values.
     from ..functions.hashing import MINHASH_PERMS as _PERMS
 
-    sigs = rep.groupBy("doc_id").agg(
-        *[
-            F.min((F.col("rh") * _PERMS[i][0] + _PERMS[i][1]) % _M31).alias(
-                f"_s{i}"
+    def _rep_min(i: int):
+        a_i, b_i = _PERMS[i]
+        rh = lambda j: (  # noqa: E731
+            F.col("h") * F.lit(_WMH_REP_A) + j * F.lit(_WMH_REP_B)
+        ) % _M31
+        return F.min(
+            F.array_min(
+                F.transform(
+                    F.sequence(F.lit(0).cast("long"), F.col("w") - 1),
+                    lambda j: (rh(j) * a_i + b_i) % _M31,
+                )
             )
-            for i in range(_K)
-        ]
+        ).alias(f"_s{i}")
+
+    sigs = shw.groupBy("doc_id").agg(
+        *[_rep_min(i) for i in range(_K)]
     ).select("doc_id", F.array(*[f"_s{i}" for i in range(_K)]).alias("sig"))
     bands = sigs.select(
         "doc_id",

@@ -3378,3 +3378,137 @@ def e_bq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_topk_gt(spark, sf_dir, 0, _BQ_K),
         _BQ_K,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-OPQ composed index (round 10): the full FAISS `OPQ..,IVF..,PQ..`
+# serving shape — the variance-balanced OPQ permutation (certified by
+# e_opq_topk) feeding the coarse IVF prune (certified by e_ivf_topk /
+# e_ivfpq_topk) over the permuted PQ chain. Both halves are composed
+# VERBATIM: _opq_permuted supplies the transformed corpus; pivots,
+# assignment, the query's nprobe lists, codebook training, LUT and the ADC
+# scan are the e_ivfpq_topk plan run on permuted vectors (the permutation
+# is orthogonal, so coarse L2 distances are exactly preserved — IVF in
+# transformed space IS IVF); the probed-id set rides a broadcast semi-join
+# that prunes the ADC scan to nprobe/nlist of the code table (plan-gated),
+# and the exact cosine rescore reads the ORIGINAL vectors (cosine is
+# permutation-invariant, so the final ranking is exact).
+#
+# 100 TB shape: one bounded 64-row statistics aggregate + a one-row perm
+# broadcast on top of the IVFPQ layout — assignment stays the zero-shuffle
+# broadcast pivot fold, the ADC join reads small ints against a broadcast
+# 128-entry LUT, and full vectors are fetched for just the candidate pool.
+# ---------------------------------------------------------------------------
+def _ivf_opq_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {_opq_perm_ctes()},
+    {pq_oracle_ctes(_OPQ_QV, prefix="io_")},
+    piv AS (SELECT vec_id AS pid, q AS pv FROM io_pq_emb
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.q", "p.pv")}, p.pid) AS rn
+      FROM io_pq_emb e, piv p
+    ),
+    lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid FROM assign WHERE vec_id = 0 AND rn <= {_NPROBE}),
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM io_pq_subs s JOIN io_pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ), adc AS (
+      SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+      FROM io_pq_codes k
+           JOIN lists li ON li.vec_id = k.vec_id
+           JOIN qprobe USING (pid)
+           JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), cand AS (
+      SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {_PQ_CAND}
+    ), qq AS (
+      SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.vec_id, e.label, c.adc_q,
+           {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_PQ_OUT}
+    """
+
+
+@query("e_ivf_opq_topk", _ivf_opq_oracle())
+def e_ivf_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+    from ..operators.similarity import dist2, nearest_pivot
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    permuted = _opq_permuted(full.select("vec_id", "q"))
+    # IVF side IN THE TRANSFORMED SPACE: broadcast pivot fold assignment +
+    # the query's nprobe lists (the permutation is orthogonal — these are
+    # exactly the original-space assignments, now over the layout the PQ
+    # chain consumes)
+    piv = permuted.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pv")
+    )
+    lists = nearest_pivot(
+        permuted.select("vec_id", F.col("q").alias("qvec")), piv
+    ).select("vec_id", "pid")
+    wq = Window.orderBy("d2", "pid")
+    qprobe = (
+        permuted.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("pid")
+    )
+    probed = lists.join(F.broadcast(qprobe), "pid", "left_semi").select("vec_id")
+    # PQ side on the permuted corpus; ADC scan pruned to the probed lists
+    subs = pq_subvectors(permuted).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(probed), "vec_id", "left_semi")
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    )
+    cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    return (
+        full.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "adc_q",
+            cosine(F.col("q"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_PQ_OUT)
+    )
+
+
+@query("e_ivf_opq_recall", _recall_sql(_ivf_opq_oracle(), 0, _PQ_OUT))
+def e_ivf_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@10 of the composed IVF-OPQ index vs exact single-query ground
+    truth — the quality row that closes the OPQ family: transform
+    (e_opq_distortion_delta), retrieval (e_opq_recall), and now the full
+    coarse-pruned serving shape."""
+    return _recall_row(
+        e_ivf_opq_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
+        _PQ_OUT,
+    )

@@ -243,3 +243,63 @@ def test_span_stream_side_output_writes_span_table(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+# ---------------------------------------------------------------------------
+# ST7 HTTP surface (streaming/liveness_http.py): the reference serves the
+# liveness verdict at /actuator/health/liveness (CustomLivenessIndicator.kt:
+# 35-64 + Spring actuator wiring). The Spark twin must answer the same path
+# with the actuator's status-code + body contract through every listener
+# state: up+fresh -> 200 UP, stale -> 503 DOWN, terminated -> 503 DOWN,
+# no tracked query -> 503 DOWN, wrong path -> 404.
+# ---------------------------------------------------------------------------
+
+
+def test_liveness_http_endpoint_through_staleness():
+    import json
+    import urllib.error
+    import urllib.request
+
+    from pagopa_ecommerce_cdc_service_spark.streaming.liveness_http import (
+        LIVENESS_PATH,
+        start_liveness_server,
+    )
+
+    listener = LivenessListener(inactivity_threshold_seconds=0.3)
+    ids = []
+    server = start_liveness_server(listener, lambda: ids, port=0)
+    base = f"http://127.0.0.1:{server.server_port}"
+
+    def probe(path=LIVENESS_PATH):
+        try:
+            with urllib.request.urlopen(base + path, timeout=5) as r:
+                return r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            body = e.read()
+            return e.code, (json.loads(body) if body else None)
+
+    try:
+        # no tracked query: the pod is not serving its purpose -> DOWN
+        assert probe() == (503, {"status": "DOWN"})
+
+        ids.append("q1")
+        listener.onQueryStarted(_started("q1"))
+        listener.onQueryProgress(_progress("q1"))
+        assert probe() == (200, {"status": "UP"})
+
+        # stale: no progress for longer than the threshold -> DOWN
+        time.sleep(0.4)
+        assert probe() == (503, {"status": "DOWN"})
+
+        # fresh progress revives it
+        listener.onQueryProgress(_progress("q1"))
+        assert probe() == (200, {"status": "UP"})
+
+        # termination kills it regardless of freshness
+        listener.onQueryTerminated(_started("q1"))
+        assert probe() == (503, {"status": "DOWN"})
+
+        status, _ = probe("/actuator/health/readiness")
+        assert status == 404
+    finally:
+        server.shutdown()

@@ -536,6 +536,20 @@ def test_ivfpq_semi_join_prunes_code_scan(spark, sf_dir, queries):
     assert plan.count("TakeOrderedAndProject") >= 2
 
 
+def test_ivf_opq_semi_join_prunes_code_scan(spark, sf_dir, queries):
+    """The composed IVF-OPQ index (round 10) keeps the IVFPQ profile on
+    the PERMUTED chain: no cartesian anywhere (the 64-entry permutation
+    rides a one-row broadcast), the ADC scan pruned by the probed-list
+    LeftSemi, both top-k stages TakeOrderedAndProject, and the OPQ
+    statistics pass contributing exactly one unpartitioned 64-row window
+    (the dimension ranking — bounded, see perf-pitfalls note)."""
+    plan = _plan(queries["e_ivf_opq_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "EvalPython" not in plan
+
+
 def test_dup_span_alignment_is_keyed(spark, sf_dir, queries):
     """Span alignment must stay keyed end to end: candidates from the
     banded LSH join, positional grams joined on the (pair, gram) equi-key

@@ -75,6 +75,7 @@ RUNTIME_QUERIES = {
     "t_chunk_keepone_rewrite",      # eagerly materializes the drop table (one count)
     "w_stream_cusum",               # stages parquet, runs a streaming count grid
     "cdc_stream_field_lineage",     # two streaming phases + restart (lineage state)
+    "t_corpus_pipeline_keepone",    # eager localCheckpoint pins (rewrite drops + assigned)
 }
 
 _NORMALIZERS = (
