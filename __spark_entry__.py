@@ -764,6 +764,21 @@ _CERTIFIED_TAIL = (
     "q_cube_revenue",
     "e_bq_topk",
     "e_bq_recall",
+    # rotated out round 10 (third pass) for the runtime-pinned
+    # cdc_stream_status_history gate (the SCD2 interval law in its
+    # deployed shape — interval list carried in the stateful fold's
+    # per-key state across a restart, hash-matched against the SAME batch
+    # SCD2 oracle on the stream window). e_opq_distortion_delta was
+    # first-certified green in CORRECTNESS_r09.json and is untouched this
+    # round (fingerprint-equal vs FINGERPRINTS_r09, guard-tested;
+    # vector_queries.py changes this round are append-only plus the
+    # default-None k seam on the semdedup pair/recall functions, whose
+    # default emission is byte-identical): the dual-training distortion
+    # census it certifies has both halves re-executing under r10 value
+    # hashes — plain PQ inside e_ivf_opq_topk's training chain is NOT it,
+    # but the OPQ permutation + PQ chain runs inside THREE r10 prefix
+    # queries (e_opq_topk/e_opq_recall stay, e_ivf_opq_topk/recall new).
+    "e_opq_distortion_delta",
 )
 
 

@@ -205,6 +205,12 @@ HEADLINE = [
     "e_bq_recall",
     "w_stream_cusum",
     "t_wminhash_pairs",
+    # round-10 additions: streaming per-field lineage twin, composed
+    # IVF-OPQ index + recall audit, quality-keeper corpus pipeline
+    "cdc_stream_field_lineage",
+    "e_ivf_opq_topk",
+    "e_ivf_opq_recall",
+    "t_corpus_pipeline_keepone",
 ]
 
 

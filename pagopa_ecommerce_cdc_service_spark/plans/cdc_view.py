@@ -1477,3 +1477,87 @@ assert _STREAM_LINEAGE_ORACLE_SQL != CDC_FIELD_LINEAGE_ORACLE_SQL
 
 QUERIES["cdc_stream_field_lineage"] = cdc_stream_field_lineage
 ORACLES["cdc_stream_field_lineage"] = _STREAM_LINEAGE_ORACLE_SQL
+
+
+# ---------------------------------------------------------------------------
+# STREAMING SCD2 status history (round 10): the temporal table as it
+# deploys. The stateful fold appends an interval entry exactly when an
+# applied event CHANGES the view's status (streaming/state_fold.py:
+# history hook — sequential change detection ≡ the batch law's
+# lag-over-status-writes, since the view's running status IS the last
+# applied status write); per-key state is O(#status changes). Two phases
+# on one checkpoint certify interval-list recovery across a restart;
+# valid_to / is_current derive from the NEXT entry at read time (entries
+# are born ordered — applied timestamps strictly increase per key). Must
+# hash-match the batch SCD2 oracle on the stream window: with the
+# lineage and view twins, every queryable artifact of the fold family
+# (current state, per-field writers, status intervals) now has a
+# deployed-mode certification.
+# ---------------------------------------------------------------------------
+def cdc_stream_status_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.pipeline import (
+        parquet_upsert_sink,
+        read_event_stream,
+        read_view,
+    )
+    from ..streaming.state_fold import incremental_status_history
+    from .helpers import gate_workdir, write_single_file
+
+    env = synthesize_envelope(spark, sf_dir).filter(F.col("seq") < _STREAM_LIMIT)
+    workdir = gate_workdir("cdc-hist-gate-")
+    src, view_dir, ckpt = f"{workdir}/events", f"{workdir}/hist", f"{workdir}/ckpt"
+
+    def run_phase() -> None:
+        out = incremental_status_history(
+            prepare_events(read_event_stream(spark, src))
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(parquet_upsert_sink(view_dir, n_buckets=8))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    write_single_file(
+        env.filter(F.col("seq") < _STREAM_LIMIT // 2), f"{src}/half-a.json"
+    )
+    run_phase()
+    write_single_file(
+        env.filter(F.col("seq") >= _STREAM_LIMIT // 2), f"{src}/half-b.json"
+    )
+    run_phase()
+
+    return (
+        read_view(spark, view_dir)
+        .select("transactionId", "history")
+        .select(
+            "transactionId",
+            F.posexplode("history").alias("_i", "e"),
+            F.col("history").alias("_h"),
+        )
+        .select(
+            "transactionId",
+            F.col("e.version").alias("version"),
+            F.col("e.status").alias("status"),
+            F.col("e.valid_from_ms").alias("valid_from_ms"),
+            F.try_element_at(F.col("_h"), (F.col("_i") + 2).cast("int"))[
+                "valid_from_ms"
+            ].alias("valid_to_ms"),
+            (F.col("_i") + 2 > F.size("_h")).alias("is_current"),
+        )
+    )
+
+
+_STREAM_HISTORY_ORACLE_SQL = CDC_STATUS_HISTORY_ORACLE_SQL.replace(
+    "FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events) events",
+    f"FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events "
+    f"WHERE event_id < {_STREAM_LIMIT}) events",
+)
+assert _STREAM_HISTORY_ORACLE_SQL != CDC_STATUS_HISTORY_ORACLE_SQL
+
+QUERIES["cdc_stream_status_history"] = cdc_stream_status_history
+ORACLES["cdc_stream_status_history"] = _STREAM_HISTORY_ORACLE_SQL

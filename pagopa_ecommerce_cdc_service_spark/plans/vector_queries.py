@@ -1007,7 +1007,12 @@ def _semdedup_oracle() -> str:
 
 
 @query("e_semdedup_pairs", _semdedup_oracle())
-def e_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e_semdedup_pairs(spark: SparkSession, sf_dir: str, k: int | None = None) -> DataFrame:
+    # ``k`` (default: the operator's KM_K) is the k∝n scale knob — the
+    # paper's design point is scaling the cluster count with the corpus so
+    # per-cluster size stays constant; tools/semdedup_kscale.py measures
+    # exactly that at the sf1 decade. The default emission is byte-identical
+    # to the unparameterized form (tail fingerprints depend on it).
     from ..operators.clustering import kmeans_plan
 
     emb = (
@@ -1015,7 +1020,8 @@ def e_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    final = kmeans_plan(emb).select("vec_id", "cid")
+    km = kmeans_plan(emb) if k is None else kmeans_plan(emb, k=k)
+    final = km.select("vec_id", "cid")
     a = final.alias("a")
     b = final.alias("b")
     cand = a.join(
@@ -3176,6 +3182,10 @@ def e_opq_distortion_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..functions.hashing import md5_long, md5_long_sql  # noqa: E402
 
 _RECALL_ANCHORS = 128
+# k∝n measurement seam (tools/semdedup_kscale.py): None = the operator's
+# default KM_K — the registered query's plan is untouched; the tool sets it
+# to the scaled cluster count to audit sampled pair recall at k ∝ n.
+_SEMDEDUP_K_OVERRIDE: int | None = None
 
 
 @query(
@@ -3244,7 +3254,9 @@ def e_semdedup_pair_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .distinct()
     )
-    approx = e_semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    approx = e_semdedup_pairs(spark, sf_dir, k=_SEMDEDUP_K_OVERRIDE).select(
+        "vec_a", "vec_b"
+    )
     found = approx.join(exact, ["vec_a", "vec_b"]).distinct()
     n_exact = exact.agg(F.count("*").alias("n_exact"))
     n_found = found.agg(F.count("*").alias("n_found"))

@@ -94,6 +94,7 @@ def _fold_pdfs(
     seen_list: list,
     pdf_iter: Iterable[pd.DataFrame],
     lineage: dict[str, dict[str, Any]] | None = None,
+    history: list[dict[str, Any]] | None = None,
 ) -> list[dict[str, str]]:
     """Apply one micro-batch's events (arrival order) to the view in place;
     returns the poison-pill quarantine list. Shared by the
@@ -102,7 +103,14 @@ def _fold_pdfs(
     ``lineage`` (optional): per-field writer-metadata map updated alongside
     the view (see :func:`operators.python_fold.apply_event`) — a poisoned
     event leaves BOTH the view and the lineage untouched (scratch-copy
-    isolation covers the pair)."""
+    isolation covers the pair).
+
+    ``history`` (optional): SCD2 status-interval list appended in place —
+    an entry opens exactly when an APPLIED event changes the view's status
+    (the interval law of operators/cdc_fold.status_history: applied
+    timestamps are strictly increasing per key, so entries are born
+    ordered). Only ``valid_from_ms`` is stored; ``valid_to``/``is_current``
+    derive from the NEXT entry at read time."""
     events: list[dict[str, Any]] = []
     for pdf in pdf_iter:
         events.extend(pdf.to_dict("records"))
@@ -128,6 +136,8 @@ def _fold_pdfs(
         # stream survives, like the reference's non-retriable-error skip
         scratch = dict(view)
         scratch_lin = dict(lineage) if lineage is not None else None
+        prev_status = view.get("status")
+        prev_lpea = view.get("lastProcessedEventAt")
         try:
             apply_event(scratch, e, ts_millis=e.get("_ts_millis"), lineage=scratch_lin)
         except Exception as exc:  # noqa: BLE001 - the whole point: never fatal
@@ -138,6 +148,21 @@ def _fold_pdfs(
         if lineage is not None:
             lineage.clear()
             lineage.update(scratch_lin)
+        if history is not None:
+            # applied ⇔ lastProcessedEventAt moved (apply_event's contract);
+            # an applied event whose status write CHANGES the status opens
+            # an interval at the event's (= the new lpea) timestamp
+            if view.get("lastProcessedEventAt") != prev_lpea and (
+                view.get("status") is not None
+                and view.get("status") != prev_status
+            ):
+                history.append(
+                    {
+                        "version": len(history) + 1,
+                        "status": view["status"],
+                        "valid_from_ms": view["lastProcessedEventAt"],
+                    }
+                )
     return poisoned
 
 
@@ -291,6 +316,78 @@ def incremental_field_lineage(
     return prepared_stream.groupBy("transactionId").applyInPandasWithState(
         fold,
         outputStructType=STREAM_LINEAGE_TYPE,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SCD2 status history (round 10): the temporal-table twin — the
+# deployed-mode shape of operators/cdc_fold.status_history. Per-key state
+# carries the view (for the guard), the seen-set, and the ordered interval
+# list; an entry is appended exactly when an applied event CHANGES the
+# view's status (see _fold_pdfs's history hook). Output per touched key:
+# the full current interval list; valid_to/is_current derive from the next
+# entry at read time. State is O(#status changes) per live transaction.
+# ---------------------------------------------------------------------------
+STREAM_HISTORY_TYPE = T.StructType(
+    [
+        T.StructField("transactionId", T.StringType()),
+        T.StructField(
+            "history",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("version", T.LongType()),
+                        T.StructField("status", T.StringType()),
+                        T.StructField("valid_from_ms", T.LongType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def history_state_func(
+    key: tuple,
+    pdf_iter: Iterable[pd.DataFrame],
+    state,  # pyspark.sql.streaming.state.GroupState
+    seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+) -> Iterator[pd.DataFrame]:
+    packed = state.get[0] if state.exists else None
+    if packed is not None:
+        p = json.loads(packed)
+        view, seen_list, hist = p["view"], list(p["seen"]), list(p.get("hist", []))
+    else:
+        view, seen_list, hist = new_view(key[0]), [], []
+    seen = set(seen_list)
+    _fold_pdfs(view, seen, seen_list, pdf_iter, history=hist)
+    state.update(
+        (
+            json.dumps(
+                {"view": view, "seen": seen_list[-seen_ids_cap:], "hist": hist}
+            ),
+        )
+    )
+    yield pd.DataFrame([{"transactionId": key[0], "history": hist or None}])
+
+
+def incremental_status_history(
+    prepared_stream,
+    seen_ids_cap: int = MAX_SEEN_IDS_PER_KEY,
+):
+    """prepared streaming DF → per-key SCD2 interval-list updates."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    def fold(key, pdf_iter, state):
+        return history_state_func(key, pdf_iter, state, seen_ids_cap=seen_ids_cap)
+
+    state_schema = StructType([StructField("packed", StringType())])
+    return prepared_stream.groupBy("transactionId").applyInPandasWithState(
+        fold,
+        outputStructType=STREAM_HISTORY_TYPE,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf="NoTimeout",

@@ -211,3 +211,80 @@ def test_stream_lineage_restart_matches_batch(spark, tmp_path):
         for r in fold_field_lineage(prepare_events(df)).collect()
     }
     assert got == want
+
+
+def test_stream_status_history_restart_matches_batch(spark, tmp_path):
+    """Streaming SCD2 twin (streaming/state_fold.py: history hook): fold
+    half the log, STOP, let the rest arrive, restart on the same
+    checkpoint — the recovered interval lists must equal the batch law
+    (operators/cdc_fold.status_history) over the whole log, row for row
+    (version, status, valid_from, valid_to, is_current)."""
+    import json as _json
+    import os
+    import time
+
+    from pagopa_ecommerce_cdc_service_spark.operators.cdc_fold import status_history
+    from pagopa_ecommerce_cdc_service_spark.sources import generate_event_log
+    from pagopa_ecommerce_cdc_service_spark.streaming.pipeline import (
+        parquet_upsert_sink,
+        read_event_stream,
+        read_view,
+    )
+    from pagopa_ecommerce_cdc_service_spark.streaming.state_fold import (
+        incremental_status_history,
+    )
+
+    events = generate_event_log(seed=23, n_transactions=30, p_duplicate=0.1)
+    log_dir = str(tmp_path / "log")
+    hist_dir = str(tmp_path / "hist")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(log_dir)
+
+    def write_chunk(part, name, age):
+        path = os.path.join(log_dir, name)
+        with open(path, "w") as f:
+            for e in part:
+                f.write(_json.dumps(e) + "\n")
+        mtime = time.time() - age
+        os.utime(path, (mtime, mtime))
+
+    def run_phase():
+        out = incremental_status_history(
+            prepare_events(read_event_stream(spark, log_dir))
+        )
+        q = (
+            out.writeStream.outputMode("update")
+            .foreachBatch(parquet_upsert_sink(hist_dir, n_buckets=4))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    half = len(events) // 2
+    write_chunk(events[:half], "a.json", age=20)
+    run_phase()
+    write_chunk(events[half:], "b.json", age=10)
+    run_phase()
+
+    got = set()
+    for r in (
+        read_view(spark, hist_dir)
+        .select("transactionId", F.posexplode("history").alias("_i", "e"),
+                F.size("history").alias("_n"))
+        .collect()
+    ):
+        got.add((
+            r["transactionId"], r["e"]["version"], r["e"]["status"],
+            r["e"]["valid_from_ms"], r["_i"] + 1 == r["_n"],
+        ))
+
+    df = spark.createDataFrame(events, schema=EVENT_ENVELOPE_TYPE)
+    want = {
+        (r["transactionId"], r["version"], r["status"], r["valid_from_ms"],
+         r["is_current"])
+        for r in status_history(prepare_events(df)).collect()
+    }
+    assert got == want

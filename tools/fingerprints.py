@@ -76,6 +76,7 @@ RUNTIME_QUERIES = {
     "w_stream_cusum",               # stages parquet, runs a streaming count grid
     "cdc_stream_field_lineage",     # two streaming phases + restart (lineage state)
     "t_corpus_pipeline_keepone",    # eager localCheckpoint pins (rewrite drops + assigned)
+    "cdc_stream_status_history",    # two streaming phases + restart (interval state)
 }
 
 _NORMALIZERS = (
