@@ -211,6 +211,7 @@ HEADLINE = [
     "e_ivf_opq_topk",
     "e_ivf_opq_recall",
     "t_corpus_pipeline_keepone",
+    "cdc_stream_status_history",
 ]
 
 

@@ -130,6 +130,11 @@ QUERIES = (
     "e_bq_topk",               # 2-word sign-bit codes, 64x less scan than SQ8
     "e_bq_recall",             # BQ chain + exact single-query GT
     "t_wminhash_pairs",        # df-weighted banded near-dup, never all-pairs
+    # round-10 additions (streaming twins measure via their pytest gates,
+    # not here — the decade set times batch plans)
+    "e_ivf_opq_topk",          # perm broadcast + probed-list permuted ADC scan
+    "e_ivf_opq_recall",        # IVF-OPQ chain + exact single-query GT
+    "t_corpus_pipeline_keepone",  # keep-one rewrite -> split -> pack
 )
 
 
