@@ -779,6 +779,31 @@ _CERTIFIED_TAIL = (
     # but the OPQ permutation + PQ chain runs inside THREE r10 prefix
     # queries (e_opq_topk/e_opq_recall stay, e_ivf_opq_topk/recall new).
     "e_opq_distortion_delta",
+    # rotated out round 10 (fourth pass) for the runtime-pinned
+    # e_ivf_opq_nprobe_curve gate (recall@10 of the composed OPQ,IVF,PQ
+    # serving path at probe depths 1/2/4 — ONE permuted training feeding
+    # three pruned ADC scans through eager checkpoints).
+    # w_cusum_changepoint was first-certified green in CORRECTNESS_r09.json
+    # and is untouched this round (fingerprint-equal vs FINGERPRINTS_r09,
+    # guard-tested; events_queries.py is untouched): the bounded-grid
+    # CUSUM post-processing it certifies re-executes under an r10 value
+    # hash every round inside the runtime w_stream_cusum prefix gate,
+    # which shares _cusum_flags verbatim.
+    "w_cusum_changepoint",
+    # rotated out round 10 (fifth pass) for the runtime-pinned
+    # w_stream_rolling_dau_wau gate (the stickiness dashboard metric as
+    # deployed: distinct (user, day) grid accreted as a streaming
+    # aggregation, the shared _dau_wau_from_grid fan-out on the drained
+    # grid, hash-matched against the SAME batch oracle).
+    # e_semdedup_pair_recall_sampled was first-certified green in
+    # CORRECTNESS_r09.json and is untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r09, guard-tested: the default-None k seam leaves
+    # its emission byte-identical): the anchor-sampled LINEAR ground-truth
+    # law it certifies is re-executed this round by
+    # tools/semdedup_kscale.py at BOTH k=8 and the k∝n decade point, and
+    # the within-cluster candidate shape keeps its plan gate
+    # (test_semdedup_candidates_cluster_bucketed).
+    "e_semdedup_pair_recall_sampled",
 )
 
 

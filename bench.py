@@ -212,6 +212,8 @@ HEADLINE = [
     "e_ivf_opq_recall",
     "t_corpus_pipeline_keepone",
     "cdc_stream_status_history",
+    "e_ivf_opq_nprobe_curve",
+    "w_stream_rolling_dau_wau",
 ]
 
 

@@ -2837,6 +2837,13 @@ def w_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).distinct()
+    return _dau_wau_from_grid(ud)
+
+
+def _dau_wau_from_grid(ud: DataFrame) -> DataFrame:
+    """Distinct (user_id, day) grid → (day, dau, wau, stickiness). Shared
+    by the batch query and its streaming twin (extracted fingerprint-
+    neutrally — pure delegation, expressions unchanged)."""
     # fan each (user, day) out to the <=7 trailing days it covers, but only
     # days that EXIST in the grid (oracle joins the day dimension; Spark
     # explodes the sequence then semi-joins the broadcast day dimension —
@@ -3152,3 +3159,63 @@ def w_stream_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["w_stream_cusum"] = w_stream_cusum
 ORACLES["w_stream_cusum"] = ORACLES["w_cusum_changepoint"]
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the rolling DAU/WAU stickiness (round 10): the
+# distinct (user, day) grid accretes as a streaming aggregation across
+# ordered micro-batches (mergeable-summary law — a (user_id, day) groupBy
+# is a set union under any batch split, the w_stream_cusum shape), then
+# the SAME bounded-grid fan-out post-processing (_dau_wau_from_grid) runs
+# on the drained grid; final table ≡ the batch oracle. The dashboard
+# metric as it deploys: actives accrete on the stream, the trailing-7-day
+# ratio recomputes on the tiny (user, day) grid each evaluation.
+# ---------------------------------------------------------------------------
+def w_stream_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events")
+    src_rows = ev.select("event_id", "user_id", "ts")
+
+    workdir = gate_workdir("stream-dau-gate-")
+    src = f"{workdir}/src"
+    now = _time.time()
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 0), f"{src}/half0.parquet", now - 20
+    )
+    write_staged_file(
+        src_rows.filter(F.col("event_id") % 2 == 1), f"{src}/half1.parquet", now - 10
+    )
+
+    name = f"sdau_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_rolling_dau_wau: availableNow run did not complete in 240s"
+        )
+    grid_dir = f"{workdir}/grid"
+    spark.table(name).write.mode("overwrite").parquet(grid_dir)
+    ud = spark.read.parquet(grid_dir).select("user_id", "day")
+    return _dau_wau_from_grid(ud)
+
+
+QUERIES["w_stream_rolling_dau_wau"] = w_stream_rolling_dau_wau
+ORACLES["w_stream_rolling_dau_wau"] = ORACLES["w_rolling_dau_wau"]

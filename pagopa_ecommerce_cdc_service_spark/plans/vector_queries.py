@@ -3524,3 +3524,143 @@ def e_ivf_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
         _PQ_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-OPQ nprobe tuning curve (round 10): recall@10 of the COMPOSED
+# serving path (coarse prune -> permuted ADC scan -> exact rescore) at
+# probe depths 1/2/4 — the tuning evidence a user needs to trade probe
+# budget against quality on the full OPQ,IVF,PQ layout (e_ivf_nprobe_curve
+# measures the exact-cosine IVF; this measures what the shipped index
+# actually returns). One permuted PQ training feeds all three depths: the
+# code table is eagerly localCheckpoint'd (three union branches each
+# broadcast-build their candidate head over it — the concurrent-broadcast
+# race of round 9 applies; RUNTIME-classified, prefix-pinned) and each
+# depth's ADC scan is pruned by its own probed-list semi-join.
+# ---------------------------------------------------------------------------
+def _ivf_opq_nprobe_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    per_depth = []
+    for np_ in _CURVE_PROBES:
+        per_depth.append(f"""adc{np_} AS (
+          SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+          FROM io_pq_codes k
+               JOIN lists li ON li.vec_id = k.vec_id
+               JOIN (SELECT pid FROM qprobe WHERE rn <= {np_}) USING (pid)
+               JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+          WHERE k.vec_id <> 0
+          GROUP BY k.vec_id),
+        cand{np_} AS (
+          SELECT vec_id FROM adc{np_} ORDER BY adc_q, vec_id LIMIT {_PQ_CAND}),
+        ap{np_} AS (
+          SELECT c.vec_id FROM cand{np_} c
+          JOIN embeddings e ON e.vec_id = c.vec_id, qq
+          ORDER BY {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} DESC,
+                   c.vec_id
+          LIMIT {_CURVE_TOP})""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({np_} AS BIGINT) AS nprobe, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ap{np_} JOIN truth USING (vec_id)) AS hits, "
+        f"(SELECT CAST(count(*) AS DOUBLE) / {_CURVE_TOP} "
+        f" FROM ap{np_} JOIN truth USING (vec_id)) AS recall_at_10"
+        for np_ in _CURVE_PROBES
+    )
+    return f"""
+    WITH {_opq_perm_ctes()},
+    {pq_oracle_ctes(_OPQ_QV, prefix="io_")},
+    piv AS (SELECT vec_id AS pid, q AS pv FROM io_pq_emb
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.q", "p.pv")}, p.pid) AS rn
+      FROM io_pq_emb e, piv p
+    ),
+    lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid, rn FROM assign WHERE vec_id = 0),
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM io_pq_subs s JOIN io_pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ),
+    qq AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0),
+    truth AS ({_gt_sql(0, _CURVE_TOP)}),
+    {",".join(per_depth)}
+    SELECT * FROM ({rows})
+    """
+
+
+@query("e_ivf_opq_nprobe_curve", _ivf_opq_nprobe_oracle())
+def e_ivf_opq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+    from ..operators.similarity import dist2, nearest_pivot
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    permuted = _opq_permuted(full)
+    piv = permuted.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pv")
+    )
+    lists = nearest_pivot(
+        permuted.select("vec_id", F.col("q").alias("qvec")), piv
+    ).select("vec_id", "pid").localCheckpoint(eager=True)
+    wq = Window.orderBy("d2", "pid")
+    qprobe = (
+        permuted.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max(_CURVE_PROBES))
+        .localCheckpoint(eager=True)
+    )
+    subs = pq_subvectors(permuted).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    # ONE training for all three depths: narrow (vec_id, sub, cid, dist)
+    # rows, eagerly materialized so the three per-depth candidate heads
+    # (each a broadcast build) read the checkpoint instead of racing the
+    # Lloyd's chain (ContextCleaner reclaims it with the result)
+    codes = codes.select("vec_id", "sub", "cid").localCheckpoint(eager=True)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+        .localCheckpoint(eager=True)
+    )
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    truth = _exact_topk_gt(spark, sf_dir, 0, _CURVE_TOP).localCheckpoint(
+        eager=True
+    )
+    out = None
+    for np_ in _CURVE_PROBES:
+        probed = lists.join(
+            F.broadcast(qprobe.filter(F.col("rn") <= np_).select("pid")),
+            "pid",
+            "left_semi",
+        ).select("vec_id")
+        adc = (
+            codes.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(probed), "vec_id", "left_semi")
+            .join(F.broadcast(lut), ["sub", "cid"])
+            .groupBy("vec_id")
+            .agg(F.sum("qdist").cast("long").alias("adc_q"))
+        )
+        cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+        ap = (
+            full.join(F.broadcast(cand.select("vec_id")), "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", cosine(F.col("q"), F.col("qv")).alias("cs"))
+            .orderBy(F.desc("cs"), "vec_id")
+            .limit(_CURVE_TOP)
+            .select("vec_id")
+        )
+        row = ap.join(truth, "vec_id", "left_semi").agg(
+            F.lit(np_).cast("long").alias("nprobe"),
+            F.count("*").alias("hits"),
+            (F.count("*").cast("double") / _CURVE_TOP).alias("recall_at_10"),
+        ).select("nprobe", "hits", "recall_at_10")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -77,6 +77,8 @@ RUNTIME_QUERIES = {
     "cdc_stream_field_lineage",     # two streaming phases + restart (lineage state)
     "t_corpus_pipeline_keepone",    # eager localCheckpoint pins (rewrite drops + assigned)
     "cdc_stream_status_history",    # two streaming phases + restart (interval state)
+    "e_ivf_opq_nprobe_curve",       # eager localCheckpoint pins (codes/lut/lists/truth)
+    "w_stream_rolling_dau_wau",     # stages parquet, runs a streaming (user, day) grid
 }
 
 _NORMALIZERS = (
