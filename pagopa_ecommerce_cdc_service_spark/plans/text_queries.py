@@ -4899,20 +4899,44 @@ def t_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    wsum = shw.groupBy("doc_id").agg(F.sum("w").cast("long").alias("tw"))
-    sa = shw.select(F.col("doc_id").alias("doc_a"), "h", F.col("w").alias("wa"))
-    sb = shw.select(F.col("doc_id").alias("_doc_b2"), F.col("h").alias("hb"))
-    inter = (
-        cand.join(sa, "doc_a")
-        .join(sb, (F.col("doc_b") == F.col("_doc_b2")) & (F.col("h") == F.col("hb")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum("wa").cast("long").alias("iw"))
+    # verification by the LSH-verification ARRAY discipline (round 10):
+    # ONE per-doc row carries (sorted hash array, h→w map, total weight),
+    # candidates join it once per side on doc_id, and the exact weighted
+    # intersection folds IN-ROW (aggregate over array_intersect with a map
+    # lookup — global df-weights make w_a[h] ≡ w_b[h]). Replaces the
+    # round-9 row-level verify, which exploded every candidate pair into
+    # its |A| shingle rows and shuffled the (doc, shingle, w) table twice;
+    # measured sf1 decade 50.9 → 47.3 s. (A further two-pass rework
+    # computing the signatures in-row from these arrays was measured
+    # SLOWER — sf0.1 7.3 → 16.1 s: sixteen in-row array walks with
+    # per-element replica sequences cost more than the explode+grouped-min
+    # they replace, so the signature stage deliberately stays on the
+    # exploded rows.)
+    docw = shw.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.map_from_entries(F.collect_list(F.struct("h", "w"))).alias("hw"),
+        F.sum("w").cast("long").alias("tw"),
     )
-    wa = wsum.select(F.col("doc_id").alias("doc_a"), F.col("tw").alias("twa"))
-    wb = wsum.select(F.col("doc_id").alias("doc_b"), F.col("tw").alias("twb"))
+    da = docw.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("hw").alias("hw_a"),
+        F.col("tw").alias("twa"),
+    )
+    db = docw.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("tw").alias("twb"),
+    )
+    iw = F.aggregate(
+        F.array_intersect(F.col("hs_a"), F.col("hs_b")),
+        F.lit(0).cast("long"),
+        lambda acc, h: acc + F.element_at(F.col("hw_a"), h),
+    )
     out = (
-        inter.join(wa, "doc_a")
-        .join(wb, "doc_b")
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("iw", iw)
         .select(
             "doc_a",
             "doc_b",
