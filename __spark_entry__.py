@@ -804,6 +804,19 @@ _CERTIFIED_TAIL = (
     # the within-cluster candidate shape keeps its plan gate
     # (test_semdedup_candidates_cluster_bucketed).
     "e_semdedup_pair_recall_sampled",
+    # rotated out round 10 (sixth pass) for the runtime-pinned
+    # e_semdedup_keepone gate (SemDeDup's actual artifact — the pruned
+    # vector set: thresholded pair graph → transitive closure → keep min
+    # per semantic group; iterative CC, so it must hold a prefix slot).
+    # e_norm_histogram was first-certified green in CORRECTNESS_r09.json
+    # and is untouched this round (fingerprint-equal vs FINGERPRINTS_r09,
+    # guard-tested; vector_queries.py changes this round are append-only
+    # plus the byte-identical default-param seams): the bounded-bucket
+    # census shape it certifies has no dependent among this round's
+    # changes, and the embedding-health audit family keeps e_dim_variance
+    # and e_cluster_outliers fingerprints plus the r10-certified
+    # IVF-OPQ/semdedup chains exercising the same quantized corpus scan.
+    "e_norm_histogram",
 )
 
 

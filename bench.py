@@ -214,6 +214,7 @@ HEADLINE = [
     "cdc_stream_status_history",
     "e_ivf_opq_nprobe_curve",
     "w_stream_rolling_dau_wau",
+    "e_semdedup_keepone",
 ]
 
 

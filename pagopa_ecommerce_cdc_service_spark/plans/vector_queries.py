@@ -3664,3 +3664,53 @@ def e_ivf_opq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("nprobe", "hits", "recall_at_10")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup KEEP-ONE artifact (round 10): the paper's actual OUTPUT — the
+# pruned vector set. Thresholded within-cluster pairs (e_semdedup_pairs,
+# composed verbatim) form a similarity graph; transitive closure merges
+# chained near-dups into semantic groups (connected_components — chains
+# can cross Lloyd's clusters through shared members, exactly why the
+# artifact needs CC and not per-cluster argmin); each group keeps its min
+# vec_id, everything else is dropped. One row per corpus vector with its
+# group representative and the keep verdict — the table a training
+# pipeline joins against to filter its dataset. RUNTIME query (iterative
+# min-label CC), prefix-pinned like t_dup_clusters.
+# ---------------------------------------------------------------------------
+@query(
+    "e_semdedup_keepone",
+    f"""
+    WITH RECURSIVE approx AS ({_semdedup_oracle()}),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM approx
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM approx
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           c.component AS group_rep,
+           (c.component IS NULL OR c.component = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    """,
+)
+def e_semdedup_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = e_semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select("vec_id")
+    j = emb.join(comp, emb["vec_id"] == comp["node"], "left")
+    return j.select(
+        "vec_id",
+        F.col("component").alias("group_rep"),
+        (
+            F.col("component").isNull() | (F.col("vec_id") == F.col("component"))
+        ).alias("kept"),
+    )

@@ -79,6 +79,7 @@ RUNTIME_QUERIES = {
     "cdc_stream_status_history",    # two streaming phases + restart (interval state)
     "e_ivf_opq_nprobe_curve",       # eager localCheckpoint pins (codes/lut/lists/truth)
     "w_stream_rolling_dau_wau",     # stages parquet, runs a streaming (user, day) grid
+    "e_semdedup_keepone",           # iterative min-label CC over the semantic pair graph
 }
 
 _NORMALIZERS = (
