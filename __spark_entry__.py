@@ -817,6 +817,19 @@ _CERTIFIED_TAIL = (
     # and e_cluster_outliers fingerprints plus the r10-certified
     # IVF-OPQ/semdedup chains exercising the same quantized corpus scan.
     "e_norm_histogram",
+    # rotated out round 10 (seventh pass) for the runtime-pinned
+    # w_stream_markov_stationary gate (the stationary distribution as
+    # deployed: the transition matrix accretes from the stateful-lag pair
+    # stream — per-user last-event in keyed state across micro-batches —
+    # and the SHARED power iteration runs on the drained bounded matrix,
+    # hash-matched against the SAME batch oracle). w_markov_stationary
+    # was first-certified green in CORRECTNESS_r09.json and its plan is
+    # byte-identical after the _stationary_from_matrix extraction (pure
+    # delegation — re-verified against FINGERPRINTS_r10 in-session,
+    # guard-tested every run): the power-iteration fixed point now
+    # re-executes under an r10 value hash inside the streaming twin every
+    # round.
+    "w_markov_stationary",
 )
 
 

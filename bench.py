@@ -215,6 +215,7 @@ HEADLINE = [
     "e_ivf_opq_nprobe_curve",
     "w_stream_rolling_dau_wau",
     "e_semdedup_keepone",
+    "w_stream_markov_stationary",
 ]
 
 

@@ -2942,6 +2942,14 @@ def w_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # <= K^2 rows; ten iterations re-read it
     )
     types = ev.select("event_type").distinct().persist()  # K rows
+    return _stationary_from_matrix(m, types)
+
+
+def _stationary_from_matrix(m: DataFrame, types: DataFrame) -> DataFrame:
+    """Power iteration over a (cur, nxt, n, rt) transition matrix + type
+    dimension → stationary mass per type. Shared by the batch query and
+    its streaming twin (extracted fingerprint-neutrally — pure
+    delegation, expressions unchanged)."""
     kk = types.agg(F.count("*").alias("k"))
     v = types.crossJoin(F.broadcast(kk)).select(
         "event_type", F.expr("1000000 div k").cast("long").alias("v")
@@ -3219,3 +3227,100 @@ def w_stream_rolling_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["w_stream_rolling_dau_wau"] = w_stream_rolling_dau_wau
 ORACLES["w_stream_rolling_dau_wau"] = ORACLES["w_rolling_dau_wau"]
+
+
+# ---------------------------------------------------------------------------
+# streaming twin of the Markov stationary distribution (round 10): the
+# transition matrix accretes from the SAME stateful-lag pair stream as
+# w_stream_event_transitions (per-user last-event carried in keyed state
+# across micro-batches — the only part of the chain that needs state),
+# then the SHARED power iteration (_stationary_from_matrix) runs on the
+# drained ≤K² matrix. The type dimension is read from the staged source
+# batch-side (a deployment keeps it as a dimension table). Final table ≡
+# the batch oracle: the funnel summary as it deploys — pairs accrete on
+# the stream, the fixed-point recomputes on the bounded matrix.
+# ---------------------------------------------------------------------------
+def w_stream_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time as _time
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    workdir = gate_workdir("stream-markov-gate-")
+    src = f"{workdir}/src"
+    now = _time.time()
+    cut = F.lit(_TRANS_SPLIT_TS).cast("timestamp")
+    write_staged_file(ev.filter(F.col("ts") < cut), f"{src}/a.parquet", now - 20)
+    write_staged_file(ev.filter(F.col("ts") >= cut), f"{src}/b.parquet", now - 10)
+
+    def lag_fn(key, pdf_iter, state):
+        parts = list(pdf_iter)
+        pdf = pd.concat(parts) if parts else pd.DataFrame(
+            columns=["user_id", "ts", "event_id", "event_type"]
+        )
+        if len(pdf) == 0:
+            yield pd.DataFrame({"prev_type": [], "curr_type": []})
+            return
+        pdf = pdf.sort_values(["ts", "event_id"])
+        prevs = pdf["event_type"].shift(1)
+        if state.exists:
+            prevs.iloc[0] = state.get[0]
+        out = pd.DataFrame(
+            {"prev_type": prevs, "curr_type": pdf["event_type"]}
+        )
+        last = pdf["event_type"].iloc[-1]
+        state.update((None if pd.isna(last) else str(last),))
+        yield out[out["prev_type"].notna()]
+
+    stream = (
+        spark.readStream.schema(
+            "user_id bigint, ts timestamp, event_id bigint, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    pairs = stream.groupBy("user_id").applyInPandasWithState(
+        lag_fn,
+        outputStructType="prev_type string, curr_type string",
+        stateStructType=StructType([StructField("last_type", StringType())]),
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
+    name = f"smk_{uuid.uuid4().hex[:8]}"
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(
+            "w_stream_markov_stationary: availableNow run did not finish in 240s"
+        )
+    wt = Window.partitionBy("cur")
+    m = (
+        spark.table(name)
+        .groupBy(
+            F.col("prev_type").alias("cur"), F.col("curr_type").alias("nxt")
+        )
+        .agg(F.count("*").alias("n"))
+        .withColumn("rt", F.sum("n").over(wt))
+        .persist()  # <= K^2 rows; ten iterations re-read it
+    )
+    types = (
+        spark.read.parquet(src).select("event_type").distinct().persist()
+    )
+    return _stationary_from_matrix(m, types)
+
+
+QUERIES["w_stream_markov_stationary"] = w_stream_markov_stationary
+ORACLES["w_stream_markov_stationary"] = ORACLES["w_markov_stationary"]

@@ -80,6 +80,7 @@ RUNTIME_QUERIES = {
     "e_ivf_opq_nprobe_curve",       # eager localCheckpoint pins (codes/lut/lists/truth)
     "w_stream_rolling_dau_wau",     # stages parquet, runs a streaming (user, day) grid
     "e_semdedup_keepone",           # iterative min-label CC over the semantic pair graph
+    "w_stream_markov_stationary",   # stages parquet, runs a stateful-lag stream
 }
 
 _NORMALIZERS = (
