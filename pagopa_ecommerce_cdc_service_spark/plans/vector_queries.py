@@ -3670,10 +3670,13 @@ def e_ivf_opq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup KEEP-ONE artifact (round 10): the paper's actual OUTPUT — the
 # pruned vector set. Thresholded within-cluster pairs (e_semdedup_pairs,
 # composed verbatim) form a similarity graph; transitive closure merges
-# chained near-dups into semantic groups (connected_components — chains
-# can cross Lloyd's clusters through shared members, exactly why the
-# artifact needs CC and not per-cluster argmin); each group keeps its min
-# vec_id, everything else is dropped. One row per corpus vector with its
+# chained near-dups into semantic groups (connected_components). Every
+# pair is within one Lloyd's cluster and each vector has one cluster id,
+# so a component never crosses clusters — CC is needed for WITHIN-cluster
+# transitivity: A~B~C with A≁C is ONE group, while an unrelated D~E in
+# the same cluster is another (a per-cluster argmin would wrongly
+# collapse both into one survivor). Each group keeps its min vec_id,
+# everything else is dropped. One row per corpus vector with its
 # group representative and the keep verdict — the table a training
 # pipeline joins against to filter its dataset. RUNTIME query (iterative
 # min-label CC), prefix-pinned like t_dup_clusters.

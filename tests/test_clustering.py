@@ -242,3 +242,59 @@ def test_opq_wins_on_anisotropic_corpus(spark):
     # every hot dim lands in its own subspace: each codebook then models
     # ONE high-variance coordinate instead of one codebook modeling eight
     assert opq < 0.55 * plain, (opq, plain)
+
+
+def test_semdedup_keepone_matches_union_find(spark, sf_dir):
+    """e_semdedup_keepone must equal an independent Python union-find over
+    the pair table: groups are the transitive closure of the thresholded
+    pairs, the representative is the min member, exactly one member per
+    group is kept, and vectors with no pair are kept singletons (NULL
+    rep). Also pins the within-cluster transitivity claim: if any cluster
+    holds two DISJOINT groups, a per-cluster argmin would have collapsed
+    them — the CC must not."""
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        e_semdedup_keepone,
+        e_semdedup_pairs,
+    )
+
+    pairs = [
+        (r["vec_a"], r["vec_b"], r["cluster_id"])
+        for r in e_semdedup_pairs(spark, sf_dir).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b, _ in pairs:
+        union(a, b)
+    rep = {x: find(x) for x in parent}
+
+    got = {
+        r["vec_id"]: (r["group_rep"], r["kept"])
+        for r in e_semdedup_keepone(spark, sf_dir).collect()
+    }
+    assert got, "empty artifact"
+    for vec_id, (group_rep, kept) in got.items():
+        if vec_id in rep:
+            assert group_rep == rep[vec_id], (vec_id, group_rep, rep[vec_id])
+            assert kept == (vec_id == rep[vec_id])
+        else:
+            assert group_rep is None and kept is True, (vec_id, group_rep, kept)
+    # exactly one kept member per group
+    from collections import Counter
+
+    kept_per_group = Counter(
+        g for _, (g, kept) in got.items() if g is not None and kept
+    )
+    groups = {g for _, (g, _) in got.items() if g is not None}
+    assert kept_per_group == Counter({g: 1 for g in groups})
