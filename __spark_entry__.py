@@ -830,6 +830,19 @@ _CERTIFIED_TAIL = (
     # re-executes under an r10 value hash inside the streaming twin every
     # round.
     "w_markov_stationary",
+    # rotated out round 10 (eighth pass) for the runtime-pinned
+    # t_wminhash_keepone gate (the weighted-MinHash pruned document set —
+    # the lexical mirror of e_semdedup_keepone: CC over the rarity-
+    # weighted pair graph, keep min doc_id per group; iterative, so it
+    # must hold a prefix slot). t_simhash_hamming_hist was first-certified
+    # green in CORRECTNESS_r09.json and is untouched this round
+    # (fingerprint-equal vs FINGERPRINTS_r09, guard-tested;
+    # text_queries.py changes this round are the prefix-resident wminhash
+    # rework plus append-only new queries): the banded-candidate Hamming
+    # census it certifies keeps the SimHash banding fingerprints in the
+    # tail guard and the band machinery re-executes under r10 hashes
+    # inside t_wminhash_pairs and the stream LSH/winnow prefix gates.
+    "t_simhash_hamming_hist",
 )
 
 

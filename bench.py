@@ -216,6 +216,7 @@ HEADLINE = [
     "w_stream_rolling_dau_wau",
     "e_semdedup_keepone",
     "w_stream_markov_stationary",
+    "t_wminhash_keepone",
 ]
 
 

@@ -4950,3 +4950,53 @@ def t_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("wjaccard") >= _WMH_THRESH)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Weighted-MinHash KEEP-ONE artifact (round 10): the pruned document set —
+# the lexical-side mirror of e_semdedup_keepone. Rarity-weighted near-dup
+# pairs (t_wminhash_pairs, composed verbatim: banded candidates, exact
+# integer weighted-Jaccard verify) form the similarity graph; transitive
+# closure merges chained near-dups into groups (CC — A~B~C with A≁C is
+# one group, an unrelated D~E another); each group keeps its min doc_id.
+# One row per corpus document (doc_id, group_rep, kept) — the table a
+# curation pipeline anti-joins to drop boilerplate-discounted duplicates.
+# RUNTIME query (iterative min-label CC), prefix-pinned.
+# ---------------------------------------------------------------------------
+@query(
+    "t_wminhash_keepone",
+    f"""
+    WITH RECURSIVE approx AS ({ORACLES["t_wminhash_pairs"]}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM approx
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM approx
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           c.component AS group_rep,
+           (c.component IS NULL OR c.component = d.doc_id) AS kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+)
+def t_wminhash_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    pairs = t_wminhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    docs = spread(read(spark, sf_dir, "documents"), spark).select("doc_id")
+    j = docs.join(comp, docs["doc_id"] == comp["node"], "left")
+    return j.select(
+        "doc_id",
+        F.col("component").alias("group_rep"),
+        (
+            F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
+        ).alias("kept"),
+    )
+

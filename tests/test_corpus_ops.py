@@ -1178,3 +1178,48 @@ def test_wminhash_downweights_boilerplate(spark):
         }
     assert (0, 1) in pairs and pairs[(0, 1)] > 0.95
     assert (2, 3) not in pairs
+
+
+def test_wminhash_keepone_matches_union_find(spark, sf_dir):
+    """t_wminhash_keepone must equal an independent Python union-find over
+    the weighted pair table: groups = transitive closure, rep = min
+    member, exactly one kept per group, pairless docs kept as singletons
+    (NULL rep) — the same law e_semdedup_keepone pins on the vector side."""
+    from collections import Counter
+
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_wminhash_keepone,
+        t_wminhash_pairs,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in t_wminhash_pairs(spark, sf_dir).collect():
+        ra, rb = find(r["doc_a"]), find(r["doc_b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rep = {x: find(x) for x in parent}
+
+    got = {
+        r["doc_id"]: (r["group_rep"], r["kept"])
+        for r in t_wminhash_keepone(spark, sf_dir).collect()
+    }
+    assert got, "empty artifact"
+    for doc_id, (group_rep, kept) in got.items():
+        if doc_id in rep:
+            assert group_rep == rep[doc_id]
+            assert kept == (doc_id == rep[doc_id])
+        else:
+            assert group_rep is None and kept is True
+    kept_per_group = Counter(
+        g for _, (g, kept) in got.items() if g is not None and kept
+    )
+    groups = {g for _, (g, _) in got.items() if g is not None}
+    assert kept_per_group == Counter({g: 1 for g in groups})

@@ -81,6 +81,7 @@ RUNTIME_QUERIES = {
     "w_stream_rolling_dau_wau",     # stages parquet, runs a streaming (user, day) grid
     "e_semdedup_keepone",           # iterative min-label CC over the semantic pair graph
     "w_stream_markov_stationary",   # stages parquet, runs a stateful-lag stream
+    "t_wminhash_keepone",           # iterative min-label CC over the weighted pair graph
 }
 
 _NORMALIZERS = (
