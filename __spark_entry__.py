@@ -843,6 +843,23 @@ _CERTIFIED_TAIL = (
     # tail guard and the band machinery re-executes under r10 hashes
     # inside t_wminhash_pairs and the stream LSH/winnow prefix gates.
     "t_simhash_hamming_hist",
+    # rotated out round 10 (ninth pass) for the two runtime-pinned
+    # daily-grid statistics stream twins (w_stream_ols_daily_trend,
+    # w_stream_pearson_daily — grids accreted as streaming aggregations,
+    # the Pearson grid at (type, day, user) grain because streaming
+    # aggregations cannot COUNT(DISTINCT); the SHARED _ols_from_daily /
+    # _pearson_from_daily post-processing — pure-delegation extractions,
+    # batch plan shas re-verified byte-equal to FINGERPRINTS_r10 —
+    # hash-matches the SAME batch oracles). t_source_distinctive_terms
+    # and w_hourly_seasonality were first-certified green in
+    # CORRECTNESS_r09.json and are untouched this round (fingerprint-
+    # equal vs FINGERPRINTS_r09, guard-tested; events_queries.py changes
+    # are the delegation extractions + append-only new queries): the
+    # token-census lift joins keep t_bigram_surprisal's tail fingerprints
+    # and the tokenize→explode spine holds multiple r10 prefix hashes;
+    # the bounded 168-cell seasonality grid has no dependents.
+    "t_source_distinctive_terms",
+    "w_hourly_seasonality",
 )
 
 

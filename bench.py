@@ -217,6 +217,8 @@ HEADLINE = [
     "e_semdedup_keepone",
     "w_stream_markov_stationary",
     "t_wminhash_keepone",
+    "w_stream_ols_daily_trend",
+    "w_stream_pearson_daily",
 ]
 
 

@@ -2390,6 +2390,13 @@ def w_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
     ).agg(F.count("*").alias("y"))
+    return _ols_from_daily(daily)
+
+
+def _ols_from_daily(daily: DataFrame) -> DataFrame:
+    """(event_type, day, y) grid → centered-index OLS rows. Shared by the
+    batch query and its streaming twin (extracted fingerprint-neutrally —
+    pure delegation, expressions unchanged)."""
     centered = daily.select(
         "event_type",
         F.datediff("day", F.min("day").over(Window.partitionBy()))
@@ -2464,6 +2471,13 @@ def w_pearson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("x"),
         F.countDistinct("user_id").alias("y"),
     )
+    return _pearson_from_daily(daily)
+
+
+def _pearson_from_daily(daily: DataFrame) -> DataFrame:
+    """(event_type, x, y) daily grid → Pearson rows. Shared by the batch
+    query and its streaming twin (extracted fingerprint-neutrally — pure
+    delegation, expressions unchanged)."""
     mo = daily.groupBy("event_type").agg(
         F.count("*").alias("n_days"),
         F.sum("x").alias("sx"),
@@ -3324,3 +3338,98 @@ def w_stream_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["w_stream_markov_stationary"] = w_stream_markov_stationary
 ORACLES["w_stream_markov_stationary"] = ORACLES["w_markov_stationary"]
+
+
+# ---------------------------------------------------------------------------
+# streaming twins of the daily-grid statistics family (round 10): OLS
+# trend and Pearson volume-vs-reach as they deploy — the grids accrete as
+# streaming aggregations across ordered micro-batches (mergeable-summary
+# law: the count grid merges under any batch split; the Pearson grid
+# accretes at (type, day, user) grain so the distinct-user count is a set
+# union — the w_stream_rolling_dau_wau discipline, since streaming
+# aggregations cannot COUNT(DISTINCT)), then the SHARED post-processing
+# (_ols_from_daily / _pearson_from_daily) runs on the drained bounded
+# grid. Final tables ≡ the batch oracles.
+# ---------------------------------------------------------------------------
+def _drain_stream_grid(spark, sf_dir, prefix, cols, agg_exprs, group_cols):
+    import time as _time
+    import uuid
+
+    from .helpers import gate_workdir, write_staged_file
+
+    ev = read(spark, sf_dir, "events").select("event_id", *cols)
+    workdir = gate_workdir(prefix)
+    src = f"{workdir}/src"
+    now = _time.time()
+    write_staged_file(
+        ev.filter(F.col("event_id") % 2 == 0), f"{src}/half0.parquet", now - 20
+    )
+    write_staged_file(
+        ev.filter(F.col("event_id") % 2 == 1), f"{src}/half1.parquet", now - 10
+    )
+    schema = ", ".join(
+        ["event_id bigint"]
+        + [
+            {"event_type": "event_type string", "ts": "ts timestamp",
+             "user_id": "user_id bigint"}[c]
+            for c in cols
+        ]
+    )
+    name = f"sg_{uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .groupBy(*group_cols)
+        .agg(*agg_exprs)
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", f"{workdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(240):
+        q.stop()
+        raise TimeoutError(f"{prefix}: availableNow run did not finish in 240s")
+    grid_dir = f"{workdir}/grid"
+    spark.table(name).write.mode("overwrite").parquet(grid_dir)
+    return spark.read.parquet(grid_dir)
+
+
+def w_stream_ols_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = _drain_stream_grid(
+        spark,
+        sf_dir,
+        "stream-ols-gate-",
+        ["event_type", "ts"],
+        [F.count("*").cast("long").alias("y")],
+        ["event_type", F.date_trunc("day", "ts").cast("date").alias("day")],
+    )
+    return _ols_from_daily(grid.select("event_type", "day", "y"))
+
+
+def w_stream_pearson_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _drain_stream_grid(
+        spark,
+        sf_dir,
+        "stream-pearson-gate-",
+        ["event_type", "ts", "user_id"],
+        [F.count("*").cast("long").alias("cnt")],
+        ["event_type", F.date_trunc("day", "ts").alias("day"), "user_id"],
+    )
+    # per-(type, day, user) counts preserve totals: x = Σ cnt (events),
+    # y = row count (distinct users) — the set-union rewrite of the
+    # batch COUNT(DISTINCT)
+    daily = g.groupBy("event_type", "day").agg(
+        F.sum("cnt").alias("x"), F.count("*").alias("y")
+    )
+    return _pearson_from_daily(daily)
+
+
+QUERIES["w_stream_ols_daily_trend"] = w_stream_ols_daily_trend
+ORACLES["w_stream_ols_daily_trend"] = ORACLES["w_ols_daily_trend"]
+QUERIES["w_stream_pearson_daily"] = w_stream_pearson_daily
+ORACLES["w_stream_pearson_daily"] = ORACLES["w_pearson_daily"]

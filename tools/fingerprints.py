@@ -82,6 +82,8 @@ RUNTIME_QUERIES = {
     "e_semdedup_keepone",           # iterative min-label CC over the semantic pair graph
     "w_stream_markov_stationary",   # stages parquet, runs a stateful-lag stream
     "t_wminhash_keepone",           # iterative min-label CC over the weighted pair graph
+    "w_stream_ols_daily_trend",     # stages parquet, runs a streaming count grid
+    "w_stream_pearson_daily",       # stages parquet, runs a streaming (type,day,user) grid
 }
 
 _NORMALIZERS = (
