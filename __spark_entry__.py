@@ -860,6 +860,21 @@ _CERTIFIED_TAIL = (
     # the bounded 168-cell seasonality grid has no dependents.
     "t_source_distinctive_terms",
     "w_hourly_seasonality",
+    # rotated out round 10 (tenth pass) for e_semdedup_kn (the corpus-
+    # scaled cluster count as a REGISTERED query: k = clamp(n div 64, 1,
+    # cap) rides a one-row broadcast aggregate into the seed-rank filter,
+    # and the output row certifies the k∝n law — scaled k, cluster census,
+    # balance extreme, within-cluster pair count — under the value hash).
+    # e_silhouette was first-certified green in CORRECTNESS_r08.json and is
+    # untouched this round (fingerprint-equal vs FINGERPRINTS_r09,
+    # guard-tested; vector_queries.py/clustering.py changes this round are
+    # append-only new queries and operators): the fixed-k Lloyd's chain it
+    # certifies re-executes under an r10 value hash inside e_semdedup_kn —
+    # the SAME kmeans_assign/kmeans_update kernels, differing only in the
+    # adaptive seed table — and the cluster-quality audit family keeps
+    # e_cluster_outliers / e_centroid_shift / e_rand_stability fingerprints
+    # in the guarded tail.
+    "e_silhouette",
 )
 
 

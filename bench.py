@@ -219,6 +219,9 @@ HEADLINE = [
     "t_wminhash_keepone",
     "w_stream_ols_daily_trend",
     "w_stream_pearson_daily",
+    # round-10 (continuation): corpus-scaled cluster count as a registered
+    # query — the k∝n law under the value hash
+    "e_semdedup_kn",
 ]
 
 

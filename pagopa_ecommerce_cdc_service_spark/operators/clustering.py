@@ -198,6 +198,129 @@ def kmeans_oracle_ctes(
     return ",\n".join(parts)
 
 
+# --- corpus-scaled cluster count: k ∝ n -------------------------------------
+# SemDeDup's design point is CONSTANT per-cluster size as the corpus grows
+# (k = n / target), so the within-cluster quadratic pair work stays linear
+# in n. ``kmeans_kn_seeds`` makes the cluster count data-dependent INSIDE
+# one static plan: the seed scan takes the top KN_CAP vectors by hash rank
+# (TakeOrderedAndProject — a fixed bound whatever the corpus), and the
+# actual k = clamp(n div KN_TARGET, 1, KN_CAP) rides a ONE-ROW broadcast
+# count aggregate into a rank filter. No driver-side count(), no job at
+# plan-build time — the k∝n law is part of the declarative plan and of the
+# DuckDB oracle. Integer-exact: `div` floors for positive n in both
+# engines. KN_CAP is the static seed-scan bound — a config knob a 100 TB
+# deployment raises with its corpus (the measured k∝n decade study lives
+# in tools/semdedup_kscale.py; this operator REGISTERS the law).
+
+KN_TARGET = 64  # design per-cluster size: k = clamp(n div 64, 1, KN_CAP)
+KN_CAP = 256
+
+
+def kmeans_kn_seeds(
+    emb: DataFrame,
+    target: int = KN_TARGET,
+    cap: int = KN_CAP,
+    salt: str = "km:",
+) -> DataFrame:
+    """Adaptive-count seed centroids: the top-``cap`` hash-ranked vectors,
+    kept while rank ≤ k where k = clamp(n div target, 1, cap) is a one-row
+    broadcast aggregate. The first k seeds equal ``kmeans_seeds(emb, k)``
+    exactly (same hash, same rank order)."""
+    kk = emb.agg(
+        F.expr(f"greatest(1, least({cap}, count(*) div {target}))").alias("kk")
+    )
+    hashed = emb.select(
+        "vec_id",
+        "q",
+        md5_long(F.concat(F.lit(salt), F.col("vec_id").cast("string"))).alias("h"),
+    )
+    top = hashed.orderBy("h", "vec_id").limit(cap)
+    w = Window.orderBy("h", "vec_id")
+    ranked = top.select(F.row_number().over(w).alias("cid"), F.col("q").alias("c"))
+    return (
+        ranked.crossJoin(F.broadcast(kk))
+        .filter(F.col("cid") <= F.col("kk"))
+        .select("cid", "c")
+    )
+
+
+def kmeans_kn_fit(
+    emb: DataFrame,
+    iters: int = KM_ITERS,
+    target: int = KN_TARGET,
+    cap: int = KN_CAP,
+    salt: str = "km:",
+):
+    """Unrolled Lloyd's with corpus-scaled k: ``(centroids, assignment)``.
+    Assignment/update passes are :func:`kmeans_assign`/:func:`kmeans_update`
+    verbatim — they never reference k, so the adaptive seed table slots in
+    with zero change to the iteration plan shape."""
+    cent = kmeans_kn_seeds(emb, target, cap, salt)
+    for _ in range(iters):
+        cent = kmeans_update(kmeans_assign(emb, cent))
+    return cent, kmeans_assign(emb, cent)
+
+
+def kmeans_kn_oracle_ctes(
+    qv_sql: str,
+    iters: int = KM_ITERS,
+    target: int = KN_TARGET,
+    cap: int = KN_CAP,
+    salt: str = "km:",
+    prefix: str = "",
+) -> str:
+    """CTE chain mirroring kmeans_kn_fit: emb → kn (the one-row k law) →
+    adaptive seeds → (a_i → c_i)* → a_final. The caller SELECTs from
+    ``{prefix}a{iters}`` and may read the scaled k from ``{prefix}kn``.
+    Assignment/update CTE text matches :func:`kmeans_oracle_ctes` exactly —
+    only the seed CTE differs (rank ≤ scalar-subquery k over a top-``cap``
+    scan instead of LIMIT k)."""
+    p = prefix
+    seed_hash = md5_long_sql(f"'{salt}' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"{p}emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
+        f"""{p}kn AS (
+          SELECT GREATEST(1, LEAST({cap}, count(*) // {target})) AS kk
+          FROM {p}emb)""",
+        f"""{p}seeds0 AS (
+          SELECT cid, c FROM (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS cid, q AS c
+            FROM (SELECT vec_id, q, {seed_hash} AS h FROM {p}emb
+                  ORDER BY h, vec_id LIMIT {cap}))
+          WHERE cid <= (SELECT kk FROM {p}kn))""",
+    ]
+
+    def assign(name: str, cent: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, q, cid, dist FROM (
+            SELECT e.vec_id, e.q, s.cid,
+                   {sq_dist_sql("e.q", "s.c")} AS dist,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {sq_dist_sql("e.q", "s.c")}, s.cid) AS rn
+            FROM {p}emb e CROSS JOIN {cent} s)
+          WHERE rn = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+          SELECT cid, array_agg(cv ORDER BY pos) AS c FROM (
+            SELECT cid, pos,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+            FROM (SELECT a.cid, i.pos, a.q[i.pos] AS v
+                  FROM {assigned} a,
+                       (SELECT unnest(generate_series(1, {DIMS})) AS pos) i)
+            GROUP BY cid, pos)
+          GROUP BY cid)"""
+
+    cent = f"{p}seeds0"
+    for i in range(iters):
+        parts.append(assign(f"{p}a{i}", cent))
+        parts.append(update(f"{p}c{i}", f"{p}a{i}"))
+        cent = f"{p}c{i}"
+    parts.append(assign(f"{p}a{iters}", cent))
+    return ",\n".join(parts)
+
+
 # --- product quantization ---------------------------------------------------
 # PQ = per-subspace k-means: the 64-dim QUANT vector splits into PQ_M
 # 8-dim subvectors, each trained against its own PQ_K-centroid codebook

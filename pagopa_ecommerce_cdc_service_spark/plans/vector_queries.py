@@ -3717,3 +3717,107 @@ def e_semdedup_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("component").isNull() | (F.col("vec_id") == F.col("component"))
         ).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CORPUS-SCALED cluster count as a REGISTERED query (round 10): SemDeDup's
+# scale prescription — k ∝ n so per-cluster size (and hence the
+# within-cluster quadratic pair work per vector) stays CONSTANT as the
+# corpus grows — expressed inside one static plan and one oracle, not just
+# as the measured tools/semdedup_kscale.py study. k = clamp(n div
+# KN_TARGET, 1, KN_CAP) rides a one-row broadcast count aggregate into the
+# seed-rank filter (operators/clustering.kmeans_kn_seeds); the Lloyd's
+# assignment/update passes are the certified kernels verbatim. The output
+# row certifies the law end-to-end under the value hash: the scaled k
+# itself, the non-empty cluster census, the balance extreme, and the
+# above-threshold within-cluster pair count at that k. Integer-exact
+# (`div` // parity); the cosine threshold uses the e_semdedup_pairs
+# formulation unchanged. 100 TB shape: identical to e_semdedup_pairs —
+# ONE wide exchange of the vector set, broadcast centroid joins, k·dims
+# update grids — plus one one-row count broadcast; KN_CAP bounds the seed
+# scan statically (a deployment raises it with its corpus).
+# ---------------------------------------------------------------------------
+def _semdedup_kn_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_kn_oracle_ctes
+
+    fin = f"a{KM_ITERS}"
+    cos = (
+        f"CAST({dot_sql('ea.q', 'eb.q')} AS DOUBLE) / "
+        f"(sqrt(CAST(ea.n2 AS DOUBLE)) * sqrt(CAST(eb.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH {kmeans_kn_oracle_ctes(_QV)},
+    embn AS (SELECT vec_id, q, {dot_sql("q", "q")} AS n2 FROM emb),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM {fin} x JOIN {fin} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           JOIN embn ea ON ea.vec_id = x.vec_id
+           JOIN embn eb ON eb.vec_id = y.vec_id
+      WHERE {cos} >= {_SEMDEDUP_COS}
+    ),
+    sizes AS (SELECT cid, count(*) AS sz FROM {fin} GROUP BY cid)
+    SELECT (SELECT count(*) FROM emb) AS n_vectors,
+           (SELECT kk FROM kn) AS k,
+           (SELECT count(*) FROM sizes) AS n_clusters,
+           (SELECT max(sz) FROM sizes) AS max_cluster,
+           (SELECT count(*) FROM pairs) AS n_pairs
+    """
+
+
+@query("e_semdedup_kn", _semdedup_kn_oracle())
+def e_semdedup_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import KN_CAP, KN_TARGET, kmeans_kn_fit
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    _, assigned = kmeans_kn_fit(emb)
+    final = assigned.select("vec_id", "cid")
+
+    # pair generation: the e_semdedup_pairs discipline verbatim — narrow
+    # (vec_id, cid) cid-equi-self-join, arrays+norms join back once per side
+    embn = emb.withColumn("n2", dot(F.col("q"), F.col("q")))
+    a = final.alias("a")
+    b = final.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+    )
+    xa = embn.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    xb = embn.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    cos = dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    pairs = (
+        cand.join(xa, "vec_a")
+        .join(xb, "vec_b")
+        .filter(cos >= _SEMDEDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+
+    nk = emb.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.expr(f"greatest(1, least({KN_CAP}, count(*) div {KN_TARGET}))")
+        .cast("long")
+        .alias("k"),
+    )
+    sizes = final.groupBy("cid").agg(F.count("*").alias("sz"))
+    cstats = sizes.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("max_cluster"),
+    )
+    npairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        nk.crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(npairs))
+        .select("n_vectors", "k", "n_clusters", "max_cluster", "n_pairs")
+    )

@@ -298,3 +298,48 @@ def test_semdedup_keepone_matches_union_find(spark, sf_dir):
     )
     groups = {g for _, (g, _) in got.items() if g is not None}
     assert kept_per_group == Counter({g: 1 for g in groups})
+
+
+def test_kn_seeds_scale_with_corpus(spark):
+    # k = clamp(n div target, 1, cap): the law itself, on three corpus
+    # sizes spanning floor / proportional / cap regimes — and the first k
+    # adaptive seeds equal kmeans_seeds(emb, k) exactly (same hash rank).
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        kmeans_kn_seeds,
+    )
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.col("id") % 7, F.col("id") % 5).alias("q"),
+        )
+
+    for n, target, cap, want in ((10, 4, 8, 2), (100, 4, 8, 8), (3, 4, 8, 1)):
+        got = kmeans_kn_seeds(corpus(n), target=target, cap=cap).count()
+        assert got == want, (n, target, cap, got)
+
+    emb = corpus(50)
+    adaptive = kmeans_kn_seeds(emb, target=10, cap=32)  # k = 5
+    fixed = kmeans_seeds(emb, k=5)
+    assert sorted(map(tuple, adaptive.collect())) == sorted(
+        map(tuple, fixed.collect())
+    )
+
+
+def test_kn_fit_single_wide_exchange(spark, sf_dir):
+    # The adaptive-k chain keeps the kmeans scale shape (the
+    # test_kmeans_single_wide_exchange claim): after execution AQE
+    # collapses the repeated assignment subtrees onto ONE materialized
+    # vec_id exchange (ReusedExchange elsewhere); the extra k law is a
+    # one-row broadcast aggregate, never a vector-set exchange.
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        kmeans_kn_fit,
+    )
+
+    emb = _emb(spark, sf_dir)
+    _, assigned = kmeans_kn_fit(emb)
+    assigned.collect()
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ReusedExchange") >= 3, plan[:2000]
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan

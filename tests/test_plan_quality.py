@@ -925,3 +925,17 @@ def test_opq_no_cartesian_and_pinned_pq_shape(spark, sf_dir, queries):
         plan = _plan(queries[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" in plan, name
+
+
+def test_semdedup_kn_cluster_bucketed(spark, sf_dir, queries):
+    """The corpus-scaled-k query keeps the SemDeDup candidate discipline:
+    cid equi-self-join over narrow assignment rows, never a corpus
+    cartesian; the k law itself is a one-row broadcast aggregate (a benign
+    BroadcastNestedLoopJoin, the e_pq_topk pattern), not a vector-set
+    exchange."""
+    plan = _plan(queries["e_semdedup_kn"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    joins = [l for l in plan.splitlines()
+             if "SortMergeJoin" in l or "BroadcastHashJoin" in l or "ShuffledHashJoin" in l]
+    assert any("cid" in l for l in joins), joins
+    assert "EvalPython" not in plan
