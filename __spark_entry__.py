@@ -875,6 +875,21 @@ _CERTIFIED_TAIL = (
     # e_cluster_outliers / e_centroid_shift / e_rand_stability fingerprints
     # in the guarded tail.
     "e_silhouette",
+    # rotated out round 10 (eleventh pass) for the PCA-permutation hybrid
+    # PQ pair (e_pcapq_topk — dims ranked by the certified fixed-point PC1
+    # loading magnitude, dealt with the OPQ formula, PQ chain verbatim,
+    # exact rescore — and e_pcapq_distortion_delta, the head-to-head WCSS
+    # race of the two dealing heuristics). Both rotated-out queries were
+    # first-certified green in CORRECTNESS_r09.json and are untouched this
+    # round (fingerprint-equal vs FINGERPRINTS_r09, guard-tested;
+    # vector_queries.py changes this round are append-only new queries):
+    # the OPQ variance permutation + PQ chain re-execute under r10 value
+    # hashes inside THREE prefix queries (e_ivf_opq_topk, e_ivf_opq_recall,
+    # e_ivf_opq_nprobe_curve) AND inside e_pcapq_distortion_delta's o_
+    # half, and the flat-retrieval recall-row machinery is re-certified
+    # through e_pcapq_recall (pending) and the r10 IVF-OPQ recall gate.
+    "e_opq_topk",
+    "e_opq_recall",
 )
 
 
@@ -886,11 +901,16 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT: tuple[str, ...] = (
-    # Round 9: the five round-8 pending queries rotated INTO the prefix at
-    # round start (see the round-9 rotation block in _CERTIFIED_TAIL);
-    # queries added this round take prefix slots directly from
-    # provably-unchanged certified members, so nothing waits here unless
-    # the rotatable static budget runs out again.
+    # Round 10 (continuation): the rotatable-static budget is nearly
+    # exhausted (the prefix is dominated by runtime gates plus this
+    # round's own first-certs, which cannot take tail slots until their
+    # gate row lands), so the recall audit of the PCA-permutation PQ
+    # waits here for its first certification next round. It is
+    # oracle-backed (local parity runs it every round) and composes
+    # e_pcapq_topk — which certifies in THIS round's prefix — plus the
+    # exact-GT recall-row machinery certified through the r10 IVF-OPQ
+    # recall gate.
+    "e_pcapq_recall",
 )
 
 

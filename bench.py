@@ -222,6 +222,11 @@ HEADLINE = [
     # round-10 (continuation): corpus-scaled cluster count as a registered
     # query — the k∝n law under the value hash
     "e_semdedup_kn",
+    # round-10 (continuation): PCA-permutation hybrid PQ — PC1-loading
+    # dealing, heuristic head-to-head, recall audit
+    "e_pcapq_topk",
+    "e_pcapq_distortion_delta",
+    "e_pcapq_recall",
 ]
 
 

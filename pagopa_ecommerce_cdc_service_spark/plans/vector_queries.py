@@ -3821,3 +3821,252 @@ def e_semdedup_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(npairs))
         .select("n_vectors", "k", "n_clusters", "max_cluster", "n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA-PERMUTATION hybrid PQ (round 10): the second dealing heuristic for
+# the OPQ family — rank dimensions by the magnitude of their CERTIFIED
+# fixed-point PC1 loading (the unrolled power iteration of
+# e_pca_projection, composed verbatim) instead of raw per-dim variance,
+# then deal them round-robin across the PQ_M subspaces with the exact
+# OPQ formula ((r % M)·subdim + r div M). Rationale: variance ranks
+# dimensions in isolation; the PC1 loading ranks them by participation
+# in the corpus's dominant covariance direction, so correlated
+# high-energy dims (which variance dealing can still co-locate when
+# their variances interleave) spread across subspaces. Integer-exact:
+# loadings are BIGINT fixed-point iterates, |·| and the (|v|, dim)
+# rank are exact; the permutation is a one-row broadcast like OPQ's.
+# The PQ training/search chain is reused VERBATIM on the permuted
+# vectors; the rescore uses original vectors (permutation-invariant).
+# e_pcapq_distortion_delta races the two heuristics head-to-head —
+# both trainings in one query. 100 TB shape: identical to e_opq_topk
+# plus the PCA chain's one gram scan (the 64×64 grid aggregate) and a
+# linear chain of in-row Projects over one row.
+# ---------------------------------------------------------------------------
+def _pc1_dir_ctes() -> str:
+    """CTE chain for the converged PC1 fixed-point direction: ``varr``
+    holds the 64-entry loading list (the e_pca_projection iterate chain,
+    same arithmetic — that oracle is tail-pinned so it is not refactored).
+
+    Every stage is MATERIALIZED: the iterate chain nests scalar
+    subqueries five deep, and when the whole chain additionally sits
+    under the PQ oracle's many-reference CTEs, DuckDB's default CTE
+    inlining re-expands it per reference — exponential re-evaluation
+    that hangs the oracle (observed >110 s at sf0.001 vs <1 s
+    materialized). Standalone e_pca_projection tolerates inlining only
+    because it references the chain once."""
+    gram = ORACLES["e_gram_matrix"]
+    ctes = [
+        f"g AS MATERIALIZED ({gram})",
+        "v0 AS MATERIALIZED (SELECT unnest(range(1, 65)) AS j, CAST(1 AS BIGINT) AS v)",
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        ctes.append(
+            f"u{t} AS MATERIALIZED (SELECT g.dim_i AS j, CAST(SUM(g.gram * v{t-1}.v) AS BIGINT) AS u "
+            f"FROM g JOIN v{t-1} ON g.dim_j = v{t-1}.j GROUP BY g.dim_i)"
+        )
+        ctes.append(
+            f"v{t} AS MATERIALIZED (SELECT j, CAST(FLOOR((CAST(u AS DOUBLE) / "
+            f"CAST((SELECT MAX(ABS(u)) FROM u{t}) AS DOUBLE)) * {_PCA_SCALE}) "
+            f"AS BIGINT) AS v FROM u{t})"
+        )
+    ctes.append(
+        f"varr AS MATERIALIZED (SELECT list(v ORDER BY j) AS va FROM v{_PCA_ITERS})"
+    )
+    return ",\n    ".join(ctes)
+
+
+def _pcapq_perm_ctes() -> str:
+    from ..operators.clustering import PQ_M, PQ_SUBDIM
+    from ..operators.similarity import DIMS
+
+    return f"""{_pc1_dir_ctes()},
+    ppm_ranked AS MATERIALIZED (
+      SELECT i.j AS dim,
+             row_number() OVER (ORDER BY ABS(varr.va[i.j]) DESC, i.j) - 1 AS r
+      FROM varr, (SELECT unnest(generate_series(1, {DIMS})) AS j) i
+    ),
+    ppm_posmap AS MATERIALIZED (
+      SELECT dim, (r % {PQ_M}) * {PQ_SUBDIM} + (r // {PQ_M}) + 1 AS pos
+      FROM ppm_ranked
+    ),
+    pca_perm AS MATERIALIZED (
+      SELECT array_agg(dim ORDER BY pos) AS pa FROM ppm_posmap)"""
+
+
+_PCAPQ_QV = f"list_select({_QV}, (SELECT pa FROM pca_perm))"
+
+
+def _pcapq_perm_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row (pa: array<int>) permutation — source dim (0-based) per
+    target position, ranked by |PC1 loading| with the OPQ dealing.
+
+    Computed entirely IN-ROW over the one-row loading vector: rank =
+    position in an array_sort of (-|loading|, dim) structs (ascending ≡
+    |loading| DESC, dim ASC — the oracle's window order), and the dealing
+    is inverted per target position (pos = (r%M)·subdim + r÷M ⇔ r =
+    (pos%subdim)·M + pos÷subdim) so ``pa`` is one transform over the
+    sorted array. No Generate/Window/re-aggregation downstream of the
+    fixed-point chain: a posexplode of the unrolled PC1 expression sent
+    the optimizer into minutes-long re-derivation (measured >100 s at
+    sf0.001 vs ~5 s for the chain itself); the in-row form keeps the
+    chain in its own Project (CollapseProject never inlines non-cheap
+    multi-referenced expressions) exactly like the iterate chain."""
+    from ..operators.clustering import PQ_M, PQ_SUBDIM
+    from ..operators.similarity import DIMS
+
+    va = _pc1_cols(_gram_row(spark, sf_dir)).select("va1")
+    idx = F.sequence(F.lit(0), F.lit(DIMS - 1))
+    ranked = va.select(
+        F.array_sort(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    (-F.abs(F.element_at(F.col("va1"), (i + 1).cast("int")))).alias(
+                        "key"
+                    ),
+                    i.alias("dim0"),
+                ),
+            )
+        ).alias("byrank")
+    )
+    return ranked.select(
+        F.transform(
+            idx,
+            lambda p: F.element_at(
+                F.col("byrank"),
+                ((p % PQ_SUBDIM) * PQ_M + F.floor(p / PQ_SUBDIM) + 1).cast("int"),
+            )["dim0"],
+        ).alias("pa")
+    )
+
+
+def _pcapq_permuted(full: DataFrame, perm: DataFrame) -> DataFrame:
+    """(vec_id, q) → (vec_id, q) with q PC1-loading-permuted."""
+    return full.crossJoin(F.broadcast(perm)).select(
+        "vec_id",
+        F.transform(
+            F.col("pa"), lambda d: F.element_at(F.col("q"), (d + 1).cast("int"))
+        ).alias("q"),
+    )
+
+
+def _pcapq_topk_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {_pcapq_perm_ctes()},
+    {pq_oracle_ctes(_PCAPQ_QV, prefix="pp_")},
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM pp_pq_subs s JOIN pp_pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ), adc AS (
+      SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+      FROM pp_pq_codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), cand AS (
+      SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {_PQ_CAND}
+    ), qq AS (
+      SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.vec_id, e.label, c.adc_q,
+           {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_PQ_OUT}
+    """
+
+
+@query("e_pcapq_topk", _pcapq_topk_oracle())
+def e_pcapq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    perm = _pcapq_perm_df(spark, sf_dir)
+    permuted = _pcapq_permuted(full.select("vec_id", "q"), perm)
+    subs = pq_subvectors(permuted).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    )
+    cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    return (
+        full.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "adc_q",
+            cosine(F.col("q"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_PQ_OUT)
+    )
+
+
+def _pcapq_distortion_delta_oracle() -> str:
+    from ..operators.clustering import pq_oracle_ctes
+
+    return f"""
+    WITH {_opq_perm_ctes()},
+    {_pcapq_perm_ctes()},
+    {pq_oracle_ctes(_OPQ_QV, prefix="o_")},
+    {pq_oracle_ctes(_PCAPQ_QV, prefix="pp_")}
+    SELECT
+      CAST((SELECT SUM(dist) FROM o_pq_codes) AS BIGINT) AS opq_wcss_q,
+      CAST((SELECT SUM(dist) FROM pp_pq_codes) AS BIGINT) AS pcapq_wcss_q,
+      CAST((SELECT SUM(dist) FROM pp_pq_codes) AS DOUBLE)
+        / (SELECT SUM(dist) FROM o_pq_codes) AS pcapq_over_opq
+    """
+
+
+@query("e_pcapq_distortion_delta", _pcapq_distortion_delta_oracle())
+def e_pcapq_distortion_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head of the two OPQ-style dealing heuristics: total PQ
+    quantization error under the variance permutation vs the PC1-loading
+    permutation — both trainings in one query (the e_opq_distortion_delta
+    pattern with the plain baseline swapped for the rival heuristic)."""
+    from ..operators.clustering import pq_subvectors, pq_train
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    par = spark.sparkContext.defaultParallelism
+    opq_subs = pq_subvectors(_opq_permuted(full)).repartition(par, "vec_id", "sub")
+    pca_subs = pq_subvectors(
+        _pcapq_permuted(full, _pcapq_perm_df(spark, sf_dir))
+    ).repartition(par, "vec_id", "sub")
+    opq_codes, _ = pq_train(opq_subs)
+    pca_codes, _ = pq_train(pca_subs)
+    a = opq_codes.agg(F.sum("dist").cast("long").alias("opq_wcss_q"))
+    b = pca_codes.agg(F.sum("dist").cast("long").alias("pcapq_wcss_q"))
+    return a.crossJoin(b).select(
+        "opq_wcss_q",
+        "pcapq_wcss_q",
+        (F.col("pcapq_wcss_q").cast("double") / F.col("opq_wcss_q")).alias(
+            "pcapq_over_opq"
+        ),
+    )
+
+
+@query("e_pcapq_recall", _recall_sql(_pcapq_topk_oracle(), 0, _PQ_OUT))
+def e_pcapq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_row(
+        e_pcapq_topk(spark, sf_dir).select("vec_id"),
+        _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
+        _PQ_OUT,
+    )

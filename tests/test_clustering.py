@@ -343,3 +343,31 @@ def test_kn_fit_single_wide_exchange(spark, sf_dir):
     assert plan.count("ReusedExchange") >= 3, plan[:2000]
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pcapq_perm_is_balanced_loading_permutation(spark, sf_dir):
+    # The PCA-permutation mirrors the OPQ dealing law with |PC1 loading|
+    # as the rank key: a true permutation of 0..63, rank-reconstructable
+    # from the dealing formula, and ordered by the fixed-point loading
+    # magnitudes (ties broken by dim — the oracle's window order).
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        PQ_M,
+        PQ_SUBDIM,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _gram_row,
+        _pc1_cols,
+        _pcapq_perm_df,
+    )
+
+    pa = _pcapq_perm_df(spark, sf_dir).collect()[0]["pa"]
+    assert sorted(pa) == list(range(PQ_M * PQ_SUBDIM))
+    rank_of = {}
+    for p, d in enumerate(pa):
+        sub, slot = divmod(p, PQ_SUBDIM)
+        rank_of[d] = slot * PQ_M + sub
+    assert sorted(rank_of.values()) == list(range(PQ_M * PQ_SUBDIM))
+    va = _pc1_cols(_gram_row(spark, sf_dir)).collect()[0]["va1"]
+    by_rank = sorted(rank_of, key=lambda d: rank_of[d])
+    keys = [(-abs(va[d]), d) for d in by_rank]
+    assert keys == sorted(keys)
