@@ -890,6 +890,20 @@ _CERTIFIED_TAIL = (
     # through e_pcapq_recall (pending) and the r10 IVF-OPQ recall gate.
     "e_opq_topk",
     "e_opq_recall",
+    # rotated out round 10 (twelfth pass) for the runtime-pinned
+    # w_stream_hourly_seasonality gate (the load-shape baseline as
+    # deployed: the dow×hod grid accretes at (dow, hod, user) grain — the
+    # set-union COUNT(DISTINCT) rewrite — then the SHARED
+    # _seasonality_share week-total projection runs on the drained
+    # 168-cell grid, hash-matched against the SAME batch oracle).
+    # e_kcenter_assign was first-certified green in CORRECTNESS_r08.json
+    # and is untouched this round (fingerprint-equal vs FINGERPRINTS_r09,
+    # guard-tested; vector_queries.py changes this round are append-only
+    # new queries): the FPS chain it certifies (coreset construction +
+    # assignment certificate + 2-approx separation audit) has no
+    # dependent among this round's changes and keeps both members'
+    # fingerprints plus their r07/r08 gate history in the guarded tail.
+    "e_kcenter_assign",
 )
 
 

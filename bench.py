@@ -227,6 +227,8 @@ HEADLINE = [
     "e_pcapq_topk",
     "e_pcapq_distortion_delta",
     "e_pcapq_recall",
+    # round-10 (continuation): seasonality grid's deployed-mode twin
+    "w_stream_hourly_seasonality",
 ]
 
 

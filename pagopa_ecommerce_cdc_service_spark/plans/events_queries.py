@@ -3018,6 +3018,13 @@ def w_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+    return _seasonality_share(g)
+
+
+def _seasonality_share(g: DataFrame) -> DataFrame:
+    """Week-total share over the bounded 168-cell grid — shared by the
+    batch query and its streaming twin (pure-delegation extraction;
+    expressions unchanged, the batch plan stays byte-identical)."""
     tot = g.agg(F.sum("n_events").alias("total"))
     return g.crossJoin(F.broadcast(tot)).select(
         "dow",
@@ -3433,3 +3440,36 @@ QUERIES["w_stream_ols_daily_trend"] = w_stream_ols_daily_trend
 ORACLES["w_stream_ols_daily_trend"] = ORACLES["w_ols_daily_trend"]
 QUERIES["w_stream_pearson_daily"] = w_stream_pearson_daily
 ORACLES["w_stream_pearson_daily"] = ORACLES["w_pearson_daily"]
+
+# ---------------------------------------------------------------------------
+# streaming twin of the hourly seasonality profile (round 10): the
+# day-of-week × hour-of-day grid accretes at (dow, hod, user) GRAIN
+# because streaming aggregations cannot COUNT(DISTINCT) — per-user counts
+# preserve totals (n_events = Σcnt) while distinct users fall out as the
+# drained per-cell row count (the w_stream_pearson_daily set-union
+# rewrite), then the SHARED `_seasonality_share` week-total projection
+# runs on the drained bounded 168-cell grid; final table ≡ the batch
+# oracle. The load-shape baseline as it deploys: cells accrete on the
+# stream, the per-mille share recomputes on the tiny grid each evaluation.
+# ---------------------------------------------------------------------------
+def w_stream_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _drain_stream_grid(
+        spark,
+        sf_dir,
+        "stream-season-gate-",
+        ["ts", "user_id"],
+        [F.count("*").cast("long").alias("cnt")],
+        [
+            F.expr("((dayofweek(ts) + 5) % 7) + 1").cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            "user_id",
+        ],
+    )
+    grid = g.groupBy("dow", "hod").agg(
+        F.sum("cnt").alias("n_events"), F.count("*").alias("n_users")
+    )
+    return _seasonality_share(grid)
+
+
+QUERIES["w_stream_hourly_seasonality"] = w_stream_hourly_seasonality
+ORACLES["w_stream_hourly_seasonality"] = ORACLES["w_hourly_seasonality"]

@@ -84,6 +84,7 @@ RUNTIME_QUERIES = {
     "t_wminhash_keepone",           # iterative min-label CC over the weighted pair graph
     "w_stream_ols_daily_trend",     # stages parquet, runs a streaming count grid
     "w_stream_pearson_daily",       # stages parquet, runs a streaming (type,day,user) grid
+    "w_stream_hourly_seasonality",  # stages parquet, runs a streaming (dow,hod,user) grid
 }
 
 _NORMALIZERS = (
