@@ -904,6 +904,25 @@ _CERTIFIED_TAIL = (
     # dependent among this round's changes and keeps both members'
     # fingerprints plus their r07/r08 gate history in the guarded tail.
     "e_kcenter_assign",
+    # rotated out round 10 (thirteenth pass) for t_perplexity_buckets (the
+    # CCNet head/middle/tail split: value-based exact terciles over the
+    # integer surprisal proxy — bounded-grid cutoff census, broadcast
+    # cutoffs, map-side bucket assignment) and e_pq_sdc_topk (symmetric-
+    # distance PQ: codeword-to-codeword search, the code-domain companion
+    # of ADC). Both rotated-out queries were first-certified green in
+    # CORRECTNESS_r08.json and are untouched this round (fingerprint-equal
+    # vs FINGERPRINTS_r09, guard-tested; text_queries.py/vector_queries.py
+    # changes this round are append-only new queries): the surprisal
+    # family's tokenize→vocab→join spine re-executes under an r10 value
+    # hash inside t_perplexity_buckets (which composes the unigram chain
+    # VERBATIM — t_bigram_surprisal adds only the bigram backoff on the
+    # same spine, fingerprint-pinned); the ExactSubstr span/rebuild
+    # kernels have no dependent among this round's changes and keep all
+    # three family members' fingerprints plus their r08/r09 gate history,
+    # while the PQ training chain gains a fourth r10 certification through
+    # the SDC query.
+    "t_bigram_surprisal",
+    "t_exact_substr_keepone",
 )
 
 

@@ -229,6 +229,9 @@ HEADLINE = [
     "e_pcapq_recall",
     # round-10 (continuation): seasonality grid's deployed-mode twin
     "w_stream_hourly_seasonality",
+    # round-10 (continuation): code-domain PQ search + CCNet tercile census
+    "e_pq_sdc_topk",
+    "t_perplexity_buckets",
 ]
 
 

@@ -5000,3 +5000,83 @@ def t_wminhash_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kept"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-bucket census (round 10): the CCNet head/middle/tail split —
+# the data-curation move that buckets a corpus into quality terciles by
+# LM score and samples/filters per bucket — over the integer-exact
+# unigram-surprisal proxy (t_unigram_surprisal composed verbatim).
+# Terciles are VALUE-based, not rank-based, for the 100 TB shape: an
+# NTILE over documents needs a global sort of the corpus, while the
+# per-1k score domain is a BOUNDED integer grid — so the census is one
+# (score → doc count) aggregation (map-side combinable), one cumulative
+# window on the bounded grid, and the two cutoff values ride a one-row
+# broadcast into a map-side bucket assignment. Cutoffs avoid division:
+# q1 = min{s : 3·cum(s) ≥ n}, q2 = min{s : 3·cum(s) ≥ 2n} — exact
+# integer arithmetic, engine-identical; boundary ties share a bucket
+# (deterministic, unlike rank ntile). Output: per-bucket doc count,
+# token mass, and score range — the table a pipeline samples against.
+# ---------------------------------------------------------------------------
+@query(
+    "t_perplexity_buckets",
+    f"""
+    WITH per AS ({_surprisal_oracle()}),
+    hist AS (
+      SELECT surprisal_per_1k AS s, count(*) AS nd FROM per GROUP BY 1
+    ),
+    cum AS (
+      SELECT s, SUM(nd) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+      FROM hist
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+    cuts AS (
+      SELECT MIN(CASE WHEN 3 * cumn >= tot.n THEN s END) AS q1v,
+             MIN(CASE WHEN 3 * cumn >= 2 * tot.n THEN s END) AS q2v
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(CASE WHEN p.surprisal_per_1k <= c.q1v THEN 1
+                     WHEN p.surprisal_per_1k <= c.q2v THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS token_mass,
+           MIN(p.surprisal_per_1k) AS min_surp_per_1k,
+           MAX(p.surprisal_per_1k) AS max_surp_per_1k
+    FROM per p CROSS JOIN cuts c
+    GROUP BY 1
+    """,
+)
+def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per = t_unigram_surprisal(spark, sf_dir)
+    hist = per.groupBy(F.col("surprisal_per_1k").alias("s")).agg(
+        F.count("*").alias("nd")
+    )
+    # bounded-grid window: the partition is the distinct integer score
+    # domain, not the corpus (the w_cusum_changepoint discipline)
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("s", F.sum("nd").over(wv).alias("cumn"))
+    tot = per.agg(F.count("*").cast("long").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(3 * F.col("cumn") >= F.col("n"), F.col("s"))).alias("q1v"),
+        F.min(F.when(3 * F.col("cumn") >= 2 * F.col("n"), F.col("s"))).alias("q2v"),
+    )
+    bucket = (
+        F.when(F.col("surprisal_per_1k") <= F.col("q1v"), 1)
+        .when(F.col("surprisal_per_1k") <= F.col("q2v"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        per.crossJoin(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "n_tokens", "surprisal_per_1k")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+            F.min("surprisal_per_1k").alias("min_surp_per_1k"),
+            F.max("surprisal_per_1k").alias("max_surp_per_1k"),
+        )
+    )

@@ -4070,3 +4070,96 @@ def e_pcapq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT),
         _PQ_OUT,
     )
+
+
+# ---------------------------------------------------------------------------
+# SYMMETRIC-distance PQ top-k (round 10): SDC, the code-domain companion
+# of e_pq_topk's ADC. ADC compares the query's RAW subvectors against the
+# codebook (a 128-entry LUT built from the query vector at search time);
+# SDC never touches raw query data at search time — the query is itself
+# PQ-encoded and distances are codeword-to-codeword: d(x, q) ≈
+# Σ_sub cdist(code_x[sub], code_q[sub]). This is the serving shape when
+# BOTH sides are pre-encoded (corpus-vs-corpus similarity join, cached
+# query codes, privacy-constrained serving where raw vectors never leave
+# the encoder). Accuracy trades for it: SDC adds the query's own
+# quantization error on top of ADC's — e_pq_topk and this query share
+# training, so the gate pins both rankings. 100 TB shape: identical scan
+# side to ADC (codes only, PQ_M small ints per vector); the LUT is built
+# from the CODEBOOK alone (8·16·16 bounded rows → the query's code row
+# prunes it to 128) — no raw-vector read anywhere in the search path;
+# exact cosine rescore on the fixed candidate set only.
+# ---------------------------------------------------------------------------
+def _pq_sdc_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    return f"""
+    WITH {pq_oracle_ctes(_QV)},
+    c2c AS (
+      SELECT a.sub, a.cid AS cid_a, b.cid AS cid_b,
+             {sq_dist_sql("a.c", "b.c", PQ_SUBDIM)} AS cdist
+      FROM pq_cb a JOIN pq_cb b ON a.sub = b.sub
+    ), qlut AS (
+      SELECT k.sub, t.cid_b, t.cdist
+      FROM pq_codes k JOIN c2c t ON t.sub = k.sub AND t.cid_a = k.cid
+      WHERE k.vec_id = 0
+    ), sdc AS (
+      SELECT k.vec_id, CAST(SUM(l.cdist) AS BIGINT) AS sdc_q
+      FROM pq_codes k JOIN qlut l ON k.sub = l.sub AND k.cid = l.cid_b
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), cand AS (
+      SELECT vec_id, sdc_q FROM sdc ORDER BY sdc_q, vec_id LIMIT {_PQ_CAND}
+    ), qq AS (
+      SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0
+    )
+    SELECT c.vec_id, e.label, c.sdc_q,
+           {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} AS cos_sim
+    FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+    ORDER BY cos_sim DESC, c.vec_id LIMIT {_PQ_OUT}
+    """
+
+
+@query("e_pq_sdc_topk", _pq_sdc_oracle())
+def e_pq_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", quantize(F.col("embedding")).alias("q")
+    )
+    subs = pq_subvectors(full.select("vec_id", "q")).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    # codebook-to-codebook distances (8·16·16 bounded rows), pruned to the
+    # query's 128-entry row by its code — raw vectors never enter the
+    # search path
+    ca = cb.select("sub", F.col("cid").alias("cid_a"), F.col("c").alias("va"))
+    cbb = cb.select("sub", F.col("cid").alias("cid_b"), F.col("c").alias("vb"))
+    c2c = ca.join(cbb, "sub").select(
+        "sub", "cid_a", "cid_b", sq_dist(F.col("va"), F.col("vb")).alias("cdist")
+    )
+    qcode = codes.filter(F.col("vec_id") == 0).select(
+        "sub", F.col("cid").alias("cid_a")
+    )
+    qlut = qcode.join(c2c, ["sub", "cid_a"]).select("sub", "cid_b", "cdist")
+    sdc = (
+        codes.filter(F.col("vec_id") != 0)
+        .select("vec_id", "sub", F.col("cid").alias("cid_b"))
+        .join(F.broadcast(qlut), ["sub", "cid_b"])
+        .groupBy("vec_id")
+        .agg(F.sum("cdist").cast("long").alias("sdc_q"))
+    )
+    cand = sdc.orderBy(F.asc("sdc_q"), F.asc("vec_id")).limit(_PQ_CAND)
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    return (
+        full.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            "sdc_q",
+            cosine(F.col("q"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(_PQ_OUT)
+    )

@@ -135,6 +135,11 @@ QUERIES = (
     "e_ivf_opq_topk",          # perm broadcast + probed-list permuted ADC scan
     "e_ivf_opq_recall",        # IVF-OPQ chain + exact single-query GT
     "t_corpus_pipeline_keepone",  # keep-one rewrite -> split -> pack
+    # round-10 continuation
+    "e_ivf_opq_nprobe_curve",  # ONE permuted training, 3 probed ADC scans
+    "e_semdedup_kn",           # adaptive-k Lloyd's + within-cluster pairs
+    "e_pcapq_topk",            # PC1 fixed point + permuted PQ chain
+    "e_pcapq_distortion_delta",  # two permuted trainings, one-row delta
 )
 
 
