@@ -944,6 +944,12 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # exact-GT recall-row machinery certified through the r10 IVF-OPQ
     # recall gate.
     "e_pcapq_recall",
+    # The hierarchical k∝n variant (pivot-pruned Lloyd's assignment — the
+    # scale answer to e_semdedup_kn's O(n·k) decade row, SCALING.md).
+    # Oracle-backed (local parity green at sf0.001 and sf0.01 on
+    # introduction); composes the kn seed law certified this round inside
+    # e_semdedup_kn's prefix slot.
+    "e_semdedup_kn_pruned",
 )
 
 

@@ -232,6 +232,8 @@ HEADLINE = [
     # round-10 (continuation): code-domain PQ search + CCNet tercile census
     "e_pq_sdc_topk",
     "t_perplexity_buckets",
+    # round-10 (continuation): hierarchical k-proportional assignment
+    "e_semdedup_kn_pruned",
 ]
 
 

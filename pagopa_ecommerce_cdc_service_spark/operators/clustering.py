@@ -466,3 +466,184 @@ def pq_oracle_ctes(
     parts.append(assign(f"{p}pq_codes", cent))
     parts.append(f"{p}pq_cb AS (SELECT sub, cid, c FROM {cent})")
     return ",\n".join(parts)
+
+
+# --- hierarchical (pivot-pruned) assignment for k ∝ n -----------------------
+# The e_semdedup_kn decade row (SCALING.md) exposes the flat k∝n
+# boundary: Lloyd's assignment is O(n·k) = O(n²/target) once k grows
+# with the corpus. The standard fix — what a real SemDeDup deployment
+# does — is hierarchical assignment: a small static PIVOT set coarse-
+# quantizes the CENTROID table, each vector scores the P pivots first,
+# then only the centroids in its nearest live pivot group. Per-vector
+# work drops from k to ~P + k/P distances (P ∝ √k at the next decade —
+# a config choice, like KN_CAP). Pivots are the top-P adaptive seeds by
+# the same hash rank (static across iterations); the centroid→pivot map
+# is recomputed per iteration against those fixed pivot vectors (k×P
+# bounded). A pivot group can empty out as centroids move, so vectors
+# pick their nearest LIVE pivot (semi-join on the groups present — P
+# bounded); every surviving centroid belongs to some pivot, so the join
+# never drops a vector. Deterministic end-to-end: every argmin is a
+# min(struct(dist, id)) / row_number twin of the flat chain.
+
+KN_PIVOTS = 16
+
+
+def kn_pivots(seeds: DataFrame, p: int = KN_PIVOTS) -> DataFrame:
+    """(pid, pc): the top-``p`` adaptive seeds double as the static
+    coarse quantizer over the centroid set."""
+    return seeds.filter(F.col("cid") <= p).select(
+        F.col("cid").alias("pid"), F.col("c").alias("pc")
+    )
+
+
+def _argmin_to_pivot(rows: DataFrame, key: str, vec: str, piv: DataFrame) -> DataFrame:
+    """Nearest-pivot id per row of ``rows`` (broadcast the bounded pivot
+    table; min-struct argmin with (dist, pid) tiebreak)."""
+    scored = rows.crossJoin(F.broadcast(piv)).select(
+        key,
+        vec,
+        F.struct(
+            sq_dist(F.col(vec), F.col("pc")).alias("dist"), F.col("pid").alias("pid")
+        ).alias("s"),
+    )
+    best = scored.groupBy(key).agg(F.min("s").alias("m"), F.first(vec).alias(vec))
+    return best.select(key, vec, F.col("m.pid").alias("pid"))
+
+
+def kmeans_kn_pruned_assign(
+    vp: DataFrame, cent: DataFrame, piv: DataFrame
+) -> DataFrame:
+    """Pivot-pruned nearest-centroid assignment.
+
+    ``vp`` is the per-vector nearest-LIVE-pivot table for THIS centroid
+    set; ``cent`` the centroids. Each vector scores only its pivot
+    group's centroids — the scored relation is the pivot-group join, not
+    the full n×k cross."""
+    cp = _argmin_to_pivot(cent, "cid", "c", piv)
+    scored = vp.join(F.broadcast(cp), "pid").select(
+        "vec_id",
+        "q",
+        F.struct(
+            sq_dist(F.col("q"), F.col("c")).alias("dist"), F.col("cid").alias("cid")
+        ).alias("sc"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min("sc").alias("m"), F.first("q").alias("q")
+    )
+    return best.select(
+        "vec_id", "q", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+    )
+
+
+def _live_vp(emb: DataFrame, cent: DataFrame, piv: DataFrame) -> DataFrame:
+    """Per-vector nearest pivot among the groups this centroid set
+    actually populates (a moved centroid can empty a group)."""
+    cp = _argmin_to_pivot(cent, "cid", "c", piv)
+    live = piv.join(cp.select("pid").distinct(), "pid", "left_semi")
+    return _argmin_to_pivot(emb, "vec_id", "q", live)
+
+
+def kmeans_kn_pruned_fit(
+    emb: DataFrame,
+    iters: int = KM_ITERS,
+    target: int = KN_TARGET,
+    cap: int = KN_CAP,
+    p: int = KN_PIVOTS,
+    salt: str = "km:",
+):
+    """Adaptive-k Lloyd's with hierarchical assignment:
+    ``(centroids, assignment)``. Updates are :func:`kmeans_update`
+    verbatim — only the assignment pass is pruned."""
+    seeds = kmeans_kn_seeds(emb, target, cap, salt)
+    piv = kn_pivots(seeds, p)
+    cent = seeds
+    for _ in range(iters):
+        vp = _live_vp(emb, cent, piv)
+        cent = kmeans_update(kmeans_kn_pruned_assign(vp, cent, piv))
+    vp = _live_vp(emb, cent, piv)
+    return cent, kmeans_kn_pruned_assign(vp, cent, piv)
+
+
+def kmeans_kn_pruned_oracle_ctes(
+    qv_sql: str,
+    iters: int = KM_ITERS,
+    target: int = KN_TARGET,
+    cap: int = KN_CAP,
+    p: int = KN_PIVOTS,
+    salt: str = "km:",
+    prefix: str = "",
+) -> str:
+    """CTE chain mirroring kmeans_kn_pruned_fit. The caller SELECTs from
+    ``{prefix}a{iters}``; seed/kn CTEs match kmeans_kn_oracle_ctes."""
+    pre = prefix
+    seed_hash = md5_long_sql(f"'{salt}' || CAST(vec_id AS VARCHAR)")
+    parts = [
+        f"{pre}emb AS (SELECT vec_id, {qv_sql} AS q FROM embeddings)",
+        f"""{pre}kn AS (
+          SELECT GREATEST(1, LEAST({cap}, count(*) // {target})) AS kk
+          FROM {pre}emb)""",
+        f"""{pre}seeds0 AS (
+          SELECT cid, c FROM (
+            SELECT row_number() OVER (ORDER BY h, vec_id) AS cid, q AS c
+            FROM (SELECT vec_id, q, {seed_hash} AS h FROM {pre}emb
+                  ORDER BY h, vec_id LIMIT {cap}))
+          WHERE cid <= (SELECT kk FROM {pre}kn))""",
+        f"""{pre}piv AS (
+          SELECT cid AS pid, c AS pc FROM {pre}seeds0 WHERE cid <= {p})""",
+    ]
+
+    def cp(name: str, cent: str) -> str:
+        return f"""{name} AS (
+          SELECT cid, c, pid FROM (
+            SELECT s.cid, s.c, p.pid,
+                   row_number() OVER (
+                     PARTITION BY s.cid
+                     ORDER BY {sq_dist_sql("s.c", "p.pc")}, p.pid) AS rn
+            FROM {cent} s CROSS JOIN {pre}piv p)
+          WHERE rn = 1)"""
+
+    def vp(name: str, cpname: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, q, pid FROM (
+            SELECT e.vec_id, e.q, p.pid,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY {sq_dist_sql("e.q", "p.pc")}, p.pid) AS rn
+            FROM {pre}emb e CROSS JOIN
+                 (SELECT * FROM {pre}piv
+                  WHERE pid IN (SELECT DISTINCT pid FROM {cpname})) p)
+          WHERE rn = 1)"""
+
+    def assign(name: str, vpname: str, cpname: str) -> str:
+        return f"""{name} AS (
+          SELECT vec_id, q, cid, dist FROM (
+            SELECT v.vec_id, v.q, c.cid,
+                   {sq_dist_sql("v.q", "c.c")} AS dist,
+                   row_number() OVER (
+                     PARTITION BY v.vec_id
+                     ORDER BY {sq_dist_sql("v.q", "c.c")}, c.cid) AS rn
+            FROM {vpname} v JOIN {cpname} c USING (pid))
+          WHERE rn = 1)"""
+
+    def update(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+          SELECT cid, array_agg(cv ORDER BY pos) AS c FROM (
+            SELECT cid, pos,
+                   CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+            FROM (SELECT a.cid, i.pos, a.q[i.pos] AS v
+                  FROM {assigned} a,
+                       (SELECT unnest(generate_series(1, {DIMS})) AS pos) i)
+            GROUP BY cid, pos)
+          GROUP BY cid)"""
+
+    cent = f"{pre}seeds0"
+    for i in range(iters):
+        parts.append(cp(f"{pre}cp{i}", cent))
+        parts.append(vp(f"{pre}vp{i}", f"{pre}cp{i}"))
+        parts.append(assign(f"{pre}a{i}", f"{pre}vp{i}", f"{pre}cp{i}"))
+        parts.append(update(f"{pre}c{i}", f"{pre}a{i}"))
+        cent = f"{pre}c{i}"
+    parts.append(cp(f"{pre}cp{iters}", cent))
+    parts.append(vp(f"{pre}vp{iters}", f"{pre}cp{iters}"))
+    parts.append(assign(f"{pre}a{iters}", f"{pre}vp{iters}", f"{pre}cp{iters}"))
+    return ",\n".join(parts)

@@ -4163,3 +4163,105 @@ def e_pq_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(_PQ_OUT)
     )
+
+
+# ---------------------------------------------------------------------------
+# HIERARCHICAL k∝n SemDeDup (round 10): the scale answer to the
+# e_semdedup_kn decade row. Flat adaptive-k Lloyd's pays O(n·k) =
+# O(n²/target) in the assignment once k grows with the corpus
+# (SCALING.md: 6.2× wall for 10× rows as k rode 31 → 256). This variant
+# coarse-quantizes the CENTROID set with a static P-pivot table (the
+# top-P adaptive seeds — the IVF trick applied to the model, not the
+# data): per vector, P pivot distances plus one pivot GROUP scan
+# (~k/P expected) replace the k-way argmin — ~P + k/P per vector, with
+# P ∝ √k the deployment knob. Pivot groups can empty as centroids move,
+# so vectors pick their nearest LIVE pivot (bounded semi-join per
+# iteration); every surviving centroid belongs to a pivot, so no vector
+# is ever dropped. The assignment is APPROXIMATE by construction (a
+# vector's true nearest centroid can sit in another pivot group) — like
+# every IVF probe, and exactly mirrored in the oracle, so the value
+# hash certifies the pruned law itself. Output row: the e_semdedup_kn
+# census at the pruned assignment.
+# ---------------------------------------------------------------------------
+def _semdedup_kn_pruned_oracle() -> str:
+    from ..operators.clustering import KM_ITERS, kmeans_kn_pruned_oracle_ctes
+
+    fin = f"a{KM_ITERS}"
+    cos = (
+        f"CAST({dot_sql('ea.q', 'eb.q')} AS DOUBLE) / "
+        f"(sqrt(CAST(ea.n2 AS DOUBLE)) * sqrt(CAST(eb.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH {kmeans_kn_pruned_oracle_ctes(_QV)},
+    embn AS (SELECT vec_id, q, {dot_sql("q", "q")} AS n2 FROM emb),
+    pairs AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+      FROM {fin} x JOIN {fin} y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           JOIN embn ea ON ea.vec_id = x.vec_id
+           JOIN embn eb ON eb.vec_id = y.vec_id
+      WHERE {cos} >= {_SEMDEDUP_COS}
+    ),
+    sizes AS (SELECT cid, count(*) AS sz FROM {fin} GROUP BY cid)
+    SELECT (SELECT count(*) FROM emb) AS n_vectors,
+           (SELECT kk FROM kn) AS k,
+           (SELECT count(*) FROM sizes) AS n_clusters,
+           (SELECT max(sz) FROM sizes) AS max_cluster,
+           (SELECT count(*) FROM pairs) AS n_pairs
+    """
+
+
+@query("e_semdedup_kn_pruned", _semdedup_kn_pruned_oracle())
+def e_semdedup_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import KN_CAP, KN_TARGET, kmeans_kn_pruned_fit
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    _, assigned = kmeans_kn_pruned_fit(emb)
+    final = assigned.select("vec_id", "cid")
+
+    embn = emb.withColumn("n2", dot(F.col("q"), F.col("q")))
+    a = final.alias("a")
+    b = final.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+    )
+    xa = embn.select(
+        F.col("vec_id").alias("vec_a"), F.col("q").alias("qa"), F.col("n2").alias("na")
+    )
+    xb = embn.select(
+        F.col("vec_id").alias("vec_b"), F.col("q").alias("qb"), F.col("n2").alias("nb")
+    )
+    cos = dot(F.col("qa"), F.col("qb")).cast("double") / (
+        F.sqrt(F.col("na").cast("double")) * F.sqrt(F.col("nb").cast("double"))
+    )
+    pairs = (
+        cand.join(xa, "vec_a")
+        .join(xb, "vec_b")
+        .filter(cos >= _SEMDEDUP_COS)
+        .select("vec_a", "vec_b")
+    )
+
+    nk = emb.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.expr(f"greatest(1, least({KN_CAP}, count(*) div {KN_TARGET}))")
+        .cast("long")
+        .alias("k"),
+    )
+    sizes = final.groupBy("cid").agg(F.count("*").alias("sz"))
+    cstats = sizes.agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("max_cluster"),
+    )
+    npairs = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    return (
+        nk.crossJoin(F.broadcast(cstats))
+        .crossJoin(F.broadcast(npairs))
+        .select("n_vectors", "k", "n_clusters", "max_cluster", "n_pairs")
+    )

@@ -371,3 +371,28 @@ def test_pcapq_perm_is_balanced_loading_permutation(spark, sf_dir):
     by_rank = sorted(rank_of, key=lambda d: rank_of[d])
     keys = [(-abs(va[d]), d) for d in by_rank]
     assert keys == sorted(keys)
+
+
+def test_kn_pruned_assignment_total_and_deterministic(spark, sf_dir):
+    # The pivot-pruned assignment must never drop a vector (live-pivot
+    # semi-join closes the empty-group hole) and must be a pure function
+    # of the data under any physical partitioning.
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        kmeans_kn_pruned_fit,
+    )
+
+    def run(n_parts):
+        emb = (
+            spread(read(spark, sf_dir, "embeddings"), spark)
+            .select("vec_id", quantize(F.col("embedding")).alias("q"))
+            .repartition(n_parts, "vec_id")
+        )
+        _, assigned = kmeans_kn_pruned_fit(emb)
+        rows = assigned.select("vec_id", "cid", "dist").collect()
+        return sorted((r.vec_id, r.cid, r.dist) for r in rows)
+
+    a = run(2)
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(a) == n_vec
+    assert len({v for v, _, _ in a}) == n_vec
+    assert a == run(7)

@@ -140,6 +140,7 @@ QUERIES = (
     "e_semdedup_kn",           # adaptive-k Lloyd's + within-cluster pairs
     "e_pcapq_topk",            # PC1 fixed point + permuted PQ chain
     "e_pcapq_distortion_delta",  # two permuted trainings, one-row delta
+    "e_semdedup_kn_pruned",    # pivot-pruned adaptive-k: P + k/P per vector
 )
 
 
