@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 233 queries in the suite (round 10), 183 must
+# verified rounds 1 and 2). With 250 queries in the suite (round 10), 200 must
 # sit in the uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -950,6 +950,14 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # introduction); composes the kn seed law certified this round inside
     # e_semdedup_kn's prefix slot.
     "e_semdedup_kn_pruned",
+    # BQ threshold calibration (the sign-bit analog of the certified
+    # SimHash Hamming census: bounded 0..64 distance grid carrying exact
+    # integer dot mass — floor-mean, never float accumulation) and the
+    # tokenizer-fertility dashboard (certified lang-id argmax + BPE-regex
+    # census composed verbatim, bounded-by-|langs| output). Both
+    # oracle-backed, parity-green at sf0.001 and sf0.01 on introduction.
+    "e_bq_hamming_hist",
+    "t_lang_fertility",
 )
 
 

@@ -234,6 +234,9 @@ HEADLINE = [
     "t_perplexity_buckets",
     # round-10 (continuation): hierarchical k-proportional assignment
     "e_semdedup_kn_pruned",
+    # round-10 (continuation): BQ radius calibration + fertility dashboard
+    "e_bq_hamming_hist",
+    "t_lang_fertility",
 ]
 
 

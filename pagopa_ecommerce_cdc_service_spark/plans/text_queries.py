@@ -5080,3 +5080,58 @@ def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("surprisal_per_1k").alias("max_surp_per_1k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (round 10): tokens-per-character by
+# PREDICTED language — the tokenizer-budget dashboard a multilingual
+# training pipeline reads before fixing a sampling mix (fertility is how
+# many tokens the tokenizer spends per unit of text; high-fertility
+# languages burn budget faster). Composes two certified operators
+# VERBATIM: the stopword-argmax language identifier (t_lang_id) and the
+# BPE-ish regex pre-tokenizer census (t_bpe_token_count); character
+# counts are engine-identical length(). One per-doc join on doc_id, a
+# bounded-by-|langs| aggregation, and the per-1k ratio in exact integer
+# arithmetic (counts are non-negative, `div` ≡ `//`).
+# ---------------------------------------------------------------------------
+@query(
+    "t_lang_fertility",
+    f"""
+    WITH lang AS ({{LANG_ORACLE}}),
+    cnt AS ({{CNT_ORACLE}}),
+    chars AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars
+              FROM documents)
+    SELECT l.predicted_lang AS lang,
+           count(*) AS n_docs,
+           CAST(SUM(c.n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(t.n_bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+           CAST(SUM(t.n_bpe_tokens) * 1000 // SUM(c.n_chars) AS BIGINT)
+             AS tokens_per_1k_chars
+    FROM lang l JOIN cnt t USING (doc_id) JOIN chars c USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def t_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lang = t_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    cnt = t_bpe_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    chars = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    return (
+        lang.join(cnt, "doc_id")
+        .join(chars, "doc_id")
+        .groupBy(F.col("predicted_lang").alias("lang"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+            F.expr("(sum(n_bpe_tokens) * 1000) div sum(n_chars)")
+            .cast("long")
+            .alias("tokens_per_1k_chars"),
+        )
+    )
+
+
+ORACLES["t_lang_fertility"] = ORACLES["t_lang_fertility"].replace(
+    "{LANG_ORACLE}", ORACLES["t_lang_id"]
+).replace("{CNT_ORACLE}", ORACLES["t_bpe_token_count"])

@@ -4265,3 +4265,66 @@ def e_semdedup_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(npairs))
         .select("n_vectors", "k", "n_clusters", "max_cluster", "n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# BQ threshold calibration (round 10): the sign-bit analog of
+# t_simhash_hamming_hist — the evidence for picking a Hamming radius
+# before trusting the 1-bit index at 100 TB. One corpus scan computes the
+# query-to-corpus Hamming distance (two 64-bit words, bit_count) AND the
+# exact integer dot product per vector; the census buckets by distance
+# (bounded 0..64 grid) and carries the exact dot-product mass per bucket
+# (sum of BIGINTs — no float accumulation anywhere, so the per-bucket
+# mean similarity is reconstructable integer-exactly as sum div n). A
+# monotone-decreasing dot mass over the distance grid is precisely what
+# makes the Hamming first stage admissible. Map-side-combinable census;
+# the query row is a one-row broadcast.
+# ---------------------------------------------------------------------------
+@query(
+    "e_bq_hamming_hist",
+    f"""
+    WITH b AS (
+      SELECT vec_id, {_bq_words_sql("embedding")[0]} AS lo,
+             {_bq_words_sql("embedding")[1]} AS hi, {_QV} AS qvec
+      FROM embeddings
+    ),
+    q AS (SELECT lo AS qlo, hi AS qhi, qvec AS qv FROM b WHERE vec_id = 0)
+    SELECT CAST(bit_count(xor(b.lo, q.qlo)) + bit_count(xor(b.hi, q.qhi))
+             AS BIGINT) AS hamming,
+           count(*) AS n_vectors,
+           CAST(SUM({dot_sql("b.qvec", "q.qv")}) AS BIGINT) AS sum_dot_q,
+           CAST(FLOOR(CAST(SUM({dot_sql("b.qvec", "q.qv")}) AS DOUBLE)
+                / count(*)) AS BIGINT) AS avg_dot_q
+    FROM b, q WHERE b.vec_id <> 0
+    GROUP BY 1
+    """,
+)
+def e_bq_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark)
+    lo, hi = _bq_words(F.col("embedding"))
+    b = emb.select(
+        "vec_id", lo.alias("lo"), hi.alias("hi"), quantize(F.col("embedding")).alias("qvec")
+    )
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("lo").alias("qlo"), F.col("hi").alias("qhi"), F.col("qvec").alias("qv")
+    )
+    ham = (
+        F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo")))
+        + F.bit_count(F.col("hi").bitwiseXOR(F.col("qhi")))
+    ).cast("long")
+    return (
+        b.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(ham.alias("hamming"), dot(F.col("qvec"), F.col("qv")).alias("d"))
+        .groupBy("hamming")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("d").cast("long").alias("sum_dot_q"),
+            # floor-mean (not `div`): the sum can be NEGATIVE and Spark's
+            # `div` truncates toward zero while DuckDB `//` floors — the
+            # clustering centroid-mean discipline (|sum| < 2^53 ⇒ exact)
+            F.floor(F.sum("d").cast("double") / F.count("*"))
+            .cast("long")
+            .alias("avg_dot_q"),
+        )
+    )
