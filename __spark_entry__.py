@@ -49,7 +49,7 @@ def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
 
 # Registration order matters: the driver's correctness gate certifies exactly
 # the FIRST 50 registered queries (a strict registration-order prefix —
-# verified rounds 1 and 2). With 250 queries in the suite (round 10), 200 must
+# verified rounds 1 and 2). With 251 queries in the suite (round 10), 201 must
 # sit in the uncertified tail each round. ROTATION POLICY (audited by
 # tools/fingerprints.py + tests/test_rotation.py): a query may occupy a tail
 # slot ONLY if it is provably unchanged since its last green gate row — its
@@ -958,6 +958,13 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # oracle-backed, parity-green at sf0.001 and sf0.01 on introduction.
     "e_bq_hamming_hist",
     "t_lang_fertility",
+    # PQ candidate-budget tuning curve: recall@10 at rescore budgets
+    # 10/20/40 over ONE shared training/ADC chain — certifies the
+    # round-9 tuning datum that the candidate budget binds before the
+    # probe budget. Oracle-backed, parity-green at both local scales on
+    # introduction. (Pending list now at the cap of 5 — nothing further
+    # is added this round.)
+    "e_pq_cand_curve",
 )
 
 

@@ -237,6 +237,8 @@ HEADLINE = [
     # round-10 (continuation): BQ radius calibration + fertility dashboard
     "e_bq_hamming_hist",
     "t_lang_fertility",
+    # round-10 (continuation): rescore-budget tuning curve
+    "e_pq_cand_curve",
 ]
 
 

@@ -4328,3 +4328,98 @@ def e_bq_hamming_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_dot_q"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ candidate-budget tuning curve (round 10): recall@10 of the ADC
+# serving path at candidate budgets 10/20/40 — the missing half of the
+# tuning story. The nprobe curve (e_ivf_opq_nprobe_curve) measured
+# recall flat at 0.5 across probe depths because THE PQ CANDIDATE BUDGET
+# BINDS FIRST (the round-9 tuning datum); this query certifies that
+# binding directly: ONE training chain and ONE ADC scan feed three
+# nested candidate pools (top-10 ⊂ top-20 ⊂ top-40 by construction), so
+# recall@10 vs budget isolates the rescore-pool knob every PQ deployment
+# sizes. Static plan (no eager pins): the three rescore heads share the
+# ADC/training subtrees canonically — AQE's ReusedExchange collapses
+# them at execution like the kmeans chain; the exact GT is the standard
+# single-query broadcast scan.
+# ---------------------------------------------------------------------------
+_CAND_BUDGETS = (10, 20, 40)
+
+
+def _pq_cand_curve_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    adc = f"""
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM pq_subs s JOIN pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ), adc AS (
+      SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+      FROM pq_codes k JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+      WHERE k.vec_id <> 0
+      GROUP BY k.vec_id
+    ), qq AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0),
+    gt AS ({_gt_sql(0, _PQ_OUT)})"""
+    arms = []
+    for lb in _CAND_BUDGETS:
+        arms.append(f"""
+    SELECT CAST({lb} AS BIGINT) AS cand_budget,
+           count(*) AS hits,
+           count(*) / {_PQ_OUT} AS recall_at_10
+    FROM (
+      SELECT c.vec_id FROM (
+        SELECT vec_id, adc_q FROM adc ORDER BY adc_q, vec_id LIMIT {lb}
+      ) c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+      ORDER BY {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} DESC, c.vec_id
+      LIMIT {_PQ_OUT}
+    ) topk JOIN gt USING (vec_id)""")
+    return (
+        f"WITH {pq_oracle_ctes(_QV)},{adc}\n"
+        + "\n    UNION ALL\n".join(arms)
+    )
+
+
+@query("e_pq_cand_curve", _pq_cand_curve_oracle())
+def e_pq_cand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    subs = pq_subvectors(full).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    )
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    gt = _exact_topk_gt(spark, sf_dir, 0, _PQ_OUT)
+    out = None
+    for lb in _CAND_BUDGETS:
+        cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(lb)
+        topk = (
+            full.join(F.broadcast(cand.select("vec_id")), "vec_id")
+            .crossJoin(F.broadcast(qv))
+            .select("vec_id", cosine(F.col("q"), F.col("qv")).alias("cs"))
+            .orderBy(F.desc("cs"), F.asc("vec_id"))
+            .limit(_PQ_OUT)
+            .select("vec_id")
+        )
+        row = topk.join(gt, "vec_id").agg(
+            F.lit(lb).cast("long").alias("cand_budget"),
+            F.count("*").alias("hits"),
+            (F.count("*") / _PQ_OUT).alias("recall_at_10"),
+        ).select("cand_budget", "hits", "recall_at_10")
+        out = row if out is None else out.unionByName(row)
+    return out
