@@ -939,3 +939,48 @@ def test_semdedup_kn_cluster_bucketed(spark, sf_dir, queries):
              if "SortMergeJoin" in l or "BroadcastHashJoin" in l or "ShuffledHashJoin" in l]
     assert any("cid" in l for l in joins), joins
     assert "EvalPython" not in plan
+
+
+def test_pcapq_chain_no_python_no_cartesian(spark, sf_dir, queries):
+    """The PCA-permutation PQ stays JVM-side end-to-end: the fixed-point
+    chain is in-row array expressions, the permutation a one-row
+    broadcast (BroadcastNestedLoopJoin — benign e_pq_topk pattern), and
+    both top-k stages TakeOrderedAndProject."""
+    plan = _plan(queries["e_pcapq_topk"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_perplexity_buckets_bounded_grid(spark, sf_dir, queries):
+    """The tercile census must never globally sort the corpus: no Sort
+    over document rows feeding a rank window — the only window runs on
+    the bounded (score → count) grid, and cutoffs ride broadcast
+    one-row joins into a map-side bucket assignment."""
+    plan = _plan(queries["t_perplexity_buckets"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # exactly one Window (the bounded-grid cumulative sum); a rank-ntile
+    # formulation would add a second corpus-wide window
+    assert plan.count("Window") == 1, plan.count("Window")
+
+
+def test_pq_sdc_code_domain_search(spark, sf_dir, queries):
+    """SDC's search path must stay in the code domain: the scored join is
+    a broadcast of the bounded query LUT against the narrow code table
+    (BroadcastHashJoin on sub/cid keys), never a raw-vector cartesian."""
+    plan = _plan(queries["e_pq_sdc_topk"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    joins = [l for l in plan.splitlines() if "BroadcastHashJoin" in l]
+    assert any("cid_b" in l for l in joins), joins
+
+
+def test_bq_hamming_hist_single_scan_census(spark, sf_dir, queries):
+    """The calibration census is one corpus scan + a bounded-grid
+    aggregation: the only hash exchange moves (hamming, partials) rows —
+    at most 65 per task after map-side combine."""
+    plan = _plan(queries["e_bq_hamming_hist"](spark, sf_dir))
+    assert "EvalPython" not in plan
+    hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(hash_ex) == 1 and "hamming" in hash_ex[0], hash_ex
