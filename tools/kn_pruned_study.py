@@ -30,6 +30,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/tmp/spark_graft_sf1")
     ap.add_argument("--caps", default="64,256,1024")
+    ap.add_argument(
+        "--pivots",
+        default=None,
+        help="comma list: sweep the pruned variant's pivot count P at the "
+        "LARGEST cap instead of racing flat vs pruned (the P ∝ √k knob)",
+    )
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,6 +59,25 @@ def main() -> None:
         .repartition(args.cpus, "vec_id")
     )
     n = emb.count()
+    if args.pivots:
+        cap = max(int(c) for c in args.caps.split(","))
+        k = max(1, min(cap, n // 64))
+        for p in (int(x) for x in args.pivots.split(",")):
+            best = None
+            for _ in range(args.runs):
+                t0 = time.time()
+                _, assigned = kmeans_kn_pruned_fit(emb, cap=cap, p=p)
+                assigned.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            print(
+                json.dumps(
+                    {"variant": "pruned", "cap": cap, "k": k, "n": n,
+                     "pivots": p, "sec": round(best, 2)}
+                ),
+                flush=True,
+            )
+        return
     for cap in (int(c) for c in args.caps.split(",")):
         k = max(1, min(cap, n // 64))
         for label, fit in (("flat", kmeans_kn_fit), ("pruned", kmeans_kn_pruned_fit)):

@@ -141,6 +141,8 @@ QUERIES = (
     "e_pcapq_topk",            # PC1 fixed point + permuted PQ chain
     "e_pcapq_distortion_delta",  # two permuted trainings, one-row delta
     "e_semdedup_kn_pruned",    # pivot-pruned adaptive-k: P + k/P per vector
+    "t_lang_fertility",        # lang argmax + regex census, |langs| output
+    "t_perplexity_buckets",    # surprisal chain + bounded score-grid census
 )
 
 
