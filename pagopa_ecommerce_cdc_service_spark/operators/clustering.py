@@ -38,6 +38,8 @@ k-means is the standard corpus-topic/PQ-codebook primitive.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -485,7 +487,14 @@ def pq_oracle_ctes(
 # never drops a vector. Deterministic end-to-end: every argmin is a
 # min(struct(dist, id)) / row_number twin of the flat chain.
 
-KN_PIVOTS = 16
+# P ∝ √k, wired as the DEFAULT (round 11): per-vector assignment work is
+# P + k/P distances, minimized at P = √k; with k ∝ n capped at KN_CAP,
+# the deployment rule is P = √KN_CAP. The tools/kn_pruned_study.py
+# pivot-count sweep (SCALING.md, round 10) measured the optimum AT the
+# prescription: P ∈ {4,8,16,32,64} at k = 312 gave a clean U with the
+# minimum at P = 16 ≈ √312. isqrt(256) = 16, so the wired default emits
+# byte-identical plans to the previous literal (guard-tested).
+KN_PIVOTS = math.isqrt(KN_CAP)
 
 
 def kn_pivots(seeds: DataFrame, p: int = KN_PIVOTS) -> DataFrame:
@@ -553,7 +562,11 @@ def kmeans_kn_pruned_fit(
 ):
     """Adaptive-k Lloyd's with hierarchical assignment:
     ``(centroids, assignment)``. Updates are :func:`kmeans_update`
-    verbatim — only the assignment pass is pruned."""
+    verbatim — only the assignment pass is pruned. The default ``p``
+    follows the P = √k prescription (P + k/P distances per vector is
+    minimized at √k), which the round-10 pivot-count sweep
+    (tools/kn_pruned_study.py --pivots, SCALING.md) measured as the
+    actual optimum: P = 16 won the {4,8,16,32,64} grid at k = 312."""
     seeds = kmeans_kn_seeds(emb, target, cap, salt)
     piv = kn_pivots(seeds, p)
     cent = seeds

@@ -4849,35 +4849,42 @@ def t_wminhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "h", "w")
     )
-    # signature as 16 GROUPED MINS with the replica minimum computed INLINE
-    # per (doc, shingle) row (round 10): shingle arrays are per-doc DISTINCT
-    # by construction (operators/text.shingle_hashes31 wraps array_distinct),
-    # so the replication factor already tracks distinct shingles — the
-    # remaining cost was materializing Σw ≤ 4x rows through explode. Since
-    # min over (h, j) = min over h of (min over j), each row folds its own
-    # j < w replicas through a bounded array_min and the explode disappears:
-    # the map stage streams one row per (doc, shingle) and the per-doc
-    # exchange still carries 16 longs. Same permutation family as
-    # minhash_signature, so the oracle's replica-list form computes
-    # identical values.
+    # signature as 16 GROUPED MINS over EXPLODED replica rows (round 11,
+    # restoring the round-9 signature shape): w <= _WMH_MAX_W = 4 bounds the
+    # replica blow-up at 4x the (doc, shingle) rows, and each replica row
+    # then evaluates 16 SCALAR mod expressions inside one whole-stage-codegen
+    # partial aggregate. The round-10 in-row fold (16 per-row
+    # F.transform(F.sequence(0, w-1)) materializations) was flagged as the
+    # suite's worst bench ratio (VERDICT r10); the round-11 3-run warm audit
+    # shows that was mostly cold-state noise (in-row: 14.68 cold / 7.47 warm
+    # vs bar 8.396), but the exploded shape measures better on BOTH ends
+    # (11.61 cold / 7.04 warm at sf0.1; sf1 decade re-measured, see
+    # SCALING.md), so it is restored. min over (h, j) = min over exploded
+    # (h, j) rows, and the per-doc exchange still carries 16 longs (partial
+    # min map-side), so values and exchange count are identical to both
+    # prior shapes. Same permutation family as minhash_signature, so the
+    # oracle's replica-list form computes identical values.
     from ..functions.hashing import MINHASH_PERMS as _PERMS
 
-    def _rep_min(i: int):
-        a_i, b_i = _PERMS[i]
-        rh = lambda j: (  # noqa: E731
-            F.col("h") * F.lit(_WMH_REP_A) + j * F.lit(_WMH_REP_B)
-        ) % _M31
-        return F.min(
-            F.array_min(
-                F.transform(
-                    F.sequence(F.lit(0).cast("long"), F.col("w") - 1),
-                    lambda j: (rh(j) * a_i + b_i) % _M31,
+    rep = shw.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("w") - 1),
+                lambda j: (
+                    F.col("h") * F.lit(_WMH_REP_A) + j * F.lit(_WMH_REP_B)
                 )
+                % _M31,
             )
-        ).alias(f"_s{i}")
-
-    sigs = shw.groupBy("doc_id").agg(
-        *[_rep_min(i) for i in range(_K)]
+        ).alias("rh"),
+    )
+    sigs = rep.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("rh") * _PERMS[i][0] + _PERMS[i][1]) % _M31).alias(
+                f"_s{i}"
+            )
+            for i in range(_K)
+        ]
     ).select("doc_id", F.array(*[f"_s{i}" for i in range(_K)]).alias("sig"))
     bands = sigs.select(
         "doc_id",
@@ -5048,9 +5055,18 @@ def t_wminhash_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per = t_unigram_surprisal(spark, sf_dir)
+    return _tercile_census(per)
+
+
+def _tercile_census(per: DataFrame) -> DataFrame:
+    """CCNet tercile census over a (doc_id, n_tokens, surprisal_per_1k)
+    relation — extracted fingerprint-neutrally (round 11) so the streaming
+    twin's drained-store adjudication delegates to the batch tail verbatim
+    (the w_stream_hourly_seasonality pure-delegation precedent; the batch
+    plan stays byte-identical, rotation-guard-verified)."""
     from pyspark.sql import Window
 
-    per = t_unigram_surprisal(spark, sf_dir)
     hist = per.groupBy(F.col("surprisal_per_1k").alias("s")).agg(
         F.count("*").alias("nd")
     )
@@ -5135,3 +5151,115 @@ def t_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["t_lang_fertility"] = ORACLES["t_lang_fertility"].replace(
     "{LANG_ORACLE}", ORACLES["t_lang_id"]
 ).replace("{CNT_ORACLE}", ORACLES["t_bpe_token_count"])
+
+
+# ---------------------------------------------------------------------------
+# STREAMING perplexity-tercile twin (round 11): quality-bucketing on a
+# document stream. A doc's surprisal depends on CORPUS-GLOBAL vocabulary
+# counts, so no per-batch score is final — this is the drained-vocab
+# TWO-PHASE shape the winnow/LSH stream gates established: phase 1
+# accretes only the narrow per-doc token census (doc_id, tok, cnt) into
+# an append-only store (tokenize-on-ingest — the corpus text is read
+# exactly once, per micro-batch); phase 2, after the stream drains,
+# computes the vocabulary, the integer-exact surprisal scores, and the
+# value-based tercile census FROM THE STORE (no text rescan), delegating
+# to the batch tail verbatim (_tercile_census). Restart leg: incarnation
+# 1 drains two staged files, the third appears only after the handoff
+# and is picked up from the checkpoint. Replay safety: each doc lands in
+# exactly one batch and its (doc_id, tok, cnt) rows are deterministic,
+# so an at-least-once re-append is byte-identical and the drain-time
+# distinct() restores exact counts. After the drain the result must
+# hash-match the one-shot batch oracle (t_perplexity_buckets' SQL,
+# reused verbatim). 100 TB shape: per-batch work is one tokenize +
+# map-side-combined (doc_id, tok) count of THE BATCH only; the global
+# vocab/total/census aggregations run once at read time over the
+# vocabulary-keyed store — the same exchanges as the batch plan.
+# ---------------------------------------------------------------------------
+def t_stream_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-perp-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("perpsplit:"), F.col("doc_id").cast("string")))
+        % 3
+    )
+    for i in range(3):
+        write_staged_file(
+            docs.filter(third == i),
+            f"{src}/part{i}.parquet",
+            mtime=1000.0 * (i + 1),
+        )
+
+    store_dir = f"{workdir}/tokcounts"
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    def run_incarnation(n_files: int) -> None:
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "t_stream_perplexity_buckets: availableNow run did not "
+                f"complete in 240s ({n_files} files)"
+            )
+
+    part2 = f"{src}/part2.parquet"
+    staged_part2 = f"{workdir}/part2.staged"
+    _os.rename(part2, staged_part2)
+    run_incarnation(2)
+    _os.rename(staged_part2, part2)
+    _os.utime(part2, (3000.0, 3000.0))
+    run_incarnation(3)
+
+    store = spark.read.parquet(store_dir).distinct()
+    vocab = store.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    total = store.agg(F.sum("cnt").alias("n"))
+    # per-(doc, tok) surprisal from the store: cnt occurrences each worth
+    # floor_log2(n div c) — identical to the batch per-token sum because
+    # every occurrence of a token scores the same integer
+    per = (
+        store.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (F.length(F.bin(F.expr("n div c"))) - 1).cast("long")
+            ).alias("surp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum("surp").cast("long").alias("surprisal_sum"),
+            F.expr("(sum(surp) * 1000) div sum(cnt)")
+            .cast("long")
+            .alias("surprisal_per_1k"),
+        )
+    )
+    return _tercile_census(per)
+
+
+QUERIES["t_stream_perplexity_buckets"] = t_stream_perplexity_buckets
+ORACLES["t_stream_perplexity_buckets"] = ORACLES["t_perplexity_buckets"]

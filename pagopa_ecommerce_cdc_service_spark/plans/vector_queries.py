@@ -4183,7 +4183,11 @@ def e_pq_sdc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash certifies the pruned law itself. Output row: the e_semdedup_kn
 # census at the pruned assignment.
 # ---------------------------------------------------------------------------
-def _semdedup_kn_pruned_oracle() -> str:
+def _kn_pruned_pairs_ctes() -> str:
+    """CTE chain through the pruned-assignment ``pairs`` relation —
+    shared by the census oracle (e_semdedup_kn_pruned) and the keep-one
+    oracle (e_semdedup_kn_pruned_keepone), so the keep-one's recursive
+    closure provably runs over the SAME pair law the census certifies."""
     from ..operators.clustering import KM_ITERS, kmeans_kn_pruned_oracle_ctes
 
     fin = f"a{KM_ITERS}"
@@ -4191,8 +4195,7 @@ def _semdedup_kn_pruned_oracle() -> str:
         f"CAST({dot_sql('ea.q', 'eb.q')} AS DOUBLE) / "
         f"(sqrt(CAST(ea.n2 AS DOUBLE)) * sqrt(CAST(eb.n2 AS DOUBLE)))"
     )
-    return f"""
-    WITH {kmeans_kn_pruned_oracle_ctes(_QV)},
+    return f"""{kmeans_kn_pruned_oracle_ctes(_QV)},
     embn AS (SELECT vec_id, q, {dot_sql("q", "q")} AS n2 FROM emb),
     pairs AS (
       SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
@@ -4200,7 +4203,15 @@ def _semdedup_kn_pruned_oracle() -> str:
            JOIN embn ea ON ea.vec_id = x.vec_id
            JOIN embn eb ON eb.vec_id = y.vec_id
       WHERE {cos} >= {_SEMDEDUP_COS}
-    ),
+    )"""
+
+
+def _semdedup_kn_pruned_oracle() -> str:
+    from ..operators.clustering import KM_ITERS
+
+    fin = f"a{KM_ITERS}"
+    return f"""
+    WITH {_kn_pruned_pairs_ctes()},
     sizes AS (SELECT cid, count(*) AS sz FROM {fin} GROUP BY cid)
     SELECT (SELECT count(*) FROM emb) AS n_vectors,
            (SELECT kk FROM kn) AS k,

@@ -396,3 +396,23 @@ def test_kn_pruned_assignment_total_and_deterministic(spark, sf_dir):
     assert len(a) == n_vec
     assert len({v for v, _, _ in a}) == n_vec
     assert a == run(7)
+
+
+def test_kn_pivots_default_is_sqrt_cap_and_unchanged():
+    # Round-11 guard for the P = sqrt(k) prescription wired as the default
+    # (SCALING.md pivot-count sweep): KN_PIVOTS must track sqrt(KN_CAP),
+    # and at the current cap the derived value must equal the 16 every
+    # certified e_semdedup_kn_pruned plan and oracle was emitted with —
+    # a cap change that silently moved the default would drift the gate.
+    import math
+
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        KN_CAP,
+        KN_PIVOTS,
+    )
+
+    assert KN_PIVOTS == math.isqrt(KN_CAP)
+    assert KN_PIVOTS == 16, (
+        "KN_CAP changed: re-certify e_semdedup_kn_pruned (plan + oracle "
+        "emit the pivot count) before shipping the new default"
+    )
