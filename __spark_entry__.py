@@ -923,6 +923,40 @@ _CERTIFIED_TAIL = (
     # the SDC query.
     "t_bigram_surprisal",
     "t_exact_substr_keepone",
+    # Round-11 rotation (fourteenth pass): the five r10 _PENDING_FIRST_CERT
+    # queries (e_pcapq_recall, e_semdedup_kn_pruned, e_bq_hamming_hist,
+    # t_lang_fertility, e_pq_cand_curve) take their first hard
+    # certification, joined by this round's two new RUNTIME queries
+    # (t_stream_perplexity_buckets — the drained-vocab streaming twin of
+    # the CCNet tercile census; e_semdedup_kn_pruned_keepone — CC over the
+    # pruned-kn pair graph, the shipped 100-TB prune table) and by
+    # t_wminhash_pairs, which stays in the prefix because its signature
+    # stage changed this round (explode restored; re-certifies under a
+    # fresh hash). Rotating OUT: seven r10-certified statics, each
+    # fingerprint-equal vs FINGERPRINTS_r10 (guard-tested) with its whole
+    # chain still executing under a round-11 prefix hash:
+    # - t_perplexity_buckets: its tercile law AND the composed surprisal
+    #   spine re-execute VERBATIM inside t_stream_perplexity_buckets'
+    #   drained-store adjudication (pure delegation via _tercile_census —
+    #   the batch tail plan is byte-identical, rotation-guard-verified).
+    # - e_ivf_opq_topk / e_ivf_opq_recall: the composed OPQ,IVF,PQ chain
+    #   re-executes in e_ivf_opq_nprobe_curve (runtime, prefix-pinned)
+    #   AND nine more times in the new e_ivf_opq_tuning_grid.
+    # - e_pcapq_topk / e_pcapq_distortion_delta: the PCA-permutation PQ
+    #   chain re-executes inside e_pcapq_recall, which certifies in THIS
+    #   round's prefix.
+    # - e_pq_sdc_topk: the PQ training chain re-executes inside
+    #   e_pq_cand_curve (this round's prefix) and the tuning grid.
+    # - e_semdedup_kn: the kn seed law (count → clamp → seed-rank filter)
+    #   re-executes inside e_semdedup_kn_pruned AND the new keep-one,
+    #   both in this round's prefix.
+    "t_perplexity_buckets",
+    "e_ivf_opq_topk",
+    "e_ivf_opq_recall",
+    "e_pcapq_topk",
+    "e_pcapq_distortion_delta",
+    "e_pq_sdc_topk",
+    "e_semdedup_kn",
 )
 
 
@@ -934,37 +968,18 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT: tuple[str, ...] = (
-    # Round 10 (continuation): the rotatable-static budget is nearly
-    # exhausted (the prefix is dominated by runtime gates plus this
-    # round's own first-certs, which cannot take tail slots until their
-    # gate row lands), so the recall audit of the PCA-permutation PQ
-    # waits here for its first certification next round. It is
-    # oracle-backed (local parity runs it every round) and composes
-    # e_pcapq_topk — which certifies in THIS round's prefix — plus the
-    # exact-GT recall-row machinery certified through the r10 IVF-OPQ
-    # recall gate.
-    "e_pcapq_recall",
-    # The hierarchical k∝n variant (pivot-pruned Lloyd's assignment — the
-    # scale answer to e_semdedup_kn's O(n·k) decade row, SCALING.md).
-    # Oracle-backed (local parity green at sf0.001 and sf0.01 on
-    # introduction); composes the kn seed law certified this round inside
-    # e_semdedup_kn's prefix slot.
-    "e_semdedup_kn_pruned",
-    # BQ threshold calibration (the sign-bit analog of the certified
-    # SimHash Hamming census: bounded 0..64 distance grid carrying exact
-    # integer dot mass — floor-mean, never float accumulation) and the
-    # tokenizer-fertility dashboard (certified lang-id argmax + BPE-regex
-    # census composed verbatim, bounded-by-|langs| output). Both
-    # oracle-backed, parity-green at sf0.001 and sf0.01 on introduction.
-    "e_bq_hamming_hist",
-    "t_lang_fertility",
-    # PQ candidate-budget tuning curve: recall@10 at rescore budgets
-    # 10/20/40 over ONE shared training/ADC chain — certifies the
-    # round-9 tuning datum that the candidate budget binds before the
-    # probe budget. Oracle-backed, parity-green at both local scales on
-    # introduction. (Pending list now at the cap of 5 — nothing further
-    # is added this round.)
-    "e_pq_cand_curve",
+    # Round 11: the five r10 pending queries all rotated into the prefix
+    # (first certification this round); the one new STATIC query waits
+    # here because the prefix is at budget (44 runtime gates + the
+    # re-certifying t_wminhash_pairs + the five first-certs). The 2-D
+    # (nprobe × candidate budget) tuning surface over the IVF-OPQ chain:
+    # nine recall cells off ONE shared permuted training (the
+    # e_pq_cand_curve static-sharing pattern). Oracle-backed,
+    # parity-green at sf0.001 and sf0.01 on introduction; both parent
+    # 1-D curves are certified (r10) and the full chain re-executes under
+    # this round's e_ivf_opq_nprobe_curve and e_pcapq_recall prefix
+    # hashes.
+    "e_ivf_opq_tuning_grid",
 )
 
 

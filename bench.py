@@ -239,6 +239,11 @@ HEADLINE = [
     "t_lang_fertility",
     # round-10 (continuation): rescore-budget tuning curve
     "e_pq_cand_curve",
+    # round-11: streaming tercile twin, pruned-kn keep-one artifact,
+    # 2-D (nprobe x candidate budget) tuning surface
+    "t_stream_perplexity_buckets",
+    "e_semdedup_kn_pruned_keepone",
+    "e_ivf_opq_tuning_grid",
 ]
 
 

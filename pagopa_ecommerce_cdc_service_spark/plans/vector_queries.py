@@ -4221,9 +4221,13 @@ def _semdedup_kn_pruned_oracle() -> str:
     """
 
 
-@query("e_semdedup_kn_pruned", _semdedup_kn_pruned_oracle())
-def e_semdedup_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.clustering import KN_CAP, KN_TARGET, kmeans_kn_pruned_fit
+def _kn_pruned_emb_final_pairs(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(emb, final assignment, thresholded within-cluster pairs) of the
+    pivot-pruned k∝n chain — the shared spine of the census query and the
+    keep-one artifact (extracted round 11, expressions verbatim)."""
+    from ..operators.clustering import kmeans_kn_pruned_fit
 
     emb = (
         spread(read(spark, sf_dir, "embeddings"), spark)
@@ -4258,6 +4262,14 @@ def e_semdedup_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _SEMDEDUP_COS)
         .select("vec_a", "vec_b")
     )
+    return emb, final, pairs
+
+
+@query("e_semdedup_kn_pruned", _semdedup_kn_pruned_oracle())
+def e_semdedup_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import KN_CAP, KN_TARGET
+
+    emb, final, pairs = _kn_pruned_emb_final_pairs(spark, sf_dir)
 
     nk = emb.agg(
         F.count("*").cast("long").alias("n_vectors"),
@@ -4275,6 +4287,59 @@ def e_semdedup_kn_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         nk.crossJoin(F.broadcast(cstats))
         .crossJoin(F.broadcast(npairs))
         .select("n_vectors", "k", "n_clusters", "max_cluster", "n_pairs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pruned-kn KEEP-ONE artifact (round 11): the shipped pruned-corpus table
+# on the SCALE path. e_semdedup_keepone materializes the SemDeDup output
+# at fixed k; this is the same artifact over the corpus-scaled-k,
+# pivot-pruned chain (e_semdedup_kn_pruned's pair law, composed verbatim
+# via the shared _kn_pruned_emb_final_pairs spine) — i.e. the table a
+# 100 TB training pipeline would actually join against, since flat k∝n
+# assignment is the decade bottleneck SCALING.md measured (6.2× vs 2.2×
+# pruned). Transitive closure merges chained within-cluster near-dups
+# (every pair shares a cluster, so components never cross clusters; CC
+# is still required for within-cluster chains A~B~C with A≁C); each
+# group keeps its min vec_id. One row per corpus vector:
+# (vec_id, group_rep, kept). RUNTIME query (iterative min-label CC),
+# prefix-pinned like e_semdedup_keepone.
+# ---------------------------------------------------------------------------
+@query(
+    "e_semdedup_kn_pruned_keepone",
+    f"""
+    WITH RECURSIVE {_kn_pruned_pairs_ctes()},
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION
+      SELECT vec_b AS src, vec_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    reach(node, lbl) AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           c.component AS group_rep,
+           (c.component IS NULL OR c.component = e.vec_id) AS kept
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    """,
+)
+def e_semdedup_kn_pruned_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+
+    _, _, pairs = _kn_pruned_emb_final_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select("vec_id")
+    j = emb.join(comp, emb["vec_id"] == comp["node"], "left")
+    return j.select(
+        "vec_id",
+        F.col("component").alias("group_rep"),
+        (
+            F.col("component").isNull() | (F.col("vec_id") == F.col("component"))
+        ).alias("kept"),
     )
 
 
@@ -4433,4 +4498,147 @@ def e_pq_cand_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") / _PQ_OUT).alias("recall_at_10"),
         ).select("cand_budget", "hits", "recall_at_10")
         out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# IVF-OPQ 2-D tuning surface (round 11): recall@10 over the JOINT
+# (nprobe × candidate budget) grid — what a deployment actually sweeps
+# before fixing its serving knobs. The two certified 1-D curves each hold
+# one knob at its default (e_ivf_opq_nprobe_curve fixes the budget at
+# _PQ_CAND; e_pq_cand_curve has no coarse prune at all); the r9/r10
+# tuning datum — THE CANDIDATE BUDGET BINDS BEFORE THE PROBE BUDGET —
+# deserves the joint confirmation: along the budget axis recall moves,
+# along the probe axis (at fixed budget) it stays flat. ONE permuted PQ
+# training feeds all nine cells: per probe depth one pruned ADC scan,
+# and per budget a NESTED candidate pool over that scan (top-10 ⊂
+# top-20 ⊂ top-40 by construction) — the e_pq_cand_curve STATIC-sharing
+# pattern (no eager pins: the nine rescore heads reference the
+# training/ADC subtrees canonically and AQE's ReusedExchange collapses
+# them at execution), extended to the composed OPQ,IVF,PQ chain. Output:
+# 9 rows (nprobe, cand_budget, hits, recall_at_10).
+# ---------------------------------------------------------------------------
+def _ivf_opq_tuning_grid_oracle() -> str:
+    from ..operators.clustering import PQ_SUBDIM, pq_oracle_ctes, sq_dist_sql
+
+    per_cell = []
+    for np_ in _CURVE_PROBES:
+        per_cell.append(f"""adc{np_} AS (
+          SELECT k.vec_id, CAST(SUM(l.qdist) AS BIGINT) AS adc_q
+          FROM io_pq_codes k
+               JOIN lists li ON li.vec_id = k.vec_id
+               JOIN (SELECT pid FROM qprobe WHERE rn <= {np_}) USING (pid)
+               JOIN lut l ON k.sub = l.sub AND k.cid = l.cid
+          WHERE k.vec_id <> 0
+          GROUP BY k.vec_id)""")
+        for lb in _CAND_BUDGETS:
+            per_cell.append(f"""ap{np_}_{lb} AS (
+          SELECT c.vec_id FROM (
+            SELECT vec_id, adc_q FROM adc{np_}
+            ORDER BY adc_q, vec_id LIMIT {lb}
+          ) c JOIN embeddings e ON e.vec_id = c.vec_id, qq
+          ORDER BY {cosine_sql(quantize_sql("e.embedding"), "qq.qv")} DESC,
+                   c.vec_id
+          LIMIT {_CURVE_TOP})""")
+    rows = "\n    UNION ALL ".join(
+        f"SELECT CAST({np_} AS BIGINT) AS nprobe, "
+        f"CAST({lb} AS BIGINT) AS cand_budget, "
+        f"(SELECT CAST(count(*) AS BIGINT) FROM ap{np_}_{lb} JOIN truth USING (vec_id)) AS hits, "
+        f"(SELECT CAST(count(*) AS DOUBLE) / {_CURVE_TOP} "
+        f" FROM ap{np_}_{lb} JOIN truth USING (vec_id)) AS recall_at_10"
+        for np_ in _CURVE_PROBES
+        for lb in _CAND_BUDGETS
+    )
+    return f"""
+    WITH {_opq_perm_ctes()},
+    {pq_oracle_ctes(_OPQ_QV, prefix="io_")},
+    piv AS (SELECT vec_id AS pid, q AS pv FROM io_pq_emb
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.q", "p.pv")}, p.pid) AS rn
+      FROM io_pq_emb e, piv p
+    ),
+    lists AS (SELECT vec_id, pid FROM assign WHERE rn = 1),
+    qprobe AS (SELECT pid, rn FROM assign WHERE vec_id = 0),
+    lut AS (
+      SELECT c.sub, c.cid, {sq_dist_sql("s.sq", "c.c", PQ_SUBDIM)} AS qdist
+      FROM io_pq_subs s JOIN io_pq_cb c USING (sub)
+      WHERE s.vec_id = 0
+    ),
+    qq AS (SELECT {_QV} AS qv FROM embeddings WHERE vec_id = 0),
+    truth AS ({_gt_sql(0, _CURVE_TOP)}),
+    {",".join(per_cell)}
+    SELECT * FROM ({rows})
+    """
+
+
+@query("e_ivf_opq_tuning_grid", _ivf_opq_tuning_grid_oracle())
+def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import pq_subvectors, pq_train, sq_dist
+    from ..operators.similarity import dist2, nearest_pivot
+
+    full = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("q")
+    )
+    permuted = _opq_permuted(full)
+    piv = permuted.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pv")
+    )
+    lists = nearest_pivot(
+        permuted.select("vec_id", F.col("q").alias("qvec")), piv
+    ).select("vec_id", "pid")
+    wq = Window.orderBy("d2", "pid")
+    qprobe = (
+        permuted.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(piv))
+        .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= max(_CURVE_PROBES))
+    )
+    subs = pq_subvectors(permuted).repartition(
+        spark.sparkContext.defaultParallelism, "vec_id", "sub"
+    )
+    codes, cb = pq_train(subs)
+    lut = (
+        subs.filter(F.col("vec_id") == 0)
+        .join(cb, "sub")
+        .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
+    )
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    truth = _exact_topk_gt(spark, sf_dir, 0, _CURVE_TOP)
+    out = None
+    for np_ in _CURVE_PROBES:
+        probed = lists.join(
+            F.broadcast(qprobe.filter(F.col("rn") <= np_).select("pid")),
+            "pid",
+            "left_semi",
+        ).select("vec_id")
+        adc = (
+            codes.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(probed), "vec_id", "left_semi")
+            .join(F.broadcast(lut), ["sub", "cid"])
+            .groupBy("vec_id")
+            .agg(F.sum("qdist").cast("long").alias("adc_q"))
+        )
+        for lb in _CAND_BUDGETS:
+            cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(lb)
+            ap = (
+                full.join(F.broadcast(cand.select("vec_id")), "vec_id")
+                .crossJoin(F.broadcast(qv))
+                .select("vec_id", cosine(F.col("q"), F.col("qv")).alias("cs"))
+                .orderBy(F.desc("cs"), "vec_id")
+                .limit(_CURVE_TOP)
+                .select("vec_id")
+            )
+            row = ap.join(truth, "vec_id", "left_semi").agg(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(lb).cast("long").alias("cand_budget"),
+                F.count("*").alias("hits"),
+                (F.count("*").cast("double") / _CURVE_TOP).alias(
+                    "recall_at_10"
+                ),
+            ).select("nprobe", "cand_budget", "hits", "recall_at_10")
+            out = row if out is None else out.unionByName(row)
     return out

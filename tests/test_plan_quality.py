@@ -984,3 +984,60 @@ def test_bq_hamming_hist_single_scan_census(spark, sf_dir, queries):
     assert "EvalPython" not in plan
     hash_ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(hash_ex) == 1 and "hamming" in hash_ex[0], hash_ex
+
+
+def test_tuning_grid_shares_training_chain(spark, sf_dir, queries):
+    """The 2-D tuning surface's nine cells must share ONE permuted PQ
+    training chain: after execution the adaptive plan collapses the
+    repeated training/ADC subtrees into ReusedExchange reads (the
+    e_pq_cand_curve static-sharing pattern — no eager pins), and the
+    whole surface stays JVM-side with no cartesian."""
+    df = queries["e_ivf_opq_tuning_grid"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # 9 cells over 3 ADC scans over 1 training: at minimum the shared
+    # subtrees behind the 6 non-first budget heads must be reuse reads
+    assert plan.count("ReusedExchange") >= 6, plan.count("ReusedExchange")
+
+
+def test_kn_pruned_keepone_matches_union_find(spark, sf_dir, queries):
+    """The pruned-kn keep-one table must equal an independent Python
+    union-find over the pruned pair set (same discipline as
+    test_wminhash_keepone_matches_union_find, on the scale path)."""
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _kn_pruned_emb_final_pairs,
+    )
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    _, _, pairs = _kn_pruned_emb_final_pairs(spark, sf_dir)
+    edges = [(r.vec_a, r.vec_b) for r in pairs.collect()]
+    for a, b in edges:
+        union(a, b)
+    # path-compress to the true minimum representative
+    expect = {x: find(x) for x in parent}
+    got = {
+        r.vec_id: (r.group_rep, r.kept)
+        for r in queries["e_semdedup_kn_pruned_keepone"](spark, sf_dir).collect()
+    }
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(got) == n_vec
+    for vid, (rep, kept) in got.items():
+        if vid in expect:
+            assert rep == expect[vid], (vid, rep, expect[vid])
+            assert kept == (rep == vid)
+        else:
+            assert rep is None and kept

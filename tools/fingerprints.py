@@ -85,6 +85,8 @@ RUNTIME_QUERIES = {
     "w_stream_ols_daily_trend",     # stages parquet, runs a streaming count grid
     "w_stream_pearson_daily",       # stages parquet, runs a streaming (type,day,user) grid
     "w_stream_hourly_seasonality",  # stages parquet, runs a streaming (dow,hod,user) grid
+    "t_stream_perplexity_buckets",  # stages parquet, runs a two-incarnation token-census stream
+    "e_semdedup_kn_pruned_keepone",  # iterative min-label CC over the pruned-kn pair graph
 }
 
 _NORMALIZERS = (
