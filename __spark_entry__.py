@@ -980,6 +980,19 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # this round's e_ivf_opq_nprobe_curve and e_pcapq_recall prefix
     # hashes.
     "e_ivf_opq_tuning_grid",
+    # LSH band-plan sweep: the dedup-side tuning surface — candidate
+    # volume / verified count / precision for the three b·r = 16 splits
+    # of the K = 16 signature, off ONE shingle+signature pass (the
+    # t_minhash_lsh_pairs machinery per arm, whose law is prefix-gated
+    # every round through t_stream_lsh_pairs). Oracle-backed,
+    # parity-green at sf0.001 and sf0.01 on introduction.
+    "t_lsh_band_sweep",
+    # Language × quality-tercile sampling matrix: composes the certified
+    # lang-id argmax, surprisal proxy, and tercile-cutoff laws verbatim
+    # (all three re-execute under this round's prefix hashes via
+    # t_lang_fertility and t_stream_perplexity_buckets). Oracle-backed,
+    # parity-green at both local scales on introduction.
+    "t_lang_quality_mix",
 )
 
 

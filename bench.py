@@ -244,6 +244,9 @@ HEADLINE = [
     "t_stream_perplexity_buckets",
     "e_semdedup_kn_pruned_keepone",
     "e_ivf_opq_tuning_grid",
+    # round-11 (second pass): LSH band-plan sweep + lang x quality matrix
+    "t_lsh_band_sweep",
+    "t_lang_quality_mix",
 ]
 
 

@@ -5263,3 +5263,209 @@ def t_stream_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_stream_perplexity_buckets"] = t_stream_perplexity_buckets
 ORACLES["t_stream_perplexity_buckets"] = ORACLES["t_perplexity_buckets"]
+
+
+# ---------------------------------------------------------------------------
+# LSH band-plan sweep (round 11): the DEDUP-side tuning surface — the
+# table a deployment reads before fixing its (bands × rows-per-band)
+# split of a K=16 MinHash signature. The S-curve P(collide) = 1−(1−s^r)^b
+# trades recall against candidate volume: more bands (smaller r) catch
+# lower-similarity pairs but explode the candidate set a verifier must
+# scan. This query MEASURES that trade on the corpus for the three
+# b·r = 16 plans — (2,8) the production config, (4,4), (8,2) — reporting
+# per plan the candidate-pair count, the verified count at the global
+# Jaccard threshold, and the resulting precision. ONE shingle pass and
+# ONE signature projection feed all three arms (the same 16 grouped mins
+# — band splits are just different groupings of the same signature), so
+# the three band explodes reference the sigs subtree canonically and
+# ReusedExchange collapses them in the SMJ regime; per arm the work is
+# the certified t_minhash_lsh_pairs shape (narrow band self-join +
+# array-discipline verify). Integer counts; precision is one terminal
+# double division guarded against an empty candidate set.
+# ---------------------------------------------------------------------------
+_LSH_SWEEP_PLANS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with b*r = K
+
+
+def _lsh_band_sweep_oracle() -> str:
+    ctes = [
+        f"""docs AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, sh, {minhash_signature_sql("sh", _K)} AS sig FROM docs
+    )"""
+    ]
+    arms = []
+    for nb, r in _LSH_SWEEP_PLANS:
+        ctes.append(f"""bands_{nb}_{r} AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {bi} AS band_idx, {band_key_sql('sig', bi, r)} AS bkey FROM sigs"
+        for bi in range(nb)
+      )}
+    ),
+    cand_{nb}_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{nb}_{r} a JOIN bands_{nb}_{r} b
+        ON a.band_idx = b.band_idx AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    ver_{nb}_{r} AS (
+      SELECT count(*) AS nv
+      FROM cand_{nb}_{r} c JOIN docs x ON c.doc_a = x.doc_id
+                           JOIN docs y ON c.doc_b = y.doc_id
+      WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+              / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh)))
+            >= {_LSH_THRESH}
+    )""")
+        arms.append(
+            f"SELECT CAST({nb} AS BIGINT) AS n_bands, "
+            f"CAST({r} AS BIGINT) AS rows_per_band, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM cand_{nb}_{r}) AS n_candidates, "
+            f"(SELECT CAST(nv AS BIGINT) FROM ver_{nb}_{r}) AS n_verified, "
+            f"CASE WHEN (SELECT count(*) FROM cand_{nb}_{r}) = 0 THEN 0.0 "
+            f"ELSE (SELECT CAST(nv AS DOUBLE) FROM ver_{nb}_{r}) "
+            f"   / (SELECT count(*) FROM cand_{nb}_{r}) END AS precision"
+        )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(arms)
+
+
+@query("t_lsh_band_sweep", _lsh_band_sweep_oracle())
+def t_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
+    x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    out = None
+    for nb, r in _LSH_SWEEP_PLANS:
+        bands = sigs.select(
+            "doc_id",
+            F.posexplode(
+                F.array(*[band_key(F.col("sig"), bi, r) for bi in range(nb)])
+            ).alias("band_idx", "bkey"),
+        )
+        a = bands.alias("a")
+        b = bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+        nv = (
+            cand.join(x, "doc_a")
+            .join(y, "doc_b")
+            .filter(jac >= _LSH_THRESH)
+            .agg(F.count("*").cast("long").alias("n_verified"))
+        )
+        row = (
+            nc.crossJoin(F.broadcast(nv))
+            .select(
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.lit(r).cast("long").alias("rows_per_band"),
+                "n_candidates",
+                "n_verified",
+                F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
+                    F.col("n_verified").cast("double") / F.col("n_candidates")
+                ).alias("precision"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Language × quality-bucket sampling matrix (round 11): the table a
+# multilingual curation pipeline reads to allocate its sampling budget —
+# doc count and token mass per (predicted language, perplexity tercile)
+# cell, composing three certified laws VERBATIM: the stopword-argmax
+# language identifier (t_lang_id), the integer-exact surprisal proxy
+# (t_unigram_surprisal), and the value-based tercile cutoffs
+# (t_perplexity_buckets' bounded-grid law — same hist/cum/cuts
+# expressions). CCNet buckets say WHAT quality looks like; fertility says
+# WHAT a language costs; this is the joint view that decides the mix.
+# Bounded output (|langs| × 3); all counts integer-exact; the only new
+# exchange beyond the composed chains is one doc_id join and the final
+# bounded aggregation.
+# ---------------------------------------------------------------------------
+@query(
+    "t_lang_quality_mix",
+    f"""
+    WITH per AS ({_surprisal_oracle()}),
+    lang AS ({{LANG_ORACLE}}),
+    hist AS (
+      SELECT surprisal_per_1k AS s, count(*) AS nd FROM per GROUP BY 1
+    ),
+    cum AS (
+      SELECT s, SUM(nd) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+      FROM hist
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+    cuts AS (
+      SELECT MIN(CASE WHEN 3 * cumn >= tot.n THEN s END) AS q1v,
+             MIN(CASE WHEN 3 * cumn >= 2 * tot.n THEN s END) AS q2v
+      FROM cum CROSS JOIN tot
+    )
+    SELECT l.predicted_lang AS lang,
+           CAST(CASE WHEN p.surprisal_per_1k <= c.q1v THEN 1
+                     WHEN p.surprisal_per_1k <= c.q2v THEN 2
+                     ELSE 3 END AS BIGINT) AS bucket,
+           count(*) AS n_docs,
+           CAST(SUM(p.n_tokens) AS BIGINT) AS token_mass
+    FROM per p CROSS JOIN cuts c JOIN lang l USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def t_lang_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per = t_unigram_surprisal(spark, sf_dir)
+    lang = t_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    hist = per.groupBy(F.col("surprisal_per_1k").alias("s")).agg(
+        F.count("*").alias("nd")
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("s", F.sum("nd").over(wv).alias("cumn"))
+    tot = per.agg(F.count("*").cast("long").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(3 * F.col("cumn") >= F.col("n"), F.col("s"))).alias("q1v"),
+        F.min(F.when(3 * F.col("cumn") >= 2 * F.col("n"), F.col("s"))).alias("q2v"),
+    )
+    bucket = (
+        F.when(F.col("surprisal_per_1k") <= F.col("q1v"), 1)
+        .when(F.col("surprisal_per_1k") <= F.col("q2v"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        per.crossJoin(F.broadcast(cuts))
+        .join(lang, "doc_id")
+        .select(
+            F.col("predicted_lang").alias("lang"),
+            bucket.alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+        )
+    )
+
+
+ORACLES["t_lang_quality_mix"] = ORACLES["t_lang_quality_mix"].replace(
+    "{LANG_ORACLE}", ORACLES["t_lang_id"]
+)

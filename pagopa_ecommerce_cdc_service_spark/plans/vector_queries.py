@@ -4576,6 +4576,35 @@ def _ivf_opq_tuning_grid_oracle() -> str:
 
 @query("e_ivf_opq_tuning_grid", _ivf_opq_tuning_grid_oracle())
 def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark shape (round 11, second pass): the naive 9-cell loop (per
+    probe depth one ADC scan, per cell one broadcast-built rescore of the
+    corpus) measured 22.6 s WARM at sf0.1 — broadcast builds cannot all be
+    collapsed by ReusedExchange, so the training chain re-derived per
+    cell. This shape hoists everything shared:
+
+    - ONE multi-depth ADC aggregate: each code row carries its list's
+      probe rank (a per-vector constant), and a single groupBy emits
+      ``adc{np} = SUM(CASE WHEN rank <= np)`` per depth — NULL for a
+      vector outside depth np's probed lists, exactly the per-depth
+      semi-join the oracle states. 3 ADC scans become 1.
+    - THREE per-depth top-maxbudget heads (TakeOrderedAndProject over the
+      shared aggregate — map-side top-k, never a global sort), then the
+      BUDGET axis entirely in-row: a per-depth rank window on the ≤ 40-row
+      head and one struct-array explode tag each candidate with every
+      budget cell it belongs to (top-10 ⊂ top-20 ⊂ top-40). The naive
+      form planned NINE deep union branches; Catalyst planning of the
+      unrolled training chain — not data movement — dominated the wall
+      clock (sf0.001 and sf0.1 within 10% of each other). This form plans
+      THREE.
+    - ONE corpus rescore join for all cells: the tagged candidates join
+      the original vectors once, a per-cell window (row_number over
+      cos desc, vec_id — the exact orderBy/limit tie law) takes each
+      cell's top-10, and hits come from ONE left join against the exact
+      GT with zero-cells preserved.
+
+    100 TB: one code-table pass, three bounded TakeOrderedAndProject
+    heads, one candidate-set-sized rescore — no per-cell corpus scans,
+    no unpartitioned corpus window anywhere."""
     from ..operators.clustering import pq_subvectors, pq_train, sq_dist
     from ..operators.similarity import dist2, nearest_pivot
 
@@ -4606,39 +4635,100 @@ def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "sub")
         .select("sub", "cid", sq_dist(F.col("sq"), F.col("c")).alias("qdist"))
     )
-    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
-    truth = _exact_topk_gt(spark, sf_dir, 0, _CURVE_TOP)
-    out = None
-    for np_ in _CURVE_PROBES:
-        probed = lists.join(
-            F.broadcast(qprobe.filter(F.col("rn") <= np_).select("pid")),
-            "pid",
-            "left_semi",
-        ).select("vec_id")
-        adc = (
-            codes.filter(F.col("vec_id") != 0)
-            .join(F.broadcast(probed), "vec_id", "left_semi")
-            .join(F.broadcast(lut), ["sub", "cid"])
-            .groupBy("vec_id")
-            .agg(F.sum("qdist").cast("long").alias("adc_q"))
+    # list-rank per vector (one row; rank = its list's position in the
+    # query's probe order, NULL-free by the max-probe filter semantics:
+    # vectors in unprobed lists simply drop from the inner join and from
+    # every depth's ADC — identical to the per-depth semi-joins)
+    ranked = lists.join(F.broadcast(qprobe.select("pid", "rn")), "pid").select(
+        "vec_id", F.col("rn").alias("list_rank")
+    )
+    adc_all = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(ranked), "vec_id")
+        .join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy("vec_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("list_rank") <= np_, F.col("qdist")))
+                .cast("long")
+                .alias(f"adc{np_}")
+                for np_ in _CURVE_PROBES
+            ]
         )
-        for lb in _CAND_BUDGETS:
-            cand = adc.orderBy(F.asc("adc_q"), F.asc("vec_id")).limit(lb)
-            ap = (
-                full.join(F.broadcast(cand.select("vec_id")), "vec_id")
-                .crossJoin(F.broadcast(qv))
-                .select("vec_id", cosine(F.col("q"), F.col("qv")).alias("cs"))
-                .orderBy(F.desc("cs"), "vec_id")
-                .limit(_CURVE_TOP)
-                .select("vec_id")
-            )
-            row = ap.join(truth, "vec_id", "left_semi").agg(
+    )
+    heads = None
+    for np_ in _CURVE_PROBES:
+        head = (
+            adc_all.filter(F.col(f"adc{np_}").isNotNull())
+            .orderBy(F.asc(f"adc{np_}"), F.asc("vec_id"))
+            .limit(max(_CAND_BUDGETS))
+            .select(
                 F.lit(np_).cast("long").alias("nprobe"),
-                F.lit(lb).cast("long").alias("cand_budget"),
-                F.count("*").alias("hits"),
-                (F.count("*").cast("double") / _CURVE_TOP).alias(
-                    "recall_at_10"
-                ),
-            ).select("nprobe", "cand_budget", "hits", "recall_at_10")
-            out = row if out is None else out.unionByName(row)
-    return out
+                "vec_id",
+                F.col(f"adc{np_}").alias("adc_q"),
+            )
+        )
+        heads = head if heads is None else heads.unionByName(head)
+    # budget axis in-row: rank within the ≤ max-budget head (bounded
+    # per-depth partitions), then tag each candidate with every nested
+    # budget cell it belongs to via one struct-array explode
+    whead = Window.partitionBy("nprobe").orderBy(F.asc("adc_q"), F.asc("vec_id"))
+    cand_u = (
+        heads.withColumn("rnk", F.row_number().over(whead))
+        .select(
+            "nprobe",
+            "vec_id",
+            F.explode(
+                F.filter(
+                    F.array(
+                        *[
+                            F.when(
+                                F.col("rnk") <= lb,
+                                F.lit(lb).cast("long"),
+                            )
+                            for lb in _CAND_BUDGETS
+                        ]
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            ).alias("cand_budget"),
+        )
+    )
+    qv = full.filter(F.col("vec_id") == 0).select(F.col("q").alias("qv"))
+    scored = (
+        cand_u.join(full, "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "nprobe",
+            "cand_budget",
+            "vec_id",
+            cosine(F.col("q"), F.col("qv")).alias("cs"),
+        )
+    )
+    wcell = Window.partitionBy("nprobe", "cand_budget").orderBy(
+        F.desc("cs"), F.asc("vec_id")
+    )
+    top = (
+        scored.withColumn("rnk", F.row_number().over(wcell))
+        .filter(F.col("rnk") <= _CURVE_TOP)
+        .select("nprobe", "cand_budget", "vec_id")
+    )
+    truth = _exact_topk_gt(spark, sf_dir, 0, _CURVE_TOP).withColumn(
+        "hit", F.lit(1).cast("long")
+    )
+    return (
+        top.join(F.broadcast(truth.select("vec_id", "hit")), "vec_id", "left")
+        .groupBy("nprobe", "cand_budget")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("hits"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long"))).cast(
+                    "double"
+                )
+                / _CURVE_TOP
+            ).alias("recall_at_10"),
+        )
+        .select("nprobe", "cand_budget", "hits", "recall_at_10")
+    )

@@ -143,6 +143,9 @@ QUERIES = (
     "e_semdedup_kn_pruned",    # pivot-pruned adaptive-k: P + k/P per vector
     "t_lang_fertility",        # lang argmax + regex census, |langs| output
     "t_perplexity_buckets",    # surprisal chain + bounded score-grid census
+    # round-11 additions
+    "e_semdedup_kn_pruned_keepone",  # pruned pair set + CC on the pair graph
+    "e_ivf_opq_tuning_grid",   # ONE permuted training, 3 ADC scans, 9 cells
 )
 
 
