@@ -993,6 +993,22 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # t_lang_fertility and t_stream_perplexity_buckets). Oracle-backed,
     # parity-green at both local scales on introduction.
     "t_lang_quality_mix",
+    # Pruned-vs-flat assignment audit: the approximation cost of the
+    # declared 100-TB SemDeDup path under a value hash — both Lloyd's
+    # chains in one query (the e_pcapq_distortion_delta precedent),
+    # reporting disagreement fraction and exact integer distance regret.
+    # Both chains re-execute under this round's prefix hashes
+    # (e_semdedup_kn_pruned and its keep-one). Oracle-backed,
+    # parity-green at both local scales on introduction.
+    "e_kn_pruned_vs_flat_delta",
+    # Packing capacity curve: the context-length budget table (bins,
+    # split-doc count, exact shard-tail waste at 256/512/1024) over the
+    # certified concat-split packing arithmetic, one capacity-independent
+    # shard cumsum feeding all three arms. The packing law itself is
+    # prefix-gated every round through t_corpus_pipeline /
+    # t_corpus_pipeline_keepone. Oracle-backed, parity-green at both
+    # local scales on introduction. (Pending list now at the cap of 5.)
+    "t_pack_capacity_curve",
 )
 
 

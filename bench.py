@@ -247,6 +247,10 @@ HEADLINE = [
     # round-11 (second pass): LSH band-plan sweep + lang x quality matrix
     "t_lsh_band_sweep",
     "t_lang_quality_mix",
+    # round-11 (third pass): pruned-vs-flat assignment audit + packing
+    # capacity curve
+    "e_kn_pruned_vs_flat_delta",
+    "t_pack_capacity_curve",
 ]
 
 

@@ -740,3 +740,119 @@ def t_corpus_pipeline_keepone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_corpus_pipeline_keepone"] = t_corpus_pipeline_keepone
 ORACLES["t_corpus_pipeline_keepone"] = _corpus_pipeline_keepone_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Packing capacity curve (round 11): the context-length budget table — the
+# trade a pretraining pipeline reads before fixing its sequence length.
+# Larger bins waste fewer tokens to shard-tail slack but split more
+# documents across bin boundaries (more cross-document attention to mask,
+# worse sample locality); this measures both ends at capacities 256 / 512
+# (the production _PACK_CAPACITY) / 1024 over the certified concat-split
+# packing law (pack_concat_offsets' shard/cumsum arithmetic VERBATIM).
+# The shard cumsum is CAPACITY-INDEPENDENT: one md5-shard window pass
+# feeds all three arms (the bin math is pure integer arithmetic over the
+# shared (_start, _end) columns), each arm collapses to a per-shard
+# aggregate (no exchange — the window already partitioned by shard) and
+# one bounded global row. Waste is exact: a shard's only slack is its
+# last bin, so n_bins = Σ ceil(shard_tokens/cap) and
+# waste = n_bins·cap − total_tokens. All counts integer; waste_frac is
+# one terminal double division.
+# ---------------------------------------------------------------------------
+_PACK_CURVE_CAPS = (256, _PACK_CAPACITY, 1024)
+
+
+def _pack_capacity_curve_oracle() -> str:
+    shard = f"({md5_long_sql('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS})"
+    toks = TOKENS_SQL.format(c="text")
+    arms = []
+    for cap in _PACK_CURVE_CAPS:
+        arms.append(f"""
+    SELECT CAST({cap} AS BIGINT) AS capacity,
+           CAST(SUM((toks + {cap - 1}) // {cap}) AS BIGINT) AS n_bins,
+           CAST(SUM(segs_{cap}) AS BIGINT) AS n_segments,
+           CAST(SUM(splits_{cap}) AS BIGINT) AS n_split_docs,
+           CAST(SUM(toks) AS BIGINT) AS total_tokens,
+           CAST(SUM((toks + {cap - 1}) // {cap}) * {cap} - SUM(toks)
+             AS BIGINT) AS waste,
+           CAST(SUM((toks + {cap - 1}) // {cap}) * {cap} - SUM(toks)
+             AS DOUBLE) / (SUM((toks + {cap - 1}) // {cap}) * {cap})
+             AS waste_frac
+    FROM pershard""")
+    seg_cols = ",\n             ".join(
+        f"SUM((e - 1) // {cap} - (e - w) // {cap} + 1) AS segs_{cap},\n"
+        f"             SUM(CASE WHEN (e - 1) // {cap} > (e - w) // {cap} "
+        f"THEN 1 ELSE 0 END) AS splits_{cap}"
+        for cap in _PACK_CURVE_CAPS
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, len({toks}) AS w, {shard} AS shard
+      FROM documents
+      WHERE len({toks}) > 0
+    ),
+    c AS (
+      SELECT doc_id, shard, w,
+             SUM(w) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS e
+      FROM d
+    ),
+    pershard AS (
+      SELECT shard, MAX(e) AS toks,
+             {seg_cols}
+      FROM c
+      GROUP BY shard
+    )
+    {" UNION ALL ".join(arms)}
+    """
+
+
+def t_pack_capacity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.text import tokens
+
+    shard = (md5_long(F.col("doc_id").cast("string")) % _PACK_SHARDS).alias(
+        "shard"
+    )
+    d = (
+        spread(read(spark, sf_dir, "documents"), spark)
+        .select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("w"), shard)
+        .filter(F.col("w") > 0)
+    )
+    win = Window.partitionBy("shard").orderBy("doc_id")
+    c = d.withColumn("e", F.sum("w").over(win))
+    out = None
+    for cap in _PACK_CURVE_CAPS:
+        fb = F.expr(f"(e - w) div {cap}")
+        lb = F.expr(f"(e - 1) div {cap}")
+        pershard = c.groupBy("shard").agg(
+            F.max("e").alias("toks"),
+            F.sum(lb - fb + 1).alias("segs"),
+            F.sum(F.when(lb > fb, 1).otherwise(0)).alias("splits"),
+        )
+        bins = F.expr(f"(toks + {cap - 1}) div {cap}")
+        row = pershard.agg(
+            F.lit(cap).cast("long").alias("capacity"),
+            F.sum(bins).cast("long").alias("n_bins"),
+            F.sum("segs").cast("long").alias("n_segments"),
+            F.sum("splits").cast("long").alias("n_split_docs"),
+            F.sum("toks").cast("long").alias("total_tokens"),
+            (F.sum(bins) * cap - F.sum("toks")).cast("long").alias("waste"),
+            (
+                (F.sum(bins) * cap - F.sum("toks")).cast("double")
+                / (F.sum(bins) * cap)
+            ).alias("waste_frac"),
+        ).select(
+            "capacity",
+            "n_bins",
+            "n_segments",
+            "n_split_docs",
+            "total_tokens",
+            "waste",
+            "waste_frac",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+QUERIES["t_pack_capacity_curve"] = t_pack_capacity_curve
+ORACLES["t_pack_capacity_curve"] = _pack_capacity_curve_oracle()

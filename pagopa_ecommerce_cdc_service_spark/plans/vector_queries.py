@@ -4732,3 +4732,80 @@ def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nprobe", "cand_budget", "hits", "recall_at_10")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pruned-vs-flat assignment audit (round 11): the APPROXIMATION COST of
+# the declared 100-TB SemDeDup path, certified under a value hash. The
+# pivot-pruned assignment (e_semdedup_kn_pruned) is approximate by
+# construction — a vector's true nearest centroid can sit outside its
+# pivot group. This query runs BOTH chains (flat kn Lloyd's and the
+# pruned variant, same seeds/salt — the e_pcapq_distortion_delta
+# two-trainings-in-one-query precedent) and reports the head-to-head:
+# how many vectors land in a different cluster, and the exact integer
+# distance REGRET (Σ and max of dist_pruned − dist_flat, ≥ 0 per vector
+# since flat is the true argmin). This is the table that justifies
+# trading the O(n·k) assignment for P + k/P at the decade — quality loss
+# measured, not assumed. One doc_id-keyed join beyond the two chains;
+# bounded one-row output.
+# ---------------------------------------------------------------------------
+def _kn_pruned_vs_flat_oracle() -> str:
+    from ..operators.clustering import (
+        KM_ITERS,
+        kmeans_kn_oracle_ctes,
+        kmeans_kn_pruned_oracle_ctes,
+    )
+
+    fin = f"a{KM_ITERS}"
+    return f"""
+    WITH {kmeans_kn_oracle_ctes(_QV, prefix="fl_")},
+    {kmeans_kn_pruned_oracle_ctes(_QV, prefix="pr_")},
+    j AS (
+      SELECT f.vec_id, f.cid AS cid_flat, p.cid AS cid_pruned,
+             f.dist AS dist_flat, p.dist AS dist_pruned
+      FROM fl_{fin} f JOIN pr_{fin} p USING (vec_id)
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN cid_flat <> cid_pruned THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_diff_assign,
+           CAST(SUM(CASE WHEN cid_flat <> cid_pruned THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS frac_diff,
+           CAST(SUM(dist_pruned - dist_flat) AS BIGINT) AS total_regret,
+           CAST(MAX(dist_pruned - dist_flat) AS BIGINT) AS max_regret
+    FROM j
+    """
+
+
+@query("e_kn_pruned_vs_flat_delta", _kn_pruned_vs_flat_oracle())
+def e_kn_pruned_vs_flat_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_kn_fit, kmeans_kn_pruned_fit
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    _, flat = kmeans_kn_fit(emb)
+    _, pruned = kmeans_kn_pruned_fit(emb)
+    j = flat.select(
+        "vec_id", F.col("cid").alias("cid_flat"), F.col("dist").alias("dist_flat")
+    ).join(
+        pruned.select(
+            "vec_id",
+            F.col("cid").alias("cid_pruned"),
+            F.col("dist").alias("dist_pruned"),
+        ),
+        "vec_id",
+    )
+    diff = F.when(F.col("cid_flat") != F.col("cid_pruned"), 1).otherwise(0)
+    return j.agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.sum(diff).cast("long").alias("n_diff_assign"),
+        (F.sum(diff).cast("double") / F.count("*")).alias("frac_diff"),
+        F.sum(F.col("dist_pruned") - F.col("dist_flat"))
+        .cast("long")
+        .alias("total_regret"),
+        F.max(F.col("dist_pruned") - F.col("dist_flat"))
+        .cast("long")
+        .alias("max_regret"),
+    )

@@ -145,7 +145,8 @@ QUERIES = (
     "t_perplexity_buckets",    # surprisal chain + bounded score-grid census
     # round-11 additions
     "e_semdedup_kn_pruned_keepone",  # pruned pair set + CC on the pair graph
-    "e_ivf_opq_tuning_grid",   # ONE permuted training, 3 ADC scans, 9 cells
+    "e_ivf_opq_tuning_grid",   # ONE permuted training, 1 ADC pass, 9 cells
+    "t_lsh_band_sweep",        # 3 band plans off one shingle/signature pass
 )
 
 
