@@ -200,3 +200,45 @@ def test_stream_stratified_quota_equals_batch_across_restart(spark, tmp_path):
         (r.doc_id, r.stratum_size, r.quota, r.rk) for r in batch2.collect()
     }
     assert got == expect
+
+
+def test_capacity_curve_matches_packing_operator(spark):
+    """t_pack_capacity_curve's census must equal a direct census of
+    pack_concat_offsets' output at every swept capacity — the curve is a
+    claim about the packing law, so pin it to the operator, not just the
+    SQL oracle."""
+    from pagopa_ecommerce_cdc_service_spark.operators.text import tokens
+    from pagopa_ecommerce_cdc_service_spark.plans.pipeline_queries import (
+        _PACK_CURVE_CAPS,
+        _PACK_SHARDS,
+        t_pack_capacity_curve,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    sf_dir = "/root/testdata/sf0.001"
+    curve = {
+        r.capacity: r
+        for r in t_pack_capacity_curve(spark, sf_dir).collect()
+    }
+    docs = read(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    total_tokens = docs.filter(F.col("n_tokens") > 0).agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    for cap in _PACK_CURVE_CAPS:
+        seg = pack_concat_offsets(
+            docs, weight_col="n_tokens", capacity=cap, n_shards=_PACK_SHARDS
+        ).collect()
+        n_segments = len(seg)
+        bins = {(r.shard, r.bin_idx) for r in seg}
+        per_doc = defaultdict(int)
+        for r in seg:
+            per_doc[r.doc_id] += 1
+        n_split = sum(1 for v in per_doc.values() if v > 1)
+        row = curve[cap]
+        assert row.n_segments == n_segments
+        assert row.n_bins == len(bins)
+        assert row.n_split_docs == n_split
+        assert row.total_tokens == total_tokens
+        assert row.waste == len(bins) * cap - total_tokens
