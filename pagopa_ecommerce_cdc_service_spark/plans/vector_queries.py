@@ -4735,60 +4735,71 @@ def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Pruned-vs-flat assignment audit (round 11): the APPROXIMATION COST of
+# Pruned-assignment regret audit (round 11): the APPROXIMATION COST of
 # the declared 100-TB SemDeDup path, certified under a value hash. The
 # pivot-pruned assignment (e_semdedup_kn_pruned) is approximate by
 # construction — a vector's true nearest centroid can sit outside its
-# pivot group. This query runs BOTH chains (flat kn Lloyd's and the
-# pruned variant, same seeds/salt — the e_pcapq_distortion_delta
-# two-trainings-in-one-query precedent) and reports the head-to-head:
-# how many vectors land in a different cluster, and the exact integer
-# distance REGRET (Σ and max of dist_pruned − dist_flat, ≥ 0 per vector
-# since flat is the true argmin). This is the table that justifies
-# trading the O(n·k) assignment for P + k/P at the decade — quality loss
-# measured, not assumed. One doc_id-keyed join beyond the two chains;
-# bounded one-row output.
+# pivot group. The clean quantity is measured AT THE SAME CENTROID SET:
+# run the pruned chain, then at ITS final centroids compare the pruned
+# (pivot-restricted) assignment against the exact k-way argmin over the
+# same centroids. Regret = dist_pruned − dist_exact is then genuinely
+# ≥ 0 per vector (same candidate set, restricted vs full argmin) — a
+# first draft raced the pruned chain against the FLAT chain end-to-end,
+# where the two centroid sets diverge across iterations and the delta
+# loses its sign and its meaning (measured 56-71% "disagreement" at sf1
+# that was mostly centroid drift, not pruning error). This is the table
+# that justifies trading O(n·k) for P + k/P: quality loss measured, not
+# assumed. One exact-assignment pass beyond the pruned chain; bounded
+# one-row output.
 # ---------------------------------------------------------------------------
 def _kn_pruned_vs_flat_oracle() -> str:
     from ..operators.clustering import (
         KM_ITERS,
-        kmeans_kn_oracle_ctes,
         kmeans_kn_pruned_oracle_ctes,
+        sq_dist_sql,
     )
 
-    fin = f"a{KM_ITERS}"
+    cent = f"pr_c{KM_ITERS - 1}"
     return f"""
-    WITH {kmeans_kn_oracle_ctes(_QV, prefix="fl_")},
-    {kmeans_kn_pruned_oracle_ctes(_QV, prefix="pr_")},
+    WITH {kmeans_kn_pruned_oracle_ctes(_QV, prefix="pr_")},
+    exact AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT e.vec_id, s.cid, {sq_dist_sql("e.q", "s.c")} AS dist,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sq_dist_sql("e.q", "s.c")}, s.cid) AS rn
+        FROM pr_emb e CROSS JOIN {cent} s)
+      WHERE rn = 1
+    ),
     j AS (
-      SELECT f.vec_id, f.cid AS cid_flat, p.cid AS cid_pruned,
-             f.dist AS dist_flat, p.dist AS dist_pruned
-      FROM fl_{fin} f JOIN pr_{fin} p USING (vec_id)
+      SELECT p.vec_id, x.cid AS cid_exact, p.cid AS cid_pruned,
+             x.dist AS dist_exact, p.dist AS dist_pruned
+      FROM pr_a{KM_ITERS} p JOIN exact x USING (vec_id)
     )
     SELECT CAST(count(*) AS BIGINT) AS n_vectors,
-           CAST(SUM(CASE WHEN cid_flat <> cid_pruned THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN cid_exact <> cid_pruned THEN 1 ELSE 0 END)
              AS BIGINT) AS n_diff_assign,
-           CAST(SUM(CASE WHEN cid_flat <> cid_pruned THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN cid_exact <> cid_pruned THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*) AS frac_diff,
-           CAST(SUM(dist_pruned - dist_flat) AS BIGINT) AS total_regret,
-           CAST(MAX(dist_pruned - dist_flat) AS BIGINT) AS max_regret
+           CAST(SUM(dist_pruned - dist_exact) AS BIGINT) AS total_regret,
+           CAST(MAX(dist_pruned - dist_exact) AS BIGINT) AS max_regret
     FROM j
     """
 
 
 @query("e_kn_pruned_vs_flat_delta", _kn_pruned_vs_flat_oracle())
 def e_kn_pruned_vs_flat_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.clustering import kmeans_kn_fit, kmeans_kn_pruned_fit
+    from ..operators.clustering import kmeans_assign, kmeans_kn_pruned_fit
 
     emb = (
         spread(read(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    _, flat = kmeans_kn_fit(emb)
-    _, pruned = kmeans_kn_pruned_fit(emb)
-    j = flat.select(
-        "vec_id", F.col("cid").alias("cid_flat"), F.col("dist").alias("dist_flat")
+    cent, pruned = kmeans_kn_pruned_fit(emb)
+    exact = kmeans_assign(emb, cent)
+    j = exact.select(
+        "vec_id", F.col("cid").alias("cid_exact"), F.col("dist").alias("dist_exact")
     ).join(
         pruned.select(
             "vec_id",
@@ -4797,15 +4808,15 @@ def e_kn_pruned_vs_flat_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "vec_id",
     )
-    diff = F.when(F.col("cid_flat") != F.col("cid_pruned"), 1).otherwise(0)
+    diff = F.when(F.col("cid_exact") != F.col("cid_pruned"), 1).otherwise(0)
     return j.agg(
         F.count("*").cast("long").alias("n_vectors"),
         F.sum(diff).cast("long").alias("n_diff_assign"),
         (F.sum(diff).cast("double") / F.count("*")).alias("frac_diff"),
-        F.sum(F.col("dist_pruned") - F.col("dist_flat"))
+        F.sum(F.col("dist_pruned") - F.col("dist_exact"))
         .cast("long")
         .alias("total_regret"),
-        F.max(F.col("dist_pruned") - F.col("dist_flat"))
+        F.max(F.col("dist_pruned") - F.col("dist_exact"))
         .cast("long")
         .alias("max_regret"),
     )

@@ -36,6 +36,14 @@ def main() -> None:
         help="comma list: sweep the pruned variant's pivot count P at the "
         "LARGEST cap instead of racing flat vs pruned (the P ∝ √k knob)",
     )
+    ap.add_argument(
+        "--pivots-regret",
+        default=None,
+        help="comma list: QUALITY sweep — per pivot count P at the largest "
+        "cap, the assignment disagreement and exact distance regret vs the "
+        "flat (true-argmin) chain; deterministic, so timing runs are "
+        "irrelevant (the e_kn_pruned_vs_flat_delta law, swept over P)",
+    )
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument(
         "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -59,6 +67,52 @@ def main() -> None:
         .repartition(args.cpus, "vec_id")
     )
     n = emb.count()
+    if args.pivots_regret:
+        # same-centroids regret (the e_kn_pruned_vs_flat_delta law): at each
+        # P, the pruned chain's OWN final centroids adjudicate — pruned
+        # (pivot-restricted) assignment vs the exact k-way argmin over the
+        # same set, so regret >= 0 per vector by construction. Racing the
+        # pruned chain against the flat chain end-to-end instead mixes in
+        # centroid drift across iterations and loses the sign.
+        from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+            kmeans_assign,
+        )
+
+        cap = max(int(c) for c in args.caps.split(","))
+        k = max(1, min(cap, n // 64))
+        for p in (int(x) for x in args.pivots_regret.split(",")):
+            cent, pruned = kmeans_kn_pruned_fit(emb, cap=cap, p=p)
+            exact = kmeans_assign(emb, cent).select(
+                "vec_id",
+                F.col("cid").alias("cid_flat"),
+                F.col("dist").alias("dist_flat"),
+            )
+            j = exact.join(
+                pruned.select(
+                    "vec_id",
+                    F.col("cid").alias("cid_pruned"),
+                    F.col("dist").alias("dist_pruned"),
+                ),
+                "vec_id",
+            )
+            diffc = F.when(F.col("cid_flat") != F.col("cid_pruned"), 1).otherwise(0)
+            row = j.agg(
+                F.count("*").alias("n"),
+                F.sum(diffc).alias("n_diff"),
+                F.sum(F.col("dist_pruned") - F.col("dist_flat")).alias("regret"),
+                F.max(F.col("dist_pruned") - F.col("dist_flat")).alias("max_regret"),
+            ).collect()[0]
+            print(
+                json.dumps(
+                    {"variant": "pruned", "cap": cap, "k": k, "n": n,
+                     "pivots": p, "n_diff": row["n_diff"],
+                     "frac_diff": round(row["n_diff"] / row["n"], 4),
+                     "total_regret": row["regret"],
+                     "max_regret": row["max_regret"]}
+                ),
+                flush=True,
+            )
+        return
     if args.pivots:
         cap = max(int(c) for c in args.caps.split(","))
         k = max(1, min(cap, n // 64))
