@@ -5330,60 +5330,109 @@ def _lsh_band_sweep_oracle() -> str:
 
 @query("t_lsh_band_sweep", _lsh_band_sweep_oracle())
 def t_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark shape: ONE plan-tagged band table (each doc explodes its
+    2+4+8 band keys with their plan id in one pass), ONE band self-join
+    (the plan id joins like a band index, so arms never cross-collide),
+    and — the big saving — ONE verification pass: a pair colliding in
+    several plans has one Jaccard, so the exact verify runs over the
+    DISTINCT pair union and each plan's verified count comes from a flag
+    join. Measured honestly: this single-pass form and the per-arm loop
+    it replaced are within noise of each other at every scale
+    (fresh-session sf0.1 12.2 cold / 5.6 warm both ways; sf1 decade
+    ~170 s both ways) — the decade cost lives in the CANDIDATE join's
+    quadratic bucket occupancy on the low-r arm, identical in both
+    shapes and addressed by the sampling mitigation documented in
+    SCALING.md, not by verify sharing. The single-pass form is kept for
+    structure (one band exchange, one verify) rather than a measured
+    win. A plan with zero candidates keeps its row via the left join
+    from the static 3-row plan table."""
     docs = (
         spread(read(spark, sf_dir, "documents"), spark)
         .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(nb).cast("long").alias("nb"),
+                F.lit(bi).cast("long").alias("band_idx"),
+                band_key(F.col("sig"), bi, r).alias("bkey"),
+            )
+            for nb, r in _LSH_SWEEP_PLANS
+            for bi in range(nb)
+        ]
+    )
+    bands = sigs.select("doc_id", F.explode(tagged).alias("t")).select(
+        "doc_id", "t.nb", "t.band_idx", "t.bkey"
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.nb") == F.col("b.nb"))
+            & (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.nb").alias("nb"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
     x = docs.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     y = docs.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    out = None
+    verified = (
+        cand.select("doc_a", "doc_b")
+        .distinct()
+        .join(x, "doc_a")
+        .join(y, "doc_b")
+        .filter(jac >= _LSH_THRESH)
+        .select("doc_a", "doc_b", F.lit(1).cast("long").alias("v"))
+    )
+    stats = (
+        cand.join(verified, ["doc_a", "doc_b"], "left")
+        .groupBy("nb")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("v"), F.lit(0).cast("long")))
+            .cast("long")
+            .alias("n_verified"),
+        )
+    )
+    plans = None
     for nb, r in _LSH_SWEEP_PLANS:
-        bands = sigs.select(
-            "doc_id",
-            F.posexplode(
-                F.array(*[band_key(F.col("sig"), bi, r) for bi in range(nb)])
-            ).alias("band_idx", "bkey"),
+        one = spark.range(1).select(
+            F.lit(nb).cast("long").alias("nb"),
+            F.lit(r).cast("long").alias("rows_per_band"),
         )
-        a = bands.alias("a")
-        b = bands.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+        plans = one if plans is None else plans.unionByName(one)
+    return (
+        plans.join(F.broadcast(stats), "nb", "left")
+        .select(
+            F.col("nb").alias("n_bands"),
+            "rows_per_band",
+            F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")).alias(
+                "n_candidates"
+            ),
+            F.coalesce(F.col("n_verified"), F.lit(0).cast("long")).alias(
+                "n_verified"
+            ),
+            F.when(
+                F.coalesce(F.col("n_candidates"), F.lit(0).cast("long")) == 0,
+                F.lit(0.0),
             )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
+            .otherwise(
+                F.col("n_verified").cast("double") / F.col("n_candidates")
             )
-            .distinct()
+            .alias("precision"),
         )
-        nc = cand.agg(F.count("*").cast("long").alias("n_candidates"))
-        nv = (
-            cand.join(x, "doc_a")
-            .join(y, "doc_b")
-            .filter(jac >= _LSH_THRESH)
-            .agg(F.count("*").cast("long").alias("n_verified"))
-        )
-        row = (
-            nc.crossJoin(F.broadcast(nv))
-            .select(
-                F.lit(nb).cast("long").alias("n_bands"),
-                F.lit(r).cast("long").alias("rows_per_band"),
-                "n_candidates",
-                "n_verified",
-                F.when(F.col("n_candidates") == 0, F.lit(0.0)).otherwise(
-                    F.col("n_verified").cast("double") / F.col("n_candidates")
-                ).alias("precision"),
-            )
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------
