@@ -148,6 +148,7 @@ QUERIES = (
     "e_ivf_opq_tuning_grid",   # ONE permuted training, 1 ADC pass, 9 cells
     "t_lsh_band_sweep",        # 3 band plans off one shingle/signature pass
     "e_kn_pruned_vs_flat_delta",  # pruned chain + one exact assignment pass
+    "t_pack_capacity_curve",   # one shard cumsum window, three integer arms
 )
 
 
