@@ -1041,3 +1041,23 @@ def test_kn_pruned_keepone_matches_union_find(spark, sf_dir, queries):
             assert kept == (rep == vid)
         else:
             assert rep is None and kept
+
+
+def test_tuning_grid_budget_monotone(spark, sf_dir, queries):
+    """Provable law of nested candidate pools: at fixed nprobe, hits@10
+    is NON-DECREASING in the candidate budget. The exact-cosine rescore
+    picks the pool's true top-10; enlarging the pool can displace a
+    ground-truth member from that top-10 only with a higher-cosine
+    vector, which is then itself in the ground truth — so hits never
+    drop. (No such law holds ACROSS probe depths: a wider probe can
+    flood a small budget with low-quality ADC candidates — the measured
+    (nprobe=4, budget=10) dip.)"""
+    rows = queries["e_ivf_opq_tuning_grid"](spark, sf_dir).collect()
+    by_probe: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_probe.setdefault(r.nprobe, []).append((r.cand_budget, r.hits))
+    assert len(rows) == 9
+    for np_, cells in by_probe.items():
+        cells.sort()
+        hits = [h for _, h in cells]
+        assert hits == sorted(hits), (np_, cells)
