@@ -149,6 +149,7 @@ QUERIES = (
     "t_lsh_band_sweep",        # 3 band plans off one shingle/signature pass
     "e_kn_pruned_vs_flat_delta",  # pruned chain + one exact assignment pass
     "t_pack_capacity_curve",   # one shard cumsum window, three integer arms
+    "t_lang_quality_mix",      # lang argmax + surprisal + bounded tercile cuts
 )
 
 
