@@ -46,8 +46,12 @@ def pack_concat_offsets(
     d = (
         d.withColumn("_end", F.sum("_w").over(w))
         .withColumn("_start", F.col("_end") - F.col("_w"))
-        .withColumn("_first_bin", (F.col("_start") / capacity).cast("long"))
-        .withColumn("_last_bin", ((F.col("_end") - 1) / capacity).cast("long"))
+        # exact integer div (`DIV`, not float `/`): the SQL twin and the
+        # capacity-curve law use `//`, and for shard cumsums near 2^53 the
+        # double-division path can round a half-ulp-under-power-of-two
+        # quotient up and disagree with them by one bin
+        .withColumn("_first_bin", F.expr(f"_start DIV {int(capacity)}"))
+        .withColumn("_last_bin", F.expr(f"(_end - 1) DIV {int(capacity)}"))
     )
     seg = d.select(
         id_col,

@@ -4716,21 +4716,35 @@ def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = _exact_topk_gt(spark, sf_dir, 0, _CURVE_TOP).withColumn(
         "hit", F.lit(1).cast("long")
     )
-    return (
+    stats = (
         top.join(F.broadcast(truth.select("vec_id", "hit")), "vec_id", "left")
         .groupBy("nprobe", "cand_budget")
         .agg(
             F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long")))
             .cast("long")
             .alias("hits"),
-            (
-                F.sum(F.coalesce(F.col("hit"), F.lit(0).cast("long"))).cast(
-                    "double"
-                )
-                / _CURVE_TOP
-            ).alias("recall_at_10"),
         )
-        .select("nprobe", "cand_budget", "hits", "recall_at_10")
+    )
+    # every (nprobe, cand_budget) cell keeps its row even with ZERO
+    # candidates (degenerate corpora): left-join the aggregate onto the
+    # static 9-row grid — the oracle always emits 9 UNION ALL rows, and
+    # the t_lsh_band_sweep plan table set the precedent (ADVICE r11)
+    grid = None
+    for np_ in _CURVE_PROBES:
+        for lb in _CAND_BUDGETS:
+            one = spark.range(1).select(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.lit(lb).cast("long").alias("cand_budget"),
+            )
+            grid = one if grid is None else grid.unionByName(one)
+    return grid.join(F.broadcast(stats), ["nprobe", "cand_budget"], "left").select(
+        "nprobe",
+        "cand_budget",
+        F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+        (
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).cast("double")
+            / _CURVE_TOP
+        ).alias("recall_at_10"),
     )
 
 

@@ -202,7 +202,7 @@ def test_stream_stratified_quota_equals_batch_across_restart(spark, tmp_path):
     assert got == expect
 
 
-def test_capacity_curve_matches_packing_operator(spark):
+def test_capacity_curve_matches_packing_operator(spark, sf_dir):
     """t_pack_capacity_curve's census must equal a direct census of
     pack_concat_offsets' output at every swept capacity — the curve is a
     claim about the packing law, so pin it to the operator, not just the
@@ -215,7 +215,6 @@ def test_capacity_curve_matches_packing_operator(spark):
     )
     from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
 
-    sf_dir = "/root/testdata/sf0.001"
     curve = {
         r.capacity: r
         for r in t_pack_capacity_curve(spark, sf_dir).collect()

@@ -84,8 +84,8 @@ def main() -> None:
             cent, pruned = kmeans_kn_pruned_fit(emb, cap=cap, p=p)
             exact = kmeans_assign(emb, cent).select(
                 "vec_id",
-                F.col("cid").alias("cid_flat"),
-                F.col("dist").alias("dist_flat"),
+                F.col("cid").alias("cid_exact"),
+                F.col("dist").alias("dist_exact"),
             )
             j = exact.join(
                 pruned.select(
@@ -95,16 +95,16 @@ def main() -> None:
                 ),
                 "vec_id",
             )
-            diffc = F.when(F.col("cid_flat") != F.col("cid_pruned"), 1).otherwise(0)
+            diffc = F.when(F.col("cid_exact") != F.col("cid_pruned"), 1).otherwise(0)
             row = j.agg(
                 F.count("*").alias("n"),
                 F.sum(diffc).alias("n_diff"),
-                F.sum(F.col("dist_pruned") - F.col("dist_flat")).alias("regret"),
-                F.max(F.col("dist_pruned") - F.col("dist_flat")).alias("max_regret"),
+                F.sum(F.col("dist_pruned") - F.col("dist_exact")).alias("regret"),
+                F.max(F.col("dist_pruned") - F.col("dist_exact")).alias("max_regret"),
             ).collect()[0]
             print(
                 json.dumps(
-                    {"variant": "pruned", "cap": cap, "k": k, "n": n,
+                    {"variant": "same_centroids_regret", "cap": cap, "k": k, "n": n,
                      "pivots": p, "n_diff": row["n_diff"],
                      "frac_diff": round(row["n_diff"] / row["n"], 4),
                      "total_regret": row["regret"],
