@@ -5286,11 +5286,14 @@ ORACLES["t_stream_perplexity_buckets"] = ORACLES["t_perplexity_buckets"]
 _LSH_SWEEP_PLANS = ((2, 8), (4, 4), (8, 2))  # (bands, rows) with b*r = K
 
 
-def _lsh_band_sweep_oracle() -> str:
-    ctes = [
+def _lsh_band_sweep_oracle(docs_cte: str | None = None) -> str:
+    docs_cte = docs_cte or (
         f"""docs AS (
       SELECT doc_id, {shingle_hashes31_sql("text")} AS sh FROM documents
-    ),
+    )"""
+    )
+    ctes = [
+        f"""{docs_cte},
     sigs AS (
       SELECT doc_id, sh, {minhash_signature_sql("sh", _K)} AS sig FROM docs
     )"""
@@ -5351,6 +5354,14 @@ def t_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
+    return _band_sweep_table(spark, docs)
+
+
+def _band_sweep_table(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """The three-arm sweep over a prepared ``(doc_id, sh)`` relation —
+    shared by the full-corpus sweep (gate scales) and the sampled
+    deployment variant (extracted round 12 while the full sweep was
+    still pending its first cert, so both certify fresh)."""
     sigs = docs.withColumn("sig", minhash_signature(F.col("sh"), _K))
     tagged = F.array(
         *[
@@ -5433,6 +5444,53 @@ def t_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SAMPLED band-plan sweep (round 12): the 100-TB DEPLOYMENT shape of the
+# sweep above. The full sweep's low-r arm is honestly superlinear — a
+# (8,2) band bucket holds a whole duplicate cluster, so its candidate
+# self-join grows quadratically in cluster size (measured 31× for 10×
+# rows at the sf0.1→sf1 decade; SCALING.md). But the sweep's OUTPUT is
+# ratios (precision, relative candidate volume across arms), and ratios
+# are sample-stable — so the shape a deployment actually runs sweeps a
+# deterministic md5 document sample of FIXED ABSOLUTE SIZE: the modulus
+# scales with the corpus (D = ceil(n / TARGET), one broadcast 1-row
+# count — no collect), so ~TARGET docs survive at ANY corpus size and
+# the candidate join is decade-flat by construction. Membership is a
+# pure function of doc_id (salted md5), so the sample — and the row
+# hash — is deterministic and partitioning-independent. Same three
+# b·r = 16 arms, same zero-preserving 3-row plan table.
+# ---------------------------------------------------------------------------
+_BSW_SAMPLE_TARGET = 300
+_BSW_SAMPLED_DOCS_CTE = f"""docs AS (
+      SELECT doc_id, {shingle_hashes31_sql("text")} AS sh
+      FROM documents CROSS JOIN
+           (SELECT (count(*) + {_BSW_SAMPLE_TARGET - 1}) // {_BSW_SAMPLE_TARGET}
+                   AS dd FROM documents) tot
+      WHERE ({md5_long_sql("'bsw:' || CAST(doc_id AS VARCHAR)")} % tot.dd) = 0
+    )"""
+
+
+@query(
+    "t_lsh_band_sweep_sampled",
+    _lsh_band_sweep_oracle(docs_cte=_BSW_SAMPLED_DOCS_CTE),
+)
+def t_lsh_band_sweep_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(read(spark, sf_dir, "documents"), spark).select("doc_id", "text")
+    tot = d.agg(F.count("*").cast("long").alias("n"))
+    member = (
+        md5_long(F.concat(F.lit("bsw:"), F.col("doc_id").cast("string")))
+        % F.expr(f"(n + {_BSW_SAMPLE_TARGET - 1}) DIV {_BSW_SAMPLE_TARGET}")
+        == 0
+    )
+    docs = (
+        d.crossJoin(F.broadcast(tot))
+        .filter(member)
+        .select("doc_id", shingle_hashes31(F.col("text")).alias("sh"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    return _band_sweep_table(spark, docs)
 
 
 # ---------------------------------------------------------------------------

@@ -1223,3 +1223,45 @@ def test_wminhash_keepone_matches_union_find(spark, sf_dir):
     )
     groups = {g for _, (g, _) in got.items() if g is not None}
     assert kept_per_group == Counter({g: 1 for g in groups})
+
+
+def test_band_sweep_sampled_tracks_full_ratios(spark, sf_dir):
+    """The sampled band sweep is the deployment shape of the full sweep;
+    its OUTPUT claims are ratios, so certify they are sample-stable at
+    gate scale: per-arm precision within an honest tolerance of the full
+    sweep's, and both tables ordered the same way (precision falls and
+    candidate volume explodes as r shrinks). Also pin the sample-size
+    law: D = ceil(n / TARGET) keeps ~TARGET docs."""
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _BSW_SAMPLE_TARGET,
+        t_lsh_band_sweep,
+        t_lsh_band_sweep_sampled,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+
+    full = {r.n_bands: r for r in t_lsh_band_sweep(spark, sf_dir).collect()}
+    samp = {
+        r.n_bands: r for r in t_lsh_band_sweep_sampled(spark, sf_dir).collect()
+    }
+    assert set(full) == set(samp) == {2, 4, 8}
+
+    # sample-size law: deterministic md5 membership, modulus scaled to the
+    # corpus so the surviving set is ~TARGET docs at ANY corpus size
+    ids = [r.doc_id for r in read(spark, sf_dir, "documents").select("doc_id").collect()]
+    d = (len(ids) + _BSW_SAMPLE_TARGET - 1) // _BSW_SAMPLE_TARGET
+    n_sampled = sum(1 for i in ids if md5_long_py(f"bsw:{i}") % d == 0)
+    assert n_sampled <= 2 * _BSW_SAMPLE_TARGET
+    assert n_sampled >= min(len(ids), _BSW_SAMPLE_TARGET) // 2
+
+    # same qualitative surface: precision monotone DOWN in n_bands,
+    # candidate volume monotone UP, in both tables
+    for t in (full, samp):
+        assert t[2].precision >= t[4].precision >= t[8].precision
+        assert t[2].n_candidates <= t[4].n_candidates <= t[8].n_candidates
+
+    # per-arm precision tracks the full sweep (the low-r arm is the one a
+    # deployment reads; its precision is tiny in both tables)
+    assert abs(samp[2].precision - full[2].precision) <= 0.25
+    assert abs(samp[4].precision - full[4].precision) <= 0.15
+    assert abs(samp[8].precision - full[8].precision) <= 0.01
