@@ -762,9 +762,14 @@ ORACLES["t_corpus_pipeline_keepone"] = _corpus_pipeline_keepone_oracle()
 _PACK_CURVE_CAPS = (256, _PACK_CAPACITY, 1024)
 
 
-def _pack_capacity_curve_oracle() -> str:
+def _pack_capacity_curve_oracle(d_cte: str | None = None) -> str:
     shard = f"({md5_long_sql('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS})"
     toks = TOKENS_SQL.format(c="text")
+    d_cte = d_cte or f"""d AS (
+      SELECT doc_id, len({toks}) AS w, {shard} AS shard
+      FROM documents
+      WHERE len({toks}) > 0
+    )"""
     arms = []
     for cap in _PACK_CURVE_CAPS:
         arms.append(f"""
@@ -786,11 +791,7 @@ def _pack_capacity_curve_oracle() -> str:
         for cap in _PACK_CURVE_CAPS
     )
     return f"""
-    WITH d AS (
-      SELECT doc_id, len({toks}) AS w, {shard} AS shard
-      FROM documents
-      WHERE len({toks}) > 0
-    ),
+    WITH {d_cte},
     c AS (
       SELECT doc_id, shard, w,
              SUM(w) OVER (PARTITION BY shard ORDER BY doc_id
@@ -810,14 +811,21 @@ def _pack_capacity_curve_oracle() -> str:
 def t_pack_capacity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.text import tokens
 
+    weights = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("w")
+    )
+    return _capacity_curve_table(weights)
+
+
+def _capacity_curve_table(weights: DataFrame) -> DataFrame:
+    """The three-capacity budget arms over a ``(doc_id, w)`` token-weight
+    relation — shared by the whole-corpus curve above and the
+    pipeline-train variant below (extracted round 12 while the corpus
+    curve was still pending its first cert, so both certify fresh)."""
     shard = (md5_long(F.col("doc_id").cast("string")) % _PACK_SHARDS).alias(
         "shard"
     )
-    d = (
-        spread(read(spark, sf_dir, "documents"), spark)
-        .select("doc_id", F.size(tokens(F.col("text"))).cast("long").alias("w"), shard)
-        .filter(F.col("w") > 0)
-    )
+    d = weights.select("doc_id", "w", shard).filter(F.col("w") > 0)
     win = Window.partitionBy("shard").orderBy("doc_id")
     c = d.withColumn("e", F.sum("w").over(win))
     out = None
@@ -856,3 +864,67 @@ def t_pack_capacity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_pack_capacity_curve"] = t_pack_capacity_curve
 ORACLES["t_pack_capacity_curve"] = _pack_capacity_curve_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Capacity curve over the PIPELINE'S train split (round 12): the token
+# mass a real pipeline actually packs is not the raw corpus — it is what
+# survives dedup and lands in 'train'. This runs the same three-capacity
+# budget arms over the chunk-dedup pipeline's surviving-train relation
+# (t_corpus_pipeline_chunked's rewrite → split stages VERBATIM — the
+# chunk-level dedup variant is the STATIC pipeline, so this query keeps
+# an analyzable plan; the CC-keep-one pipeline is runtime and its packing
+# law is prefix-gated through t_corpus_pipeline every round). One narrow
+# (doc_id, w) row per surviving train doc feeds the capacity-independent
+# shard cumsum; the rewrite subtree is lazily pinned because the three
+# arms re-read it (the t_corpus_pipeline_chunked persist discipline).
+# ---------------------------------------------------------------------------
+def _pack_capacity_train_oracle() -> str:
+    from ..operators.split import split_case_sql
+    from .text_queries import _chunk_rewrite_oracle
+
+    split_case = split_case_sql("doc_id", _SPLIT_FRACTIONS, "source")
+    shard = f"({md5_long_sql('CAST(doc_id AS VARCHAR)')} % {_PACK_SHARDS})"
+    d_cte = f"""rw AS ({_chunk_rewrite_oracle()}),
+    joined AS (
+      SELECT r.doc_id, dd.source, r.rebuilt_text
+      FROM rw r JOIN documents dd ON r.doc_id = dd.doc_id
+    ),
+    assigned AS (
+      SELECT doc_id, {split_case} AS split,
+             len({TOKENS_SQL.format(c="rebuilt_text")}) AS w
+      FROM joined
+    ),
+    d AS (
+      SELECT doc_id, w, {shard} AS shard
+      FROM assigned
+      WHERE split = 'train' AND w > 0
+    )"""
+    return _pack_capacity_curve_oracle(d_cte=d_cte)
+
+
+def t_pack_capacity_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import assign_split
+    from .text_queries import _chunk_rewrite
+
+    docs = spread(read(spark, sf_dir, "documents"), spark)
+    rw = _chunk_rewrite(docs.select("doc_id", "text"))
+    rebuilt = rw.select("doc_id", "rebuilt_text").join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    weights = (
+        assign_split(
+            rebuilt, key="doc_id", fractions=_SPLIT_FRACTIONS, stratum="source"
+        )
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("rebuilt_text"))).cast("long").alias("w"),
+        )
+        .persist()
+    )
+    return _capacity_curve_table(weights)
+
+
+QUERIES["t_pack_capacity_train"] = t_pack_capacity_train
+ORACLES["t_pack_capacity_train"] = _pack_capacity_train_oracle()

@@ -241,3 +241,61 @@ def test_capacity_curve_matches_packing_operator(spark, sf_dir):
         assert row.n_split_docs == n_split
         assert row.total_tokens == total_tokens
         assert row.waste == len(bins) * cap - total_tokens
+
+
+def test_capacity_train_matches_packing_over_pipeline_train(spark, sf_dir):
+    """t_pack_capacity_train's census must equal a direct census of
+    pack_concat_offsets over the SAME surviving-train relation the
+    chunk-dedup pipeline produces — the curve claims to be the packing
+    law applied to the pipeline's train split, so pin the composition to
+    the operators, not just the SQL oracle."""
+    from pagopa_ecommerce_cdc_service_spark.operators.split import assign_split
+    from pagopa_ecommerce_cdc_service_spark.operators.text import tokens
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.pipeline_queries import (
+        _PACK_CURVE_CAPS,
+        _PACK_SHARDS,
+        t_pack_capacity_train,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _SPLIT_FRACTIONS,
+        _chunk_rewrite,
+    )
+
+    curve = {
+        r.capacity: r for r in t_pack_capacity_train(spark, sf_dir).collect()
+    }
+    docs = read(spark, sf_dir, "documents")
+    rw = _chunk_rewrite(docs.select("doc_id", "text"))
+    train = (
+        assign_split(
+            rw.select("doc_id", "rebuilt_text").join(
+                docs.select("doc_id", "source"), "doc_id"
+            ),
+            key="doc_id",
+            fractions=_SPLIT_FRACTIONS,
+            stratum="source",
+        )
+        .filter(F.col("split") == "train")
+        .select(
+            "doc_id",
+            F.size(tokens(F.col("rebuilt_text"))).cast("long").alias("n_tokens"),
+        )
+    )
+    total_tokens = train.filter(F.col("n_tokens") > 0).agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    for cap in _PACK_CURVE_CAPS:
+        seg = pack_concat_offsets(
+            train, weight_col="n_tokens", capacity=cap, n_shards=_PACK_SHARDS
+        ).collect()
+        bins = {(r.shard, r.bin_idx) for r in seg}
+        per_doc = defaultdict(int)
+        for r in seg:
+            per_doc[r.doc_id] += 1
+        row = curve[cap]
+        assert row.n_segments == len(seg)
+        assert row.n_bins == len(bins)
+        assert row.n_split_docs == sum(1 for v in per_doc.values() if v > 1)
+        assert row.total_tokens == total_tokens
+        assert row.waste == len(bins) * cap - total_tokens
