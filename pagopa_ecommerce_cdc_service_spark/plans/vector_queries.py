@@ -4803,6 +4803,12 @@ def _kn_pruned_vs_flat_oracle() -> str:
 
 @query("e_kn_pruned_vs_flat_delta", _kn_pruned_vs_flat_oracle())
 def e_kn_pruned_vs_flat_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL same-centroids audit: the exact pass is O(n·k) by
+    construction (it IS the ground truth) — an occasional gate-scale
+    diagnostic, never a serving path. The bounded deployment shape is
+    e_kn_pruned_regret_sweep below: identical law, exact arm restricted
+    to a fixed-size md5-anchor sample (its P = 16 arm is pinned as a
+    strict subset of this audit in tests/test_clustering.py)."""
     from ..operators.clustering import kmeans_assign, kmeans_kn_pruned_fit
 
     emb = (
@@ -4834,3 +4840,138 @@ def e_kn_pruned_vs_flat_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_regret"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pruned-assignment regret P-SWEEP with a sampled exact arm (round 12):
+# closes the loop between the P = √k speed prescription (wired as the
+# kmeans_kn_pruned_fit default) and its measured quality cost, as a
+# REGISTERED query under the value hash (the SCALING.md pivot sweep was
+# a tools/ study only). For each P ∈ {8, 16, 32} the pruned chain runs
+# end-to-end at that pivot count, and the same-centroids regret law of
+# e_kn_pruned_vs_flat_delta adjudicates — except the exact k-way argmin
+# (the audit's O(n·k) ground truth) runs only over a deterministic
+# md5-ranked anchor sample of FIXED ABSOLUTE SIZE (TakeOrderedAndProject
+# — map-side top-S, no global sort), which is the sampling knob that
+# bounds the ground-truth pass at 100 TB: the pruned chain is the
+# production path and stays full-corpus; only the diagnostic exact arm
+# is sampled. e_kn_pruned_vs_flat_delta remains the FULL audit at gate
+# scales; tests/test_clustering.py pins that the sampled P = 16 arm is a
+# strict subset of the full audit (same centroids — isqrt(256) = 16 is
+# the wired default — so sampled n_diff/total_regret/max_regret are
+# bounded by the full audit's).
+# ---------------------------------------------------------------------------
+_REGRET_PIVOTS = (8, 16, 32)
+_REGRET_SAMPLE = 200
+
+
+def _kn_regret_sweep_oracle() -> str:
+    from ..operators.clustering import (
+        KM_ITERS,
+        kmeans_kn_pruned_oracle_ctes,
+        sq_dist_sql,
+    )
+    from ..functions.hashing import md5_long_sql
+
+    parts = [
+        f"""samp AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {md5_long_sql("'krs:' || CAST(vec_id AS VARCHAR)")} AS h
+        FROM embeddings ORDER BY h, vec_id LIMIT {_REGRET_SAMPLE}))"""
+    ]
+    arms = []
+    for p in _REGRET_PIVOTS:
+        pre = f"rs{p}_"
+        cent = f"{pre}c{KM_ITERS - 1}"
+        parts.append(
+            kmeans_kn_pruned_oracle_ctes(_QV, p=p, prefix=pre)
+        )
+        parts.append(f"""{pre}exact AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT e.vec_id, s.cid, {sq_dist_sql("e.q", "s.c")} AS dist,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {sq_dist_sql("e.q", "s.c")}, s.cid) AS rn
+        FROM (SELECT * FROM {pre}emb
+              WHERE vec_id IN (SELECT vec_id FROM samp)) e
+        CROSS JOIN {cent} s)
+      WHERE rn = 1)""")
+        parts.append(f"""{pre}j AS (
+      SELECT p.vec_id, x.cid AS cid_exact, p.cid AS cid_pruned,
+             x.dist AS dist_exact, p.dist AS dist_pruned
+      FROM {pre}a{KM_ITERS} p JOIN {pre}exact x USING (vec_id))""")
+        arms.append(f"""SELECT CAST({p} AS BIGINT) AS pivots,
+           CAST(count(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN cid_exact <> cid_pruned THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_diff_assign,
+           CAST(SUM(CASE WHEN cid_exact <> cid_pruned THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*) AS frac_diff,
+           CAST(SUM(dist_pruned - dist_exact) AS BIGINT) AS total_regret,
+           CAST(MAX(dist_pruned - dist_exact) AS BIGINT) AS max_regret
+    FROM {pre}j""")
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(arms)
+    )
+
+
+@query("e_kn_pruned_regret_sweep", _kn_regret_sweep_oracle())
+def e_kn_pruned_regret_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long
+    from ..operators.clustering import kmeans_assign, kmeans_kn_pruned_fit
+
+    emb = (
+        spread(read(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", quantize(F.col("embedding")).alias("q"))
+        .repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    )
+    samp = (
+        emb.select(
+            "vec_id",
+            "q",
+            md5_long(
+                F.concat(F.lit("krs:"), F.col("vec_id").cast("string"))
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_REGRET_SAMPLE)
+        .select("vec_id", "q")
+    )
+    out = None
+    for p in _REGRET_PIVOTS:
+        cent, pruned = kmeans_kn_pruned_fit(emb, p=p)
+        exact = kmeans_assign(samp, cent).select(
+            "vec_id",
+            F.col("cid").alias("cid_exact"),
+            F.col("dist").alias("dist_exact"),
+        )
+        j = exact.join(
+            pruned.select(
+                "vec_id",
+                F.col("cid").alias("cid_pruned"),
+                F.col("dist").alias("dist_pruned"),
+            ),
+            "vec_id",
+        )
+        diff = F.when(F.col("cid_exact") != F.col("cid_pruned"), 1).otherwise(0)
+        row = j.agg(
+            F.lit(p).cast("long").alias("pivots"),
+            F.count("*").cast("long").alias("n_sampled"),
+            F.sum(diff).cast("long").alias("n_diff_assign"),
+            (F.sum(diff).cast("double") / F.count("*")).alias("frac_diff"),
+            F.sum(F.col("dist_pruned") - F.col("dist_exact"))
+            .cast("long")
+            .alias("total_regret"),
+            F.max(F.col("dist_pruned") - F.col("dist_exact"))
+            .cast("long")
+            .alias("max_regret"),
+        ).select(
+            "pivots",
+            "n_sampled",
+            "n_diff_assign",
+            "frac_diff",
+            "total_regret",
+            "max_regret",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -416,3 +416,29 @@ def test_kn_pivots_default_is_sqrt_cap_and_unchanged():
         "KN_CAP changed: re-certify e_semdedup_kn_pruned (plan + oracle "
         "emit the pivot count) before shipping the new default"
     )
+
+
+def test_regret_sweep_sampled_arm_is_subset_of_full_audit(spark, sf_dir):
+    """The P = 16 arm of e_kn_pruned_regret_sweep runs the SAME chain as
+    e_kn_pruned_vs_flat_delta (isqrt(256) = 16 is the wired default, same
+    salt, so identical centroids) with the exact ground-truth pass
+    restricted to the md5-anchor sample — its disagreement/regret totals
+    must therefore be bounded by the full audit's, and per-vector regret
+    stays >= 0 (same candidate set, restricted vs full argmin)."""
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _REGRET_SAMPLE,
+        e_kn_pruned_regret_sweep,
+        e_kn_pruned_vs_flat_delta,
+    )
+
+    sweep = {
+        r.pivots: r for r in e_kn_pruned_regret_sweep(spark, sf_dir).collect()
+    }
+    full = e_kn_pruned_vs_flat_delta(spark, sf_dir).collect()[0]
+    arm = sweep[16]
+    assert arm.n_sampled == min(_REGRET_SAMPLE, full.n_vectors)
+    assert 0 <= arm.n_diff_assign <= full.n_diff_assign
+    assert 0 <= arm.total_regret <= full.total_regret
+    assert 0 <= arm.max_regret <= full.max_regret
+    for row in sweep.values():
+        assert row.total_regret >= 0 and row.max_regret >= 0
