@@ -5154,6 +5154,117 @@ ORACLES["t_lang_fertility"] = ORACLES["t_lang_fertility"].replace(
 
 
 # ---------------------------------------------------------------------------
+# STREAMING fertility-dashboard twin (round 12): the tokenizer-budget
+# census in deployed mode. Unlike the perplexity twin, every per-doc
+# score here is CORPUS-INDEPENDENT (stopword-argmax lang, char length,
+# regex pre-tokenizer count are pure functions of the document), so the
+# stream needs no drained-global phase for scoring: each micro-batch
+# computes its docs' (doc_id, predicted_lang, n_chars, n_bpe_tokens)
+# rows ONCE — text is read exactly once, on ingest — and appends them to
+# a doc-keyed store; the bounded-by-|langs| census aggregation runs at
+# read time over the narrow store (no text rescan). Restart leg:
+# incarnation 1 drains two staged files, the third appears only after
+# the handoff and is picked up from the checkpoint. Replay safety: each
+# doc lands in exactly one batch and its score row is deterministic, so
+# an at-least-once re-append is byte-identical and the read-time
+# distinct() restores exact counts. After the drain the result must
+# hash-match the one-shot batch oracle (t_lang_fertility's SQL, reused
+# verbatim). 100 TB shape: per-batch work is embarrassingly parallel
+# scoring of THE BATCH only; the final exchange moves |langs| partials.
+# ---------------------------------------------------------------------------
+def t_stream_lang_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-fert-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("fertsplit:"), F.col("doc_id").cast("string")))
+        % 3
+    )
+    for i in range(3):
+        write_staged_file(
+            docs.filter(third == i),
+            f"{src}/part{i}.parquet",
+            mtime=1000.0 * (i + 1),
+        )
+
+    store_dir = f"{workdir}/langscores"
+
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_count(F.col("text"), lg).cast("long").alias("s"),
+                F.lit(lg).alias("l"),
+            )
+            for lg in _LANGS
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("long").alias("s"), F.lit("~").alias("l")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["l"] < acc["l"])), x
+        ).otherwise(acc),
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                "doc_id",
+                best["l"].alias("predicted_lang"),
+                F.length("text").cast("long").alias("n_chars"),
+                F.size(F.regexp_extract_all("text", F.lit(_BPE_PAT), 0))
+                .cast("long")
+                .alias("n_bpe_tokens"),
+            )
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    def run_incarnation(n_files: int) -> None:
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "t_stream_lang_fertility: availableNow run did not "
+                f"complete in 240s ({n_files} files)"
+            )
+
+    part2 = f"{src}/part2.parquet"
+    staged_part2 = f"{workdir}/part2.staged"
+    _os.rename(part2, staged_part2)
+    run_incarnation(2)
+    _os.rename(staged_part2, part2)
+    _os.utime(part2, (3000.0, 3000.0))
+    run_incarnation(3)
+
+    store = spark.read.parquet(store_dir).distinct()
+    return store.groupBy(F.col("predicted_lang").alias("lang")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("n_bpe_tokens").cast("long").alias("total_bpe_tokens"),
+        F.expr("(sum(n_bpe_tokens) * 1000) div sum(n_chars)")
+        .cast("long")
+        .alias("tokens_per_1k_chars"),
+    )
+
+
+QUERIES["t_stream_lang_fertility"] = t_stream_lang_fertility
+ORACLES["t_stream_lang_fertility"] = ORACLES["t_lang_fertility"]
+
+
+# ---------------------------------------------------------------------------
 # STREAMING perplexity-tercile twin (round 11): quality-bucketing on a
 # document stream. A doc's surprisal depends on CORPUS-GLOBAL vocabulary
 # counts, so no per-batch score is final — this is the drained-vocab
