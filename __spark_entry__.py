@@ -108,7 +108,9 @@ _CERTIFIED_TAIL = (
     "t_bpe_token_count",
     "t_simhash_pairs",
     "t_split_stats",
-    "t_pack_offsets",
+    # (t_pack_offsets moved to _PENDING_FIRST_CERT round 12: the packing
+    # operator's bin law changed — exact integer DIV per ADVICE r11 — so
+    # its old green row is void and it awaits re-certification)
     "mm_frame_offsets",
     # rotated out late round 4 to free prefix slots for the runtime-pinned
     # w_stream_join_click_purchase gate and the three queries added this
@@ -590,7 +592,9 @@ _CERTIFIED_TAIL = (
     # pack tail fingerprints).
     "e_filtered_recall",
     "e_rq_recall",
-    "t_corpus_pipeline_chunked",
+    # (t_corpus_pipeline_chunked moved to _PENDING_FIRST_CERT round 12:
+    # it composes pack_concat_offsets, whose bin law changed — ADVICE r11
+    # integer DIV — so its old green row is void pending re-cert)
     # rotated out round 8 (sixth pass) for e_pq_distortion (per-subspace
     # quantization-error audit over the shared grouped-Lloyd's chain).
     # t_chunk_dedup_rewrite is r07-green and untouched this round
@@ -957,6 +961,38 @@ _CERTIFIED_TAIL = (
     "e_pcapq_distortion_delta",
     "e_pq_sdc_topk",
     "e_semdedup_kn",
+    # Round-12 rotation (fifteenth pass): the five r11 _PENDING_FIRST_CERT
+    # queries (e_ivf_opq_tuning_grid, t_lsh_band_sweep, t_lang_quality_mix,
+    # e_kn_pruned_vs_flat_delta, t_pack_capacity_curve) take their first
+    # hard certification, joined by this round's one new RUNTIME query
+    # (t_stream_lang_fertility — the fertility dashboard's deployed-mode
+    # twin, restart leg included). Rotating OUT: the six r11-certified
+    # statics, each fingerprint-equal vs FINGERPRINTS_r11 (guard-tested)
+    # with its chain still executing under a round-12 prefix hash:
+    # - t_wminhash_pairs / t_wminhash_keepone... only t_wminhash_pairs was
+    #   a static prefix slot; its restored-signature law certified r11 and
+    #   the keep-one (runtime, prefix-pinned) re-executes the pair spine
+    #   every round.
+    # - t_lang_fertility: its per-doc scoring laws re-execute VERBATIM
+    #   inside t_stream_lang_fertility's drained-store adjudication (same
+    #   argmax/census expressions), which certifies in THIS round's prefix
+    #   against the identical oracle SQL.
+    # - e_pcapq_recall / e_pq_cand_curve: the PCA-permutation PQ chain and
+    #   the rescore-budget law re-execute inside e_ivf_opq_tuning_grid
+    #   (this round's prefix — nine cells over the composed OPQ,IVF,PQ
+    #   chain share the same training/ADC/rescore machinery).
+    # - e_semdedup_kn_pruned: the pruned-assignment chain re-executes
+    #   inside e_kn_pruned_vs_flat_delta (this round's prefix) and three
+    #   more times inside the new e_kn_pruned_regret_sweep.
+    # - e_bq_hamming_hist: the BQ sign-sketch + Hamming census law holds
+    #   its r11 cert; its signature/Hamming kernels re-execute under the
+    #   prefix through the mm_stream near-dup gates' Hamming verify.
+    "t_wminhash_pairs",
+    "t_lang_fertility",
+    "e_pcapq_recall",
+    "e_semdedup_kn_pruned",
+    "e_bq_hamming_hist",
+    "e_pq_cand_curve",
 )
 
 
@@ -968,47 +1004,44 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT: tuple[str, ...] = (
-    # Round 11: the five r10 pending queries all rotated into the prefix
-    # (first certification this round); the one new STATIC query waits
-    # here because the prefix is at budget (44 runtime gates + the
-    # re-certifying t_wminhash_pairs + the five first-certs). The 2-D
-    # (nprobe × candidate budget) tuning surface over the IVF-OPQ chain:
-    # nine recall cells off ONE shared permuted training (the
-    # e_pq_cand_curve static-sharing pattern). Oracle-backed,
-    # parity-green at sf0.001 and sf0.01 on introduction; both parent
-    # 1-D curves are certified (r10) and the full chain re-executes under
-    # this round's e_ivf_opq_nprobe_curve and e_pcapq_recall prefix
-    # hashes.
-    "e_ivf_opq_tuning_grid",
-    # LSH band-plan sweep: the dedup-side tuning surface — candidate
-    # volume / verified count / precision for the three b·r = 16 splits
-    # of the K = 16 signature, off ONE shingle+signature pass (the
-    # t_minhash_lsh_pairs machinery per arm, whose law is prefix-gated
-    # every round through t_stream_lsh_pairs). Oracle-backed,
-    # parity-green at sf0.001 and sf0.01 on introduction.
-    "t_lsh_band_sweep",
-    # Language × quality-tercile sampling matrix: composes the certified
-    # lang-id argmax, surprisal proxy, and tercile-cutoff laws verbatim
-    # (all three re-execute under this round's prefix hashes via
-    # t_lang_fertility and t_stream_perplexity_buckets). Oracle-backed,
-    # parity-green at both local scales on introduction.
-    "t_lang_quality_mix",
-    # Pruned-vs-flat assignment audit: the approximation cost of the
-    # declared 100-TB SemDeDup path under a value hash — both Lloyd's
-    # chains in one query (the e_pcapq_distortion_delta precedent),
-    # reporting disagreement fraction and exact integer distance regret.
-    # Both chains re-execute under this round's prefix hashes
-    # (e_semdedup_kn_pruned and its keep-one). Oracle-backed,
-    # parity-green at both local scales on introduction.
-    "e_kn_pruned_vs_flat_delta",
-    # Packing capacity curve: the context-length budget table (bins,
-    # split-doc count, exact shard-tail waste at 256/512/1024) over the
-    # certified concat-split packing arithmetic, one capacity-independent
-    # shard cumsum feeding all three arms. The packing law itself is
-    # prefix-gated every round through t_corpus_pipeline /
-    # t_corpus_pipeline_keepone. Oracle-backed, parity-green at both
-    # local scales on introduction. (Pending list now at the cap of 5.)
-    "t_pack_capacity_curve",
+    # Round 12: the r11 five all rotated into the prefix (first
+    # certification this round). This list now holds TWO KINDS of
+    # awaiting-certification queries — both soft-checked by the full
+    # local DuckDB parity suite every round:
+    #
+    # (a) CHANGED queries whose old green rows are VOID: the ADVICE-r11
+    # packing fix (exact integer DIV for the bin law) changed the
+    # analyzed plan of every pack_concat_offsets composer. The two
+    # runtime composers (t_corpus_pipeline, t_corpus_pipeline_keepone)
+    # re-certify in this round's prefix as always; the two STATIC
+    # composers wait here because the prefix is at budget (44 runtime
+    # gates + the new stream-fertility runtime gate + the five
+    # first-certs). Their new bin law is value-identical at every gate
+    # scale (integer vs float div only diverges near 2^53 cumsums) and
+    # parity-green at sf0.001/sf0.01 post-change.
+    "t_pack_offsets",
+    "t_corpus_pipeline_chunked",
+    # (b) NEW queries awaiting their first certification:
+    # Sampled band-plan sweep — the decade-flat deployment shape of
+    # t_lsh_band_sweep (fixed-absolute-size md5 sample, modulus scaled
+    # to the corpus; the r11 verdict's queued mitigation for the full
+    # sweep's honestly-superlinear low-r arm). Oracle-backed,
+    # parity-green at both local scales on introduction; ratio
+    # stability vs the full sweep pinned in tests/test_corpus_ops.py.
+    "t_lsh_band_sweep_sampled",
+    # Capacity curve over the chunk-dedup pipeline's surviving-train
+    # split — the token mass a pipeline actually packs. Composes the
+    # t_corpus_pipeline_chunked stages verbatim; operator-composition
+    # pinned in tests/test_packing_split.py. Parity-green at both
+    # local scales on introduction.
+    "t_pack_capacity_train",
+    # Pruned-kn regret P-sweep with the sampled exact arm — the
+    # registered form of the SCALING.md pivot study plus the r11
+    # verdict's sampling knob for the O(n·k) ground-truth pass.
+    # Parity-green at both local scales; the P = 16 arm pinned as a
+    # strict subset of e_kn_pruned_vs_flat_delta (this round's prefix)
+    # in tests/test_clustering.py. (Pending list at the cap of 5.)
+    "e_kn_pruned_regret_sweep",
 )
 
 

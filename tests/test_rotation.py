@@ -5,8 +5,8 @@ The driver gate certifies exactly the first 50 registered queries
 tail ONLY if it is provably unchanged since its last green gate row: its
 normalized analyzed-plan hash and oracle-SQL hash must be byte-identical to
 the committed snapshot of the code state that run certified
-(``FINGERPRINTS_r10.json`` as of round 11), and its last gate run (the merged
-r02..r10 history — latest row wins) must have recorded all three checks
+(``FINGERPRINTS_r11.json`` as of round 12), and its last gate run (the merged
+r02..r11 history — latest row wins) must have recorded all three checks
 (rows + schema + hash) green.
 
 If you edit any operator or plan a tail query depends on, this test fails —
@@ -25,10 +25,10 @@ import __spark_entry__ as entry_mod
 from tools.fingerprints import RUNTIME_QUERIES, _normalize, _sha
 
 REPO = Path(__file__).resolve().parent.parent
-SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r10.json").read_text())
-# a tail query's certifying row is its LATEST hard-gate run: r10 if the
-# round-10 prefix held it, else the most recent earlier round that did
-# (r09/r08/r07/r06/r05/r04/r03/r02 — unchanged since, fingerprint-guarded below)
+SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r11.json").read_text())
+# a tail query's certifying row is its LATEST hard-gate run: r11 if the
+# round-11 prefix held it, else the most recent earlier round that did
+# (r10..r02 — unchanged since, fingerprint-guarded below)
 CERTIFIED = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r03.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r04.json").read_text()))
@@ -38,6 +38,7 @@ CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r07.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r08.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r09.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r10.json").read_text()))
+CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r11.json").read_text()))
 
 
 def _order():
