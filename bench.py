@@ -251,6 +251,13 @@ HEADLINE = [
     # capacity curve
     "e_kn_pruned_vs_flat_delta",
     "t_pack_capacity_curve",
+    # round-12 additions: sampled band sweep (deployment shape), capacity
+    # curve over the pipeline's train split, pruned-kn regret P-sweep,
+    # streaming fertility twin
+    "t_lsh_band_sweep_sampled",
+    "t_pack_capacity_train",
+    "e_kn_pruned_regret_sweep",
+    "t_stream_lang_fertility",
 ]
 
 
