@@ -150,6 +150,10 @@ QUERIES = (
     "e_kn_pruned_vs_flat_delta",  # pruned chain + one exact assignment pass
     "t_pack_capacity_curve",   # one shard cumsum window, three integer arms
     "t_lang_quality_mix",      # lang argmax + surprisal + bounded tercile cuts
+    # round-12 additions
+    "t_lsh_band_sweep_sampled",  # fixed-size md5 sample: decade-flat by design
+    "t_pack_capacity_train",   # rewrite -> split -> train cumsum, three arms
+    "e_kn_pruned_regret_sweep",  # 3 pruned chains + sampled exact arms
 )
 
 
