@@ -1061,3 +1061,45 @@ def test_tuning_grid_budget_monotone(spark, sf_dir, queries):
         cells.sort()
         hits = [h for _, h in cells]
         assert hits == sorted(hits), (np_, cells)
+
+
+def test_band_sweep_sampled_bounded_and_jvm_side(spark, sf_dir, queries):
+    """The sampled sweep must stay JVM-side with no cartesian (the
+    1-row count joins are broadcast), and its three arms must share the
+    sampled shingle/signature subtree via ReusedExchange — the sample is
+    what makes the sweep decade-flat, so losing the shared subtree would
+    triple the bounded work."""
+    df = queries["t_lsh_band_sweep_sampled"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("ReusedExchange") >= 2, plan.count("ReusedExchange")
+
+
+def test_capacity_train_pins_narrow_relation(spark, sf_dir, queries):
+    """The train capacity curve's three arms re-read the narrow
+    (doc_id, w) train relation; the lazy persist must actually serve
+    those reads (InMemoryTableScan present) so the chunk-rewrite subtree
+    executes once, not three times — and the whole chain stays
+    JVM-side."""
+    df = queries["t_pack_capacity_train"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_regret_sweep_sampled_exact_arm_shape(spark, sf_dir, queries):
+    """The regret sweep's exact ground-truth arm must be the bounded
+    sample head (TakeOrderedAndProject — map-side top-S, never a global
+    sort) joined against broadcast centroids: no Python, no cartesian,
+    and the three chains' shared subtrees collapse to ReusedExchange."""
+    df = queries["e_kn_pruned_regret_sweep"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
