@@ -301,27 +301,29 @@ def test_capacity_train_matches_packing_over_pipeline_train(spark, sf_dir):
         assert row.waste == len(bins) * cap - total_tokens
 
 
-def test_pack_bins_exact_integer_div_at_2_53(spark):
-    """The ADVICE-r11 hazard, pinned: with a shard cumsum just under
-    2^53, double division rounds a half-ulp-under-power-of-two quotient
-    UP (ties-to-even lands on the power of two), mis-binning the next
-    document by one bin; the operator must use the exact integer law.
-    capacity = 2^41 keeps the bin explode bounded (~4k rows) while the
-    cumsum sits exactly on the hazard."""
+def test_pack_bins_exact_integer_div_above_2_53(spark):
+    """The ADVICE-r11 hazard, pinned on a case where the old float law
+    PROVABLY mis-bins: above 2^53 the long→double cast is lossy (ulp=2),
+    so a doc starting at 4097·2^41 − 1 — an odd integer that ties-to-even
+    rounds UP to 4097·2^41 — landed in bin 4097 under `/` + cast while
+    the exact integer law puts it in 4096
+    (int(float(2^53 + 2^41 − 1) / 2^41) == 4097 ≠ 4096). capacity = 2^41
+    keeps the bin explode bounded (~4k rows) while the cumsum sits
+    exactly on the hazard."""
     cap = 1 << 41
-    big = (1 << 53) - 1  # doc 1 ends exactly one token under 2^53
+    big = (1 << 53) + (1 << 41) - 1  # doc 1 ends one token under 4097·cap
     docs = spark.createDataFrame(
         [(1, big), (2, 10)], ["doc_id", "n_tokens"]
     )
     seg = pack_concat_offsets(docs, capacity=cap, n_shards=1).collect()
-    # float law: (2^53-1)/2^41 -> 4096.0 exactly (ties-to-even); exact
-    # integer law: 4095. Doc 2 must straddle bins 4095/4096.
+    # doc 2 starts at big: exact first_bin 4096, float law said 4097 —
+    # it must straddle bins 4096/4097 with a 1-token first slice
     d2 = sorted(
         (r.bin_idx, r.tok_start, r.tok_len) for r in seg if r.doc_id == 2
     )
-    assert d2 == [(4095, 0, 1), (4096, 1, 9)], d2
-    # doc 1 tiles bins 0..4095 and every bin except the shard's last is
-    # exactly full (doc 1's last slice + doc 2's first token fill 4095)
+    assert d2 == [(4096, 0, 1), (4097, 1, 9)], d2
+    # doc 1 tiles bins 0..4096 and every bin except the shard's last is
+    # exactly full (doc 1's last slice + doc 2's first token fill 4096)
     per_bin = {}
     for r in seg:
         per_bin[r.bin_idx] = per_bin.get(r.bin_idx, 0) + r.tok_len
@@ -329,4 +331,4 @@ def test_pack_bins_exact_integer_div_at_2_53(spark):
     for b, tot in per_bin.items():
         if b != last:
             assert tot == cap, (b, tot)
-    assert per_bin[last] == (big + 10) - 4096 * cap
+    assert per_bin[last] == (big + 10) - 4097 * cap
