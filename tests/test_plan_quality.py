@@ -1103,3 +1103,36 @@ def test_regret_sweep_sampled_exact_arm_shape(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan
     assert plan.count("ReusedExchange") >= 3, plan.count("ReusedExchange")
+
+
+def test_tuning_grid_degenerate_corpus_keeps_all_cells(spark, queries, tmp_path):
+    """The ADVICE-r11 latent mismatch, exercised end-to-end: on a corpus
+    holding ONLY the query vector, every (nprobe, cand_budget) cell has
+    zero candidates — the Spark plan must still emit all 9 rows (static
+    grid + coalesce(0)), matching the oracle's 9 static UNION ALL rows,
+    and the whole OPQ/IVF/PQ chain must survive the degenerate input."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    emb_dir = str(tmp_path / "embeddings.parquet")
+    spark.createDataFrame(
+        [(0, [float((i * 7) % 13 - 6) for i in range(64)], 5)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(emb_dir)
+
+    rows = queries["e_ivf_opq_tuning_grid"](spark, str(tmp_path)).collect()
+    assert len(rows) == 9
+    assert all(r.hits == 0 and r.recall_at_10 == 0.0 for r in rows)
+    assert {(r.nprobe, r.cand_budget) for r in rows} == {
+        (np_, lb) for np_ in (1, 2, 4) for lb in (10, 20, 40)
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{emb_dir}/*.parquet'"
+    )
+    odf = con.execute(
+        entry_mod.oracle_sql()["e_ivf_opq_tuning_grid"]
+    ).fetchall()
+    assert len(odf) == 9
