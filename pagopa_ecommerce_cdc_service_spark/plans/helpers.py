@@ -160,6 +160,15 @@ def _parse_bytes(raw: str, default: int) -> int:
     return int(s) if s.isdigit() else default
 
 
+def static_plan_table(spark: SparkSession, schema: str, rows: list) -> DataFrame:
+    """Bounded literal dimension table — the zero-preserving left-join
+    anchor for sweep/grid queries (every declared cell keeps its output
+    row even when its aggregate is empty). ONE LocalRelation, not a
+    unioned ``spark.range(1)`` per row: same values, smaller analyzed
+    plan, and one place to change the idiom."""
+    return spark.createDataFrame(rows, schema)
+
+
 def dec(col: Column | str, p: int = 12, s: int = 2) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     return c.cast(f"decimal({p},{s})")

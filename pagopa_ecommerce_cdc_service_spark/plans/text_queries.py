@@ -5527,13 +5527,13 @@ def _band_sweep_table(spark: SparkSession, docs: DataFrame) -> DataFrame:
             .alias("n_verified"),
         )
     )
-    plans = None
-    for nb, r in _LSH_SWEEP_PLANS:
-        one = spark.range(1).select(
-            F.lit(nb).cast("long").alias("nb"),
-            F.lit(r).cast("long").alias("rows_per_band"),
-        )
-        plans = one if plans is None else plans.unionByName(one)
+    from .helpers import static_plan_table
+
+    plans = static_plan_table(
+        spark,
+        "nb long, rows_per_band long",
+        [(nb, r) for nb, r in _LSH_SWEEP_PLANS],
+    )
     return (
         plans.join(F.broadcast(stats), "nb", "left")
         .select(

@@ -4729,14 +4729,13 @@ def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidates (degenerate corpora): left-join the aggregate onto the
     # static 9-row grid — the oracle always emits 9 UNION ALL rows, and
     # the t_lsh_band_sweep plan table set the precedent (ADVICE r11)
-    grid = None
-    for np_ in _CURVE_PROBES:
-        for lb in _CAND_BUDGETS:
-            one = spark.range(1).select(
-                F.lit(np_).cast("long").alias("nprobe"),
-                F.lit(lb).cast("long").alias("cand_budget"),
-            )
-            grid = one if grid is None else grid.unionByName(one)
+    from .helpers import static_plan_table
+
+    grid = static_plan_table(
+        spark,
+        "nprobe long, cand_budget long",
+        [(np_, lb) for np_ in _CURVE_PROBES for lb in _CAND_BUDGETS],
+    )
     return grid.join(F.broadcast(stats), ["nprobe", "cand_budget"], "left").select(
         "nprobe",
         "cand_budget",
