@@ -4919,6 +4919,11 @@ def e_kn_pruned_regret_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
     from ..operators.clustering import kmeans_assign, kmeans_kn_pruned_fit
 
+    # NO eager/lazy pin here, on measurement: a persist() of the quantized
+    # relation warm-measured 23.6 s vs 15.2 s without it (same session
+    # protocol) — the three chains' repeated emb reads already collapse to
+    # ReusedExchange (plan-gated), and the pin only added storage-memory
+    # pressure between the unrolled Lloyd's stages
     emb = (
         spread(read(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
