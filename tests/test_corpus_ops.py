@@ -1269,3 +1269,38 @@ def test_band_sweep_sampled_tracks_full_ratios(spark, sf_dir):
     assert abs(samp[8].precision - full[8].precision) <= 0.02
     if samp[2].n_candidates > 0:
         assert samp[2].precision >= samp[8].precision + 0.1
+
+
+def test_band_sweep_sampling_commutes_with_sweeping(spark, sf_dir, tmp_path):
+    """VALUE-EXACT property (no tolerances): the sampled sweep over the
+    full corpus must equal the FULL sweep over a corpus containing
+    exactly the sampled documents — membership is a pure function of
+    doc_id, so sampling and sweeping commute. (The staged subset is
+    small enough that its own modulus is 1, i.e. the full sweep there
+    samples nothing.)"""
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _BSW_SAMPLE_TARGET,
+        t_lsh_band_sweep,
+        t_lsh_band_sweep_sampled,
+    )
+
+    docs = read(spark, sf_dir, "documents")
+    n = docs.count()
+    d = (n + _BSW_SAMPLE_TARGET - 1) // _BSW_SAMPLE_TARGET
+    keep = docs.filter(
+        md5_long(F.concat(F.lit("bsw:"), F.col("doc_id").cast("string"))) % d
+        == 0
+    )
+    assert keep.count() <= _BSW_SAMPLE_TARGET * 2 <= 2 * n
+    subset_dir = str(tmp_path / "subset")
+    keep.write.mode("overwrite").parquet(f"{subset_dir}/documents.parquet")
+
+    sampled = sorted(
+        map(tuple, t_lsh_band_sweep_sampled(spark, sf_dir).collect())
+    )
+    full_on_subset = sorted(
+        map(tuple, t_lsh_band_sweep(spark, subset_dir).collect())
+    )
+    assert sampled == full_on_subset
