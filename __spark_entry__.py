@@ -984,9 +984,10 @@ _CERTIFIED_TAIL = (
     # - e_semdedup_kn_pruned: the pruned-assignment chain re-executes
     #   inside e_kn_pruned_vs_flat_delta (this round's prefix) and three
     #   more times inside the new e_kn_pruned_regret_sweep.
-    # - e_bq_hamming_hist: the BQ sign-sketch + Hamming census law holds
-    #   its r11 cert; its signature/Hamming kernels re-execute under the
-    #   prefix through the mm_stream near-dup gates' Hamming verify.
+    # - e_bq_hamming_hist: fingerprint-equal to its r11-certified state
+    #   (the standard tail justification — bq code untouched this round);
+    #   its sibling BQ queries (e_bq_topk/e_bq_recall) hold their own
+    #   guarded r9 certs over the same sign-sketch chain.
     "t_wminhash_pairs",
     "t_lang_fertility",
     "e_pcapq_recall",
