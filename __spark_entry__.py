@@ -977,10 +977,14 @@ _CERTIFIED_TAIL = (
     #   inside t_stream_lang_fertility's drained-store adjudication (same
     #   argmax/census expressions), which certifies in THIS round's prefix
     #   against the identical oracle SQL.
-    # - e_pcapq_recall / e_pq_cand_curve: the PCA-permutation PQ chain and
-    #   the rescore-budget law re-execute inside e_ivf_opq_tuning_grid
-    #   (this round's prefix — nine cells over the composed OPQ,IVF,PQ
-    #   chain share the same training/ADC/rescore machinery).
+    # - e_pq_cand_curve: its rescore-budget cell law (nested top-lb
+    #   candidate pools → exact-cosine rescore → top-10 vs GT) re-executes
+    #   along the budget axis of e_ivf_opq_tuning_grid (this round's
+    #   prefix).
+    # - e_pcapq_recall: fingerprint-equal to its r11-certified state (the
+    #   PCA-permutation chain is untouched this round; its siblings
+    #   e_pcapq_topk/e_pcapq_distortion_delta hold guarded r10 certs over
+    #   the same chain).
     # - e_semdedup_kn_pruned: the pruned-assignment chain re-executes
     #   inside e_kn_pruned_vs_flat_delta (this round's prefix) and three
     #   more times inside the new e_kn_pruned_regret_sweep.
