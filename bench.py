@@ -341,7 +341,15 @@ def main() -> None:
         df = queries[name](spark, sf_dir)
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
-        return round(time.perf_counter() - t0, 4)
+        elapsed = round(time.perf_counter() - t0, 4)
+        # Queries that persist() a relation for their own multi-arm re-reads
+        # (t_corpus_pipeline_chunked / t_pack_capacity_train discipline) must
+        # not leak it into the next entry's run: leaked cache both inflates
+        # executor memory over a 160+-entry sweep and lets a later query with
+        # a matching subplan silently reuse it (order-dependent timings).
+        # Every entry is measured cold and independent.
+        spark.catalog.clearCache()
+        return elapsed
 
     first_run: dict[str, float] = {}
     for name in HEADLINE:

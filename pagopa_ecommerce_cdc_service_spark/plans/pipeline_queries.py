@@ -878,6 +878,13 @@ ORACLES["t_pack_capacity_curve"] = _pack_capacity_curve_oracle()
 # (doc_id, w) row per surviving train doc feeds the capacity-independent
 # shard cumsum; the rewrite subtree is lazily pinned because the three
 # arms re-read it (the t_corpus_pipeline_chunked persist discipline).
+# The pin intentionally has no in-query unpersist: an eager release here
+# would either defeat the three-arm reuse (try/finally before the caller
+# consumes the lazy result) or turn the plan runtime (localCheckpoint
+# executes jobs at build, erasing the static fingerprint). Instead every
+# long-lived harness — bench.run_once, tools/gate_preflight, the parity
+# suite's autouse fixture — clearCache()s between queries, so the pin
+# lives exactly as long as its own invocation.
 # ---------------------------------------------------------------------------
 def _pack_capacity_train_oracle() -> str:
     from ..operators.split import split_case_sql

@@ -1266,7 +1266,14 @@ def test_band_sweep_sampled_tracks_full_ratios(spark, sf_dir):
     # thousands of candidates and its tiny precision tracks the full
     # sweep tightly; the high-r/low-r EXTREMES stay far apart.
     assert samp[8].n_candidates > 100, samp[8]
-    assert abs(samp[8].precision - full[8].precision) <= 0.02
+    # binomial noise on a ~300-doc sample scales with the full-sweep
+    # precision itself, so the tolerance is relative with the original
+    # 0.02 as an absolute floor — a driver-regenerated corpus with a
+    # different duplicate-cluster mix must not flake a correct query
+    # (the value-exact commutation test below is the hard pin)
+    assert abs(samp[8].precision - full[8].precision) <= max(
+        0.02, 0.5 * full[8].precision
+    )
     if samp[2].n_candidates > 0:
         assert samp[2].precision >= samp[8].precision + 0.1
 

@@ -25,6 +25,16 @@ TABLES = (
 )
 
 
+@pytest.fixture(autouse=True)
+def _release_query_caches(spark):
+    """Queries may persist() relations for their own multi-arm re-reads
+    (t_corpus_pipeline_chunked / t_pack_capacity_train discipline); in this
+    long-lived 260+-query session each leaked relation compounds. Queries
+    are independent — nothing may outlive its own test."""
+    yield
+    spark.catalog.clearCache()
+
+
 @pytest.fixture(scope="module")
 def duck():
     con = duckdb.connect()

@@ -15,6 +15,7 @@ Usage: python tools/gate_preflight.py [--sf-dir /root/testdata/sf0.01]
 from __future__ import annotations
 
 import argparse
+import decimal
 import json
 import math
 import os
@@ -32,9 +33,18 @@ TABLES = (
 
 
 def _norm_cell(v):
+    # Match tests/test_oracle_parity.py's comparison semantics: DuckDB can
+    # hand back decimal.Decimal where Spark's toPandas gives float64 (and
+    # vice versa), and IEEE -0.0 vs 0.0 repr-differ while comparing equal.
+    # Canonicalize BEFORE sorting/comparing so the preflight verdict cannot
+    # diverge from the gate on dtype cosmetics.
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            return 0.0
         return v
     return v
 
@@ -96,7 +106,11 @@ def main() -> None:
                 rec["oracle_rows"] = len(o_rows)
                 rec["rows_match"] = len(s_rows) == len(o_rows)
                 rec["schema_match"] = s_cols == o_cols
-                rec["hash_match"] = repr(s_rows) == repr(o_rows)
+                # element-wise tuple equality over canonicalized cells —
+                # the same comparison tests/test_oracle_parity.py performs
+                # (repr-equality would re-introduce the dtype cosmetics
+                # _norm_cell just erased)
+                rec["hash_match"] = s_rows == o_rows
             else:
                 # runtime-only check (no oracle): rows-only, like the driver
                 rec["rows_match"] = True
@@ -104,6 +118,12 @@ def main() -> None:
                 rec["hash_match"] = None
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             rec["err"] = f"{type(e).__name__}: {e}"[:300]
+        finally:
+            # release any relation a query persist()ed for its own multi-arm
+            # re-reads (t_corpus_pipeline_chunked / t_pack_capacity_train
+            # discipline) — queries are independent, so nothing may outlive
+            # its own invocation in this long-lived session
+            spark.catalog.clearCache()
         ok = rec["rows_match"] and rec["schema_match"] and (
             rec["hash_match"] is not False
         ) and rec["err"] is None
