@@ -998,6 +998,38 @@ _CERTIFIED_TAIL = (
     "e_semdedup_kn_pruned",
     "e_bq_hamming_hist",
     "e_pq_cand_curve",
+    # Round-13 rotation (sixteenth pass): the five r12 _PENDING_FIRST_CERT
+    # queries (t_pack_offsets, t_corpus_pipeline_chunked — the two
+    # void-law packing re-certs — plus t_lsh_band_sweep_sampled,
+    # t_pack_capacity_train, e_kn_pruned_regret_sweep) take their first
+    # hard certification. No new runtime query enters this round (the
+    # new stream twin waits in _PENDING_FIRST_CERT — see the policy note
+    # there), so exactly the five r12-certified statics rotate OUT, each
+    # fingerprint-equal vs FINGERPRINTS_r12 (guard-tested):
+    # - t_lsh_band_sweep: fingerprint-equal; its band-plan cell law
+    #   (_band_sweep_table) re-executes VERBATIM inside
+    #   t_lsh_band_sweep_sampled, which certifies in THIS round's prefix
+    #   (the commutation test pins sampled-sweep ≡ full-sweep-on-sample
+    #   value-exactly).
+    # - t_pack_capacity_curve: fingerprint-equal; its three-arm capacity
+    #   composer (_capacity_curve_table) re-executes VERBATIM inside
+    #   t_pack_capacity_train, which certifies in THIS round's prefix.
+    # - e_kn_pruned_vs_flat_delta: fingerprint-equal; the pruned-kn
+    #   chain re-executes inside e_kn_pruned_regret_sweep (this round's
+    #   prefix), whose P = 16 arm is pinned as a strict subset of this
+    #   query's audit in tests/test_clustering.py.
+    # - e_ivf_opq_tuning_grid: fingerprint-equal alone (standard tail
+    #   justification — the OPQ/IVF/PQ grid chain is untouched this
+    #   round); the composed chain stays prefix-exercised every round by
+    #   the runtime-pinned e_ivf_opq_nprobe_curve.
+    # - t_lang_quality_mix: fingerprint-equal alone (lang-id, surprisal
+    #   and tercile expressions untouched this round; its streaming twin
+    #   is only PENDING below, so no re-execution credit is claimed).
+    "t_lsh_band_sweep",
+    "t_pack_capacity_curve",
+    "e_kn_pruned_vs_flat_delta",
+    "e_ivf_opq_tuning_grid",
+    "t_lang_quality_mix",
 )
 
 
@@ -1009,44 +1041,30 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT: tuple[str, ...] = (
-    # Round 12: the r11 five all rotated into the prefix (first
-    # certification this round). This list now holds TWO KINDS of
-    # awaiting-certification queries — both soft-checked by the full
-    # local DuckDB parity suite every round:
+    # Round 13: the r12 five all rotated into the prefix (first
+    # certification this round).
     #
-    # (a) CHANGED queries whose old green rows are VOID: the ADVICE-r11
-    # packing fix (exact integer DIV for the bin law) changed the
-    # analyzed plan of every pack_concat_offsets composer. The two
-    # runtime composers (t_corpus_pipeline, t_corpus_pipeline_keepone)
-    # re-certify in this round's prefix as always; the two STATIC
-    # composers wait here because the prefix is at budget (44 runtime
-    # gates + the new stream-fertility runtime gate + the five
-    # first-certs). Their new bin law is value-identical at every gate
-    # scale (integer vs float div only diverges near 2^53 cumsums) and
-    # parity-green at sf0.001/sf0.01 post-change.
-    "t_pack_offsets",
-    "t_corpus_pipeline_chunked",
-    # (b) NEW queries awaiting their first certification:
-    # Sampled band-plan sweep — the decade-flat deployment shape of
-    # t_lsh_band_sweep (fixed-absolute-size md5 sample, modulus scaled
-    # to the corpus; the r11 verdict's queued mitigation for the full
-    # sweep's honestly-superlinear low-r arm). Oracle-backed,
-    # parity-green at both local scales on introduction; ratio
-    # stability vs the full sweep pinned in tests/test_corpus_ops.py.
-    "t_lsh_band_sweep_sampled",
-    # Capacity curve over the chunk-dedup pipeline's surviving-train
-    # split — the token mass a pipeline actually packs. Composes the
-    # t_corpus_pipeline_chunked stages verbatim; operator-composition
-    # pinned in tests/test_packing_split.py. Parity-green at both
-    # local scales on introduction.
-    "t_pack_capacity_train",
-    # Pruned-kn regret P-sweep with the sampled exact arm — the
-    # registered form of the SCALING.md pivot study plus the r11
-    # verdict's sampling knob for the O(n·k) ground-truth pass.
-    # Parity-green at both local scales; the P = 16 arm pinned as a
-    # strict subset of e_kn_pruned_vs_flat_delta (this round's prefix)
-    # in tests/test_clustering.py. (Pending list at the cap of 5.)
-    "e_kn_pruned_regret_sweep",
+    # POLICY NOTE (round 13): pendings may now be RUNTIME queries. The
+    # "runtime queries are pinned in the prefix" rule exists because a
+    # runtime query cannot PROVE unchanged-ness with a static plan hash —
+    # a claim only a CERTIFIED tail row makes. A pending query claims
+    # nothing: it is declared uncertified, and the local parity suite
+    # EXECUTES it (streams, restart legs and all) against its DuckDB
+    # oracle every round — for a runtime pending that is strictly
+    # stronger evidence than any fingerprint. The arithmetic that forces
+    # this: the prefix holds 45 runtime gates, so a round that certifies
+    # five statics has no slot for a new runtime gate; it waits here one
+    # round and takes its hard gate row in the next rotation
+    # (tests/test_rotation.py enforces prefix-or-pending for runtime —
+    # never the certified tail).
+    #
+    # STREAMING (lang × quality-mix) twin — the sampling-budget matrix in
+    # deployed mode (RUNTIME: stages parquet, runs a two-incarnation
+    # stream with a mid-stream restart leg). Scores lang + token census
+    # on ingest, drains the narrow store, delegates cuts/census to the
+    # batch tail's expressions; hash-checked against t_lang_quality_mix's
+    # oracle SQL verbatim by the parity suite every round.
+    "t_stream_lang_quality_mix",
 )
 
 

@@ -5,8 +5,8 @@ The driver gate certifies exactly the first 50 registered queries
 tail ONLY if it is provably unchanged since its last green gate row: its
 normalized analyzed-plan hash and oracle-SQL hash must be byte-identical to
 the committed snapshot of the code state that run certified
-(``FINGERPRINTS_r11.json`` as of round 12), and its last gate run (the merged
-r02..r11 history — latest row wins) must have recorded all three checks
+(``FINGERPRINTS_r12.json`` as of round 13), and its last gate run (the merged
+r02..r12 history — latest row wins) must have recorded all three checks
 (rows + schema + hash) green.
 
 If you edit any operator or plan a tail query depends on, this test fails —
@@ -25,10 +25,10 @@ import __spark_entry__ as entry_mod
 from tools.fingerprints import RUNTIME_QUERIES, _normalize, _sha
 
 REPO = Path(__file__).resolve().parent.parent
-SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r11.json").read_text())
-# a tail query's certifying row is its LATEST hard-gate run: r11 if the
-# round-11 prefix held it, else the most recent earlier round that did
-# (r10..r02 — unchanged since, fingerprint-guarded below)
+SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r12.json").read_text())
+# a tail query's certifying row is its LATEST hard-gate run: r12 if the
+# round-12 prefix held it, else the most recent earlier round that did
+# (r11..r02 — unchanged since, fingerprint-guarded below)
 CERTIFIED = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r03.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r04.json").read_text()))
@@ -39,6 +39,7 @@ CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r08.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r09.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r10.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r11.json").read_text()))
+CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r12.json").read_text()))
 
 
 def _order():
@@ -52,13 +53,21 @@ def test_prefix_is_full_budget():
     assert len(names[:50]) == 50
 
 
-def test_runtime_queries_pinned_in_prefix():
+def test_runtime_queries_pinned_in_prefix_or_pending():
     # Queries that execute jobs at build time have no static fingerprint, so
-    # the rotation policy never lets them claim a tail slot.
+    # the rotation policy never lets them claim a CERTIFIED tail slot (a
+    # certified-tail slot asserts provable unchanged-ness).  A runtime query
+    # MAY sit in _PENDING_FIRST_CERT: a pending claims nothing — it is
+    # declared uncertified and the local parity suite executes it (streams,
+    # restart legs and all) against its oracle every round, which for a
+    # runtime query is strictly stronger evidence than a plan hash.  It must
+    # rotate into the prefix for its hard gate row at the next rotation.
     names, _, _ = _order()
-    tail = set(names[50:])
+    tail = set(names[50:]) - set(entry_mod._PENDING_FIRST_CERT)
     leaked = RUNTIME_QUERIES & tail
-    assert not leaked, f"runtime queries must stay in the certified prefix: {leaked}"
+    assert not leaked, (
+        f"runtime queries must be in the certified prefix or pending: {leaked}"
+    )
 
 
 def test_pending_first_cert_is_small_and_parity_checked():
