@@ -5687,3 +5687,171 @@ def t_lang_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["t_lang_quality_mix"] = ORACLES["t_lang_quality_mix"].replace(
     "{LANG_ORACLE}", ORACLES["t_lang_id"]
 )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING lang × quality-mix twin (round 13): the sampling-budget
+# matrix in deployed mode. The tercile cutoffs are CORPUS-GLOBAL (they
+# depend on every doc's surprisal, which depends on the corpus-global
+# vocabulary), so this is the drained-store TWO-PHASE shape the
+# winnow/LSH/perplexity stream gates established — with the fertility
+# twin's on-ingest scoring folded in: phase 1 scores each micro-batch
+# ONCE (text is read exactly once, on ingest), computing the
+# stopword-argmax predicted language and the per-doc token census in one
+# pass, and appends narrow (doc_id, predicted_lang, tok, cnt) rows to
+# the store (lang is functional on doc_id, so it rides the census grain
+# without changing its cardinality); phase 2, after the stream drains,
+# computes the vocabulary, the integer-exact surprisal scores, the
+# value-based tercile cutoffs and the (lang × tercile) census FROM THE
+# STORE (no text rescan) — the same expressions as the batch
+# t_lang_quality_mix tail. Restart leg: incarnation 1 drains two staged
+# files, the third appears only after the handoff and is picked up from
+# the checkpoint. Replay safety: each doc lands in exactly one batch and
+# its store rows are deterministic, so an at-least-once re-append is
+# byte-identical and the drain-time distinct() restores exact counts.
+# After the drain the result must hash-match the one-shot batch oracle
+# (t_lang_quality_mix's SQL, reused verbatim). 100 TB shape: per-batch
+# work is one score+tokenize map-side-combined census of THE BATCH only;
+# the global vocab/cuts aggregations run once at read time over the
+# vocabulary-keyed store, and the final exchange moves |langs| × 3
+# partials — the same exchanges as the batch plan.
+# ---------------------------------------------------------------------------
+def t_stream_lang_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from pyspark.sql import Window
+
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-langmix-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("langmixsplit:"), F.col("doc_id").cast("string")))
+        % 3
+    )
+    for i in range(3):
+        write_staged_file(
+            docs.filter(third == i),
+            f"{src}/part{i}.parquet",
+            mtime=1000.0 * (i + 1),
+        )
+
+    store_dir = f"{workdir}/langtokcounts"
+
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_count(F.col("text"), lg).cast("long").alias("s"),
+                F.lit(lg).alias("l"),
+            )
+            for lg in _LANGS
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("long").alias("s"), F.lit("~").alias("l")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["l"] < acc["l"])), x
+        ).otherwise(acc),
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(
+                "doc_id",
+                best["l"].alias("predicted_lang"),
+                F.explode(tokens(F.col("text"))).alias("tok"),
+            )
+            .groupBy("doc_id", "predicted_lang", "tok")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    def run_incarnation(n_files: int) -> None:
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "t_stream_lang_quality_mix: availableNow run did not "
+                f"complete in 240s ({n_files} files)"
+            )
+
+    part2 = f"{src}/part2.parquet"
+    staged_part2 = f"{workdir}/part2.staged"
+    _os.rename(part2, staged_part2)
+    run_incarnation(2)
+    _os.rename(staged_part2, part2)
+    _os.utime(part2, (3000.0, 3000.0))
+    run_incarnation(3)
+
+    store = spark.read.parquet(store_dir).distinct()
+    lang = store.select("doc_id", "predicted_lang").distinct()
+    counts = store.select("doc_id", "tok", "cnt")
+    vocab = counts.groupBy("tok").agg(F.sum("cnt").alias("c"))
+    total = counts.agg(F.sum("cnt").alias("n"))
+    # per-(doc, tok) surprisal from the store: cnt occurrences each worth
+    # floor_log2(n div c) — identical to the batch per-token sum because
+    # every occurrence of a token scores the same integer
+    per = (
+        counts.join(vocab, "tok")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "cnt",
+            (
+                F.col("cnt")
+                * (F.length(F.bin(F.expr("n div c"))) - 1).cast("long")
+            ).alias("surp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.expr("(sum(surp) * 1000) div sum(cnt)")
+            .cast("long")
+            .alias("surprisal_per_1k"),
+        )
+    )
+    hist = per.groupBy(F.col("surprisal_per_1k").alias("s")).agg(
+        F.count("*").alias("nd")
+    )
+    wv = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = hist.select("s", F.sum("nd").over(wv).alias("cumn"))
+    tot = per.agg(F.count("*").cast("long").alias("n"))
+    cuts = cum.crossJoin(F.broadcast(tot)).agg(
+        F.min(F.when(3 * F.col("cumn") >= F.col("n"), F.col("s"))).alias("q1v"),
+        F.min(F.when(3 * F.col("cumn") >= 2 * F.col("n"), F.col("s"))).alias("q2v"),
+    )
+    bucket = (
+        F.when(F.col("surprisal_per_1k") <= F.col("q1v"), 1)
+        .when(F.col("surprisal_per_1k") <= F.col("q2v"), 2)
+        .otherwise(3)
+        .cast("long")
+    )
+    return (
+        per.crossJoin(F.broadcast(cuts))
+        .join(lang, "doc_id")
+        .select(
+            F.col("predicted_lang").alias("lang"),
+            bucket.alias("bucket"),
+            "n_tokens",
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("token_mass"),
+        )
+    )
+
+
+QUERIES["t_stream_lang_quality_mix"] = t_stream_lang_quality_mix
+ORACLES["t_stream_lang_quality_mix"] = ORACLES["t_lang_quality_mix"]

@@ -87,6 +87,7 @@ RUNTIME_QUERIES = {
     "w_stream_hourly_seasonality",  # stages parquet, runs a streaming (dow,hod,user) grid
     "t_stream_perplexity_buckets",  # stages parquet, runs a two-incarnation token-census stream
     "t_stream_lang_fertility",  # stages parquet, runs a two-incarnation per-doc score stream
+    "t_stream_lang_quality_mix",  # stages parquet, runs a two-incarnation score+census stream
     "e_semdedup_kn_pruned_keepone",  # iterative min-label CC over the pruned-kn pair graph
 }
 
