@@ -1065,6 +1065,14 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # batch tail's expressions; hash-checked against t_lang_quality_mix's
     # oracle SQL verbatim by the parity suite every round.
     "t_stream_lang_quality_mix",
+    # IVF list-split rebalance audit — the corrective for the imbalance
+    # e_ivf_build_stats measures: split the top-2 lists by occupancy via
+    # deterministic sub-seeds + a nearest-sub-seed broadcast fold; the
+    # full before/after per-list layout under the value hash. Structural
+    # law (strict max-occupancy improvement by construction, pinned in
+    # tests/test_clustering.py). Parity-green at both local scales on
+    # introduction.
+    "e_ivf_split_rebalance",
 )
 
 

@@ -4979,3 +4979,164 @@ def e_kn_pruned_regret_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# IVF list-split rebalance audit (round 13): the CORRECTIVE for the
+# imbalance e_ivf_build_stats measures. A skewed list turns nprobe
+# pruning into a full scan of the hot list, so a build pipeline splits
+# its heaviest lists before serving. The law is structural (never
+# data-flaky): the top _RB_SPLITS lists by occupancy (ties to the
+# smaller pid) are each split in two — two deterministic sub-seeds (the
+# members with the smallest salted md5, the kmeans_seeds discipline) and
+# a nearest-sub-seed reassignment of that list's members. Every split
+# half is strictly smaller than its parent (each sub-seed captures at
+# least itself), so max list occupancy strictly improves by construction
+# (pinned in tests/test_clustering.py). Output: the full before/after
+# per-list layout (8 + nlist+_RB_SPLITS rows, exact integer shares).
+# 100 TB shape: assignment is the broadcast pivot-array fold (zero
+# corpus exchanges); hot selection reads the 8-row occupancy table; the
+# sub-seeds come from TWO map-side-combined min-aggregations over the
+# hot members (never a per-list sort — a hot list is by definition the
+# one you must not sort on a single partition); reassignment is a second
+# broadcast array fold over hot members only; every groupBy key space is
+# bounded by nlist + splits.
+# ---------------------------------------------------------------------------
+_RB_SPLITS = 2
+
+
+def _ivf_split_rebalance_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    return f"""
+    WITH e AS (SELECT vec_id, {_QV} AS qvec FROM embeddings),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, e.qvec, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, qvec, pid FROM assign WHERE rn = 1),
+    occ AS (SELECT pid, count(*) AS nv FROM lists GROUP BY pid),
+    hot AS (SELECT pid FROM occ ORDER BY nv DESC, pid ASC LIMIT {_RB_SPLITS}),
+    subseed AS (
+      SELECT l.pid, l.vec_id, l.qvec,
+             ROW_NUMBER() OVER (PARTITION BY l.pid
+                                ORDER BY {md5_long_sql("'rb:' || CAST(l.vec_id AS VARCHAR)")},
+                                         l.vec_id) AS sub
+      FROM lists l JOIN hot h ON l.pid = h.pid
+    ),
+    subpiv AS (SELECT pid, sub, qvec AS sv FROM subseed WHERE sub <= 2),
+    resplit AS (
+      SELECT l.vec_id, l.pid, s.sub,
+             ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                                ORDER BY {dist2_sql("l.qvec", "s.sv")}, s.sub) AS rn
+      FROM lists l JOIN subpiv s ON l.pid = s.pid
+    ),
+    after_assign AS (
+      SELECT vec_id, pid * 10 + sub AS list_id FROM resplit WHERE rn = 1
+      UNION ALL
+      SELECT l.vec_id, l.pid * 10 AS list_id FROM lists l
+      WHERE l.pid NOT IN (SELECT pid FROM hot)
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings),
+    u AS (
+      SELECT 'before' AS phase, pid * 10 AS list_id, nv AS n_vecs FROM occ
+      UNION ALL
+      SELECT 'after' AS phase, list_id, count(*) AS n_vecs
+      FROM after_assign GROUP BY list_id
+    )
+    SELECT u.phase, CAST(u.list_id AS BIGINT) AS list_id,
+           CAST(u.n_vecs AS BIGINT) AS n_vecs,
+           (u.n_vecs * 1000000) // tot.total AS share_micro
+    FROM u CROSS JOIN tot
+    """
+
+
+@query("e_ivf_split_rebalance", _ivf_split_rebalance_oracle())
+def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long as _md5_long
+    from ..operators.similarity import nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    lists = nearest_pivot(emb, piv)  # (vec_id, qvec, pid), zero-shuffle fold
+    occ = lists.groupBy("pid").agg(F.count("*").alias("nv"))
+    hot = occ.orderBy(F.desc("nv"), F.asc("pid")).limit(_RB_SPLITS).select("pid")
+    hotm = lists.join(F.broadcast(hot), "pid")
+
+    # two deterministic sub-seeds per hot list WITHOUT a per-list sort:
+    # min-aggregate the salted hash (first seed), exclude it, min again
+    # (second seed) — both map-side-combined, output <= _RB_SPLITS rows
+    h = _md5_long(F.concat(F.lit("rb:"), F.col("vec_id").cast("string")))
+    cand = hotm.select("pid", "vec_id", "qvec", h.alias("h"))
+    s1 = cand.groupBy("pid").agg(
+        F.min(F.struct("h", "vec_id", "qvec")).alias("m")
+    )
+    sub1 = s1.select(
+        "pid", F.lit(1).cast("long").alias("sub"), F.col("m.qvec").alias("sv")
+    )
+    rest = cand.join(F.broadcast(s1), "pid").filter(
+        (F.col("h") != F.col("m.h")) | (F.col("vec_id") != F.col("m.vec_id"))
+    )
+    s2 = rest.groupBy("pid").agg(
+        F.min(F.struct("h", "vec_id", "qvec")).alias("m")
+    )
+    sub2 = s2.select(
+        "pid", F.lit(2).cast("long").alias("sub"), F.col("m.qvec").alias("sv")
+    )
+    sub_arr = (
+        sub1.unionByName(sub2)
+        .groupBy("pid")
+        .agg(F.array_sort(F.collect_list(F.struct("sub", "sv"))).alias("_subs"))
+    )
+
+    # nearest-sub-seed reassignment: broadcast array fold (strict < over
+    # the sub-ascending sorted array resolves distance ties to sub 1,
+    # matching the oracle's ORDER BY dist, sub)
+    qv = F.col("qvec")
+    best = F.aggregate(
+        F.col("_subs"),
+        F.struct(
+            F.lit(None).cast("long").alias("sub"),
+            F.lit(None).cast("long").alias("d2"),
+        ),
+        lambda acc, s: F.when(
+            acc["sub"].isNull() | (dist2(s["sv"], qv) < acc["d2"]),
+            F.struct(s["sub"].alias("sub"), dist2(s["sv"], qv).alias("d2")),
+        ).otherwise(acc),
+    )
+    resplit = (
+        hotm.join(F.broadcast(sub_arr), "pid")
+        .withColumn("sub", best["sub"])
+        .drop("_subs")
+    )
+    after = resplit.select(
+        "vec_id", (F.col("pid") * 10 + F.col("sub")).cast("long").alias("list_id")
+    ).unionByName(
+        lists.join(F.broadcast(hot), "pid", "left_anti").select(
+            "vec_id", (F.col("pid") * 10).cast("long").alias("list_id")
+        )
+    )
+    tot = emb.agg(F.count("*").cast("long").alias("total"))
+    u = occ.select(
+        F.lit("before").alias("phase"),
+        (F.col("pid") * 10).cast("long").alias("list_id"),
+        F.col("nv").cast("long").alias("n_vecs"),
+    ).unionByName(
+        after.groupBy("list_id")
+        .agg(F.count("*").cast("long").alias("n_vecs"))
+        .select(F.lit("after").alias("phase"), "list_id", "n_vecs")
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        "phase",
+        "list_id",
+        "n_vecs",
+        F.expr("(n_vecs * 1000000) div total").alias("share_micro"),
+    )

@@ -442,3 +442,47 @@ def test_regret_sweep_sampled_arm_is_subset_of_full_audit(spark, sf_dir):
     assert 0 <= arm.max_regret <= full.max_regret
     for row in sweep.values():
         assert row.total_regret >= 0 and row.max_regret >= 0
+
+
+def test_ivf_split_rebalance_improves_balance(spark, sf_dir):
+    """Structural guarantees of the split-rebalance law: (a) mass is
+    conserved — both phases assign every vector exactly once; (b) the
+    rebalanced layout has nlist + _RB_SPLITS lists (each split half is
+    non-empty: a sub-seed captures at least itself); (c) max list
+    occupancy STRICTLY improves — every split half is strictly smaller
+    than its parent and the unsplit lists were, by hot-selection, no
+    heavier than the split ones; (d) unsplit lists carry over unchanged;
+    (e) the before phase equals e_ivf_build_stats (same assignment law)."""
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _RB_SPLITS,
+        e_ivf_build_stats,
+        e_ivf_split_rebalance,
+    )
+
+    rows = e_ivf_split_rebalance(spark, sf_dir).collect()
+    before = {r.list_id: r.n_vecs for r in rows if r.phase == "before"}
+    after = {r.list_id: r.n_vecs for r in rows if r.phase == "after"}
+
+    assert sum(before.values()) == sum(after.values()) > 0
+    assert len(after) == len(before) + _RB_SPLITS
+    assert max(after.values()) < max(before.values())
+
+    split_parents = {
+        lid // 10 * 10 for lid in after if lid % 10 != 0
+    }
+    assert len(split_parents) == _RB_SPLITS
+    # the split lists are the top-_RB_SPLITS by occupancy (ties to
+    # smaller pid)
+    ranked = sorted(before.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert split_parents == {lid for lid, _ in ranked[:_RB_SPLITS]}
+    for parent in split_parents:
+        halves = [after[lid] for lid in after if lid // 10 * 10 == parent and lid % 10 != 0]
+        assert len(halves) == 2 and all(h >= 1 for h in halves)
+        assert sum(halves) == before[parent]
+        assert max(halves) < before[parent]
+    for lid, n in before.items():
+        if lid not in split_parents:
+            assert after[lid] == n
+
+    stats = {r.list_id * 10: r.n_vecs for r in e_ivf_build_stats(spark, sf_dir).collect()}
+    assert stats == before

@@ -1136,3 +1136,20 @@ def test_tuning_grid_degenerate_corpus_keeps_all_cells(spark, queries, tmp_path)
         entry_mod.oracle_sql()["e_ivf_opq_tuning_grid"]
     ).fetchall()
     assert len(odf) == 9
+
+
+def test_ivf_split_rebalance_fold_only(spark, sf_dir, queries):
+    """The rebalance audit must keep the IVF family's zero-corpus-exchange
+    discipline: assignment and sub-seed reassignment are broadcast array
+    folds (BroadcastNestedLoopJoin on 1-row relations), hot selection is
+    the 8-row TakeOrderedAndProject, and every hash exchange carries a
+    bounded key space (pid / list_id partials) — never a per-vec_id
+    shuffle or sort-merge join of the corpus."""
+    df = queries["e_ivf_split_rebalance"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
