@@ -1073,6 +1073,13 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # tests/test_clustering.py). Parity-green at both local scales on
     # introduction.
     "e_ivf_split_rebalance",
+    # Semantic eval-set decontamination — the embedding-space twin of
+    # t_decontaminate: train vectors whose cosine to any eval item
+    # reaches the SemDeDup bar, found via the IVF-pruned broadcast scan
+    # (never all-pairs; eval probes ride a broadcast). Quadratic-
+    # reference subset/stats pin in tests/test_clustering.py; plan-gated.
+    # Parity-green at sf0.001, sf0.01 and sf0.1 on introduction.
+    "e_decontaminate_semantic",
 )
 
 

@@ -5140,3 +5140,145 @@ def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         F.expr("(n_vecs * 1000000) div total").alias("share_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic eval-set decontamination (round 13): the embedding-space twin
+# of the n-gram decontaminator (t_decontaminate). A held-out eval set
+# leaking into training data inflates benchmarks even when no n-gram
+# matches — paraphrases and translations share embeddings, not grams —
+# so the pipeline flags every train vector whose cosine to ANY eval item
+# reaches the SemDeDup threshold. Never all-pairs: the scan is
+# IVF-pruned — train vectors carry their nearest-pivot list (broadcast
+# array fold, zero corpus exchange) and each eval item probes only its
+# _ED_NPROBE nearest lists, so a train vector is compared against just
+# the eval items probing ITS list (~nprobe/nlist of the eval set).
+# Deterministic eval split: salted md5 residue (the t_decontaminate
+# membership convention). Output: one row per contaminated train vector
+# (hit count, max cosine, nearest eval id — ties to the smaller id).
+# 100 TB shape: the eval set is bench-sized BY DEFINITION (it is a
+# benchmark), so probes ride a broadcast; the only exchange after the
+# fold is the per-flagged-vector aggregation over post-threshold hits.
+# The eval-side probe ranking windows over |eval| × nlist rows — bench
+# -sized, never corpus-sized.
+# ---------------------------------------------------------------------------
+_ED_MOD = 20       # eval residue: md5('ed:'||vec_id) % 20 == 1  (~5%)
+_ED_NPROBE = 2     # lists probed per eval item (of _N_PIVOTS = 8)
+_ED_COS = _SEMDEDUP_COS  # contamination threshold = the near-dup bar
+
+
+def _decontaminate_semantic_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    member = f"{md5_long_sql(chr(39) + 'ed:' + chr(39) + ' || CAST(vec_id AS VARCHAR)')} % {_ED_MOD}"
+    cos = (
+        f"CAST({dot_sql('t.q', 'ev.q')} AS DOUBLE) / "
+        f"(sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(ev.n2 AS DOUBLE)))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, {_QV} AS q, {member} AS m FROM embeddings),
+    en AS (SELECT vec_id, q, m, {dot_sql("q", "q")} AS n2 FROM e),
+    piv AS (SELECT vec_id AS pid, q AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT en.vec_id, en.q, en.n2, en.m, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY en.vec_id
+                                ORDER BY {dist2_sql("en.q", "p.pv")}, p.pid) AS rn
+      FROM en, piv p
+    ),
+    train AS (SELECT vec_id, q, n2, pid FROM assign
+              WHERE rn = 1 AND m <> 1),
+    ev0 AS (SELECT vec_id AS eval_id, q, n2 FROM en WHERE m = 1),
+    probes AS (
+      SELECT eval_id, pid FROM (
+        SELECT ev0.eval_id, p.pid,
+               ROW_NUMBER() OVER (PARTITION BY ev0.eval_id
+                                  ORDER BY {dist2_sql("ev0.q", "p.pv")}, p.pid) AS rn
+        FROM ev0, piv p) x
+      WHERE rn <= {_ED_NPROBE}
+    ),
+    hits AS (
+      SELECT t.vec_id, ev.eval_id, {cos} AS cs
+      FROM train t JOIN probes pr ON t.pid = pr.pid
+           JOIN ev0 ev ON ev.eval_id = pr.eval_id
+      WHERE {cos} >= {_ED_COS}
+    ),
+    ranked AS (
+      SELECT vec_id, eval_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cs DESC, eval_id ASC) AS rn
+      FROM hits
+    )
+    SELECT g.vec_id, g.n_eval_hits, g.max_cos,
+           CAST(r.eval_id AS BIGINT) AS nearest_eval_id
+    FROM (SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+                 max(cs) AS max_cos
+          FROM hits GROUP BY vec_id) g
+    JOIN ranked r ON r.vec_id = g.vec_id AND r.rn = 1
+    """
+
+
+@query("e_decontaminate_semantic", _decontaminate_semantic_oracle())
+def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_long as _md5_long
+    from ..operators.similarity import nearest_pivot
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("q"),
+        (
+            _md5_long(F.concat(F.lit("ed:"), F.col("vec_id").cast("string")))
+            % _ED_MOD
+        ).alias("m"),
+    )
+    en = emb.withColumn("n2", dot(F.col("q"), F.col("q")))
+    piv = en.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("q").alias("pv")
+    )
+    train = nearest_pivot(
+        en.filter(F.col("m") != 1), piv, vec_col="q"
+    ).select("vec_id", "q", "n2", "pid")
+
+    ev0 = en.filter(F.col("m") == 1).select(
+        F.col("vec_id").alias("eval_id"), "q", "n2"
+    )
+    # eval-side probe ranking: |eval| × nlist rows, bench-sized — the one
+    # place a window is the right tool (its exchange moves eval rows only)
+    wp = Window.partitionBy("eval_id").orderBy("d2", "pid")
+    probes = (
+        ev0.crossJoin(F.broadcast(piv))
+        .select(
+            "eval_id",
+            F.col("q").alias("eq"),
+            F.col("n2").alias("en2"),
+            "pid",
+            dist2(F.col("q"), F.col("pv")).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _ED_NPROBE)
+        .select("eval_id", "eq", "en2", "pid")
+    )
+
+    cos = dot(F.col("q"), F.col("eq")).cast("double") / (
+        F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("en2").cast("double"))
+    )
+    hits = (
+        train.join(F.broadcast(probes), "pid")
+        .select("vec_id", "eval_id", cos.alias("cs"))
+        .filter(F.col("cs") >= _ED_COS)
+    )
+    agg = hits.groupBy("vec_id").agg(
+        F.count("*").cast("long").alias("n_eval_hits"),
+        F.max(
+            F.struct(
+                F.col("cs").alias("cs"),
+                (-F.col("eval_id")).cast("long").alias("nid"),
+            )
+        ).alias("top"),
+    )
+    return agg.select(
+        "vec_id",
+        "n_eval_hits",
+        F.col("top.cs").alias("max_cos"),
+        (-F.col("top.nid")).cast("long").alias("nearest_eval_id"),
+    )

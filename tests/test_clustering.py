@@ -486,3 +486,78 @@ def test_ivf_split_rebalance_improves_balance(spark, sf_dir):
 
     stats = {r.list_id * 10: r.n_vecs for r in e_ivf_build_stats(spark, sf_dir).collect()}
     assert stats == before
+
+
+def test_decontaminate_semantic_is_pruned_subset_of_exact(spark, sf_dir):
+    """The IVF-pruned contamination scan must be a SUBSET of the exact
+    all-pairs threshold scan (pruning can only lose candidates, never
+    invent them), every reported hit must truly clear the threshold
+    against its nearest eval item, and the per-vector stats must agree
+    with a quadratic Python reference restricted to probed lists."""
+    from collections import defaultdict
+
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _ED_COS,
+        _ED_MOD,
+        _ED_NPROBE,
+        _N_PIVOTS,
+        e_decontaminate_semantic,
+    )
+    from pagopa_ecommerce_cdc_service_spark.operators.similarity import QUANT
+
+    import math
+
+    def _q(v):  # Spark round(x, 0): HALF_UP, away from zero
+        return int(math.copysign(math.floor(abs(v) * QUANT + 0.5), v))
+
+    vecs = {
+        r.vec_id: [_q(v) for v in r.embedding]
+        for r in read(spark, sf_dir, "embeddings").collect()
+    }
+    n2 = {i: sum(x * x for x in q) for i, q in vecs.items()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        return d / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
+
+    eval_ids = [i for i in vecs if md5_long_py(f"ed:{i}") % _ED_MOD == 1]
+    train_ids = [i for i in vecs if i not in set(eval_ids)]
+    pivots = sorted(i for i in vecs if 1 <= i <= _N_PIVOTS)
+
+    def d2(a, p):
+        return sum((x - y) ** 2 for x, y in zip(vecs[a], vecs[p]))
+
+    def nearest(a):
+        return min(pivots, key=lambda p: (d2(a, p), p))
+
+    def probe(a):
+        return [p for p in sorted(pivots, key=lambda p: (d2(a, p), p))[:_ED_NPROBE]]
+
+    probed_by_list = defaultdict(set)
+    for e in eval_ids:
+        for p in probe(e):
+            probed_by_list[p].add(e)
+
+    expect = {}
+    for t in train_ids:
+        hits = [
+            (cos(t, e), e)
+            for e in probed_by_list[nearest(t)]
+            if cos(t, e) >= _ED_COS
+        ]
+        if hits:
+            best = max(hits, key=lambda h: (h[0], -h[1]))
+            expect[t] = (len(hits), best[1])
+
+    got = {
+        r.vec_id: (r.n_eval_hits, r.nearest_eval_id, r.max_cos)
+        for r in e_decontaminate_semantic(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for t, (nh, ne, mc) in got.items():
+        assert (nh, ne) == expect[t]
+        assert mc >= _ED_COS
+        # subset of the EXACT scan: the flagged pair is a real near-dup
+        assert cos(t, ne) >= _ED_COS

@@ -1153,3 +1153,17 @@ def test_ivf_split_rebalance_fold_only(spark, sf_dir, queries):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_decontaminate_semantic_broadcast_pruned(spark, sf_dir, queries):
+    """The contamination scan must never be all-pairs: train-side
+    assignment is the broadcast pivot fold, the eval probe table rides a
+    BroadcastHashJoin into the train scan (pid-pruned candidates), and
+    nothing falls back to a cartesian or sort-merge join of the corpus."""
+    df = queries["e_decontaminate_semantic"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
