@@ -258,6 +258,10 @@ HEADLINE = [
     "t_pack_capacity_train",
     "e_kn_pruned_regret_sweep",
     "t_stream_lang_fertility",
+    # round-13 additions
+    "t_stream_lang_quality_mix",
+    "e_ivf_split_rebalance",
+    "e_decontaminate_semantic",
 ]
 
 
