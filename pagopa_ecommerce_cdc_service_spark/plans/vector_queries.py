@@ -5153,16 +5153,24 @@ def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # array fold, zero corpus exchange) and each eval item probes only its
 # _ED_NPROBE nearest lists, so a train vector is compared against just
 # the eval items probing ITS list (~nprobe/nlist of the eval set).
-# Deterministic eval split: salted md5 residue (the t_decontaminate
-# membership convention). Output: one row per contaminated train vector
-# (hit count, max cosine, nearest eval id — ties to the smaller id).
-# 100 TB shape: the eval set is bench-sized BY DEFINITION (it is a
-# benchmark), so probes ride a broadcast; the only exchange after the
-# fold is the per-flagged-vector aggregation over post-threshold hits.
-# The eval-side probe ranking windows over |eval| × nlist rows — bench
-# -sized, never corpus-sized.
+# Deterministic eval split of FIXED ABSOLUTE SIZE (the sampled-band-
+# sweep convention): membership is a salted md5 residue with the modulus
+# scaled to the corpus — D = ceil(n / TARGET) from one broadcast 1-row
+# count, no collect — so ~TARGET eval items stand in for the benchmark
+# at ANY corpus size. An eval set is bench-sized BY DEFINITION (it is a
+# benchmark); a %-of-corpus split would grow the probe broadcast and the
+# candidate volume superlinearly with the corpus, which is a property of
+# the synthetic stand-in, not of decontamination (measured: the residue
+# form ran 4.0× for 10× rows at the sf0.1→sf1 decade; this form is
+# decade-flat by construction — the corpus-linear stages are the pivot
+# fold and the pruned broadcast probe scan). Output: one row per
+# contaminated train vector (hit count, max cosine, nearest eval id —
+# ties to the smaller id). The only exchange after the fold is the
+# per-flagged-vector aggregation over post-threshold hits; the eval-side
+# probe ranking windows over |eval| × nlist rows — bench-sized, never
+# corpus-sized.
 # ---------------------------------------------------------------------------
-_ED_MOD = 20       # eval residue: md5('ed:'||vec_id) % 20 == 1  (~5%)
+_ED_TARGET = 25    # eval-set size: D = ceil(n / TARGET), md5 % D == 1
 _ED_NPROBE = 2     # lists probed per eval item (of _N_PIVOTS = 8)
 _ED_COS = _SEMDEDUP_COS  # contamination threshold = the near-dup bar
 
@@ -5170,13 +5178,21 @@ _ED_COS = _SEMDEDUP_COS  # contamination threshold = the near-dup bar
 def _decontaminate_semantic_oracle() -> str:
     from ..functions.hashing import md5_long_sql
 
-    member = f"{md5_long_sql(chr(39) + 'ed:' + chr(39) + ' || CAST(vec_id AS VARCHAR)')} % {_ED_MOD}"
+    member = (
+        f"{md5_long_sql(chr(39) + 'ed:' + chr(39) + ' || CAST(vec_id AS VARCHAR)')}"
+        " % tot0.dd"
+    )
     cos = (
         f"CAST({dot_sql('t.q', 'ev.q')} AS DOUBLE) / "
         f"(sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(ev.n2 AS DOUBLE)))"
     )
     return f"""
-    WITH e AS (SELECT vec_id, {_QV} AS q, {member} AS m FROM embeddings),
+    WITH e AS (
+      SELECT vec_id, {_QV} AS q, {member} AS m
+      FROM embeddings CROSS JOIN
+           (SELECT (count(*) + {_ED_TARGET - 1}) // {_ED_TARGET} AS dd
+            FROM embeddings) tot0
+    ),
     en AS (SELECT vec_id, q, m, {dot_sql("q", "q")} AS n2 FROM e),
     piv AS (SELECT vec_id AS pid, q AS pv FROM e
             WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
@@ -5223,12 +5239,14 @@ def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long as _md5_long
     from ..operators.similarity import nearest_pivot
 
-    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+    raw = spread(read(spark, sf_dir, "embeddings"), spark)
+    tot0 = raw.agg(F.count("*").cast("long").alias("nn"))
+    emb = raw.crossJoin(F.broadcast(tot0)).select(
         "vec_id",
         quantize(F.col("embedding")).alias("q"),
         (
             _md5_long(F.concat(F.lit("ed:"), F.col("vec_id").cast("string")))
-            % _ED_MOD
+            % F.expr(f"(nn + {_ED_TARGET - 1}) DIV {_ED_TARGET}")
         ).alias("m"),
     )
     en = emb.withColumn("n2", dot(F.col("q"), F.col("q")))

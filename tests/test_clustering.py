@@ -500,8 +500,8 @@ def test_decontaminate_semantic_is_pruned_subset_of_exact(spark, sf_dir):
     from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
     from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
         _ED_COS,
-        _ED_MOD,
         _ED_NPROBE,
+        _ED_TARGET,
         _N_PIVOTS,
         e_decontaminate_semantic,
     )
@@ -522,7 +522,8 @@ def test_decontaminate_semantic_is_pruned_subset_of_exact(spark, sf_dir):
         d = sum(x * y for x, y in zip(vecs[a], vecs[b]))
         return d / (math.sqrt(n2[a]) * math.sqrt(n2[b]))
 
-    eval_ids = [i for i in vecs if md5_long_py(f"ed:{i}") % _ED_MOD == 1]
+    dd = (len(vecs) + _ED_TARGET - 1) // _ED_TARGET
+    eval_ids = [i for i in vecs if md5_long_py(f"ed:{i}") % dd == 1]
     train_ids = [i for i in vecs if i not in set(eval_ids)]
     pivots = sorted(i for i in vecs if 1 <= i <= _N_PIVOTS)
 

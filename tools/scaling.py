@@ -154,6 +154,9 @@ QUERIES = (
     "t_lsh_band_sweep_sampled",  # fixed-size md5 sample: decade-flat by design
     "t_pack_capacity_train",   # rewrite -> split -> train cumsum, three arms
     "e_kn_pruned_regret_sweep",  # 3 pruned chains + sampled exact arms
+    # round-13 additions
+    "e_ivf_split_rebalance",   # two broadcast folds + bounded-key censuses
+    "e_decontaminate_semantic",  # pivot fold + broadcast eval-probe join
 )
 
 
