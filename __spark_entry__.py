@@ -1073,6 +1073,12 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # tests/test_clustering.py). Parity-green at both local scales on
     # introduction.
     "e_ivf_split_rebalance",
+    # Temperature-sampled language mixture — the α = 1/2 allocation law
+    # (XLM-R/mT5 discipline; sqrt because IEEE sqrt is correctly rounded
+    # in both engines, immediately integer-quantized). Composes t_lang_id
+    # verbatim; bounded |langs| output; law test in tests/test_corpus_ops.py.
+    # Parity-green at sf0.001/0.01/0.1 on introduction.
+    "t_lang_temperature_mix",
     # Semantic eval-set decontamination — the embedding-space twin of
     # t_decontaminate: train vectors whose cosine to any eval item
     # reaches the SemDeDup bar, found via the IVF-pruned broadcast scan

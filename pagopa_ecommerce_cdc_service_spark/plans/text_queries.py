@@ -5855,3 +5855,85 @@ def t_stream_lang_quality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["t_stream_lang_quality_mix"] = t_stream_lang_quality_mix
 ORACLES["t_stream_lang_quality_mix"] = ORACLES["t_lang_quality_mix"]
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sampled language mixture (round 13): the α-sampling
+# allocation a multilingual training pipeline applies AFTER the census —
+# natural (proportional) sampling starves low-resource languages, so the
+# mixture is re-weighted by p_l^α (XLM-R / mT5 discipline). α = 1/2 is
+# used here because IEEE sqrt is correctly rounded in BOTH engines, so
+# the weight law stays bit-deterministic cross-engine where a pow(p, .7)
+# would not be; the sqrt is immediately integer-quantized (floor ×1000)
+# and every downstream ratio is exact integer arithmetic. Output, one
+# row per predicted language (bounded by |langs|): doc count, natural
+# share, temperature weight, temperature allocation, and the up/down-
+# sampling boost a deployment applies per language. Composes the
+# certified stopword-argmax language identifier VERBATIM (t_lang_id).
+# Complements t_mixture_plan (per-SOURCE shares vs a UNIFORM target):
+# temperature sampling interpolates between natural and uniform instead
+# of forcing uniform, and keys on the PREDICTED language, the axis a
+# multilingual run actually balances.
+# 100 TB shape: the lang census is one map-side-combined aggregation;
+# everything after operates on the |langs|-row table (one broadcast
+# 1-row total join, no corpus re-scan).
+# ---------------------------------------------------------------------------
+@query(
+    "t_lang_temperature_mix",
+    """
+    WITH lang AS ({LANG_ORACLE}),
+    census AS (
+      SELECT predicted_lang AS lang, CAST(count(*) AS BIGINT) AS n_docs
+      FROM lang GROUP BY 1
+    ),
+    w AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+               AS temp_weight_milli
+      FROM census
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(temp_weight_milli) AS BIGINT) AS total_w
+      FROM w
+    )
+    SELECT w.lang, w.n_docs,
+           (w.n_docs * 1000000) // tot.total_docs AS natural_micro,
+           w.temp_weight_milli,
+           (w.temp_weight_milli * 1000000) // tot.total_w AS alloc_micro,
+           ((w.temp_weight_milli * 1000000) // tot.total_w) * 1000
+             // ((w.n_docs * 1000000) // tot.total_docs) AS boost_milli
+    FROM w CROSS JOIN tot
+    """,
+)
+def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    census = (
+        t_lang_id(spark, sf_dir)
+        .groupBy(F.col("predicted_lang").alias("lang"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+    w = census.withColumn(
+        "temp_weight_milli",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
+    )
+    tot = w.agg(
+        F.sum("n_docs").cast("long").alias("total_docs"),
+        F.sum("temp_weight_milli").cast("long").alias("total_w"),
+    )
+    shares = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr("(n_docs * 1000000) div total_docs").alias("natural_micro"),
+        "temp_weight_milli",
+        F.expr("(temp_weight_milli * 1000000) div total_w").alias("alloc_micro"),
+    )
+    # exact integer div, never double-divide-then-cast (half-ulp truncation
+    # hazard vs the oracle's floor division)
+    return shares.withColumn(
+        "boost_milli", F.expr("(alloc_micro * 1000) div natural_micro")
+    )
+
+
+ORACLES["t_lang_temperature_mix"] = ORACLES["t_lang_temperature_mix"].replace(
+    "{LANG_ORACLE}", ORACLES["t_lang_id"]
+)

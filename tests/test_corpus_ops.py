@@ -1311,3 +1311,35 @@ def test_band_sweep_sampling_commutes_with_sweeping(spark, sf_dir, tmp_path):
         map(tuple, t_lsh_band_sweep(spark, subset_dir).collect())
     )
     assert sampled == full_on_subset
+
+
+def test_lang_temperature_mix_laws(spark, sf_dir):
+    """Pure-math pins for the α = 1/2 temperature mixture: the weight is
+    floor(sqrt(n)·1000) exactly; shares are exact integer floors; and the
+    law's POINT holds — boost is antitone in corpus share (low-resource
+    languages are up-sampled, high-resource down-sampled, pivoting around
+    1000 milli)."""
+    import math
+
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        t_lang_temperature_mix,
+    )
+
+    rows = {r.lang: r for r in t_lang_temperature_mix(spark, sf_dir).collect()}
+    assert len(rows) >= 2
+    n_total = read(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_total
+
+    total_w = sum(r.temp_weight_milli for r in rows.values())
+    for r in rows.values():
+        assert r.temp_weight_milli == math.floor(math.sqrt(r.n_docs) * 1000)
+        assert r.natural_micro == r.n_docs * 1_000_000 // n_total
+        assert r.alloc_micro == r.temp_weight_milli * 1_000_000 // total_w
+        assert r.boost_milli == r.alloc_micro * 1000 // r.natural_micro
+
+    by_share = sorted(rows.values(), key=lambda r: r.n_docs)
+    boosts = [r.boost_milli for r in by_share]
+    assert boosts == sorted(boosts, reverse=True), boosts
+    # sqrt flattens strictly: smallest lang boosted, largest damped
+    assert by_share[0].boost_milli >= 1000 >= by_share[-1].boost_milli
