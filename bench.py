@@ -262,6 +262,7 @@ HEADLINE = [
     "t_stream_lang_quality_mix",
     "e_ivf_split_rebalance",
     "e_decontaminate_semantic",
+    "t_lang_temperature_mix",
 ]
 
 
