@@ -5901,8 +5901,10 @@ ORACLES["t_stream_lang_quality_mix"] = ORACLES["t_lang_quality_mix"]
            (w.n_docs * 1000000) // tot.total_docs AS natural_micro,
            w.temp_weight_milli,
            (w.temp_weight_milli * 1000000) // tot.total_w AS alloc_micro,
-           ((w.temp_weight_milli * 1000000) // tot.total_w) * 1000
-             // ((w.n_docs * 1000000) // tot.total_docs) AS boost_milli
+           CASE WHEN (w.n_docs * 1000000) // tot.total_docs > 0
+                THEN ((w.temp_weight_milli * 1000000) // tot.total_w) * 1000
+                     // ((w.n_docs * 1000000) // tot.total_docs)
+           END AS boost_milli
     FROM w CROSS JOIN tot
     """,
 )
@@ -5928,9 +5930,15 @@ def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(temp_weight_milli * 1000000) div total_w").alias("alloc_micro"),
     )
     # exact integer div, never double-divide-then-cast (half-ulp truncation
-    # hazard vs the oracle's floor division)
+    # hazard vs the oracle's floor division); NULL — in BOTH engines — for
+    # a language whose share floors to 0 micro (sub-ppm at extreme corpus
+    # sizes), instead of Spark-NULL-vs-DuckDB-error divergence
     return shares.withColumn(
-        "boost_milli", F.expr("(alloc_micro * 1000) div natural_micro")
+        "boost_milli",
+        F.expr(
+            "CASE WHEN natural_micro > 0 "
+            "THEN (alloc_micro * 1000) div natural_micro END"
+        ),
     )
 
 
