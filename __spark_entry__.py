@@ -1086,6 +1086,13 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # reference subset/stats pin in tests/test_clustering.py; plan-gated.
     # Parity-green at sf0.001, sf0.01 and sf0.1 on introduction.
     "e_decontaminate_semantic",
+    # Serving over the rebalanced layout — IVF top-k probing the
+    # post-split list set against the per-list centroid table (the
+    # reason a build pipeline rebalances at all). Composes
+    # _split_rebalanced_layout with the e_ivf_topk serving conventions;
+    # plan-gated. Parity-green at sf0.001/0.01/0.1 on introduction.
+    # (Pending list at the cap of 5.)
+    "e_ivf_rebalanced_topk",
 )
 
 

@@ -263,6 +263,7 @@ HEADLINE = [
     "e_ivf_split_rebalance",
     "e_decontaminate_semantic",
     "t_lang_temperature_mix",
+    "e_ivf_rebalanced_topk",
 ]
 
 

@@ -5055,18 +5055,23 @@ def _ivf_split_rebalance_oracle() -> str:
     """
 
 
-@query("e_ivf_split_rebalance", _ivf_split_rebalance_oracle())
-def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _split_rebalanced_layout(emb: DataFrame):
+    """The split-rebalance assignment law, shared by the audit
+    (e_ivf_split_rebalance) and the serving twin (e_ivf_rebalanced_topk).
+
+    ``emb`` must carry (vec_id, qvec, *extra).  Returns ``(occ, hot,
+    after, cent)``: the before-occupancy table (pid, nv), the hot pid
+    set, the rebalanced assignment (*emb columns*, list_id), and the
+    ≤ nlist + _RB_SPLITS centroid table (list_id, cv) — the pivot for
+    unsplit lists, the sub-seed for split halves."""
     from ..functions.hashing import md5_long as _md5_long
     from ..operators.similarity import nearest_pivot
 
-    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", quantize(F.col("embedding")).alias("qvec")
-    )
+    extra = [c for c in emb.columns if c not in ("vec_id", "qvec")]
     piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
         F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
     )
-    lists = nearest_pivot(emb, piv)  # (vec_id, qvec, pid), zero-shuffle fold
+    lists = nearest_pivot(emb, piv)  # (*emb cols*, pid), zero-shuffle fold
     occ = lists.groupBy("pid").agg(F.count("*").alias("nv"))
     hot = occ.orderBy(F.desc("nv"), F.asc("pid")).limit(_RB_SPLITS).select("pid")
     hotm = lists.join(F.broadcast(hot), "pid")
@@ -5118,12 +5123,36 @@ def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_subs")
     )
     after = resplit.select(
-        "vec_id", (F.col("pid") * 10 + F.col("sub")).cast("long").alias("list_id")
+        "vec_id",
+        "qvec",
+        *extra,
+        (F.col("pid") * 10 + F.col("sub")).cast("long").alias("list_id"),
     ).unionByName(
         lists.join(F.broadcast(hot), "pid", "left_anti").select(
-            "vec_id", (F.col("pid") * 10).cast("long").alias("list_id")
+            "vec_id",
+            "qvec",
+            *extra,
+            (F.col("pid") * 10).cast("long").alias("list_id"),
         )
     )
+    cent = piv.join(F.broadcast(hot), "pid", "left_anti").select(
+        (F.col("pid") * 10).cast("long").alias("list_id"),
+        F.col("pv").alias("cv"),
+    ).unionByName(
+        sub1.unionByName(sub2).select(
+            (F.col("pid") * 10 + F.col("sub")).cast("long").alias("list_id"),
+            F.col("sv").alias("cv"),
+        )
+    )
+    return occ, hot, after, cent
+
+
+@query("e_ivf_split_rebalance", _ivf_split_rebalance_oracle())
+def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    occ, hot, after, _cent = _split_rebalanced_layout(emb)
     tot = emb.agg(F.count("*").cast("long").alias("total"))
     u = occ.select(
         F.lit("before").alias("phase"),
@@ -5299,4 +5328,114 @@ def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eval_hits",
         F.col("top.cs").alias("max_cos"),
         (-F.col("top.nid")).cast("long").alias("nearest_eval_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Serving over the REBALANCED layout (round 13): the query that proves
+# the split-rebalance corrective composes with the serving path — IVF
+# top-k where the probed universe is the post-split list set and the
+# probe ranking runs against the per-list centroid table (the pivot for
+# unsplit lists, the sub-seed for split halves). This is why a build
+# pipeline rebalances at all: after a split, nprobe pruning scans the
+# HALF of the former hot list nearest the query instead of all of it.
+# Same serving conventions as e_ivf_topk (query = vec_id 0, _NPROBE
+# probed lists, exact-cosine top-5, deterministic ties). 100 TB shape:
+# the layout build is the audited zero-corpus-exchange chain; serving
+# adds one broadcast of the ≤ nlist+_RB_SPLITS centroid table, a
+# broadcast semi-join of the probed ids into the assignment scan, and a
+# TakeOrderedAndProject top-5 — the e_ivf_topk plan over a better-
+# balanced list set.
+# ---------------------------------------------------------------------------
+def _ivf_rebalanced_topk_oracle() -> str:
+    from ..functions.hashing import md5_long_sql
+
+    cos = cosine_sql("a.qvec", "q.qvec")
+    return f"""
+    WITH e AS (SELECT vec_id, label, {_QV} AS qvec FROM embeddings),
+    piv AS (SELECT vec_id AS pid, qvec AS pv FROM e
+            WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
+    assign AS (
+      SELECT e.vec_id, e.label, e.qvec, p.pid,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {dist2_sql("e.qvec", "p.pv")}, p.pid) AS rn
+      FROM e, piv p
+    ),
+    lists AS (SELECT vec_id, label, qvec, pid FROM assign WHERE rn = 1),
+    occ AS (SELECT pid, count(*) AS nv FROM lists GROUP BY pid),
+    hot AS (SELECT pid FROM occ ORDER BY nv DESC, pid ASC LIMIT {_RB_SPLITS}),
+    subseed AS (
+      SELECT l.pid, l.vec_id, l.qvec,
+             ROW_NUMBER() OVER (PARTITION BY l.pid
+                                ORDER BY {md5_long_sql("'rb:' || CAST(l.vec_id AS VARCHAR)")},
+                                         l.vec_id) AS sub
+      FROM lists l JOIN hot h ON l.pid = h.pid
+    ),
+    subpiv AS (SELECT pid, sub, qvec AS sv FROM subseed WHERE sub <= 2),
+    resplit AS (
+      SELECT l.vec_id, l.label, l.qvec, l.pid, s.sub,
+             ROW_NUMBER() OVER (PARTITION BY l.vec_id
+                                ORDER BY {dist2_sql("l.qvec", "s.sv")}, s.sub) AS rn
+      FROM lists l JOIN subpiv s ON l.pid = s.pid
+    ),
+    after_assign AS (
+      SELECT vec_id, label, qvec, pid * 10 + sub AS list_id
+      FROM resplit WHERE rn = 1
+      UNION ALL
+      SELECT l.vec_id, l.label, l.qvec, l.pid * 10 AS list_id FROM lists l
+      WHERE l.pid NOT IN (SELECT pid FROM hot)
+    ),
+    cent AS (
+      SELECT pid * 10 AS list_id, pv AS cv FROM piv
+      WHERE pid NOT IN (SELECT pid FROM hot)
+      UNION ALL
+      SELECT pid * 10 + sub AS list_id, sv AS cv FROM subpiv
+    ),
+    q AS (SELECT qvec FROM e WHERE vec_id = 0),
+    qprobe AS (
+      SELECT list_id FROM (
+        SELECT c.list_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY {dist2_sql("q.qvec", "c.cv")}, c.list_id) AS rn
+        FROM cent c CROSS JOIN q) x
+      WHERE rn <= {_NPROBE}
+    )
+    SELECT a.vec_id, a.label, CAST(a.list_id AS BIGINT) AS list_id,
+           {cos} AS cos_sim
+    FROM after_assign a JOIN qprobe USING (list_id) CROSS JOIN q
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id ASC
+    LIMIT 5
+    """
+
+
+@query("e_ivf_rebalanced_topk", _ivf_rebalanced_topk_oracle())
+def e_ivf_rebalanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dist2 as _dist2
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec"), "label"
+    )
+    _occ, _hot, after, cent = _split_rebalanced_layout(emb)
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("qvec").alias("qv"))
+    wq = Window.orderBy("d2", "list_id")  # <= nlist + splits rows
+    qprobe = (
+        cent.crossJoin(F.broadcast(q))
+        .select("list_id", _dist2(F.col("qv"), F.col("cv")).alias("d2"))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("list_id")
+    )
+    return (
+        after.join(F.broadcast(qprobe), "list_id", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            "list_id",
+            cosine(F.col("qvec"), F.col("qv")).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
     )

@@ -1167,3 +1167,19 @@ def test_decontaminate_semantic_broadcast_pruned(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_rebalanced_topk_serving_shape(spark, sf_dir, queries):
+    """Serving over the rebalanced layout must keep the e_ivf_topk plan
+    discipline: probed ids ride a broadcast semi-join into the
+    assignment scan, the final head is a TakeOrderedAndProject (map-side
+    top-5, never a global sort), and nothing falls back to Python, a
+    cartesian, or a corpus sort-merge join."""
+    df = queries["e_ivf_rebalanced_topk"](spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
