@@ -157,6 +157,8 @@ QUERIES = (
     # round-13 additions
     "e_ivf_split_rebalance",   # two broadcast folds + bounded-key censuses
     "e_decontaminate_semantic",  # pivot fold + broadcast eval-probe join
+    "e_ivf_rebalanced_topk",   # layout chain + probed top-5 serving head
+    "t_lang_temperature_mix",  # lang census + |langs|-row allocation math
 )
 
 
