@@ -562,3 +562,77 @@ def test_decontaminate_semantic_is_pruned_subset_of_exact(spark, sf_dir):
         assert mc >= _ED_COS
         # subset of the EXACT scan: the flagged pair is a real near-dup
         assert cos(t, ne) >= _ED_COS
+
+
+def test_ivf_rebalanced_topk_matches_reference(spark, sf_dir):
+    """Quadratic Python reference for the whole serving chain: rebuild
+    the rebalanced layout (assignment, hot split, sub-seeds, centroids)
+    sequentially, probe the query's _NPROBE nearest lists, and take the
+    exact-cosine top-5 among probed members — the Spark plan must
+    reproduce it row for row."""
+    import math
+
+    from pagopa_ecommerce_cdc_service_spark.functions.hashing import md5_long_py
+    from pagopa_ecommerce_cdc_service_spark.operators.similarity import QUANT
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _N_PIVOTS,
+        _NPROBE,
+        _RB_SPLITS,
+        e_ivf_rebalanced_topk,
+    )
+
+    def _q(v):
+        return int(math.copysign(math.floor(abs(v) * QUANT + 0.5), v))
+
+    rows = read(spark, sf_dir, "embeddings").collect()
+    vecs = {r.vec_id: [_q(v) for v in r.embedding] for r in rows}
+    label = {r.vec_id: r.label for r in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        return num / (
+            math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        )
+
+    pivots = {p: vecs[p] for p in range(1, _N_PIVOTS + 1) if p in vecs}
+    assign = {
+        i: min(pivots, key=lambda p: (d2(v, pivots[p]), p))
+        for i, v in vecs.items()
+    }
+    occ: dict[int, int] = {}
+    for p in assign.values():
+        occ[p] = occ.get(p, 0) + 1
+    hot = [p for p, _ in sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))][:_RB_SPLITS]
+
+    final = {}
+    cent = {p * 10: pivots[p] for p in pivots if p not in hot}
+    for i, p in assign.items():
+        if p not in hot:
+            final[i] = p * 10
+    for p in hot:
+        members = sorted(
+            (i for i, pp in assign.items() if pp == p),
+            key=lambda i: (md5_long_py(f"rb:{i}"), i),
+        )
+        seeds = {s + 1: vecs[members[s]] for s in range(min(2, len(members)))}
+        for s, sv in seeds.items():
+            cent[p * 10 + s] = sv
+        for i in members:
+            s = min(seeds, key=lambda s: (d2(vecs[i], seeds[s]), s))
+            final[i] = p * 10 + s
+
+    qv = vecs[0]
+    probed = sorted(cent, key=lambda c: (d2(qv, cent[c]), c))[:_NPROBE]
+    pool = [i for i, lid in final.items() if lid in probed and i != 0]
+    expect = sorted(pool, key=lambda i: (-cos(vecs[i], qv), i))[:5]
+
+    got = e_ivf_rebalanced_topk(spark, sf_dir).collect()
+    assert [r.vec_id for r in got] == expect
+    for r in got:
+        assert r.list_id == final[r.vec_id]
+        assert r.label == label[r.vec_id]
+        assert abs(r.cos_sim - cos(vecs[r.vec_id], qv)) < 1e-12
