@@ -636,3 +636,29 @@ def test_ivf_rebalanced_topk_matches_reference(spark, sf_dir):
         assert r.list_id == final[r.vec_id]
         assert r.label == label[r.vec_id]
         assert abs(r.cos_sim - cos(vecs[r.vec_id], qv)) < 1e-12
+
+
+def test_round13_vector_queries_partitioning_invariant(spark, sf_dir, tmp_path):
+    """Determinism contract for the round-13 vector queries: outputs are
+    pure functions of the data, not of physical layout. The sub-seed
+    min-aggregations, broadcast folds, and probe rankings must produce
+    identical rows when the input parquet arrives as one file or many."""
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        e_decontaminate_semantic,
+        e_ivf_rebalanced_topk,
+        e_ivf_split_rebalance,
+    )
+
+    emb = read(spark, sf_dir, "embeddings")
+    emb.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "a" / "embeddings.parquet")
+    )
+    emb.repartition(13).write.mode("overwrite").parquet(
+        str(tmp_path / "b" / "embeddings.parquet")
+    )
+    for fn in (e_ivf_split_rebalance, e_decontaminate_semantic, e_ivf_rebalanced_topk):
+        a = sorted(map(tuple, fn(spark, str(tmp_path / "a")).collect()))
+        b = sorted(map(tuple, fn(spark, str(tmp_path / "b")).collect()))
+        assert a == b, fn.__name__
+        assert a, f"{fn.__name__}: empty output on the fixture corpus"
