@@ -5200,7 +5200,18 @@ def e_ivf_split_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus-sized.
 # ---------------------------------------------------------------------------
 _ED_TARGET = 25    # eval-set size: D = ceil(n / TARGET), md5 % D == 1
-_ED_NPROBE = 2     # lists probed per eval item (of _N_PIVOTS = 8)
+# Lists probed per eval item, set from the MEASURED recall sweep
+# (tools + SCALING.md round 13): on this near-orthogonal corpus the
+# nprobe/nlist prune trades recall steeply — 2/8 captures only 0.33-0.55
+# of true contamination pairs, 4/8 ~0.75, 6/8 0.87-0.94, 8/8 ≡
+# exhaustive ≡ 1.0 (the eval set is fixed-size, so even the exhaustive
+# scan is corpus-LINEAR; the prune only buys a constant factor).
+# Decontamination is recall-critical — a missed leak poisons an eval —
+# so the default sits at the knee (6/8); a deployment that unions many
+# benchmarks (large |eval|) dials it down, one that cannot tolerate any
+# miss runs 8/8. On a real dup-tight corpus (cos ≥ 0.95) assignment
+# agreement is far higher and the same nprobe recovers more.
+_ED_NPROBE = 6
 _ED_COS = _SEMDEDUP_COS  # contamination threshold = the near-dup bar
 
 
