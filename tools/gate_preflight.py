@@ -109,8 +109,25 @@ def main() -> None:
                 # element-wise tuple equality over canonicalized cells —
                 # the same comparison tests/test_oracle_parity.py performs
                 # (repr-equality would re-introduce the dtype cosmetics
-                # _norm_cell just erased)
-                rec["hash_match"] = s_rows == o_rows
+                # _norm_cell just erased) — plus the parity suite's
+                # dtype-KIND check: Python's 1 == 1.0 would otherwise hide
+                # an int column coming back float from one engine
+                def _kind(dt):
+                    s = str(dt)
+                    if "int" in s:
+                        return "int"
+                    if "float" in s or "double" in s:
+                        return "float"
+                    if "datetime" in s:
+                        return "ts"
+                    return "other"
+
+                kind_ok = all(
+                    _kind(spark_pd[c].dtype) == _kind(oracle_pd[c].dtype)
+                    for c in spark_pd.columns
+                    if c in oracle_pd.columns
+                )
+                rec["hash_match"] = kind_ok and s_rows == o_rows
             else:
                 # runtime-only check (no oracle): rows-only, like the driver
                 rec["rows_match"] = True
