@@ -1030,6 +1030,32 @@ _CERTIFIED_TAIL = (
     "e_kn_pruned_vs_flat_delta",
     "e_ivf_opq_tuning_grid",
     "t_lang_quality_mix",
+    # Round-14 rotation (seventeenth pass): the five r13 _PENDING_FIRST_CERT
+    # queries rotate INTO the prefix for their first hard certification —
+    # t_stream_lang_quality_mix (RUNTIME: the deployed-mode sampling-matrix
+    # twin, joins the 45 other runtime gates permanently → 46 runtime slots),
+    # plus the four statics e_ivf_split_rebalance, t_lang_temperature_mix,
+    # e_decontaminate_semantic, e_ivf_rebalanced_topk (46 + 4 = 50).
+    # Rotating OUT: the five r13-certified statics, each fingerprint-equal
+    # vs FINGERPRINTS_r13 (guard-tested by tests/test_rotation.py):
+    # - t_pack_offsets: fingerprint-equal to its r13-certified state; the
+    #   packing spine (operators/packing.py first-fit fold) is untouched
+    #   this round and its void/offset laws re-certified together in r13.
+    # - t_corpus_pipeline_chunked: fingerprint-equal; the chunked corpus
+    #   chain composes chunking + dedup operators unchanged this round.
+    # - t_lsh_band_sweep_sampled: fingerprint-equal; the sampled band-plan
+    #   law certified r13 and the commutation test (tests/test_corpus_ops.py)
+    #   still pins sampled-sweep ≡ full-sweep-on-sample value-exactly.
+    # - t_pack_capacity_train: fingerprint-equal; its three-arm capacity
+    #   composer is untouched this round (standard tail justification).
+    # - e_kn_pruned_regret_sweep: fingerprint-equal; the pruned-kn regret
+    #   chain is untouched this round, and its P = 16 arm stays pinned as a
+    #   strict subset audit in tests/test_clustering.py.
+    "t_pack_offsets",
+    "t_corpus_pipeline_chunked",
+    "t_lsh_band_sweep_sampled",
+    "t_pack_capacity_train",
+    "e_kn_pruned_regret_sweep",
 )
 
 
@@ -1041,8 +1067,8 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT: tuple[str, ...] = (
-    # Round 13: the r12 five all rotated into the prefix (first
-    # certification this round).
+    # Round 14: the r13 five all rotated into the prefix (first
+    # certification this round); new round-14 queries accumulate here.
     #
     # POLICY NOTE (round 13): pendings may now be RUNTIME queries. The
     # "runtime queries are pinned in the prefix" rule exists because a
@@ -1058,41 +1084,6 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # (tests/test_rotation.py enforces prefix-or-pending for runtime —
     # never the certified tail).
     #
-    # STREAMING (lang × quality-mix) twin — the sampling-budget matrix in
-    # deployed mode (RUNTIME: stages parquet, runs a two-incarnation
-    # stream with a mid-stream restart leg). Scores lang + token census
-    # on ingest, drains the narrow store, delegates cuts/census to the
-    # batch tail's expressions; hash-checked against t_lang_quality_mix's
-    # oracle SQL verbatim by the parity suite every round.
-    "t_stream_lang_quality_mix",
-    # IVF list-split rebalance audit — the corrective for the imbalance
-    # e_ivf_build_stats measures: split the top-2 lists by occupancy via
-    # deterministic sub-seeds + a nearest-sub-seed broadcast fold; the
-    # full before/after per-list layout under the value hash. Structural
-    # law (strict max-occupancy improvement by construction, pinned in
-    # tests/test_clustering.py). Parity-green at both local scales on
-    # introduction.
-    "e_ivf_split_rebalance",
-    # Temperature-sampled language mixture — the α = 1/2 allocation law
-    # (XLM-R/mT5 discipline; sqrt because IEEE sqrt is correctly rounded
-    # in both engines, immediately integer-quantized). Composes t_lang_id
-    # verbatim; bounded |langs| output; law test in tests/test_corpus_ops.py.
-    # Parity-green at sf0.001/0.01/0.1 on introduction.
-    "t_lang_temperature_mix",
-    # Semantic eval-set decontamination — the embedding-space twin of
-    # t_decontaminate: train vectors whose cosine to any eval item
-    # reaches the SemDeDup bar, found via the IVF-pruned broadcast scan
-    # (never all-pairs; eval probes ride a broadcast). Quadratic-
-    # reference subset/stats pin in tests/test_clustering.py; plan-gated.
-    # Parity-green at sf0.001, sf0.01 and sf0.1 on introduction.
-    "e_decontaminate_semantic",
-    # Serving over the rebalanced layout — IVF top-k probing the
-    # post-split list set against the per-list centroid table (the
-    # reason a build pipeline rebalances at all). Composes
-    # _split_rebalanced_layout with the e_ivf_topk serving conventions;
-    # plan-gated. Parity-green at sf0.001/0.01/0.1 on introduction.
-    # (Pending list at the cap of 5.)
-    "e_ivf_rebalanced_topk",
 )
 
 

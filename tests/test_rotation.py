@@ -5,8 +5,8 @@ The driver gate certifies exactly the first 50 registered queries
 tail ONLY if it is provably unchanged since its last green gate row: its
 normalized analyzed-plan hash and oracle-SQL hash must be byte-identical to
 the committed snapshot of the code state that run certified
-(``FINGERPRINTS_r12.json`` as of round 13), and its last gate run (the merged
-r02..r12 history — latest row wins) must have recorded all three checks
+(``FINGERPRINTS_r13.json`` as of round 14), and its last gate run (the merged
+r02..r13 history — latest row wins) must have recorded all three checks
 (rows + schema + hash) green.
 
 If you edit any operator or plan a tail query depends on, this test fails —
@@ -25,10 +25,10 @@ import __spark_entry__ as entry_mod
 from tools.fingerprints import RUNTIME_QUERIES, _normalize, _sha
 
 REPO = Path(__file__).resolve().parent.parent
-SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r12.json").read_text())
-# a tail query's certifying row is its LATEST hard-gate run: r12 if the
-# round-12 prefix held it, else the most recent earlier round that did
-# (r11..r02 — unchanged since, fingerprint-guarded below)
+SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r13.json").read_text())
+# a tail query's certifying row is its LATEST hard-gate run: r13 if the
+# round-13 prefix held it, else the most recent earlier round that did
+# (r12..r02 — unchanged since, fingerprint-guarded below)
 CERTIFIED = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r03.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r04.json").read_text()))
@@ -40,6 +40,7 @@ CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r09.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r10.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r11.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r12.json").read_text()))
+CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r13.json").read_text()))
 
 
 def _order():
