@@ -4989,10 +4989,14 @@ def e_kn_pruned_regret_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # data-flaky): the top _RB_SPLITS lists by occupancy (ties to the
 # smaller pid) are each split in two — two deterministic sub-seeds (the
 # members with the smallest salted md5, the kmeans_seeds discipline) and
-# a nearest-sub-seed reassignment of that list's members. Every split
-# half is strictly smaller than its parent (each sub-seed captures at
-# least itself), so max list occupancy strictly improves by construction
-# (pinned in tests/test_clustering.py). Output: the full before/after
+# a nearest-sub-seed reassignment of that list's members. Whenever a
+# split parent has >= 2 members, every split half is strictly smaller
+# than its parent (each sub-seed captures at least itself), so max list
+# occupancy strictly improves in the generic case — strictness requires
+# that all lists tied at the max fall inside the top-_RB_SPLITS
+# selection (a >_RB_SPLITS-way tie at max, or a 1-member hot list,
+# degrades the guarantee to <=; the pin in tests/test_clustering.py is
+# tie-aware). Output: the full before/after
 # per-list layout (8 + nlist+_RB_SPLITS rows, exact integer shares).
 # 100 TB shape: assignment is the broadcast pivot-array fold (zero
 # corpus exchanges); hot selection reads the 8-row occupancy table; the

@@ -446,13 +446,16 @@ def test_regret_sweep_sampled_arm_is_subset_of_full_audit(spark, sf_dir):
 
 def test_ivf_split_rebalance_improves_balance(spark, sf_dir):
     """Structural guarantees of the split-rebalance law: (a) mass is
-    conserved — both phases assign every vector exactly once; (b) the
-    rebalanced layout has nlist + _RB_SPLITS lists (each split half is
-    non-empty: a sub-seed captures at least itself); (c) max list
-    occupancy STRICTLY improves — every split half is strictly smaller
-    than its parent and the unsplit lists were, by hot-selection, no
-    heavier than the split ones; (d) unsplit lists carry over unchanged;
-    (e) the before phase equals e_ivf_build_stats (same assignment law)."""
+    conserved — both phases assign every vector exactly once; (b) each
+    split parent with >= 2 members yields two non-empty halves (a
+    sub-seed captures at least itself), each strictly smaller than the
+    parent; (c) max list occupancy improves — STRICTLY when the generic
+    precondition holds (every list tied at the max falls inside the
+    top-_RB_SPLITS selection and each split parent has >= 2 members;
+    driver-regenerated data could in principle produce a wider tie or a
+    1-member hot list, where the law degrades to <=); (d) unsplit lists
+    carry over unchanged; (e) the before phase equals e_ivf_build_stats
+    (same assignment law)."""
     from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
         _RB_SPLITS,
         e_ivf_build_stats,
@@ -464,8 +467,6 @@ def test_ivf_split_rebalance_improves_balance(spark, sf_dir):
     after = {r.list_id: r.n_vecs for r in rows if r.phase == "after"}
 
     assert sum(before.values()) == sum(after.values()) > 0
-    assert len(after) == len(before) + _RB_SPLITS
-    assert max(after.values()) < max(before.values())
 
     split_parents = {
         lid // 10 * 10 for lid in after if lid % 10 != 0
@@ -475,11 +476,24 @@ def test_ivf_split_rebalance_improves_balance(spark, sf_dir):
     # smaller pid)
     ranked = sorted(before.items(), key=lambda kv: (-kv[1], kv[0]))
     assert split_parents == {lid for lid, _ in ranked[:_RB_SPLITS]}
+
+    max_before = max(before.values())
+    tied_at_max = sum(1 for n in before.values() if n == max_before)
+    generic = tied_at_max <= _RB_SPLITS and all(
+        before[p] >= 2 for p in split_parents
+    )
+    if generic:
+        assert len(after) == len(before) + _RB_SPLITS
+        assert max(after.values()) < max_before
+    else:
+        assert max(after.values()) <= max_before
+
     for parent in split_parents:
         halves = [after[lid] for lid in after if lid // 10 * 10 == parent and lid % 10 != 0]
-        assert len(halves) == 2 and all(h >= 1 for h in halves)
         assert sum(halves) == before[parent]
-        assert max(halves) < before[parent]
+        if before[parent] >= 2:
+            assert len(halves) == 2 and all(h >= 1 for h in halves)
+            assert max(halves) < before[parent]
     for lid, n in before.items():
         if lid not in split_parents:
             assert after[lid] == n

@@ -5,6 +5,8 @@ oracle-parity hash can't isolate on the synthetic corpus.
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -1266,14 +1268,19 @@ def test_band_sweep_sampled_tracks_full_ratios(spark, sf_dir):
     # thousands of candidates and its tiny precision tracks the full
     # sweep tightly; the high-r/low-r EXTREMES stay far apart.
     assert samp[8].n_candidates > 100, samp[8]
-    # binomial noise on a ~300-doc sample scales with the full-sweep
-    # precision itself, so the tolerance is relative with the original
-    # 0.02 as an absolute floor — a driver-regenerated corpus with a
-    # different duplicate-cluster mix must not flake a correct query
-    # (the value-exact commutation test below is the hard pin)
-    assert abs(samp[8].precision - full[8].precision) <= max(
-        0.02, 0.5 * full[8].precision
-    )
+    # tolerance derived from the binomial standard error of the sampled
+    # estimate (r13 ADVICE: the old max(0.02, 0.5·p) band was ~10× the
+    # precision itself at gate scale — loose enough to hide a real
+    # ratio-stability regression). SE = sqrt(p(1-p)/n_cand_sampled) with
+    # p from the full sweep; 6·SE absorbs the doc-level (not pair-level)
+    # sampling design effect, and a ±10-pair absolute floor covers the
+    # degenerate p≈0 corner. Measured r14: |Δ| ≈ 1.2·SE at both gate
+    # scales, so 6·SE keeps ~5× headroom while being ~5× tighter than
+    # the old band. (The value-exact commutation test below is the hard
+    # pin; this asserts sample-representativeness.)
+    p = full[8].precision
+    se = math.sqrt(max(p * (1.0 - p), 0.0) / samp[8].n_candidates)
+    assert abs(samp[8].precision - p) <= max(6.0 * se, 10.0 / samp[8].n_candidates)
     if samp[2].n_candidates > 0:
         assert samp[2].precision >= samp[8].precision + 0.1
 

@@ -6,8 +6,6 @@ tables; compare row-count, column names, and order-insensitive values
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
@@ -46,21 +44,10 @@ def duck():
     con.close()
 
 
-def _norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    return v
-
-
-def _normalize(df_pandas):
-    cols = sorted(df_pandas.columns)
-    rows = [
-        tuple(_norm_cell(v) for v in row)
-        for row in df_pandas[cols].itertuples(index=False, name=None)
-    ]
-    return cols, sorted(rows, key=repr)
+# the one comparison function, shared verbatim with tools/gate_preflight.py
+# (round-13 ADVICE: two checkers, one semantics)
+from tools.compare import kind_diff as _kind_diff  # noqa: E402
+from tools.compare import normalize as _normalize  # noqa: E402
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
@@ -81,22 +68,8 @@ def test_query_matches_oracle(spark, duck, name):
     # dtype-KIND parity: Python's 1 == 1.0 makes the value compare blind to
     # an int column coming back float from one engine (e.g. DuckDB window
     # sums are HUGEINT → float64 in pandas); the driver's hash gate is not
-    def _kind(dt):
-        s = str(dt)
-        if "int" in s:
-            return "int"
-        if "float" in s or "double" in s:
-            return "float"
-        if "datetime" in s:
-            return "ts"
-        return "other"
-
-    kind_diff = {
-        c: (_kind(spark_pd[c].dtype), _kind(oracle_pd[c].dtype))
-        for c in spark_pd.columns
-        if _kind(spark_pd[c].dtype) != _kind(oracle_pd[c].dtype)
-    }
-    assert not kind_diff, f"{name}: dtype-kind mismatch {kind_diff}"
+    kd = _kind_diff(spark_pd, oracle_pd)
+    assert not kd, f"{name}: dtype-kind mismatch {kd}"
     mismatches = [
         (i, a, b) for i, (a, b) in enumerate(zip(s_rows, o_rows)) if a != b
     ]

@@ -646,7 +646,14 @@ def test_view_state_ttl_wiring_executes_end_to_end(spark, tmp_path):
     scheduling timer-evaluation batches), so this test polls the sink for
     the expected keys and stops the query explicitly — the documented
     operating mode for the knob. Expire/re-insert semantics are unit-tested
-    in test_state_fold.py (wall-clock timeout firing is not test-stable)."""
+    in test_state_fold.py (wall-clock timeout firing is not test-stable).
+
+    Flake history (full-suite load only; green in isolation every time):
+    r6 + r8 poll timeout on a degraded host, r13 a java.util.regex
+    StackOverflowError killing the stream-execution thread late in the
+    suite JVM. Hardened in r14 at the harness level — conftest runs this
+    test FIRST (fresh JVM = the isolated-run condition under which it has
+    never failed) and bumps the driver thread stack (-Xss16m)."""
     from dataclasses import replace
 
     from pagopa_ecommerce_cdc_service_spark.config import DEFAULT_CONFIG

@@ -15,9 +15,7 @@ Usage: python tools/gate_preflight.py [--sf-dir /root/testdata/sf0.01]
 from __future__ import annotations
 
 import argparse
-import decimal
 import json
-import math
 import os
 import sys
 from pathlib import Path
@@ -32,30 +30,12 @@ TABLES = (
 )
 
 
-def _norm_cell(v):
-    # Match tests/test_oracle_parity.py's comparison semantics: DuckDB can
-    # hand back decimal.Decimal where Spark's toPandas gives float64 (and
-    # vice versa), and IEEE -0.0 vs 0.0 repr-differ while comparing equal.
-    # Canonicalize BEFORE sorting/comparing so the preflight verdict cannot
-    # diverge from the gate on dtype cosmetics.
-    if isinstance(v, decimal.Decimal):
-        v = float(v)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        if v == 0.0:
-            return 0.0
-        return v
-    return v
-
-
-def _normalize(df_pandas):
-    cols = sorted(df_pandas.columns)
-    rows = [
-        tuple(_norm_cell(v) for v in row)
-        for row in df_pandas[cols].itertuples(index=False, name=None)
-    ]
-    return cols, sorted(rows, key=repr)
+# the one comparison function, shared verbatim with
+# tests/test_oracle_parity.py (round-13 ADVICE: the preflight briefly
+# carried a Decimal→float coercion the parity suite did not — the shared
+# module keeps the STRICT no-coercion semantics, see tools/compare.py)
+from tools.compare import kind_diff as _kind_diff  # noqa: E402
+from tools.compare import normalize as _normalize  # noqa: E402
 
 
 def main() -> None:
@@ -106,28 +86,12 @@ def main() -> None:
                 rec["oracle_rows"] = len(o_rows)
                 rec["rows_match"] = len(s_rows) == len(o_rows)
                 rec["schema_match"] = s_cols == o_cols
-                # element-wise tuple equality over canonicalized cells —
-                # the same comparison tests/test_oracle_parity.py performs
-                # (repr-equality would re-introduce the dtype cosmetics
-                # _norm_cell just erased) — plus the parity suite's
-                # dtype-KIND check: Python's 1 == 1.0 would otherwise hide
-                # an int column coming back float from one engine
-                def _kind(dt):
-                    s = str(dt)
-                    if "int" in s:
-                        return "int"
-                    if "float" in s or "double" in s:
-                        return "float"
-                    if "datetime" in s:
-                        return "ts"
-                    return "other"
-
-                kind_ok = all(
-                    _kind(spark_pd[c].dtype) == _kind(oracle_pd[c].dtype)
-                    for c in spark_pd.columns
-                    if c in oracle_pd.columns
+                # element-wise tuple equality over canonicalized cells plus
+                # the dtype-KIND check — both from tools/compare.py, the
+                # SAME code path tests/test_oracle_parity.py asserts
+                rec["hash_match"] = (
+                    not _kind_diff(spark_pd, oracle_pd) and s_rows == o_rows
                 )
-                rec["hash_match"] = kind_ok and s_rows == o_rows
             else:
                 # runtime-only check (no oracle): rows-only, like the driver
                 rec["rows_match"] = True
