@@ -1084,6 +1084,22 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # (tests/test_rotation.py enforces prefix-or-pending for runtime —
     # never the certified tail).
     #
+    # Decontamination-aware split REGENERATION — composes the
+    # e_decontaminate_semantic scan chain (shared verbatim via
+    # _decontamination_chain) with operators/split.assign_split: flagged
+    # train vectors are quarantined and the stratified split re-draws
+    # over survivors only; output is the (label × bucket) mass-
+    # conservation census with a sum-of-ids membership checksum.
+    # Parity-green at sf0.001/0.01/0.1 on introduction; cross-query
+    # consistency law in tests/test_clustering.py.
+    "e_decontaminated_split",
+    # STREAMING temperature-mix twin (RUNTIME: stages parquet, runs a
+    # two-incarnation census-only stream with a mid-stream restart leg).
+    # Each micro-batch appends a bounded |langs|-row partial census —
+    # never per-doc state; the drain sums epoch partials and delegates
+    # the allocation math to _temperature_alloc verbatim, hash-checked
+    # against t_lang_temperature_mix's oracle SQL by the parity suite.
+    "t_stream_lang_temperature_mix",
 )
 
 

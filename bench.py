@@ -264,6 +264,10 @@ HEADLINE = [
     "e_decontaminate_semantic",
     "t_lang_temperature_mix",
     "e_ivf_rebalanced_topk",
+    # round-14 additions: decontamination-aware split regeneration,
+    # streaming census-only temperature-mix twin
+    "e_decontaminated_split",
+    "t_stream_lang_temperature_mix",
 ]
 
 

@@ -5914,6 +5914,13 @@ def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("predicted_lang").alias("lang"))
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+    return _temperature_alloc(census)
+
+
+def _temperature_alloc(census: DataFrame) -> DataFrame:
+    """α = 1/2 allocation tail over the |langs|-row census — shared
+    VERBATIM by t_lang_temperature_mix (batch) and
+    t_stream_lang_temperature_mix (the drained-store deployed twin)."""
     w = census.withColumn(
         "temp_weight_milli",
         F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
@@ -5945,3 +5952,108 @@ def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["t_lang_temperature_mix"] = ORACLES["t_lang_temperature_mix"].replace(
     "{LANG_ORACLE}", ORACLES["t_lang_id"]
 )
+
+
+# ---------------------------------------------------------------------------
+# STREAMING temperature-mix twin (round 14): the α = 1/2 mixture
+# allocation in deployed mode, with CENSUS-ONLY state — the cheapest
+# state shape in the streaming family. The per-doc language score is
+# corpus-independent (stopword argmax is a pure function of the
+# document), so each micro-batch reads its documents' text exactly once,
+# reduces them to a bounded |langs|-row partial census (map-side
+# combine inside the batch), and appends ONLY those partials — tagged
+# with the epoch id — to the store; no per-doc row ever leaves the
+# batch. At drain the store holds (#epochs × |langs|) rows; the global
+# census is their sum and the allocation tail is _temperature_alloc
+# VERBATIM (same expressions, same oracle as t_lang_temperature_mix).
+# Restart leg: incarnation 1 drains two staged files, the third appears
+# only after the handoff and is picked up from the checkpoint. Replay
+# safety: a committed epoch re-delivers the same batch content, its
+# partial census rows are deterministic, and the read-time distinct()
+# over (lang, n_docs, epoch) collapses identical re-appends exactly.
+# 100 TB shape: per-batch work is one map-side-combined census of the
+# batch; state is |langs| rows per epoch (not per doc); the drain
+# exchange moves epoch-partials, never documents.
+# ---------------------------------------------------------------------------
+def t_stream_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from .helpers import gate_workdir, write_staged_file
+
+    docs = read(spark, sf_dir, "documents").select("doc_id", "text")
+    workdir = gate_workdir("stream-tmix-gate-")
+    src = f"{workdir}/src"
+    third = (
+        md5_long(F.concat(F.lit("tmixsplit:"), F.col("doc_id").cast("string")))
+        % 3
+    )
+    for i in range(3):
+        write_staged_file(
+            docs.filter(third == i),
+            f"{src}/part{i}.parquet",
+            mtime=1000.0 * (i + 1),
+        )
+
+    store_dir = f"{workdir}/langcensus"
+
+    pairs = F.array(
+        *[
+            F.struct(
+                stopword_count(F.col("text"), lg).cast("long").alias("s"),
+                F.lit(lg).alias("l"),
+            )
+            for lg in _LANGS
+        ]
+    )
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("long").alias("s"), F.lit("~").alias("l")),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"]) | ((x["s"] == acc["s"]) & (x["l"] < acc["l"])), x
+        ).otherwise(acc),
+    )
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.select(best["l"].alias("lang"))
+            .groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"))
+            .withColumn("epoch", F.lit(epoch_id).cast("long"))
+            .write.mode("append")
+            .parquet(store_dir)
+        )
+
+    def run_incarnation(n_files: int) -> None:
+        q = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(merge)
+            .option("checkpointLocation", f"{workdir}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(240):
+            q.stop()
+            raise TimeoutError(
+                "t_stream_lang_temperature_mix: availableNow run did not "
+                f"complete in 240s ({n_files} files)"
+            )
+
+    part2 = f"{src}/part2.parquet"
+    staged_part2 = f"{workdir}/part2.staged"
+    _os.rename(part2, staged_part2)
+    run_incarnation(2)
+    _os.rename(staged_part2, part2)
+    _os.utime(part2, (3000.0, 3000.0))
+    run_incarnation(3)
+
+    store = spark.read.parquet(store_dir).distinct()
+    census = store.groupBy("lang").agg(
+        F.sum("n_docs").cast("long").alias("n_docs")
+    )
+    return _temperature_alloc(census)
+
+
+QUERIES["t_stream_lang_temperature_mix"] = t_stream_lang_temperature_mix
+ORACLES["t_stream_lang_temperature_mix"] = ORACLES["t_lang_temperature_mix"]

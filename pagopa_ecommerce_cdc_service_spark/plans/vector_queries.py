@@ -5219,7 +5219,11 @@ _ED_NPROBE = 6
 _ED_COS = _SEMDEDUP_COS  # contamination threshold = the near-dup bar
 
 
-def _decontaminate_semantic_oracle() -> str:
+def _ed_scan_ctes() -> str:
+    """WITH-clause body of the decontamination scan, shared VERBATIM by the
+    e_decontaminate_semantic and e_decontaminated_split oracles (the CTEs
+    carry ``label`` through so the split-regeneration oracle can stratify;
+    the flag-report oracle simply never reads it)."""
     from ..functions.hashing import md5_long_sql
 
     member = (
@@ -5231,22 +5235,22 @@ def _decontaminate_semantic_oracle() -> str:
         f"(sqrt(CAST(t.n2 AS DOUBLE)) * sqrt(CAST(ev.n2 AS DOUBLE)))"
     )
     return f"""
-    WITH e AS (
-      SELECT vec_id, {_QV} AS q, {member} AS m
+    e AS (
+      SELECT vec_id, label, {_QV} AS q, {member} AS m
       FROM embeddings CROSS JOIN
            (SELECT (count(*) + {_ED_TARGET - 1}) // {_ED_TARGET} AS dd
             FROM embeddings) tot0
     ),
-    en AS (SELECT vec_id, q, m, {dot_sql("q", "q")} AS n2 FROM e),
+    en AS (SELECT vec_id, label, q, m, {dot_sql("q", "q")} AS n2 FROM e),
     piv AS (SELECT vec_id AS pid, q AS pv FROM e
             WHERE vec_id BETWEEN 1 AND {_N_PIVOTS}),
     assign AS (
-      SELECT en.vec_id, en.q, en.n2, en.m, p.pid,
+      SELECT en.vec_id, en.label, en.q, en.n2, en.m, p.pid,
              ROW_NUMBER() OVER (PARTITION BY en.vec_id
                                 ORDER BY {dist2_sql("en.q", "p.pv")}, p.pid) AS rn
       FROM en, piv p
     ),
-    train AS (SELECT vec_id, q, n2, pid FROM assign
+    train AS (SELECT vec_id, label, q, n2, pid FROM assign
               WHERE rn = 1 AND m <> 1),
     ev0 AS (SELECT vec_id AS eval_id, q, n2 FROM en WHERE m = 1),
     probes AS (
@@ -5262,7 +5266,12 @@ def _decontaminate_semantic_oracle() -> str:
       FROM train t JOIN probes pr ON t.pid = pr.pid
            JOIN ev0 ev ON ev.eval_id = pr.eval_id
       WHERE {cos} >= {_ED_COS}
-    ),
+    )"""
+
+
+def _decontaminate_semantic_oracle() -> str:
+    return f"""
+    WITH {_ed_scan_ctes()},
     ranked AS (
       SELECT vec_id, eval_id, cs,
              ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -5278,8 +5287,13 @@ def _decontaminate_semantic_oracle() -> str:
     """
 
 
-@query("e_decontaminate_semantic", _decontaminate_semantic_oracle())
-def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _decontamination_chain(spark: SparkSession, sf_dir: str):
+    """The IVF-pruned decontamination scan, shared VERBATIM by
+    e_decontaminate_semantic (the flag report) and e_decontaminated_split
+    (the split regeneration over survivors). Returns ``(en, train, hits)``:
+    the full annotated universe (vec_id, label, q, m, n2), the non-eval
+    train relation carrying its nearest-pivot list, and the post-threshold
+    (vec_id, eval_id, cs) candidate relation."""
     from ..functions.hashing import md5_long as _md5_long
     from ..operators.similarity import nearest_pivot
 
@@ -5287,6 +5301,7 @@ def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot0 = raw.agg(F.count("*").cast("long").alias("nn"))
     emb = raw.crossJoin(F.broadcast(tot0)).select(
         "vec_id",
+        "label",
         quantize(F.col("embedding")).alias("q"),
         (
             _md5_long(F.concat(F.lit("ed:"), F.col("vec_id").cast("string")))
@@ -5299,7 +5314,7 @@ def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = nearest_pivot(
         en.filter(F.col("m") != 1), piv, vec_col="q"
-    ).select("vec_id", "q", "n2", "pid")
+    ).select("vec_id", "label", "q", "n2", "pid")
 
     ev0 = en.filter(F.col("m") == 1).select(
         F.col("vec_id").alias("eval_id"), "q", "n2"
@@ -5329,6 +5344,12 @@ def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "eval_id", cos.alias("cs"))
         .filter(F.col("cs") >= _ED_COS)
     )
+    return en, train, hits
+
+
+@query("e_decontaminate_semantic", _decontaminate_semantic_oracle())
+def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _en, _train, hits = _decontamination_chain(spark, sf_dir)
     agg = hits.groupBy("vec_id").agg(
         F.count("*").cast("long").alias("n_eval_hits"),
         F.max(
@@ -5343,6 +5364,85 @@ def e_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_eval_hits",
         F.col("top.cs").alias("max_cos"),
         (-F.col("top.nid")).cast("long").alias("nearest_eval_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Decontamination-aware split REGENERATION (round 14): the operator a real
+# pipeline runs right after e_decontaminate_semantic — flagged train
+# vectors are quarantined and the stratified train/validation/test split
+# is re-drawn over the SURVIVORS only, so contaminated documents can never
+# ride a pre-existing assignment back into a training shard. The split law
+# is operators/split.py verbatim (pure md5 function of (label, vec_id) —
+# deterministic, engine-portable, shuffle-free), which means survivors
+# KEEP the split they would always have had: regeneration never reshuffles
+# clean documents, it only removes dirty ones (the re-balance happens in
+# expectation because the hash is uniform per stratum). Output: the full
+# mass-conservation census — one row per (label, bucket) over buckets
+# {train, validation, test, quarantined, eval} with exact counts and a
+# sum-of-ids membership checksum, so the value hash pins WHICH vectors
+# landed where, not just how many (bounded: |labels| × 5 rows).
+# 100 TB shape: the scan chain is the audited e_decontaminate_semantic
+# plan verbatim (zero corpus exchange beyond its pivot fold + pruned
+# broadcast probe scan); the flag set joins back on vec_id where AQE
+# broadcasts the post-threshold side (bounded by true contamination
+# volume, eval-bench-sized in any sane corpus); the split itself is a
+# per-row hash with no exchange; the final census is one
+# map-side-combined groupBy over ≤ |labels| × 5 keys.
+# ---------------------------------------------------------------------------
+def _decontaminated_split_oracle() -> str:
+    from ..operators.split import split_case_sql
+    from .text_queries import _SPLIT_FRACTIONS
+
+    split_case = split_case_sql("t.vec_id", _SPLIT_FRACTIONS, "t.label")
+    return f"""
+    WITH {_ed_scan_ctes()},
+    flagged AS (SELECT DISTINCT vec_id FROM hits),
+    bucketed AS (
+      SELECT t.vec_id, t.label,
+             CASE WHEN f.vec_id IS NOT NULL THEN 'quarantined'
+                  ELSE {split_case} END AS split
+      FROM train t LEFT JOIN flagged f ON t.vec_id = f.vec_id
+      UNION ALL
+      SELECT vec_id, label, 'eval' AS split FROM en WHERE m = 1
+    )
+    SELECT label, split, CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(vec_id) AS BIGINT) AS vec_id_sum
+    FROM bucketed GROUP BY label, split
+    """
+
+
+@query("e_decontaminated_split", _decontaminated_split_oracle())
+def e_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import assign_split
+    from .text_queries import _SPLIT_FRACTIONS
+
+    en, train, hits = _decontamination_chain(spark, sf_dir)
+    flagged = hits.select("vec_id").distinct().withColumn(
+        "is_flagged", F.lit(True)
+    )
+    assigned = assign_split(
+        train.select("vec_id", "label").join(flagged, "vec_id", "left"),
+        key="vec_id",
+        fractions=_SPLIT_FRACTIONS,
+        stratum="label",
+    ).select(
+        "vec_id",
+        "label",
+        F.when(F.col("is_flagged"), F.lit("quarantined"))
+        .otherwise(F.col("split"))
+        .alias("split"),
+    )
+    ev = en.filter(F.col("m") == 1).select(
+        "vec_id", "label", F.lit("eval").alias("split")
+    )
+    return (
+        assigned.unionByName(ev)
+        .groupBy("label", "split")
+        .agg(
+            F.count("*").cast("long").alias("n_vecs"),
+            F.sum("vec_id").cast("long").alias("vec_id_sum"),
+        )
     )
 
 

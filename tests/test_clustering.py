@@ -676,3 +676,149 @@ def test_round13_vector_queries_partitioning_invariant(spark, sf_dir, tmp_path):
         b = sorted(map(tuple, fn(spark, str(tmp_path / "b")).collect()))
         assert a == b, fn.__name__
         assert a, f"{fn.__name__}: empty output on the fixture corpus"
+
+
+def test_decontaminated_split_conserves_mass_and_commutes(spark, sf_dir):
+    """Cross-query consistency of the split regeneration: (a) MASS — the
+    (label × bucket) census covers every vector exactly once (per-label
+    totals equal the per-label corpus census); (b) QUARANTINE — the
+    quarantined population is exactly e_decontaminate_semantic's flagged
+    set (count AND sum-of-ids checksum); (c) NO-RESHUFFLE — because split
+    assignment is a pure md5 function of (label, vec_id), survivors keep
+    the bucket they would have had before decontamination: recomputing
+    assign_split over the full train universe and dropping flagged rows
+    reproduces the census row-for-row."""
+    from pagopa_ecommerce_cdc_service_spark.operators.split import assign_split
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _SPLIT_FRACTIONS,
+    )
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _decontamination_chain,
+        e_decontaminate_semantic,
+        e_decontaminated_split,
+    )
+
+    census = {
+        (r.label, r.split): (r.n_vecs, r.vec_id_sum)
+        for r in e_decontaminated_split(spark, sf_dir).collect()
+    }
+    assert census, "empty census"
+
+    # (a) mass conservation per label
+    corpus = {
+        r.label: (r.n, r.s)
+        for r in read(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("vec_id").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    for label, (n, s) in corpus.items():
+        rows = [v for (lb, _), v in census.items() if lb == label]
+        assert sum(r[0] for r in rows) == n, label
+        assert sum(r[1] for r in rows) == s, label
+    buckets = {b for (_, b) in census}
+    assert buckets <= {"train", "validation", "test", "quarantined", "eval"}
+
+    # (b) quarantined == flagged, count and id-sum
+    flagged = e_decontaminate_semantic(spark, sf_dir).select("vec_id").collect()
+    q_n = sum(v[0] for (lb, b), v in census.items() if b == "quarantined")
+    q_s = sum(v[1] for (lb, b), v in census.items() if b == "quarantined")
+    assert q_n == len(flagged)
+    assert q_s == sum(r.vec_id for r in flagged)
+
+    # (c) no-reshuffle: full-universe assignment minus flagged rows
+    # reproduces the survivor census exactly
+    _en, train, _hits = _decontamination_chain(spark, sf_dir)
+    flagged_ids = {r.vec_id for r in flagged}
+    full = assign_split(
+        train.select("vec_id", "label"),
+        key="vec_id",
+        fractions=_SPLIT_FRACTIONS,
+        stratum="label",
+    ).collect()
+    from collections import defaultdict
+
+    expect = defaultdict(lambda: [0, 0])
+    for r in full:
+        if r.vec_id not in flagged_ids:
+            e = expect[(r.label, r.split)]
+            e[0] += 1
+            e[1] += r.vec_id
+    got = {
+        k: v
+        for k, v in census.items()
+        if k[1] in ("train", "validation", "test")
+    }
+    assert got == {k: (v[0], v[1]) for k, v in expect.items()}
+
+
+def test_rebalanced_layout_probe_efficiency_never_regresses(spark, sf_dir):
+    """Promotion of SCALING.md's probe-efficiency measurement into a pin
+    (round-14 queue): the ONE number the split-rebalance exists to improve
+    is vectors scanned per probe at fixed nprobe. Laws pinned against the
+    before-layout, computed from the shared _split_rebalanced_layout:
+
+    (a) the registered serving query (vec 0) scans no more after the
+        split, and STRICTLY less whenever its after-probe set contains a
+        child of a parent it probed before (the 'split pays' case —
+        measured 138→68 at sf0.001, 132→97 at sf0.01 on the r14 fixture);
+    (b) over a deterministic 50-query sample the MEAN scanned count does
+        not regress (≤ 2% slack for probe-set drift on regenerated data —
+        a layout bug that mis-selects hot lists or mis-assigns children
+        moves this by far more; measured improvement ~21% at both gate
+        scales, 0/50 individual queries worse)."""
+    from pagopa_ecommerce_cdc_service_spark.operators.similarity import quantize
+    from pagopa_ecommerce_cdc_service_spark.plans.helpers import read, spread
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        _N_PIVOTS,
+        _NPROBE,
+        _split_rebalanced_layout,
+    )
+
+    emb = spread(read(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", quantize(F.col("embedding")).alias("qvec")
+    )
+    occ, hot, after, cent = _split_rebalanced_layout(emb)
+    piv = emb.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+        F.col("vec_id").alias("pid"), F.col("qvec").alias("pv")
+    )
+    occ_b = {r.pid: r.nv for r in occ.collect()}
+    occ_a = {
+        r.list_id: r.n
+        for r in after.groupBy("list_id").agg(F.count("*").alias("n")).collect()
+    }
+    pivs = [(r.pid, r.pv) for r in piv.collect()]
+    cents = [(r.list_id, r.cv) for r in cent.collect()]
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    def probe(qvec):
+        pb = sorted((d2(qvec, pv), pid) for pid, pv in pivs)[:_NPROBE]
+        pa = sorted((d2(qvec, cv), lid) for lid, cv in cents)[:_NPROBE]
+        sb = sum(occ_b[pid] for _, pid in pb)
+        sa = sum(occ_a[lid] for _, lid in pa)
+        return {pid for _, pid in pb}, {lid for _, lid in pa}, sb, sa
+
+    queries = {r.vec_id: r.qvec for r in emb.filter(F.col("vec_id") < 50).collect()}
+    assert 0 in queries
+
+    # (a) the registered serving query
+    pb0, pa0, sb0, sa0 = probe(queries[0])
+    assert sa0 <= sb0, (sb0, sa0)
+    # child list ids are parent*10 + sub (sub 1/2); unsplit ids are pid*10
+    split_pays = any(lid % 10 != 0 and (lid // 10) in pb0 for lid in pa0)
+    if split_pays:
+        assert sa0 < sb0, (sb0, sa0)
+
+    # (b) mean over the deterministic sample
+    tot_b = tot_a = 0
+    for qvec in queries.values():
+        _, _, sb, sa = probe(qvec)
+        tot_b += sb
+        tot_a += sa
+    assert tot_a <= tot_b * 1.02, (tot_b, tot_a)

@@ -88,6 +88,7 @@ RUNTIME_QUERIES = {
     "t_stream_perplexity_buckets",  # stages parquet, runs a two-incarnation token-census stream
     "t_stream_lang_fertility",  # stages parquet, runs a two-incarnation per-doc score stream
     "t_stream_lang_quality_mix",  # stages parquet, runs a two-incarnation score+census stream
+    "t_stream_lang_temperature_mix",  # stages parquet, runs a two-incarnation census-only stream
     "e_semdedup_kn_pruned_keepone",  # iterative min-label CC over the pruned-kn pair graph
 }
 

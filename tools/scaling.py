@@ -159,6 +159,8 @@ QUERIES = (
     "e_decontaminate_semantic",  # pivot fold + broadcast eval-probe join
     "e_ivf_rebalanced_topk",   # layout chain + probed top-5 serving head
     "t_lang_temperature_mix",  # lang census + |langs|-row allocation math
+    # round-14 additions
+    "e_decontaminated_split",  # decon scan chain + per-row hash split census
 )
 
 
