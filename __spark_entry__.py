@@ -1100,6 +1100,19 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # the allocation math to _temperature_alloc verbatim, hash-checked
     # against t_lang_temperature_mix's oracle SQL by the parity suite.
     "t_stream_lang_temperature_mix",
+    # Contamination report BY EVAL ITEM — the mirror of
+    # e_decontaminate_semantic (same _decontamination_chain verbatim,
+    # aggregation key flipped to eval_id): which benchmark items are
+    # compromised, how badly, and by which nearest train vector.
+    # Parity-green at sf0.001/0.01/0.1 on introduction.
+    "e_contamination_report",
+    # TRAIN-split mixture manifest — the α = 1/2 allocation computed
+    # over the TRAIN split's lang census only (val/test must not move
+    # sampling weights), with per-language train token mass riding
+    # through _temperature_alloc's extra-column path. Composes
+    # t_lang_id + t_bpe_token_count + assign_split verbatim.
+    # Parity-green at sf0.001/0.01/0.1 on introduction.
+    "t_train_mix_manifest",
 )
 
 

@@ -265,9 +265,12 @@ HEADLINE = [
     "t_lang_temperature_mix",
     "e_ivf_rebalanced_topk",
     # round-14 additions: decontamination-aware split regeneration,
-    # streaming census-only temperature-mix twin
+    # streaming census-only temperature-mix twin, per-eval-item
+    # contamination report, train-split mixture manifest
     "e_decontaminated_split",
     "t_stream_lang_temperature_mix",
+    "e_contamination_report",
+    "t_train_mix_manifest",
 ]
 
 

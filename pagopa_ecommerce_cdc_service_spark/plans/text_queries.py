@@ -5919,8 +5919,12 @@ def t_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _temperature_alloc(census: DataFrame) -> DataFrame:
     """α = 1/2 allocation tail over the |langs|-row census — shared
-    VERBATIM by t_lang_temperature_mix (batch) and
-    t_stream_lang_temperature_mix (the drained-store deployed twin)."""
+    VERBATIM by t_lang_temperature_mix (batch),
+    t_stream_lang_temperature_mix (the drained-store deployed twin) and
+    t_train_mix_manifest (the train-split manifest). ``census`` must
+    carry (lang, n_docs, *extra); extra columns (e.g. token mass) ride
+    through untouched so a composer never re-scans the corpus to join
+    them back."""
     w = census.withColumn(
         "temp_weight_milli",
         F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000).cast("long"),
@@ -5930,8 +5934,7 @@ def _temperature_alloc(census: DataFrame) -> DataFrame:
         F.sum("temp_weight_milli").cast("long").alias("total_w"),
     )
     shares = w.crossJoin(F.broadcast(tot)).select(
-        "lang",
-        "n_docs",
+        *census.columns,
         F.expr("(n_docs * 1000000) div total_docs").alias("natural_micro"),
         "temp_weight_milli",
         F.expr("(temp_weight_milli * 1000000) div total_w").alias("alloc_micro"),
@@ -6057,3 +6060,93 @@ def t_stream_lang_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame
 
 QUERIES["t_stream_lang_temperature_mix"] = t_stream_lang_temperature_mix
 ORACLES["t_stream_lang_temperature_mix"] = ORACLES["t_lang_temperature_mix"]
+
+
+# ---------------------------------------------------------------------------
+# TRAIN-split mixture manifest (round 14): the artifact a multilingual
+# training run actually consumes — the temperature allocation computed
+# over the TRAIN SPLIT's language census (never the whole corpus: val/
+# test docs must not influence sampling weights), with each language's
+# train token mass alongside so the sampler can convert allocation
+# shares into token budgets. Composes three certified operators
+# verbatim: the stopword-argmax language identifier (t_lang_id), the
+# BPE-ish regex pre-tokenizer census (t_bpe_token_count), and the
+# deterministic stratified split (operators/split.py, the corpus-
+# pipeline convention: md5(doc_id) stratified by source) — then the
+# α = 1/2 allocation tail (_temperature_alloc) over the train census,
+# extra token-mass column riding through. Output bounded by |langs|.
+# 100 TB shape: one per-doc join tree (doc_id-keyed) feeding ONE
+# map-side-combined (lang)-census of the train split; the allocation
+# math runs on the |langs|-row table + one broadcast 1-row total; the
+# split predicate is a per-row hash, no exchange.
+# ---------------------------------------------------------------------------
+def _train_mix_manifest_oracle() -> str:
+    from ..operators.split import split_case_sql
+
+    split_case = split_case_sql("d.doc_id", _SPLIT_FRACTIONS, "d.source")
+    return f"""
+    WITH lang AS ({{LANG_ORACLE}}),
+    cnt AS ({{CNT_ORACLE}}),
+    base AS (
+      SELECT d.doc_id, l.predicted_lang AS lang, c.n_bpe_tokens,
+             {split_case} AS split
+      FROM documents d JOIN lang l ON l.doc_id = d.doc_id
+           JOIN cnt c ON c.doc_id = d.doc_id
+    ),
+    census AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_bpe_tokens) AS BIGINT) AS token_mass_train
+      FROM base WHERE split = 'train' GROUP BY 1
+    ),
+    w AS (
+      SELECT lang, n_docs, token_mass_train,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000) AS BIGINT)
+               AS temp_weight_milli
+      FROM census
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs,
+             CAST(SUM(temp_weight_milli) AS BIGINT) AS total_w
+      FROM w
+    )
+    SELECT w.lang, w.n_docs, w.token_mass_train,
+           (w.n_docs * 1000000) // tot.total_docs AS natural_micro,
+           w.temp_weight_milli,
+           (w.temp_weight_milli * 1000000) // tot.total_w AS alloc_micro,
+           CASE WHEN (w.n_docs * 1000000) // tot.total_docs > 0
+                THEN ((w.temp_weight_milli * 1000000) // tot.total_w) * 1000
+                     // ((w.n_docs * 1000000) // tot.total_docs)
+           END AS boost_milli
+    FROM w CROSS JOIN tot
+    """
+
+
+@query("t_train_mix_manifest", _train_mix_manifest_oracle())
+def t_train_mix_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.split import assign_split
+
+    lang = t_lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    cnt = t_bpe_token_count(spark, sf_dir).select("doc_id", "n_bpe_tokens")
+    docs = spread(read(spark, sf_dir, "documents"), spark).select(
+        "doc_id", "source"
+    )
+    base = assign_split(
+        docs.join(lang, "doc_id").join(cnt, "doc_id"),
+        key="doc_id",
+        fractions=_SPLIT_FRACTIONS,
+        stratum="source",
+    )
+    census = (
+        base.filter(F.col("split") == "train")
+        .groupBy(F.col("predicted_lang").alias("lang"))
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_bpe_tokens").cast("long").alias("token_mass_train"),
+        )
+    )
+    return _temperature_alloc(census)
+
+
+ORACLES["t_train_mix_manifest"] = ORACLES["t_train_mix_manifest"].replace(
+    "{LANG_ORACLE}", ORACLES["t_lang_id"]
+).replace("{CNT_ORACLE}", ORACLES["t_bpe_token_count"])

@@ -5447,6 +5447,58 @@ def e_decontaminated_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Contamination report BY EVAL ITEM (round 14): the mirror of
+# e_decontaminate_semantic's per-train-vector flag list — the view a
+# pipeline owner reads to decide which BENCHMARK items are compromised
+# (an eval item with many close train neighbours is leaked; its scores
+# will be inflated no matter how the train side is cleaned). Same scan
+# chain verbatim (_decontamination_chain); only the aggregation key
+# flips to eval_id. Output: one row per leaked eval item — train-hit
+# count, max cosine, nearest train vector with deterministic ties
+# (cos DESC, vec_id ASC via the struct-max convention). Bounded by
+# |eval| rows. 100 TB shape: identical to e_decontaminate_semantic —
+# the flipped groupBy key changes which bounded side the post-threshold
+# aggregation collapses onto, nothing else.
+# ---------------------------------------------------------------------------
+def _contamination_report_oracle() -> str:
+    return f"""
+    WITH {_ed_scan_ctes()},
+    ranked AS (
+      SELECT eval_id, vec_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY eval_id
+                                ORDER BY cs DESC, vec_id ASC) AS rn
+      FROM hits
+    )
+    SELECT g.eval_id, g.n_train_hits, g.max_cos,
+           CAST(r.vec_id AS BIGINT) AS nearest_train_id
+    FROM (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_train_hits,
+                 max(cs) AS max_cos
+          FROM hits GROUP BY eval_id) g
+    JOIN ranked r ON r.eval_id = g.eval_id AND r.rn = 1
+    """
+
+
+@query("e_contamination_report", _contamination_report_oracle())
+def e_contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _en, _train, hits = _decontamination_chain(spark, sf_dir)
+    agg = hits.groupBy("eval_id").agg(
+        F.count("*").cast("long").alias("n_train_hits"),
+        F.max(
+            F.struct(
+                F.col("cs").alias("cs"),
+                (-F.col("vec_id")).cast("long").alias("nid"),
+            )
+        ).alias("top"),
+    )
+    return agg.select(
+        "eval_id",
+        "n_train_hits",
+        F.col("top.cs").alias("max_cos"),
+        (-F.col("top.nid")).cast("long").alias("nearest_train_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Serving over the REBALANCED layout (round 13): the query that proves
 # the split-rebalance corrective composes with the serving path — IVF
 # top-k where the probed universe is the post-split list set and the

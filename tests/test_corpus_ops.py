@@ -1350,3 +1350,64 @@ def test_lang_temperature_mix_laws(spark, sf_dir):
     assert boosts == sorted(boosts, reverse=True), boosts
     # sqrt flattens strictly: smallest lang boosted, largest damped
     assert by_share[0].boost_milli >= 1000 >= by_share[-1].boost_milli
+
+
+def test_train_mix_manifest_consistent_with_corpus_mix(spark, sf_dir):
+    """The manifest is the temperature law over the TRAIN SLICE: (a) its
+    per-lang doc counts are bounded by the full-corpus census (the split
+    only removes docs); (b) train docs ≈ the split's train fraction of
+    the corpus (hash-uniformity, wide tolerance); (c) allocation shares
+    obey the same exact-integer-floor laws as the corpus-wide mix —
+    sum(alloc_micro) ≤ 1e6 < sum + |langs| (floor residue), same for
+    natural_micro; (d) weight law w = floor(sqrt(n)·1000) recomputes
+    exactly; (e) token mass is positive wherever docs exist."""
+    from pagopa_ecommerce_cdc_service_spark.plans.text_queries import (
+        _SPLIT_FRACTIONS,
+        t_lang_id,
+        t_train_mix_manifest,
+    )
+
+    rows = t_train_mix_manifest(spark, sf_dir).collect()
+    assert rows
+    full = {
+        r.lang: r.n
+        for r in t_lang_id(spark, sf_dir)
+        .groupBy(F.col("predicted_lang").alias("lang"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    n_train = sum(r.n_docs for r in rows)
+    n_all = sum(full.values())
+    frac = _SPLIT_FRACTIONS["train"]
+    assert abs(n_train - frac * n_all) <= 0.15 * n_all, (n_train, n_all)
+    for r in rows:
+        assert 0 < r.n_docs <= full[r.lang]
+        assert r.token_mass_train > 0
+        assert r.temp_weight_milli == math.floor(math.sqrt(r.n_docs) * 1000)
+    for col in ("alloc_micro", "natural_micro"):
+        s = sum(getattr(r, col) for r in rows)
+        assert s <= 1_000_000 < s + len(rows), (col, s)
+
+
+def test_contamination_report_mirrors_flag_list(spark, sf_dir):
+    """The eval-side report and the train-side flag list aggregate the
+    SAME post-threshold hit relation, so their totals must agree: equal
+    total hit counts, equal global max cosine, and every (nearest)
+    pairing must be mutually consistent — the report's nearest train id
+    for an eval item is a flagged vector whose own max_cos is at least
+    that pair's cosine."""
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        e_contamination_report,
+        e_decontaminate_semantic,
+    )
+
+    rep = e_contamination_report(spark, sf_dir).collect()
+    flag = e_decontaminate_semantic(spark, sf_dir).collect()
+    assert rep and flag
+    assert sum(r.n_train_hits for r in rep) == sum(f.n_eval_hits for f in flag)
+    assert max(r.max_cos for r in rep) == max(f.max_cos for f in flag)
+    flag_by_id = {f.vec_id: f for f in flag}
+    for r in rep:
+        f = flag_by_id.get(r.nearest_train_id)
+        assert f is not None, r
+        assert f.max_cos >= r.max_cos - 1e-12

@@ -161,6 +161,8 @@ QUERIES = (
     "t_lang_temperature_mix",  # lang census + |langs|-row allocation math
     # round-14 additions
     "e_decontaminated_split",  # decon scan chain + per-row hash split census
+    "e_contamination_report",  # same chain, aggregation key flipped to eval
+    "t_train_mix_manifest",    # per-doc join tree -> |langs| census + alloc
 )
 
 
