@@ -86,21 +86,35 @@ def kmeans_seeds(emb: DataFrame, k: int = KM_K, salt: str = "km:") -> DataFrame:
 def kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
     """Nearest-centroid assignment: (vec_id, q, cid, dist).
 
-    Broadcast the centroids; the argmin is min(struct(dist, cid)) — partial
-    aggregation collapses the k candidate rows per vector map-side, and the
-    broadcast join preserves emb's partitioning so the groupBy needs no
-    exchange when emb is already hash-partitioned by vec_id.
+    r14 optimization (guide §2.4 — remove shuffles outright): the k
+    centroids collapse to ONE cid-sorted array-of-structs row that
+    broadcasts to every task; the argmin is a per-row transform +
+    lexicographic array_min. Versus the previous crossJoin → n×k scored
+    rows → groupBy(vec_id) min(struct) shape this materializes no n×k
+    relation, builds no aggregation hash table, and needs no vec_id
+    partitioning at all — a pure map-only pass over the corpus (same
+    stage count at any scale). Winner identical: min over (dist, cid)
+    structs is exactly the old min(struct(dist, cid)) tie-break.
     """
-    scored = emb.crossJoin(F.broadcast(cent)).select(
-        "vec_id",
-        "q",
-        F.struct(sq_dist(F.col("q"), F.col("c")).alias("dist"), F.col("cid").alias("cid")).alias("sc"),
+    cent_arr = cent.agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb")
     )
-    best = scored.groupBy("vec_id").agg(
-        F.min("sc").alias("m"), F.first("q").alias("q")
+    best = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                sq_dist(s["c"], F.col("q")).alias("dist"), s["cid"].alias("cid")
+            ),
+        )
     )
-    return best.select(
-        "vec_id", "q", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+    return (
+        emb.crossJoin(F.broadcast(cent_arr))
+        .select(
+            "vec_id",
+            "q",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
     )
 
 
@@ -367,21 +381,34 @@ def pq_seeds(subs: DataFrame, k: int = PQ_K) -> DataFrame:
 
 
 def pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
-    """Nearest-centroid code per (vector, subspace): broadcast the PQ_M*PQ_K
-    codebook, argmin via min(struct) with map-side partial aggregation."""
-    scored = subs.join(F.broadcast(cent), "sub").select(
-        "vec_id",
-        "sub",
-        "sq",
-        F.struct(
-            sq_dist(F.col("sq"), F.col("c")).alias("dist"), F.col("cid").alias("cid")
-        ).alias("sc"),
+    """Nearest-centroid code per (vector, subspace).
+
+    r14 optimization (guide §2.4): the PQ_M×PQ_K codebook collapses to
+    PQ_M rows of cid-sorted codeword arrays; one broadcast hash join on
+    ``sub`` attaches each subvector's own codebook and the argmin is a
+    per-row transform + array_min. No n×PQ_K scored relation, no
+    (vec_id, sub) aggregation hash table — map-only after the bounded
+    broadcast. Winner identical to the old min(struct(dist, cid))."""
+    cb_arr = cent.groupBy("sub").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb")
     )
-    best = scored.groupBy("vec_id", "sub").agg(
-        F.min("sc").alias("m"), F.first("sq").alias("sq")
+    best = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                sq_dist(s["c"], F.col("sq")).alias("dist"), s["cid"].alias("cid")
+            ),
+        )
     )
-    return best.select(
-        "vec_id", "sub", "sq", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+    return (
+        subs.join(F.broadcast(cb_arr), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "sq",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
     )
 
 
@@ -506,17 +533,30 @@ def kn_pivots(seeds: DataFrame, p: int = KN_PIVOTS) -> DataFrame:
 
 
 def _argmin_to_pivot(rows: DataFrame, key: str, vec: str, piv: DataFrame) -> DataFrame:
-    """Nearest-pivot id per row of ``rows`` (broadcast the bounded pivot
-    table; min-struct argmin with (dist, pid) tiebreak)."""
-    scored = rows.crossJoin(F.broadcast(piv)).select(
-        key,
-        vec,
-        F.struct(
-            sq_dist(F.col(vec), F.col("pc")).alias("dist"), F.col("pid").alias("pid")
-        ).alias("s"),
+    """Nearest-pivot id per row of ``rows``.
+
+    r14 optimization (guide §2.4): the bounded pivot table collapses to
+    ONE pid-sorted array-of-structs row (broadcast); the argmin is a
+    per-row transform + array_min with the same (dist, pid) tiebreak as
+    the old crossJoin → groupBy(key) min(struct) shape. Removes one
+    exchange + aggregation per call — and this is called once per
+    Lloyd's iteration for the corpus AND the centroid set, so the
+    pruned-kn chains drop 2·(iters+1) shuffle stages each."""
+    piv_arr = piv.agg(
+        F.array_sort(F.collect_list(F.struct("pid", "pc"))).alias("_ps")
     )
-    best = scored.groupBy(key).agg(F.min("s").alias("m"), F.first(vec).alias(vec))
-    return best.select(key, vec, F.col("m.pid").alias("pid"))
+    best = F.array_min(
+        F.transform(
+            F.col("_ps"),
+            lambda p: F.struct(
+                sq_dist(p["pc"], F.col(vec)).alias("dist"), p["pid"].alias("pid")
+            ),
+        )
+    )
+    return (
+        rows.crossJoin(F.broadcast(piv_arr))
+        .select(key, vec, best["pid"].alias("pid"))
+    )
 
 
 def kmeans_kn_pruned_assign(
@@ -526,21 +566,34 @@ def kmeans_kn_pruned_assign(
 
     ``vp`` is the per-vector nearest-LIVE-pivot table for THIS centroid
     set; ``cent`` the centroids. Each vector scores only its pivot
-    group's centroids — the scored relation is the pivot-group join, not
-    the full n×k cross."""
+    group's centroids.
+
+    r14 optimization (guide §2.4): the per-pivot centroid group collapses
+    to a cid-sorted array per pid (bounded: ≤ k structs across ≤ P rows);
+    one broadcast hash join on ``pid`` attaches each vector's group and
+    the argmin is a per-row transform + array_min — no scored-relation
+    materialization, no per-vector aggregation. Winner identical to the
+    old min(struct(dist, cid))."""
     cp = _argmin_to_pivot(cent, "cid", "c", piv)
-    scored = vp.join(F.broadcast(cp), "pid").select(
-        "vec_id",
-        "q",
-        F.struct(
-            sq_dist(F.col("q"), F.col("c")).alias("dist"), F.col("cid").alias("cid")
-        ).alias("sc"),
+    grp = cp.groupBy("pid").agg(
+        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb")
     )
-    best = scored.groupBy("vec_id").agg(
-        F.min("sc").alias("m"), F.first("q").alias("q")
+    best = F.array_min(
+        F.transform(
+            F.col("_cb"),
+            lambda s: F.struct(
+                sq_dist(s["c"], F.col("q")).alias("dist"), s["cid"].alias("cid")
+            ),
+        )
     )
-    return best.select(
-        "vec_id", "q", F.col("m.cid").alias("cid"), F.col("m.dist").alias("dist")
+    return (
+        vp.join(F.broadcast(grp), "pid")
+        .select(
+            "vec_id",
+            "q",
+            best["cid"].alias("cid"),
+            best["dist"].alias("dist"),
+        )
     )
 
 

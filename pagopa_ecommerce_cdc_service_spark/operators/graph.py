@@ -255,9 +255,20 @@ def density_clusters(edges: DataFrame, min_pts: int = 2,
     border attach are one exchange each on the edge list; the CC runs on
     the (smaller) core-core subgraph only.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    # r14 optimization: materialize the symmetrized edge list ONCE (the
+    # same eager-localCheckpoint discipline connected_components applies to
+    # its own copy). The taxonomy references sym from three branches (degree
+    # census, core-core subgraph, border attach) and both union legs embed
+    # the caller's full pair-derivation plan — unpinned, that pair plan
+    # re-executes per branch. The pair graph is the bounded dedup artifact
+    # a real pipeline materializes anyway; this operator is already
+    # runtime-classified (iterative CC), so the pin adds no new class.
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     deg = sym.groupBy("u").agg(F.countDistinct("v").alias("deg"))
     core = deg.filter(F.col("deg") >= min_pts).select(F.col("u").alias("node"))
     cc_edges = (

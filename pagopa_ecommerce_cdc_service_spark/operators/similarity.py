@@ -128,25 +128,26 @@ def nearest_pivot(emb, piv, vec_col: str = "qvec", out_col: str = "pid"):
     smallest pid — which broadcasts to every task; assignment is then a pure
     per-row fold over the pivot array. This replaces the crossJoin +
     per-vec_id ROW_NUMBER window formulation, whose full-corpus hash shuffle
-    is exactly the cost IVF assignment must not pay at 100 TB. The fold
-    evaluates dist2 twice per pivot (predicate + kept struct, ~2·nlist·dims
-    integer ops per row, interpreted): linear, embarrassingly parallel, and
-    cheap next to one corpus-wide exchange.
+    is exactly the cost IVF assignment must not pay at 100 TB. Scoring is
+    ~nlist·dims integer ops per row, interpreted: linear, embarrassingly
+    parallel, and cheap next to one corpus-wide exchange.
+
+    r14 optimization: each pivot is scored ONCE (transform → struct(d2,
+    pid)) and the winner is the lexicographic array_min — identical to the
+    previous strict-< fold (the array is pid-sorted, so the fold kept the
+    smallest pid on a d2 tie; array_min over (d2, pid) structs picks
+    exactly that) at HALF the dist2 evaluations per row (guide §1.2: don't
+    compute things you throw away).
     """
     piv_arr = piv.agg(
         F.array_sort(F.collect_list(F.struct("pid", "pv"))).alias("_pivots")
     )
     v = F.col(vec_col)
-    best = F.aggregate(
-        F.col("_pivots"),
-        F.struct(
-            F.lit(None).cast("long").alias("pid"),
-            F.lit(None).cast("long").alias("d2"),
-        ),
-        lambda acc, p: F.when(
-            acc["pid"].isNull() | (dist2(p["pv"], v) < acc["d2"]),
-            F.struct(p["pid"].alias("pid"), dist2(p["pv"], v).alias("d2")),
-        ).otherwise(acc),
+    best = F.array_min(
+        F.transform(
+            F.col("_pivots"),
+            lambda p: F.struct(dist2(p["pv"], v).alias("d2"), p["pid"].alias("pid")),
+        )
     )
     return (
         emb.crossJoin(F.broadcast(piv_arr))

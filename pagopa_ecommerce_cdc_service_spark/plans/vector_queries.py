@@ -1356,22 +1356,23 @@ _RQ_TOP = 10
 def _nearest_struct(piv_col, v):
     """Nearest entry (pid, pv) of a sorted broadcast codebook array by
     exact integer L2² — the nearest_pivot fold, keeping the codeword
-    vector so callers can form residuals/reconstructions in-row."""
-    return F.aggregate(
-        piv_col,
-        F.struct(
-            F.lit(None).cast("long").alias("pid"),
-            F.lit(None).cast("array<bigint>").alias("pv"),
-            F.lit(None).cast("long").alias("d2"),
-        ),
-        lambda acc, p: F.when(
-            acc["pid"].isNull() | (dist2(p["pv"], v) < acc["d2"]),
-            F.struct(
+    vector so callers can form residuals/reconstructions in-row.
+
+    r14 optimization: each codeword is scored ONCE (transform →
+    struct(d2, pid, pv)) and the winner is the lexicographic array_min —
+    identical to the previous strict-< fold (pid-sorted array ⇒ the fold
+    kept the smallest pid on a d2 tie; array_min over (d2, pid, …) picks
+    exactly that) at half the dist2 evaluations. Callers read fields by
+    name."""
+    return F.array_min(
+        F.transform(
+            piv_col,
+            lambda p: F.struct(
+                dist2(p["pv"], v).alias("d2"),
                 p["pid"].alias("pid"),
                 p["pv"].alias("pv"),
-                dist2(p["pv"], v).alias("d2"),
             ),
-        ).otherwise(acc),
+        )
     )
 
 
@@ -5110,16 +5111,16 @@ def _split_rebalanced_layout(emb: DataFrame):
     # the sub-ascending sorted array resolves distance ties to sub 1,
     # matching the oracle's ORDER BY dist, sub)
     qv = F.col("qvec")
-    best = F.aggregate(
-        F.col("_subs"),
-        F.struct(
-            F.lit(None).cast("long").alias("sub"),
-            F.lit(None).cast("long").alias("d2"),
-        ),
-        lambda acc, s: F.when(
-            acc["sub"].isNull() | (dist2(s["sv"], qv) < acc["d2"]),
-            F.struct(s["sub"].alias("sub"), dist2(s["sv"], qv).alias("d2")),
-        ).otherwise(acc),
+    # r14 optimization: single dist2 evaluation per sub-seed (transform →
+    # array_min), same winner as the previous strict-< fold — the array is
+    # sub-ascending sorted, so ties resolve to sub 1 under both forms
+    best = F.array_min(
+        F.transform(
+            F.col("_subs"),
+            lambda s: F.struct(
+                dist2(s["sv"], qv).alias("d2"), s["sub"].alias("sub")
+            ),
+        )
     )
     resplit = (
         hotm.join(F.broadcast(sub_arr), "pid")

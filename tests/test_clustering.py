@@ -61,14 +61,24 @@ def test_kmeans_assignment_total_and_exclusive(spark, sf_dir):
 
 
 def test_kmeans_single_wide_exchange(spark, sf_dir):
-    # The 100 TB claim: vector rows cross the wire once. After execution the
-    # adaptive plan must show the assignment subtrees collapsed onto ONE
-    # materialized vec_id exchange (ReusedExchange elsewhere), and no
-    # exchange keyed on vec_id beyond the explicit repartition.
+    # The 100 TB claim: vector rows cross the wire once. Since the r14
+    # fold-based assignment (centroids collapse to one broadcast array row;
+    # argmin is a per-row transform + array_min) NO operator ever requires a
+    # vec_id partitioning: the only vec_id exchanges in the executed plan
+    # are the query's explicit REPARTITION_BY_NUM — the planner inserts no
+    # ENSURE_REQUIREMENTS exchange over vector rows for assignment.
+    # (Pre-r14 this pinned ReusedExchange >= 3: the crossJoin+groupBy argmin
+    # needed the vec_id partitioning and the claim rested on AQE collapsing
+    # the repeated groupBys onto one materialized exchange.)
     df = e_kmeans_clusters(spark, sf_dir)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 3, plan[:2000]
+    vec_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(vec_id" in l and "ReusedExchange" not in l
+    ]
+    assert vec_exchanges, "expected the explicit vec_id repartition"
+    assert all("REPARTITION_BY_NUM" in l for l in vec_exchanges), vec_exchanges
     assert "EvalPython" not in plan
 
 
@@ -328,10 +338,9 @@ def test_kn_seeds_scale_with_corpus(spark):
 
 def test_kn_fit_single_wide_exchange(spark, sf_dir):
     # The adaptive-k chain keeps the kmeans scale shape (the
-    # test_kmeans_single_wide_exchange claim): after execution AQE
-    # collapses the repeated assignment subtrees onto ONE materialized
-    # vec_id exchange (ReusedExchange elsewhere); the extra k law is a
-    # one-row broadcast aggregate, never a vector-set exchange.
+    # test_kmeans_single_wide_exchange claim): assignment adds no vec_id
+    # exchange; the extra k law is a one-row broadcast aggregate, never a
+    # vector-set exchange.
     from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
         kmeans_kn_fit,
     )
@@ -340,7 +349,15 @@ def test_kn_fit_single_wide_exchange(spark, sf_dir):
     _, assigned = kmeans_kn_fit(emb)
     assigned.collect()
     plan = assigned._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ReusedExchange") >= 3, plan[:2000]
+    # r14 fold-based assignment: no planner-inserted vec_id exchange — the
+    # only vec_id exchanges are the explicit REPARTITION_BY_NUM (see
+    # test_kmeans_single_wide_exchange for the full rationale)
+    vec_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(vec_id" in l and "ReusedExchange" not in l
+    ]
+    assert vec_exchanges, "expected the explicit vec_id repartition"
+    assert all("REPARTITION_BY_NUM" in l for l in vec_exchanges), vec_exchanges
     assert "EvalPython" not in plan
     assert "CartesianProduct" not in plan
 
