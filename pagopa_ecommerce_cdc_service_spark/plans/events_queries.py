@@ -2953,34 +2953,57 @@ def w_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
         .withColumn("rt", F.sum("n").over(wt))
-        .persist()  # <= K^2 rows; ten iterations re-read it
+        # (r14: no persist — the in-row power iteration reads the matrix
+        # exactly once, into its single collect_list array)
     )
-    types = ev.select("event_type").distinct().persist()  # K rows
+    types = ev.select("event_type").distinct()
     return _stationary_from_matrix(m, types)
 
 
 def _stationary_from_matrix(m: DataFrame, types: DataFrame) -> DataFrame:
     """Power iteration over a (cur, nxt, n, rt) transition matrix + type
     dimension → stationary mass per type. Shared by the batch query and
-    its streaming twin (extracted fingerprint-neutrally — pure
-    delegation, expressions unchanged)."""
-    kk = types.agg(F.count("*").alias("k"))
-    v = types.crossJoin(F.broadcast(kk)).select(
-        "event_type", F.expr("1000000 div k").cast("long").alias("v")
+    its streaming twin.
+
+    r14 optimization (guide §2.4/§1.2): the matrix (≤ K² rows) and the
+    type dimension (K rows) each collapse to ONE array row; all ten
+    iterations run as in-row array folds in a SINGLE map stage instead of
+    ten (broadcast join + groupBy + re-attach join) rounds — ~30 tiny
+    stages (and their AQE replans) become one. Arithmetic is the
+    identical exact BIGINT fixed-point law: per type t,
+    v'(t) = Σ over matrix entries e with e.nxt = t of
+    (v(e.cur)·e.n) DIV e.rt, absent ⇒ 0 — term set, integer division and
+    summation domain all equal the old join/groupBy formulation (sum
+    order is irrelevant for exact integers), so the value hash is
+    unchanged. Each iteration's vector is bound through
+    ``explode(array(…))`` — a Generate barrier the optimizer cannot
+    collapse — so iteration t's array is evaluated exactly ONCE and read
+    as a value by iteration t+1's lambdas (a plain Project chain would
+    re-inline the single-referenced alias into the per-entry lambda and
+    re-evaluate the whole recursion per matrix entry — exponential)."""
+    marr = m.agg(
+        F.array_sort(F.collect_list(F.struct("cur", "nxt", "n", "rt"))).alias("ma")
+    )
+    tarr = types.agg(F.array_sort(F.collect_list("event_type")).alias("ta"))
+    one = marr.crossJoin(F.broadcast(tarr))
+    v0 = F.expr(
+        "transform(ta, t -> named_struct("
+        "'et', t, 'v', CAST(1000000 DIV size(ta) AS BIGINT)))"
+    )
+    df = one.select("ma", "ta", F.explode(F.array(v0)).alias("v"))
+    step = F.expr(
+        "transform(ta, t -> named_struct('et', t, 'v', "
+        "coalesce(aggregate(filter(ma, e -> e.nxt = t), CAST(0 AS BIGINT), "
+        "(acc, e) -> acc + "
+        "(element_at(filter(v, x -> x.et = e.cur), 1).v * e.n) DIV e.rt), "
+        "CAST(0 AS BIGINT))))"
     )
     for _ in range(_MARKOV_ITERS):
-        # the mass vector is K rows: broadcast it into the matrix join and
-        # broadcast the update into the type re-attach — every iteration is
-        # broadcast-only (an SMJ here would sort both tiny sides 10 times)
-        vu = (
-            m.join(F.broadcast(v.withColumnRenamed("event_type", "cur")), "cur")
-            .groupBy(F.col("nxt").alias("event_type"))
-            .agg(F.sum(F.expr("(v * n) div rt")).cast("long").alias("vu"))
-        )
-        v = types.join(F.broadcast(vu), "event_type", "left").select(
-            "event_type", F.coalesce(F.col("vu"), F.lit(0)).cast("long").alias("v")
-        )
-    return v.select("event_type", F.col("v").alias("stationary_per_1m"))
+        df = df.select("ma", "ta", F.explode(F.array(step)).alias("v"))
+    return df.select(F.explode("v").alias("s")).select(
+        F.col("s.et").alias("event_type"),
+        F.col("s.v").alias("stationary_per_1m"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -3335,11 +3358,10 @@ def w_stream_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"))
         .withColumn("rt", F.sum("n").over(wt))
-        .persist()  # <= K^2 rows; ten iterations re-read it
+        # (r14: no persist — the in-row power iteration reads the matrix
+        # exactly once, into its single collect_list array)
     )
-    types = (
-        spark.read.parquet(src).select("event_type").distinct().persist()
-    )
+    types = spark.read.parquet(src).select("event_type").distinct()
     return _stationary_from_matrix(m, types)
 
 
