@@ -1056,6 +1056,36 @@ _CERTIFIED_TAIL = (
     "t_lsh_band_sweep_sampled",
     "t_pack_capacity_train",
     "e_kn_pruned_regret_sweep",
+    # Round-15 rotation (eighteenth pass): the four r14 _PENDING_FIRST_CERT
+    # queries rotate INTO the prefix for their first hard certification —
+    # t_stream_lang_temperature_mix (RUNTIME: the census-only streaming
+    # temperature-mix twin joins the 46 other runtime gates permanently →
+    # 47 runtime slots) plus the three statics e_decontaminated_split,
+    # e_contamination_report, t_train_mix_manifest (47 + 3 = 50). They are
+    # the only never-driver-verified queries, so they take the slots this
+    # round; the round-15 optimization-touched tail (VERDICT r14 item 4's
+    # list) therefore stays under the reverified-exception discipline one
+    # more round — four slots exist and four never-certified queries
+    # outrank six changed-but-re-executed ones.
+    # Rotating OUT: the four r14-certified statics, each fingerprint-equal
+    # vs FINGERPRINTS_r14 (their certifying rows are CORRECTNESS_r14,
+    # guard-tested by tests/test_rotation.py against the r14 snapshot):
+    # - e_ivf_split_rebalance: fingerprint-equal to its r14-certified
+    #   state; the split-rebalance law and its pivot folds are untouched
+    #   this round.
+    # - t_lang_temperature_mix: fingerprint-equal; the temperature-mix
+    #   allocation is untouched, and its streaming twin certifies in THIS
+    #   round's prefix (the drain delegates to _temperature_alloc verbatim).
+    # - e_decontaminate_semantic: fingerprint-equal; the decontamination
+    #   scan chain is untouched, and both of its composed consumers
+    #   (e_decontaminated_split, e_contamination_report — same
+    #   _decontamination_chain verbatim) certify in THIS round's prefix.
+    # - e_ivf_rebalanced_topk: fingerprint-equal; composes the untouched
+    #   rebalanced layout with the untouched pivot folds.
+    "e_ivf_split_rebalance",
+    "t_lang_temperature_mix",
+    "e_decontaminate_semantic",
+    "e_ivf_rebalanced_topk",
 )
 
 
@@ -1067,6 +1097,11 @@ _CERTIFIED_TAIL = (
 # certified/pending split is auditable (tests/test_rotation.py allows
 # exactly this list and nothing else to sit uncertified in the tail).
 _PENDING_FIRST_CERT: tuple[str, ...] = (
+    # Round 15: the four r14 pendings all rotated into the prefix (first
+    # certification this round). Round 15 is an optimization round and
+    # adds no queries, so the pending list is EMPTY; new build-round
+    # queries accumulate here again next build round.
+    #
     # Round 14: the r13 five all rotated into the prefix (first
     # certification this round); new round-14 queries accumulate here.
     #
@@ -1084,35 +1119,6 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
     # (tests/test_rotation.py enforces prefix-or-pending for runtime —
     # never the certified tail).
     #
-    # Decontamination-aware split REGENERATION — composes the
-    # e_decontaminate_semantic scan chain (shared verbatim via
-    # _decontamination_chain) with operators/split.assign_split: flagged
-    # train vectors are quarantined and the stratified split re-draws
-    # over survivors only; output is the (label × bucket) mass-
-    # conservation census with a sum-of-ids membership checksum.
-    # Parity-green at sf0.001/0.01/0.1 on introduction; cross-query
-    # consistency law in tests/test_clustering.py.
-    "e_decontaminated_split",
-    # STREAMING temperature-mix twin (RUNTIME: stages parquet, runs a
-    # two-incarnation census-only stream with a mid-stream restart leg).
-    # Each micro-batch appends a bounded |langs|-row partial census —
-    # never per-doc state; the drain sums epoch partials and delegates
-    # the allocation math to _temperature_alloc verbatim, hash-checked
-    # against t_lang_temperature_mix's oracle SQL by the parity suite.
-    "t_stream_lang_temperature_mix",
-    # Contamination report BY EVAL ITEM — the mirror of
-    # e_decontaminate_semantic (same _decontamination_chain verbatim,
-    # aggregation key flipped to eval_id): which benchmark items are
-    # compromised, how badly, and by which nearest train vector.
-    # Parity-green at sf0.001/0.01/0.1 on introduction.
-    "e_contamination_report",
-    # TRAIN-split mixture manifest — the α = 1/2 allocation computed
-    # over the TRAIN split's lang census only (val/test must not move
-    # sampling weights), with per-language train token mass riding
-    # through _temperature_alloc's extra-column path. Composes
-    # t_lang_id + t_bpe_token_count + assign_split verbatim.
-    # Parity-green at sf0.001/0.01/0.1 on introduction.
-    "t_train_mix_manifest",
 )
 
 
@@ -1141,14 +1147,41 @@ _R14_OPT_REVERIFIED: frozenset[str] = frozenset({
     "e_ivf_nprobe_curve", "e_ivf_opq_recall", "e_ivf_opq_topk",
     "e_ivf_opq_tuning_grid", "e_ivf_topk", "e_ivfpq_recall",
     "e_ivfpq_topk", "e_kcenter_assign", "e_kmeans_clusters",
-    "e_kn_pruned_regret_sweep", "e_kn_pruned_vs_flat_delta",
     "e_opq_distortion_delta", "e_opq_recall", "e_opq_topk",
     "e_pcapq_distortion_delta", "e_pcapq_recall", "e_pcapq_topk",
     "e_pq_cand_curve", "e_pq_distortion", "e_pq_sdc_topk", "e_pq_topk",
     "e_rand_stability", "e_rq_recall", "e_rq_topk", "e_semdedup_kn",
-    "e_semdedup_kn_pruned", "e_semdedup_pair_recall",
+    "e_semdedup_pair_recall",
     "e_semdedup_pair_recall_sampled", "e_semdedup_pairs", "e_silhouette",
     "w_markov_stationary",
+})
+
+
+# ROUND-15 OPTIMIZATION AUDIT. Round 15 is the second optimization round:
+# the pivot-pruned Lloyd's chain (operators/clustering.py
+# kmeans_kn_pruned_pass/_pruned_state) was restructured so every unrolled
+# iteration references the previous centroid tree exactly ONCE — the old
+# pass derived the centroid→pivot argmin twice, growing the static plan
+# EXPONENTIALLY in the iteration count (e_kn_pruned_regret_sweep: 570
+# parquet-scan nodes / 20k-line plan → 30 scans; measured 2.3-2.4×
+# interleaved-A/B floors, see OPTIMIZATION_r15.md). Every query listed
+# below is a CERTIFIED-TAIL static whose analyzed plan therefore no
+# longer matches the snapshot its green gate row was taken against. The
+# rotation guard (tests/test_rotation.py) accepts these tail slots under
+# the same STRICTER pair of checks as the round-14 exception:
+#   (a) the query's DuckDB oracle SQL is byte-identical to the certified
+#       snapshot (the results contract did not move — asserted), and
+#   (b) the full local parity suite re-EXECUTED the query against that
+#       oracle this round (row count + schema + exact values — the same
+#       comparison the driver gate runs), plus the driver's own small-SF
+#       re-checks of every declared query.
+# The optimized plans' fingerprints are snapshotted in
+# FINGERPRINTS_r15.json for the next round's guard. Queries changed in
+# r14 AND again in r15 live here (this set takes precedence over
+# _R14_OPT_REVERIFIED in the guard).
+_R15_OPT_REVERIFIED: frozenset[str] = frozenset({
+    "e_kn_pruned_regret_sweep", "e_kn_pruned_vs_flat_delta",
+    "e_semdedup_kn_pruned",
 })
 
 

@@ -414,6 +414,10 @@ def main() -> None:
     # 131-entry timing map — persist the full artifact so every round's
     # numbers stay readable (VERDICT r9 item #9).
     (_REPO / "BENCH_DETAIL.json").write_text(json.dumps(result, indent=1))
+    # Durable round-over-round contract (VERDICT r14 item #2): the exact
+    # one-line JSON also lands on disk, so a truncated stdout tail capture
+    # can never orphan the per-query comparison baseline again.
+    (_REPO / "bench_results.json").write_text(json.dumps(result) + "\n")
 
     if "--check" in sys.argv:
         # regression gate vs the committed bar (recorded at sf0.1; only

@@ -532,77 +532,119 @@ def kn_pivots(seeds: DataFrame, p: int = KN_PIVOTS) -> DataFrame:
     )
 
 
-def _argmin_to_pivot(rows: DataFrame, key: str, vec: str, piv: DataFrame) -> DataFrame:
-    """Nearest-pivot id per row of ``rows``.
+def _pruned_state(cent: DataFrame, piv: DataFrame) -> DataFrame:
+    """ONE bounded broadcastable row describing a pruned assignment pass.
 
-    r14 optimization (guide §2.4): the bounded pivot table collapses to
-    ONE pid-sorted array-of-structs row (broadcast); the argmin is a
-    per-row transform + array_min with the same (dist, pid) tiebreak as
-    the old crossJoin → groupBy(key) min(struct) shape. Removes one
-    exchange + aggregation per call — and this is called once per
-    Lloyd's iteration for the corpus AND the centroid set, so the
-    pruned-kn chains drop 2·(iters+1) shuffle stages each."""
+    Columns:
+    - ``_cp``: every centroid tagged with its nearest pivot, sorted by
+      (pid, cid, c) — the per-pivot centroid groups, flattened;
+    - ``_live``: the distinct (pid, pc) pivots whose group is non-empty
+      (a moved centroid can empty a group), pid-sorted.
+
+    r15 optimization (guide §1.2 "the distributed algorithm", §3.3 "very
+    wide plans make planning the bottleneck"): the old pass derived the
+    centroid→pivot argmin TWICE (once for the live-pivot set, once for
+    the group attach), so every Lloyd's iteration embedded the previous
+    centroid tree twice and the unrolled plan grew EXPONENTIALLY in the
+    iteration count (e_semdedup_kn_pruned: 396 parquet-scan nodes,
+    14k-line formatted plan; the three-arm regret sweep: 570 scans, 20k
+    lines). This helper references ``cent`` exactly ONCE and ``piv``
+    exactly once: the nearest-pivot argmin carries the winning pivot's
+    vector through the struct (pid is unique, so (dist, pid) still
+    decides the winner and ``pc`` never participates in a tie), and the
+    live set is recovered in-row from the tagged centroid list instead
+    of a second semi-join against a second ``cent`` derivation. Plan
+    growth per iteration is now O(1) subtrees.
+
+    Precondition (unchanged from the r14 fold forms): ``cent``/``piv``
+    are non-empty — guaranteed by kmeans_kn_seeds (k ≥ 1)."""
     piv_arr = piv.agg(
         F.array_sort(F.collect_list(F.struct("pid", "pc"))).alias("_ps")
     )
     best = F.array_min(
         F.transform(
             F.col("_ps"),
-            lambda p: F.struct(
-                sq_dist(p["pc"], F.col(vec)).alias("dist"), p["pid"].alias("pid")
+            lambda pr: F.struct(
+                sq_dist(pr["pc"], F.col("c")).alias("dist"),
+                pr["pid"].alias("pid"),
+                pr["pc"].alias("pc"),
             ),
         )
     )
-    return (
-        rows.crossJoin(F.broadcast(piv_arr))
-        .select(key, vec, best["pid"].alias("pid"))
+    cp = cent.crossJoin(F.broadcast(piv_arr)).select(
+        "cid", "c", best["pid"].alias("pid"), best["pc"].alias("pc")
+    )
+    tagged = cp.agg(
+        F.array_sort(
+            F.collect_list(F.struct("pid", "cid", "c", "pc"))
+        ).alias("_all")
+    )
+    return tagged.select(
+        F.transform(
+            F.col("_all"),
+            lambda x: F.struct(
+                x["pid"].alias("pid"), x["cid"].alias("cid"), x["c"].alias("c")
+            ),
+        ).alias("_cp"),
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.col("_all"),
+                    lambda x: F.struct(
+                        x["pid"].alias("pid"), x["pc"].alias("pc")
+                    ),
+                )
+            )
+        ).alias("_live"),
     )
 
 
-def kmeans_kn_pruned_assign(
-    vp: DataFrame, cent: DataFrame, piv: DataFrame
+def kmeans_kn_pruned_pass(
+    emb: DataFrame, cent: DataFrame, piv: DataFrame
 ) -> DataFrame:
-    """Pivot-pruned nearest-centroid assignment.
+    """Pivot-pruned nearest-centroid assignment: (vec_id, q, cid, dist).
 
-    ``vp`` is the per-vector nearest-LIVE-pivot table for THIS centroid
-    set; ``cent`` the centroids. Each vector scores only its pivot
-    group's centroids.
+    Each vector scores the live pivots first (P distances), then only
+    the centroids in its nearest live pivot's group (~k/P distances) —
+    the same hierarchical argmin as the certified chain, with identical
+    (dist, id) tiebreaks at both levels (array_min over id-sorted
+    structs ≡ min(struct(dist, id))).
 
-    r14 optimization (guide §2.4): the per-pivot centroid group collapses
-    to a cid-sorted array per pid (bounded: ≤ k structs across ≤ P rows);
-    one broadcast hash join on ``pid`` attaches each vector's group and
-    the argmin is a per-row transform + array_min — no scored-relation
-    materialization, no per-vector aggregation. Winner identical to the
-    old min(struct(dist, cid))."""
-    cp = _argmin_to_pivot(cent, "cid", "c", piv)
-    grp = cp.groupBy("pid").agg(
-        F.array_sort(F.collect_list(F.struct("cid", "c"))).alias("_cb")
+    The whole pass is ONE map-only Project over the corpus against the
+    broadcast one-row :func:`_pruned_state`; the vector's pivot id binds
+    through an ``explode(array(...))`` Generate barrier so CollapseProject
+    cannot re-inline the P-distance argmin into the per-group filter
+    predicate (which would re-evaluate it once per centroid — the
+    documented Markov/word_ngrams lesson). Every surviving centroid
+    belongs to some pivot and the vector's pivot is live by
+    construction, so the group filter never yields an empty array."""
+    state = _pruned_state(cent, piv)
+    vbest = F.array_min(
+        F.transform(
+            F.col("_live"),
+            lambda pr: F.struct(
+                sq_dist(pr["pc"], F.col("q")).alias("dist"),
+                pr["pid"].alias("pid"),
+            ),
+        )
+    )
+    rows = emb.crossJoin(F.broadcast(state)).select(
+        "vec_id",
+        "q",
+        "_cp",
+        F.explode(F.array(vbest["pid"])).alias("_pid"),
     )
     best = F.array_min(
         F.transform(
-            F.col("_cb"),
-            lambda s: F.struct(
-                sq_dist(s["c"], F.col("q")).alias("dist"), s["cid"].alias("cid")
+            F.filter(F.col("_cp"), lambda x: x["pid"] == F.col("_pid")),
+            lambda x: F.struct(
+                sq_dist(x["c"], F.col("q")).alias("dist"), x["cid"].alias("cid")
             ),
         )
     )
-    return (
-        vp.join(F.broadcast(grp), "pid")
-        .select(
-            "vec_id",
-            "q",
-            best["cid"].alias("cid"),
-            best["dist"].alias("dist"),
-        )
+    return rows.select(
+        "vec_id", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
     )
-
-
-def _live_vp(emb: DataFrame, cent: DataFrame, piv: DataFrame) -> DataFrame:
-    """Per-vector nearest pivot among the groups this centroid set
-    actually populates (a moved centroid can empty a group)."""
-    cp = _argmin_to_pivot(cent, "cid", "c", piv)
-    live = piv.join(cp.select("pid").distinct(), "pid", "left_semi")
-    return _argmin_to_pivot(emb, "vec_id", "q", live)
 
 
 def kmeans_kn_pruned_fit(
@@ -624,10 +666,8 @@ def kmeans_kn_pruned_fit(
     piv = kn_pivots(seeds, p)
     cent = seeds
     for _ in range(iters):
-        vp = _live_vp(emb, cent, piv)
-        cent = kmeans_update(kmeans_kn_pruned_assign(vp, cent, piv))
-    vp = _live_vp(emb, cent, piv)
-    return cent, kmeans_kn_pruned_assign(vp, cent, piv)
+        cent = kmeans_update(kmeans_kn_pruned_pass(emb, cent, piv))
+    return cent, kmeans_kn_pruned_pass(emb, cent, piv)
 
 
 def kmeans_kn_pruned_oracle_ctes(

@@ -864,14 +864,22 @@ def test_session_paths_take_ordered_census(spark, sf_dir, queries):
 
 
 def test_markov_iterations_on_bounded_tables(spark, sf_dir, queries):
-    """Markov stationary: the transition matrix is pinned (ten iterations
-    re-read it) and every iteration joins bounded tables — the corpus is
-    scanned only into the matrix/type tables, never per iteration."""
+    """Markov stationary (r14 in-row form): the matrix and type dimension
+    each collapse to one array row, and all ten power iterations run as
+    in-row array folds in a single map stage — no per-iteration joins, no
+    re-scan of the corpus per iteration."""
     plan = _plan(queries["w_markov_stationary"](spark, sf_dir))
-    assert "InMemoryTableScan" in plan, "matrix/types not pinned"
-    # corpus scans: matrix build + type census only (cache substitution
-    # collapses re-reads; the plan text nests each cached child once)
     assert "SortMergeJoin" not in plan
+    # bounded corpus reads: matrix build + type census legs only
+    assert plan.count("FileScan parquet") <= 4, plan[:1200]
+    # each iteration's vector binds through an explode(array(..)) Generate
+    # barrier so CollapseProject cannot re-inline the recursion into the
+    # per-entry lambdas (exponential re-evaluation). A Catalyst version
+    # that collapses singleton Generates would silently break this — pin
+    # the full 10-iteration chain.
+    assert plan.count("Generate") >= 10, plan[:1200]
+    # the two bounded sides attach via one broadcast, never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_distinctive_terms_bounded_rank(spark, sf_dir, queries):

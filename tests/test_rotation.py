@@ -13,12 +13,17 @@ If you edit any operator or plan a tail query depends on, this test fails —
 rotate that query back into the prefix (swapping out a provably-unchanged
 one) before committing.
 
-Round-14 exception: the optimization round deliberately changed the plans
-of the ``_R14_OPT_REVERIFIED`` tail set (see __spark_entry__.py). For those
-queries the guard instead asserts oracle-SQL equality with the certified
-snapshot (the results contract) and pins the OPTIMIZED plan against further
-drift via FINGERPRINTS_r14.json; the parity suite re-executes each against
-its oracle every round.
+Optimization-round exceptions: rounds 14 and 15 deliberately changed the
+plans of the ``_R14_OPT_REVERIFIED`` / ``_R15_OPT_REVERIFIED`` tail sets
+(see __spark_entry__.py). For those queries the guard instead asserts
+oracle-SQL equality with the certified snapshot (the results contract) and
+pins the OPTIMIZED plan against further drift via FINGERPRINTS_r14.json /
+FINGERPRINTS_r15.json (r15 takes precedence for queries changed in both
+rounds); the parity suite re-executes each against its oracle every round.
+
+Queries whose latest certifying row is CORRECTNESS_r14 (the four statics
+rotated out in round 15) are pinned against FINGERPRINTS_r14 — the
+snapshot of the code state their gate run certified.
 """
 
 from __future__ import annotations
@@ -36,11 +41,19 @@ SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r13.json").read_text())
 # round-14 optimization snapshot: pins the deliberately-changed plans of
 # the _R14_OPT_REVERIFIED tail set (see __spark_entry__.py) against any
 # FURTHER drift; their certified-results contract is still checked against
-# the r13 oracle hashes above.
+# the r13 oracle hashes above. Also the certifying snapshot for the four
+# statics whose gate row is CORRECTNESS_r14.
 R14_SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r14.json").read_text())
-# a tail query's certifying row is its LATEST hard-gate run: r13 if the
-# round-13 prefix held it, else the most recent earlier round that did
-# (r12..r02 — unchanged since, fingerprint-guarded below)
+# round-15 optimization snapshot: same discipline for _R15_OPT_REVERIFIED.
+R15_SNAPSHOT = json.loads((REPO / "FINGERPRINTS_r15.json").read_text())
+# statics certified by the round-14 gate: their pin is the r14 snapshot
+_R14_CERTIFIED_STATICS = frozenset({
+    "e_ivf_split_rebalance", "t_lang_temperature_mix",
+    "e_decontaminate_semantic", "e_ivf_rebalanced_topk",
+})
+# a tail query's certifying row is its LATEST hard-gate run: r14 if the
+# round-14 prefix held it, else the most recent earlier round that did
+# (r13..r02 — unchanged since, fingerprint-guarded below)
 CERTIFIED = json.loads((REPO / "CORRECTNESS_r02.json").read_text())
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r03.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r04.json").read_text()))
@@ -53,6 +66,7 @@ CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r10.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r11.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r12.json").read_text()))
 CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r13.json").read_text()))
+CERTIFIED.update(json.loads((REPO / "CORRECTNESS_r14.json").read_text()))
 
 
 def _order():
@@ -139,6 +153,10 @@ def test_tail_queries_unchanged_since_certification(spark, tmp_path_factory):
         if name in entry_mod._PENDING_FIRST_CERT:
             continue
         snap = SNAPSHOT.get(name)
+        if name in _R14_CERTIFIED_STATICS:
+            # certified by the round-14 gate: the r14 snapshot IS the
+            # certified code state — compare directly against it.
+            snap = R14_SNAPSHOT.get(name)
         if snap is None:
             drifted.append((name, "no snapshot"))
             continue
@@ -146,17 +164,31 @@ def test_tail_queries_unchanged_since_certification(spark, tmp_path_factory):
         if oracle_sha != snap["oracle_sha"]:
             drifted.append((name, "oracle drift"))
             continue
+        if name in entry_mod._R15_OPT_REVERIFIED:
+            # round-15 optimization: the plan changed ON PURPOSE (again,
+            # for some queries, after r14). The oracle-sha equality above
+            # proves the results contract is the certified one, and the
+            # parity suite re-executes the query against that oracle in
+            # this same test run (strictly stronger evidence than plan
+            # equality for a changed plan). The new plan is pinned by
+            # FINGERPRINTS_r15.json against FURTHER drift.
+            r15 = R15_SNAPSHOT.get(name)
+            plan_sha = fingerprint(name, "/root/testdata/sf0.001")
+            if r15 is None or plan_sha != r15["plan_sha"]:
+                drifted.append((name, "drifted past the r15 optimized state"))
+            continue
         if name in entry_mod._R14_OPT_REVERIFIED:
-            # round-14 optimization: the plan changed ON PURPOSE. The
-            # oracle-sha equality above proves the results contract is the
-            # certified one, and the parity suite re-executes the query
-            # against that oracle in this same test run (strictly stronger
-            # evidence than plan equality for a changed plan). The new plan
-            # is pinned by FINGERPRINTS_r14.json against FURTHER drift.
+            # round-14 optimization: same discipline, pinned by
+            # FINGERPRINTS_r14.json against FURTHER drift.
             r14 = R14_SNAPSHOT.get(name)
             plan_sha = fingerprint(name, "/root/testdata/sf0.001")
             if r14 is None or plan_sha != r14["plan_sha"]:
                 drifted.append((name, "drifted past the r14 optimized state"))
+            continue
+        if name in _R14_CERTIFIED_STATICS:
+            plan_sha = fingerprint(name, "/root/testdata/sf0.001")
+            if plan_sha != snap["plan_sha"]:
+                drifted.append((name, plan_sha, snap["plan_sha"]))
             continue
         plan_sha = fingerprint(name, "/root/testdata/sf0.001")
         if plan_sha == snap["plan_sha"]:
