@@ -1144,12 +1144,8 @@ _PENDING_FIRST_CERT: tuple[str, ...] = (
 _R14_OPT_REVERIFIED: frozenset[str] = frozenset({
     "e_ann_recall", "e_centroid_shift", "e_cluster_outliers",
     "e_filtered_recall", "e_filtered_topk", "e_ivf_build_stats",
-    "e_ivf_nprobe_curve", "e_ivf_opq_recall", "e_ivf_opq_topk",
-    "e_ivf_opq_tuning_grid", "e_ivf_topk", "e_ivfpq_recall",
-    "e_ivfpq_topk", "e_kcenter_assign", "e_kmeans_clusters",
-    "e_opq_distortion_delta", "e_opq_recall", "e_opq_topk",
-    "e_pcapq_distortion_delta", "e_pcapq_recall", "e_pcapq_topk",
-    "e_pq_cand_curve", "e_pq_distortion", "e_pq_sdc_topk", "e_pq_topk",
+    "e_ivf_nprobe_curve", "e_ivf_topk",
+    "e_kcenter_assign", "e_kmeans_clusters",
     "e_rand_stability", "e_rq_recall", "e_rq_topk", "e_semdedup_kn",
     "e_semdedup_pair_recall",
     "e_semdedup_pair_recall_sampled", "e_semdedup_pairs", "e_silhouette",
@@ -1180,8 +1176,17 @@ _R14_OPT_REVERIFIED: frozenset[str] = frozenset({
 # r14 AND again in r15 live here (this set takes precedence over
 # _R14_OPT_REVERIFIED in the guard).
 _R15_OPT_REVERIFIED: frozenset[str] = frozenset({
+    # pruned-kn chain linearization (operators/clustering.py)
     "e_kn_pruned_regret_sweep", "e_kn_pruned_vs_flat_delta",
     "e_semdedup_kn_pruned",
+    # pq_update single-exchange fold (operators/clustering.py) — the
+    # whole PQ-training family; e_ivf_opq_* additionally moved their IVF
+    # side to the original (permutation-invariant) space
+    "e_ivf_opq_recall", "e_ivf_opq_topk", "e_ivf_opq_tuning_grid",
+    "e_ivfpq_recall", "e_ivfpq_topk",
+    "e_opq_distortion_delta", "e_opq_recall", "e_opq_topk",
+    "e_pcapq_distortion_delta", "e_pcapq_recall", "e_pcapq_topk",
+    "e_pq_cand_curve", "e_pq_distortion", "e_pq_sdc_topk", "e_pq_topk",
 })
 
 

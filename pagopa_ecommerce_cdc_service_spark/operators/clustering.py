@@ -120,7 +120,20 @@ def kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
 
 def kmeans_update(assigned: DataFrame) -> DataFrame:
     """Recompute centroids: per-(cluster, dim) exact floor-mean, re-packed
-    into ordered arrays. Shuffles only the k·dims grid (map-side combined)."""
+    into ordered arrays. Shuffles only the k·dims grid (map-side combined).
+
+    r15 NEGATIVE RESULT (kept as the explode form on the numbers): a
+    single-exchange wide fold — groupBy(cid) with 64 per-slot integer
+    sums, the pq_update shape — was built, proven value-identical, and
+    interleave-A/B-measured. It consistently REGRESSED the pruned-kn
+    chains (e_kn_pruned_vs_flat_delta 0.66-0.73×, e_kn_pruned_regret_sweep
+    0.82-0.83×, e_semdedup_kn_pruned 0.81×, with and without a Generate
+    barrier against re-inlining) while the flat chains moved within noise
+    (e_kmeans_clusters 0.91-1.15×) — at gate scale the ~200 extra
+    expression nodes per update (64 sums + 64 floors through codegen)
+    cost more than the saved exchange of a k×64-row grid. pq_update keeps
+    the wide fold: its 8-slot version measured 1.23-1.46× on the PQ
+    family. See OPTIMIZATION_r15.md."""
     dims = (
         assigned.select("cid", F.posexplode("q").alias("pos", "v"))
         .groupBy("cid", "pos")
@@ -413,18 +426,30 @@ def pq_assign(subs: DataFrame, cent: DataFrame) -> DataFrame:
 
 
 def pq_update(assigned: DataFrame) -> DataFrame:
-    """Per-(subspace, cluster, dim) exact floor-mean → new codebooks."""
-    dims = (
-        assigned.select("sub", "cid", F.posexplode("sq").alias("pos", "v"))
-        .groupBy("sub", "cid", "pos")
-        .agg(
-            F.floor(F.sum("v").cast("double") / F.count("*")).cast("long").alias("cv")
-        )
+    """Per-(subspace, cluster, dim) exact floor-mean → new codebooks.
+
+    r15 optimization (guide §2.3 "aggregate before you shuffle", §2.4):
+    ONE hash aggregate keyed by (sub, cid) with PQ_SUBDIM exact integer
+    sums replaces the posexplode → (sub, cid, pos) grid → re-pack pair of
+    exchanges — the input rows no longer multiply ×8 through the first
+    hash aggregate, and each training update is one exchange instead of
+    two. Identical per-slot arithmetic (floor(double(sum)/count) over
+    exact BIGINT sums, order-free). Interleave-A/B floors: e_pq_topk
+    1.23-1.46×, e_ivf_opq_topk 1.10×, e_pcapq_topk 1.08×. The 64-slot
+    analogue for kmeans_update was measured and REJECTED (see there)."""
+    sums = assigned.groupBy("sub", "cid").agg(
+        F.count("*").alias("_n"),
+        *[F.sum(F.col("sq")[i]).alias(f"_s{i}") for i in range(PQ_SUBDIM)],
     )
-    return dims.groupBy("sub", "cid").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cv"))), lambda s: s["cv"]
-        ).alias("c")
+    return sums.select(
+        "sub",
+        "cid",
+        F.array(
+            *[
+                F.floor(F.col(f"_s{i}").cast("double") / F.col("_n")).cast("long")
+                for i in range(PQ_SUBDIM)
+            ]
+        ).alias("c"),
     )
 
 

@@ -3461,19 +3461,25 @@ def e_ivf_opq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", quantize(F.col("embedding")).alias("q")
     )
     permuted = _opq_permuted(full.select("vec_id", "q"))
-    # IVF side IN THE TRANSFORMED SPACE: broadcast pivot fold assignment +
-    # the query's nprobe lists (the permutation is orthogonal — these are
-    # exactly the original-space assignments, now over the layout the PQ
-    # chain consumes)
-    piv = permuted.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+    # IVF side IN THE ORIGINAL SPACE (r15, guide §1.2/§3.3): squared L2 is
+    # invariant under the common dim-permutation — the permuted-space
+    # assignment sums the identical exact-integer terms in a different
+    # order — so pivots, list assignment and the query's probe set are
+    # byte-identical computed over ``full``. The oracle still derives them
+    # in the transformed space (equal values); computing them here removes
+    # THREE plan copies of the full variance-stat permutation subtree
+    # (each `permuted` reference embeds the corpus-wide dim-variance
+    # ranking), leaving the PQ chain as the only permuted consumer.
+    base = full.select("vec_id", "q")
+    piv = base.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
         F.col("vec_id").alias("pid"), F.col("q").alias("pv")
     )
     lists = nearest_pivot(
-        permuted.select("vec_id", F.col("q").alias("qvec")), piv
+        base.select("vec_id", F.col("q").alias("qvec")), piv
     ).select("vec_id", "pid")
     wq = Window.orderBy("d2", "pid")
     qprobe = (
-        permuted.filter(F.col("vec_id") == 0)
+        base.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(piv))
         .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
@@ -3601,15 +3607,20 @@ def e_ivf_opq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize(F.col("embedding")).alias("q")
     )
     permuted = _opq_permuted(full)
-    piv = permuted.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+    # IVF side in the ORIGINAL space (r15): squared L2 is permutation-
+    # invariant (same exact-integer terms, reordered), so pivots/lists/
+    # probe set are byte-identical over ``full`` — and the checkpointed
+    # list build no longer executes the corpus-wide variance-stat
+    # permutation subtree three times at construction.
+    piv = full.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
         F.col("vec_id").alias("pid"), F.col("q").alias("pv")
     )
     lists = nearest_pivot(
-        permuted.select("vec_id", F.col("q").alias("qvec")), piv
+        full.select("vec_id", F.col("q").alias("qvec")), piv
     ).select("vec_id", "pid").localCheckpoint(eager=True)
     wq = Window.orderBy("d2", "pid")
     qprobe = (
-        permuted.filter(F.col("vec_id") == 0)
+        full.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(piv))
         .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
@@ -4613,15 +4624,18 @@ def e_ivf_opq_tuning_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", quantize(F.col("embedding")).alias("q")
     )
     permuted = _opq_permuted(full)
-    piv = permuted.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
+    # IVF side in the ORIGINAL space (r15): permutation-invariant exact
+    # L2 — see e_ivf_opq_topk; removes three plan copies of the
+    # corpus-wide variance-stat permutation subtree.
+    piv = full.filter(F.col("vec_id").between(1, _N_PIVOTS)).select(
         F.col("vec_id").alias("pid"), F.col("q").alias("pv")
     )
     lists = nearest_pivot(
-        permuted.select("vec_id", F.col("q").alias("qvec")), piv
+        full.select("vec_id", F.col("q").alias("qvec")), piv
     ).select("vec_id", "pid")
     wq = Window.orderBy("d2", "pid")
     qprobe = (
-        permuted.filter(F.col("vec_id") == 0)
+        full.filter(F.col("vec_id") == 0)
         .crossJoin(F.broadcast(piv))
         .select("pid", dist2(F.col("q"), F.col("pv")).alias("d2"))
         .withColumn("rn", F.row_number().over(wq))
