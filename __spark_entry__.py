@@ -1159,8 +1159,12 @@ _R14_OPT_REVERIFIED: frozenset[str] = frozenset({
 # iteration references the previous centroid tree exactly ONCE — the old
 # pass derived the centroid→pivot argmin twice, growing the static plan
 # EXPONENTIALLY in the iteration count (e_kn_pruned_regret_sweep: 570
-# parquet-scan nodes / 20k-line plan → 30 scans; measured 2.3-2.4×
-# interleaved-A/B floors, see OPTIMIZATION_r15.md). Every query listed
+# parquet-scan nodes / 20,366-line plan → 66 scans / 2,537 lines after
+# the linearization plus the one-pass dual exact/pruned audit; measured
+# 2.3-2.4× then a further 1.18-1.33× interleaved-A/B floors, see
+# OPTIMIZATION_r15.md). The PQ codebook update also collapsed to a
+# single-exchange wide-sum fold and the e_ivf_opq_* coarse side moved to
+# the original (permutation-invariant) space. Every query listed
 # below is a CERTIFIED-TAIL static whose analyzed plan therefore no
 # longer matches the snapshot its green gate row was taken against. The
 # rotation guard (tests/test_rotation.py) accepts these tail slots under

@@ -672,6 +672,85 @@ def kmeans_kn_pruned_pass(
     )
 
 
+def kmeans_kn_pruned_dual(
+    rows: DataFrame, cent: DataFrame, piv: DataFrame
+) -> DataFrame:
+    """Exact AND pivot-pruned assignment of ``rows`` in ONE map pass:
+    (vec_id, cid_exact, dist_exact, cid_pruned, dist_pruned).
+
+    The regret audits (e_kn_pruned_vs_flat_delta, e_kn_pruned_regret_sweep)
+    need both assignments AT THE SAME centroid set. Computing them from the
+    same broadcast :func:`_pruned_state` row references the centroid tree
+    ONCE (previously: once inside the pruned pass, once more inside a
+    separate kmeans_assign, then a vec_id join to align the two — two
+    extra copies of the full unrolled Lloyd's tree per audit arm, plus a
+    corpus/sample-wide join). Tiebreaks identical to the certified forms:
+    exact ≡ min(struct(dist, cid)) over ALL centroids (array order is
+    irrelevant to array_min), pruned ≡ the hierarchical argmin of
+    :func:`kmeans_kn_pruned_pass`. Per-row regret dist_pruned −
+    dist_exact stays ≥ 0 by construction (same candidate set, restricted
+    vs full argmin)."""
+    state = _pruned_state(cent, piv)
+    vbest = F.array_min(
+        F.transform(
+            F.col("_live"),
+            lambda pr: F.struct(
+                sq_dist(pr["pc"], F.col("q")).alias("dist"),
+                pr["pid"].alias("pid"),
+            ),
+        )
+    )
+    out = rows.crossJoin(F.broadcast(state)).select(
+        "vec_id",
+        "q",
+        "_cp",
+        F.explode(F.array(vbest["pid"])).alias("_pid"),
+    )
+    exact = F.array_min(
+        F.transform(
+            F.col("_cp"),
+            lambda x: F.struct(
+                sq_dist(x["c"], F.col("q")).alias("dist"), x["cid"].alias("cid")
+            ),
+        )
+    )
+    pruned = F.array_min(
+        F.transform(
+            F.filter(F.col("_cp"), lambda x: x["pid"] == F.col("_pid")),
+            lambda x: F.struct(
+                sq_dist(x["c"], F.col("q")).alias("dist"), x["cid"].alias("cid")
+            ),
+        )
+    )
+    return out.select(
+        "vec_id",
+        exact["cid"].alias("cid_exact"),
+        exact["dist"].alias("dist_exact"),
+        pruned["cid"].alias("cid_pruned"),
+        pruned["dist"].alias("dist_pruned"),
+    )
+
+
+def kmeans_kn_pruned_audit(
+    emb: DataFrame,
+    rows: DataFrame,
+    iters: int = KM_ITERS,
+    target: int = KN_TARGET,
+    cap: int = KN_CAP,
+    p: int = KN_PIVOTS,
+    salt: str = "km:",
+) -> DataFrame:
+    """Run the pruned fit on ``emb``, then the dual exact/pruned
+    assignment of ``rows`` at the final centroids (see
+    :func:`kmeans_kn_pruned_dual`)."""
+    seeds = kmeans_kn_seeds(emb, target, cap, salt)
+    piv = kn_pivots(seeds, p)
+    cent = seeds
+    for _ in range(iters):
+        cent = kmeans_update(kmeans_kn_pruned_pass(emb, cent, piv))
+    return kmeans_kn_pruned_dual(rows, cent, piv)
+
+
 def kmeans_kn_pruned_fit(
     emb: DataFrame,
     iters: int = KM_ITERS,

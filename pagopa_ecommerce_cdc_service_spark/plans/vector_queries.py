@@ -4823,25 +4823,18 @@ def e_kn_pruned_vs_flat_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_kn_pruned_regret_sweep below: identical law, exact arm restricted
     to a fixed-size md5-anchor sample (its P = 16 arm is pinned as a
     strict subset of this audit in tests/test_clustering.py)."""
-    from ..operators.clustering import kmeans_assign, kmeans_kn_pruned_fit
+    from ..operators.clustering import kmeans_kn_pruned_audit
 
     emb = (
         spread(read(spark, sf_dir, "embeddings"), spark)
         .select("vec_id", quantize(F.col("embedding")).alias("q"))
         .repartition(spark.sparkContext.defaultParallelism, "vec_id")
     )
-    cent, pruned = kmeans_kn_pruned_fit(emb)
-    exact = kmeans_assign(emb, cent)
-    j = exact.select(
-        "vec_id", F.col("cid").alias("cid_exact"), F.col("dist").alias("dist_exact")
-    ).join(
-        pruned.select(
-            "vec_id",
-            F.col("cid").alias("cid_pruned"),
-            F.col("dist").alias("dist_pruned"),
-        ),
-        "vec_id",
-    )
+    # r15: exact + pruned assignments in ONE map pass over the broadcast
+    # pruned state (kmeans_kn_pruned_dual) — the centroid tree appears
+    # once in the plan instead of thrice, and the vec_id alignment join
+    # disappears (identical rows: both passes assign every vector).
+    j = kmeans_kn_pruned_audit(emb, emb)
     diff = F.when(F.col("cid_exact") != F.col("cid_pruned"), 1).otherwise(0)
     return j.agg(
         F.count("*").cast("long").alias("n_vectors"),
@@ -4932,7 +4925,7 @@ def _kn_regret_sweep_oracle() -> str:
 @query("e_kn_pruned_regret_sweep", _kn_regret_sweep_oracle())
 def e_kn_pruned_regret_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_long
-    from ..operators.clustering import kmeans_assign, kmeans_kn_pruned_fit
+    from ..operators.clustering import kmeans_kn_pruned_audit
 
     # NO eager/lazy pin here, on measurement: a persist() of the quantized
     # relation warm-measured 23.6 s vs 15.2 s without it (same session
@@ -4958,20 +4951,13 @@ def e_kn_pruned_regret_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = None
     for p in _REGRET_PIVOTS:
-        cent, pruned = kmeans_kn_pruned_fit(emb, p=p)
-        exact = kmeans_assign(samp, cent).select(
-            "vec_id",
-            F.col("cid").alias("cid_exact"),
-            F.col("dist").alias("dist_exact"),
-        )
-        j = exact.join(
-            pruned.select(
-                "vec_id",
-                F.col("cid").alias("cid_pruned"),
-                F.col("dist").alias("dist_pruned"),
-            ),
-            "vec_id",
-        )
+        # r15: the exact arm and the pruned arm are ONE map pass over the
+        # sample against the broadcast pruned state (kmeans_kn_pruned_dual)
+        # — the arm's centroid tree appears once instead of thrice and the
+        # vec_id alignment join disappears. Rows identical: the pruned
+        # assignment is a per-row function, so restricting it to the
+        # sample equals sampling the full assignment.
+        j = kmeans_kn_pruned_audit(emb, samp, p=p)
         diff = F.when(F.col("cid_exact") != F.col("cid_pruned"), 1).otherwise(0)
         row = j.agg(
             F.lit(p).cast("long").alias("pivots"),

@@ -839,3 +839,64 @@ def test_rebalanced_layout_probe_efficiency_never_regresses(spark, sf_dir):
         tot_b += sb
         tot_a += sa
     assert tot_a <= tot_b * 1.02, (tot_b, tot_a)
+
+
+def test_dual_audit_matches_separate_passes(spark, sf_dir):
+    """r15 internals pin: kmeans_kn_pruned_dual (one map pass computing
+    exact + pruned assignments from one broadcast state) must equal the
+    two certified passes run separately at the same centroids — exact
+    ≡ kmeans_assign (full k-way argmin, (dist, cid) tiebreak), pruned
+    ≡ kmeans_kn_pruned_pass — aligned on vec_id, and per-row regret
+    dist_pruned − dist_exact must be ≥ 0 (restricted vs full argmin)."""
+    from pagopa_ecommerce_cdc_service_spark.operators.clustering import (
+        KM_ITERS,
+        kmeans_kn_pruned_dual,
+        kmeans_kn_pruned_pass,
+        kmeans_kn_seeds,
+        kn_pivots,
+    )
+
+    emb = _emb(spark, sf_dir)
+    seeds = kmeans_kn_seeds(emb)
+    piv = kn_pivots(seeds)
+    cent = seeds
+    for _ in range(KM_ITERS):
+        cent = kmeans_update(kmeans_kn_pruned_pass(emb, cent, piv))
+    dual = {
+        r.vec_id: (r.cid_exact, r.dist_exact, r.cid_pruned, r.dist_pruned)
+        for r in kmeans_kn_pruned_dual(emb, cent, piv).collect()
+    }
+    exact = {
+        r.vec_id: (r.cid, r.dist) for r in kmeans_assign(emb, cent).collect()
+    }
+    pruned = {
+        r.vec_id: (r.cid, r.dist)
+        for r in kmeans_kn_pruned_pass(emb, cent, piv).collect()
+    }
+    assert set(dual) == set(exact) == set(pruned)
+    for vid, (ce, de, cp_, dp) in dual.items():
+        assert (ce, de) == exact[vid], vid
+        assert (cp_, dp) == pruned[vid], vid
+        assert dp >= de, vid
+
+
+def test_pruned_chain_plan_stays_linear(spark, sf_dir):
+    """r15 plan pin: the pruned-kn chains' unrolled plans must stay LINEAR
+    in the iteration count. Before the r15 rewrite the pass referenced the
+    previous centroid tree twice per iteration (2^iters growth:
+    e_kn_pruned_regret_sweep carried 570 parquet-scan nodes,
+    e_kn_pruned_vs_flat_delta 132, e_semdedup_kn_pruned 396 at sf0.1); a
+    refactor that reintroduces a second reference blows these bounds."""
+    from pagopa_ecommerce_cdc_service_spark.plans.vector_queries import (
+        e_kn_pruned_regret_sweep,
+        e_kn_pruned_vs_flat_delta,
+        e_semdedup_kn_pruned,
+    )
+
+    def scans(df) -> int:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("FileScan parquet")
+
+    assert scans(e_kn_pruned_vs_flat_delta(spark, sf_dir)) <= 24
+    assert scans(e_semdedup_kn_pruned(spark, sf_dir)) <= 40
+    assert scans(e_kn_pruned_regret_sweep(spark, sf_dir)) <= 70
