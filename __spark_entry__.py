@@ -1147,8 +1147,7 @@ _R14_OPT_REVERIFIED: frozenset[str] = frozenset({
     "e_ivf_nprobe_curve", "e_ivf_topk",
     "e_kcenter_assign", "e_kmeans_clusters",
     "e_rand_stability", "e_rq_recall", "e_rq_topk", "e_semdedup_kn",
-    "e_semdedup_pair_recall",
-    "e_semdedup_pair_recall_sampled", "e_semdedup_pairs", "e_silhouette",
+    "e_semdedup_pairs", "e_silhouette",
     "w_markov_stationary",
 })
 
@@ -1191,6 +1190,9 @@ _R15_OPT_REVERIFIED: frozenset[str] = frozenset({
     "e_opq_distortion_delta", "e_opq_recall", "e_opq_topk",
     "e_pcapq_distortion_delta", "e_pcapq_recall", "e_pcapq_topk",
     "e_pq_cand_curve", "e_pq_distortion", "e_pq_sdc_topk", "e_pq_topk",
+    # one-pass pair-recall census (the exact pair relation — the audit's
+    # dominant quadratic/anchor cost — is no longer evaluated twice)
+    "e_semdedup_pair_recall", "e_semdedup_pair_recall_sampled",
 })
 
 

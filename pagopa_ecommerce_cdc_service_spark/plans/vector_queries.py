@@ -1216,11 +1216,22 @@ def e_semdedup_pair_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b")
     )
     approx = e_semdedup_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
+    # r15 (guide §1.2 "don't compute things you throw away"): ONE pass over
+    # the exact pair relation — previously `exact` (the O(n²) cosine join,
+    # the audit's dominant cost) was referenced twice (denominator count +
+    # the hit join), and non-exchange subtrees are never runtime-reused, so
+    # the quadratic scan executed twice. Both counts now come from one
+    # left join against the (distinct) approx pairs: count(*) = |exact|,
+    # count(_hit) = |exact ∩ approx| — identical values (both pair sets
+    # are unique: one cluster per vector bounds approx, embn is unique per
+    # vec_id in exact; the explicit distinct pins the multiplicity).
+    hit = approx.distinct().withColumn("_hit", F.lit(1))
     return (
-        approx.join(exact, ["vec_a", "vec_b"])
-        .agg(F.count("*").alias("n_found"))
-        .crossJoin(F.broadcast(n_exact))
+        exact.join(F.broadcast(hit), ["vec_a", "vec_b"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
         .select(
             "n_exact",
             "n_found",
@@ -3258,13 +3269,26 @@ def e_semdedup_pair_recall_sampled(spark: SparkSession, sf_dir: str) -> DataFram
     approx = e_semdedup_pairs(spark, sf_dir, k=_SEMDEDUP_K_OVERRIDE).select(
         "vec_a", "vec_b"
     )
-    found = approx.join(exact, ["vec_a", "vec_b"]).distinct()
-    n_exact = exact.agg(F.count("*").alias("n_exact"))
-    n_found = found.agg(F.count("*").alias("n_found"))
-    return n_exact.crossJoin(n_found).select(
-        "n_exact",
-        "n_found",
-        (F.col("n_found").cast("double") / F.col("n_exact")).alias("pair_recall"),
+    # r15: one pass over the anchor×corpus exact relation (it was
+    # referenced twice — denominator count + hit join — and non-exchange
+    # subtrees never runtime-reuse). Counts identical: exact is distinct
+    # by construction, the approx side is deduped before the left join,
+    # so count(*) = |exact| and count(_hit) = |exact ∩ approx| — exactly
+    # the old inner-join-then-distinct census.
+    hit = approx.distinct().withColumn("_hit", F.lit(1))
+    return (
+        exact.join(F.broadcast(hit), ["vec_a", "vec_b"], "left")
+        .agg(
+            F.count("*").alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_exact",
+            "n_found",
+            (F.col("n_found").cast("double") / F.col("n_exact")).alias(
+                "pair_recall"
+            ),
+        )
     )
 
 
